@@ -1,0 +1,43 @@
+"""Typed engine errors.
+
+Canonical string forms are part of the declared query contract
+(FIXTURES.md §3.4): ``OFFSET_OUT_OF_RANGE:<k>`` and
+``PERMISSION_DENIED`` — derived from the reference's error surface
+(api/v1/error.go:14-15 → gRPC 404 "offset out of range: %d";
+internal/server/server.go:101,112 → PermissionDenied).
+"""
+
+from __future__ import annotations
+
+
+class ProglogError(Exception):
+    """Base class for all engine errors."""
+
+    def canonical(self) -> str:
+        return str(self)
+
+
+class OffsetOutOfRangeError(ProglogError):
+    """Raised when a read targets an offset outside [lowest, highest].
+
+    Mirrors the reference's ErrOffsetOutOfRange (api/v1/error.go:10-30),
+    which carries the offending offset in the error payload.
+    """
+
+    def __init__(self, offset: int) -> None:
+        self.offset = int(offset)
+        super().__init__(f"OFFSET_OUT_OF_RANGE:{self.offset}")
+
+
+class PermissionDeniedError(ProglogError):
+    """Raised when the ACL gate rejects (subject, object, action).
+
+    Mirrors the reference's Casbin deny → gRPC PermissionDenied
+    (internal/auth/authorizer.go:20-27, internal/server/server.go:101).
+    """
+
+    def __init__(self, subject: str, obj: str, action: str) -> None:
+        self.subject = subject
+        self.object = obj
+        self.action = action
+        super().__init__("PERMISSION_DENIED")

@@ -1,0 +1,452 @@
+"""LogTable — an append-only, dense-offset, Parquet-backed log.
+
+Spark-native re-expression of the reference's Log (directory of
+segments; internal/log/log.go:16-23) with the query surface of its
+five RPCs plus the internal log API (SURVEY.md §2.1 L1–L10):
+
+| reference                               | here                            |
+|-----------------------------------------|---------------------------------|
+| segment = store file + mmap index       | parquet file (footer min/max    |
+|   (internal/log/segment.go:12-17)       |   stats ARE the offset index)   |
+| linear segment routing on offset range  | partition pruning on the        |
+|   (internal/log/log.go:99-104)          |   ``bucket`` directory column   |
+| segment roll IsMaxed                    | ``maxRecordsPerFile`` + bucket  |
+|   (internal/log/segment.go:81-83)       |   size                          |
+| dense offset assignment under mutex     | single-writer +                 |
+|   (internal/log/segment.go:46-64)       |   ``assign_dense_offsets``      |
+| Truncate drops whole segments           | drop whole bucket dirs, rewrite |
+|   (internal/log/log.go:155-171)         |   only the boundary bucket      |
+| crash recovery re-lists segment files   | ``LogTable.open`` re-reads meta |
+|   (internal/log/log.go:39-68)           |   + parquet dir discovery       |
+
+Layout on disk::
+
+    <path>/_proglog_meta.json          # bucket_size, initial_offset
+    <path>/bucket=<n>/part-*.parquet   # records with n = offset // bucket_size
+
+Offset-range predicates prune at two levels: directory (``bucket``
+partition column) and row-group (parquet footer min/max on ``offset``)
+— the same two-level routing the reference does with segment base
+offsets + its mmap index, but provided by the Spark/Parquet stack
+instead of hand-built.
+
+Concurrency contract: exactly one writer per LogTable path (the
+reference holds a per-log mutex, internal/log/log.go:81-82 — same
+invariant, process-scoped here). Readers always see only committed
+files, so reads are read-your-committed-writes.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proglog_spark.errors import OffsetOutOfRangeError
+from proglog_spark.log.offsets import assign_dense_offsets
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("term", T.LongType(), False),
+        T.StructField("type", T.IntegerType(), False),
+    ]
+)
+
+_META_FILE = "_proglog_meta.json"
+_DATA_COLS = ["offset", "value", "term", "type"]
+
+
+class LogTable:
+    """Append-only log with dense offsets over bucketed Parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_size: int,
+        initial_offset: int,
+        max_records_per_file: int,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.bucket_size = int(bucket_size)
+        self.initial_offset = int(initial_offset)
+        self.max_records_per_file = int(max_records_per_file)
+        # Offsets never regress, even if truncation empties the log —
+        # the reference keeps nextOffset in its active segment; we
+        # persist the floor in the meta file.
+        self.next_offset_floor = int(initial_offset)
+        self._highest: int | None = None  # cache; single-writer makes this safe
+
+    # ------------------------------------------------------------------
+    # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        bucket_size: int = 1 << 20,
+        initial_offset: int = 0,
+        max_records_per_file: int = 1 << 22,
+    ) -> "LogTable":
+        """Create a new log dir (idempotent if meta matches)."""
+        log = cls(spark, path, bucket_size, initial_offset, max_records_per_file)
+        fs, p, jvm = log._fs()
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(path, _META_FILE)):
+            return cls.open(spark, path)
+        fs.mkdirs(p)
+        log._write_meta()
+        return log
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "LogTable":
+        """Reopen an existing log from its meta file (recovery, O16)."""
+        log = cls(spark, path, 1, 0, 1)
+        fs, _, jvm = log._fs()
+        meta_path = jvm.org.apache.hadoop.fs.Path(path, _META_FILE)
+        if not fs.exists(meta_path):
+            raise FileNotFoundError(f"not a LogTable (missing {_META_FILE}): {path}")
+        stream = fs.open(meta_path)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw.decode("utf-8"))
+        log.bucket_size = int(meta["bucket_size"])
+        log.initial_offset = int(meta["initial_offset"])
+        log.max_records_per_file = int(meta.get("max_records_per_file", 1 << 22))
+        log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
+        return log
+
+    def reset(self) -> None:
+        """Drop all data, keep config (reference Log.Reset, log.go:123-128)."""
+        fs, p, jvm = self._fs()
+        if fs.exists(p):
+            fs.delete(p, True)
+        fs.mkdirs(p)
+        self.next_offset_floor = self.initial_offset
+        self._write_meta()
+        self._highest = None
+
+    # ------------------------------------------------------------------
+    # write path (reference: Log.Append O10, segment.Append O6)
+    # ------------------------------------------------------------------
+
+    def append(
+        self,
+        records: DataFrame | Iterable[str] | Iterable[tuple],
+        order_by: Sequence[str] | None = None,
+    ) -> tuple[int, int]:
+        """Append a batch; returns (first_offset, last_offset) assigned.
+
+        ``records`` is a DataFrame with columns (value[, term[, type]])
+        or an iterable of strings / (value, term, type) tuples. Offsets
+        are dense continuations of the current highest offset. The batch
+        becomes visible atomically on parquet commit (the micro-batch
+        analog of the reference's flush-before-read, store.go:63).
+        """
+        df = self._coerce(records)
+        base = self._next_offset()
+        with_off = assign_dense_offsets(df, start=base, order_by=order_by)
+        n = with_off.count()  # cheap: source is the checkpointed batch
+        if n == 0:
+            return (base, base - 1)
+        (
+            with_off.withColumn(
+                "bucket", (F.col("offset") / F.lit(self.bucket_size)).cast("long")
+            )
+            .select("bucket", *_DATA_COLS)
+            .write.mode("append")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+        last = base + n - 1
+        self._highest = last
+        return (base, last)
+
+    # ------------------------------------------------------------------
+    # read path (reference: Log.Read O11, Reader O15, ConsumeStream O21)
+    # ------------------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """The log as a DataFrame (bucket partition column included)."""
+        if self._is_empty_dir():
+            return self.spark.createDataFrame([], self._full_schema())
+        return self.spark.read.schema(self._full_schema()).parquet(self.path)
+
+    def read(self, offset: int) -> Row:
+        """Point lookup; raises OffsetOutOfRangeError on a miss (L1/L10).
+
+        The bucket equality predicate prunes to one directory; the
+        offset predicate then prunes row groups via footer stats —
+        the two-level routing of reference log.go:99-104 + index.go.
+        """
+        offset = int(offset)
+        rows = (
+            self.df()
+            .where(
+                (F.col("bucket") == offset // self.bucket_size)
+                & (F.col("offset") == offset)
+            )
+            .select(*_DATA_COLS)
+            .collect()
+        )
+        if not rows:
+            raise OffsetOutOfRangeError(offset)
+        return rows[0]
+
+    def scan(self, lo: int, hi: int) -> DataFrame:
+        """Ordered range scan, offsets in [lo, hi] (L5)."""
+        return (
+            self.df()
+            .where(
+                (F.col("bucket") >= int(lo) // self.bucket_size)
+                & (F.col("bucket") <= int(hi) // self.bucket_size)
+                & (F.col("offset") >= int(lo))
+                & (F.col("offset") <= int(hi))
+            )
+            .select(*_DATA_COLS)
+            .orderBy("offset")
+        )
+
+    def consume_from(self, offset: int) -> DataFrame:
+        """All records with offset >= k, ordered (batch ConsumeStream, L7)."""
+        return (
+            self.df()
+            .where(
+                (F.col("bucket") >= int(offset) // self.bucket_size)
+                & (F.col("offset") >= int(offset))
+            )
+            .select(*_DATA_COLS)
+            .orderBy("offset")
+        )
+
+    def tail(self, n: int) -> DataFrame:
+        """Last n records in ascending offset order (L6).
+
+        Computed from the cheap highest_offset() + a pruned range scan —
+        never a global ORDER BY DESC LIMIT over the whole log.
+        """
+        hi = self.highest_offset()
+        if hi is None:
+            return self.df().select(*_DATA_COLS).limit(0)
+        return self.scan(max(self.initial_offset, hi - int(n) + 1), hi)
+
+    def reader(self) -> DataFrame:
+        """Full ordered scan (reference Log.Reader O15 / FSM snapshot src)."""
+        return self.df().select(*_DATA_COLS).orderBy("offset")
+
+    # ------------------------------------------------------------------
+    # aggregates (reference: LowestOffset O12 / HighestOffset O13)
+    # ------------------------------------------------------------------
+
+    def lowest_offset(self) -> int | None:
+        """min(offset), None when empty (stats-only scan of first bucket)."""
+        buckets = self._buckets()
+        if not buckets:
+            return None
+        row = (
+            self.df()
+            .where(F.col("bucket") == min(buckets))
+            .agg(F.min("offset").alias("m"))
+            .collect()[0]
+        )
+        return None if row["m"] is None else int(row["m"])
+
+    def highest_offset(self) -> int | None:
+        """max(offset), None when empty.
+
+        The reference returns 0 for both empty and single-record logs
+        (log.go:144-153); we deliberately disambiguate with None
+        (SURVEY.md §7.3.4). Only the max bucket directory is read.
+        """
+        if self._highest is not None:
+            return self._highest
+        buckets = self._buckets()
+        if not buckets:
+            return None
+        row = (
+            self.df()
+            .where(F.col("bucket") == max(buckets))
+            .agg(F.max("offset").alias("m"))
+            .collect()[0]
+        )
+        self._highest = None if row["m"] is None else int(row["m"])
+        return self._highest
+
+    def count(self) -> int:
+        """Record count. Offsets are dense, so count = hi - lo + 1 —
+        two stats-pruned single-bucket reads, never a full scan (L4)."""
+        lo, hi = self.lowest_offset(), self.highest_offset()
+        if lo is None or hi is None:
+            return 0
+        return hi - lo + 1
+
+    # ------------------------------------------------------------------
+    # retention (reference: Log.Truncate O14)
+    # ------------------------------------------------------------------
+
+    def truncate(self, lowest: int) -> None:
+        """Remove every record with offset <= lowest (exact semantics, L9).
+
+        The reference drops whole segments conservatively
+        (log.go:160-166); we declare exact truncation: whole bucket
+        directories strictly below the boundary are dropped O(1), and
+        only the single boundary bucket is rewritten.
+        """
+        lowest = int(lowest)
+        fs, _, jvm = self._fs()
+        boundary = (lowest + 1) // self.bucket_size  # first bucket that may survive
+        for b in self._buckets():
+            if (b + 1) * self.bucket_size - 1 <= lowest:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(self.path, f"bucket={b}"), True)
+            elif b == boundary and b * self.bucket_size <= lowest:
+                self._rewrite_bucket(b, lowest)
+        self._highest = None
+        if lowest + 1 > self.next_offset_floor:
+            self.next_offset_floor = lowest + 1
+            self._write_meta()
+
+    def _rewrite_bucket(self, bucket: int, lowest: int) -> None:
+        fs, _, jvm = self._fs()
+        bucket_dir = f"{self.path}/bucket={bucket}"
+        survivors = (
+            self.spark.read.schema(RECORD_SCHEMA)
+            .parquet(bucket_dir)
+            .where(F.col("offset") > lowest)
+        )
+        tmp = f"{self.path}/.tmp-truncate-bucket-{bucket}"
+        survivors.write.mode("overwrite").parquet(tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(bucket_dir), True)
+        # keep only data files from the tmp dir
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(bucket_dir))
+        for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
+            name = status.getPath().getName()
+            if name.endswith(".parquet"):
+                fs.rename(
+                    status.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(bucket_dir, name),
+                )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+    # ------------------------------------------------------------------
+    # snapshot / restore (reference: fsm.Snapshot O28 / Restore O29)
+    # ------------------------------------------------------------------
+
+    def snapshot(self, out_path: str) -> None:
+        """Export the whole log (reference streams Log.Reader to a sink)."""
+        self.df().select(*_DATA_COLS).write.mode("overwrite").parquet(out_path)
+
+    @classmethod
+    def restore(
+        cls,
+        spark: SparkSession,
+        snapshot_path: str,
+        path: str,
+        bucket_size: int = 1 << 20,
+    ) -> "LogTable":
+        """Rebuild a log from a snapshot; initial_offset becomes the
+        snapshot's first offset (reference distributed_fsm.go:71-76)."""
+        snap = spark.read.schema(RECORD_SCHEMA).parquet(snapshot_path)
+        first = snap.agg(F.min("offset")).collect()[0][0]
+        log = cls(
+            spark,
+            path,
+            bucket_size=bucket_size,
+            initial_offset=int(first) if first is not None else 0,
+            max_records_per_file=1 << 22,
+        )
+        log.reset()
+        if first is None:
+            return log
+        (
+            snap.withColumn("bucket", (F.col("offset") / F.lit(bucket_size)).cast("long"))
+            .select("bucket", *_DATA_COLS)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        return log
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _coerce(self, records) -> DataFrame:
+        if isinstance(records, DataFrame):
+            df = records
+            if "term" not in df.columns:
+                df = df.withColumn("term", F.lit(0).cast("long"))
+            if "type" not in df.columns:
+                df = df.withColumn("type", F.lit(0).cast("int"))
+            return df.select(
+                F.col("value").cast("string"),
+                F.col("term").cast("long"),
+                F.col("type").cast("int"),
+            )
+        rows = []
+        for r in records:
+            if isinstance(r, str):
+                rows.append((r, 0, 0))
+            else:
+                value, term, typ = (tuple(r) + (0, 0))[:3]
+                rows.append((str(value), int(term), int(typ)))
+        return self.spark.createDataFrame(
+            rows, schema="value STRING, term LONG, type INT"
+        )
+
+    def _next_offset(self) -> int:
+        hi = self.highest_offset()
+        nxt = self.initial_offset if hi is None else hi + 1
+        return max(nxt, self.next_offset_floor)
+
+    def _full_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField("bucket", T.LongType(), True), *RECORD_SCHEMA.fields]
+        )
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, p, jvm
+
+    def _buckets(self) -> list[int]:
+        """Bucket directory listing — the catalog of 'segments' (O16)."""
+        fs, p, _ = self._fs()
+        if not fs.exists(p):
+            return []
+        out = []
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("bucket="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def _is_empty_dir(self) -> bool:
+        return not self._buckets()
+
+    def _write_meta(self) -> None:
+        fs, _, jvm = self._fs()
+        meta = {
+            "bucket_size": self.bucket_size,
+            "initial_offset": self.initial_offset,
+            "max_records_per_file": self.max_records_per_file,
+            "next_offset_floor": self.next_offset_floor,
+            "format": "proglog_spark/v1",
+        }
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(self.path, _META_FILE), True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode("utf-8")))
+        finally:
+            out.close()

@@ -1,0 +1,70 @@
+"""SparkSession construction with engine-wide defaults.
+
+Centralizes every config the engine depends on for determinism and
+scale so tests, the driver entrypoint, and bench.py all run the same
+way:
+
+- UTC session timezone (oracle comparisons hash epoch arithmetic).
+- ``nanosAsLong`` so the driver's nanosecond-precision parquet
+  timestamps are readable (Spark has no TIMESTAMP(NANOS) type); the
+  source layer converts them to microsecond timestamps losslessly.
+- AQE on (runtime coalescing + skew-join handling — the scale story
+  for the 100 TB target; harmless at test scale).
+- Arrow enabled for the Pandas-UDF paths (similarity, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One file per ~64 MB input split at scale; local tests override via env.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "proglog_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
+    is configured; on a real cluster, leave it unset and submit through
+    spark-submit so the cluster manager decides.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions if shuffle_partitions is not None else DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Driver fixtures store events.ts as parquet TIMESTAMP(NANOS);
+        # Spark cannot represent nanos — read as long, convert at source.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Scale posture: adaptive execution re-plans shuffles at runtime
+        # (partition coalescing, skew-join splitting, smarter join picks).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow batches for the pandas-UDF slow path (vector ops, media).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Keep partition files bounded — the LogTable "segment roll" knob
+        # (reference internal/log/segment.go:81-83 IsMaxed analog).
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.compression.codec": "snappy",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,55 @@
+"""Loaders for the driver's parquet fixture tables.
+
+All fixture access goes through ``load_table`` so timestamp
+normalization happens exactly once, identically everywhere: the
+driver generates ``events.ts`` as parquet TIMESTAMP(NANOS), which
+Spark reads as a nanosecond LONG under
+``spark.sql.legacy.parquet.nanosAsLong`` — we convert to a
+microsecond TIMESTAMP (lossless: fixture values are µs-aligned).
+
+Filters and projections applied by callers still push down to the
+parquet scan: the conversion is a single projected column on top of
+the file source, and Catalyst prunes unread columns through it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types to the engine schema."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # nanos → micros is exact integer division; fixtures are µs-aligned.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every fixture as a temp view (for spark.sql access)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

@@ -1,0 +1,145 @@
+"""LogTable tests — modeled on the reference's log-layer test strategy
+(SURVEY.md §5): append/read round-trips, out-of-range errors with the
+offset payload, reopen-and-reread persistence, multi-file coverage via
+tiny buckets, truncate visibility, dense offsets from a non-zero base.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proglog_spark import LogTable, OffsetOutOfRangeError
+from proglog_spark.log.offsets import assign_dense_offsets
+
+
+@pytest.fixture
+def log(spark, tmp_path):
+    # bucket_size=8 forces many bucket dirs (reference uses 32-byte
+    # segments to force rolls, log_test.go:27)
+    return LogTable.create(
+        spark, str(tmp_path / "log"), bucket_size=8, max_records_per_file=4
+    )
+
+
+def test_append_read_roundtrip(log):
+    base, last = log.append(["a", "b", "c"])
+    assert (base, last) == (0, 2)
+    row = log.read(1)
+    assert (row.offset, row.value, row.term, row.type) == (1, "b", 0, 0)
+
+
+def test_append_continues_offsets(log):
+    log.append(["a", "b"])
+    base, last = log.append(["c", "d", "e"])
+    assert (base, last) == (2, 4)
+    assert [r.value for r in log.reader().collect()] == ["a", "b", "c", "d", "e"]
+
+
+def test_read_out_of_range_payload(log):
+    log.append(["a"])
+    with pytest.raises(OffsetOutOfRangeError) as ei:
+        log.read(99)
+    assert str(ei.value) == "OFFSET_OUT_OF_RANGE:99"
+    assert ei.value.offset == 99
+
+
+def test_empty_log(log):
+    assert log.lowest_offset() is None
+    assert log.highest_offset() is None
+    assert log.count() == 0
+    with pytest.raises(OffsetOutOfRangeError):
+        log.read(0)
+
+
+def test_bounds_and_count_multibucket(log):
+    n = 50  # spans 7 buckets of size 8
+    log.append([f"v{i}" for i in range(n)])
+    assert log.lowest_offset() == 0
+    assert log.highest_offset() == n - 1
+    assert log.count() == n
+    assert len(log._buckets()) == 7
+
+
+def test_scan_tail_consume(log):
+    log.append([f"v{i}" for i in range(30)])
+    assert [r.offset for r in log.scan(5, 9).collect()] == [5, 6, 7, 8, 9]
+    assert [r.offset for r in log.tail(3).collect()] == [27, 28, 29]
+    assert [r.offset for r in log.consume_from(25).collect()] == [25, 26, 27, 28, 29]
+    assert [r.value for r in log.scan(7, 8).collect()] == ["v7", "v8"]
+
+
+def test_reopen_preserves_state(spark, tmp_path):
+    # reference: reopen with existing segments (log_test.go:55-80)
+    path = str(tmp_path / "log")
+    log1 = LogTable.create(spark, path, bucket_size=8)
+    log1.append([f"v{i}" for i in range(20)])
+    log2 = LogTable.open(spark, path)
+    assert log2.bucket_size == 8
+    assert log2.highest_offset() == 19
+    assert log2.read(13).value == "v13"
+    base, last = log2.append(["tail"])
+    assert (base, last) == (20, 20)
+
+
+def test_truncate_exact(log):
+    # reference truncate visibility (log_test.go:98-118); we declare
+    # exact semantics (SURVEY §7.3.3)
+    log.append([f"v{i}" for i in range(30)])
+    log.truncate(16)  # drops buckets 0,1 entirely; rewrites bucket 2
+    assert log.lowest_offset() == 17
+    assert log.highest_offset() == 29
+    assert log.count() == 13
+    with pytest.raises(OffsetOutOfRangeError):
+        log.read(16)
+    assert log.read(17).value == "v17"
+    # appends continue after truncation
+    base, _ = log.append(["post"])
+    assert base == 30
+
+
+def test_truncate_whole_log_then_append(log):
+    log.append(["a", "b", "c"])
+    log.truncate(2)
+    assert log.count() == 0
+    base, last = log.append(["d"])
+    assert (base, last) == (3, 3)  # offsets never regress
+
+
+def test_initial_offset_nonzero(spark, tmp_path):
+    # reference: dense offsets from base 16 (segment_test.go:21,28-38)
+    log = LogTable.create(spark, str(tmp_path / "log16"), bucket_size=8, initial_offset=16)
+    base, last = log.append(["x", "y"])
+    assert (base, last) == (16, 17)
+    assert log.read(16).value == "x"
+    with pytest.raises(OffsetOutOfRangeError):
+        log.read(0)
+
+
+def test_append_dataframe_with_order(spark, log):
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in (5, 3, 1, 4, 2, 0)], "value STRING, seq INT"
+    ).repartition(3)
+    log.append(df.select("value", F.col("seq")), order_by=["seq"])
+    vals = [r.value for r in log.reader().collect()]
+    assert vals == ["k0", "k1", "k2", "k3", "k4", "k5"]
+
+
+def test_dense_offsets_many_partitions(spark):
+    # density invariant under arbitrary partitioning (no gaps, no dupes)
+    df = spark.range(0, 10_000).repartition(13).select(F.col("id").alias("payload"))
+    out = assign_dense_offsets(df, start=100)
+    offs = sorted(r.offset for r in out.select("offset").collect())
+    assert offs == list(range(100, 10_100))
+
+
+def test_snapshot_restore(spark, log, tmp_path):
+    log.append([f"v{i}" for i in range(12)])
+    log.truncate(3)
+    snap = str(tmp_path / "snap")
+    log.snapshot(snap)
+    restored = LogTable.restore(spark, snap, str(tmp_path / "log2"), bucket_size=8)
+    assert restored.lowest_offset() == 4
+    assert restored.highest_offset() == 11
+    assert restored.read(7).value == "v7"
+    assert restored.initial_offset == 4
