@@ -1,0 +1,298 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The reference's dead Replicator duplicates records on rejoin
+(internal/log/replicator.go:43-87, SURVEY.md O32) — the motif that
+motivates dedup as a first-class extension. These operators target
+the LLM-training-data use case on the ``documents`` table.
+
+Scale design notes (100 TB posture):
+
+- ``exact_duplicates``: hash-partitioned GROUP BY on md5(text) — one
+  shuffle of (hash, id), never of full text.
+- ``jaccard_pairs``: *complete* candidate generation via an inverted
+  shingle index (any pair with Jaccard > 0 shares ≥1 shingle), then
+  exact verification. Complete blocking is what lets the result
+  hash-match an all-pairs oracle. Stop-shingle capping (drop shingles
+  with document frequency > ``max_shingle_df``) bounds the quadratic
+  bucket blow-up; with the cap disabled (None) results are exact.
+- ``minhash_lsh_pairs``: the sub-quadratic scale path — signature
+  matrix + banded LSH. Probabilistic recall, so it is property-tested
+  against ``jaccard_pairs`` rather than oracle-hashed (FIXTURES §3.5).
+- ``simhash``: 64-bit (two 32-bit words) per-doc sketch; Hamming
+  proximity ⇒ near-duplication. md5-derived bits, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from proglog_spark.operators.text import token_hash32
+
+MERSENNE31 = 2147483647
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (md5 content hash).
+
+    Returns (content_hash, keeper, n_dupes) for groups with >1 member;
+    ``keeper`` = min id (the canonical survivor).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Shingle construction (join with '_') matches the oracle SQL
+    byte-for-byte so set cardinalities agree exactly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # F.get is 0-indexed and NULL-safe out of bounds (ANSI-safe, unlike
+    # element_at); concat_ws drops NULLs, matching the oracle's
+    # concat_ws over out-of-range list indexes.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws("_", *[F.get(toks, (i + F.lit(j)).cast("int")) for j in range(n)]),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 200000,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via inverted index.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, jaccard_micro) for pairs
+    with Jaccard >= threshold_micro/1e6, id_a < id_b.
+
+    Candidate generation is an equi-join on the shingle (shuffle keyed
+    by shingle — skew governed by ``max_shingle_df`` stop-shingle
+    capping and AQE skew splitting); verification is a pure
+    aggregation. No cross join anywhere.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_micro") >= threshold_micro)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard_micro")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<long>[num_hashes]).
+
+    Universal-hash family over the 32-bit shingle hash:
+    h_i(x) = (a_i * x + b_i) mod 2^31-1, with (a_i, b_i) fixed
+    pseudo-random constants (deterministic across runs).
+    """
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_hashes)]
+    sh = shingles(df, id_col, text_col, n)
+    hashed = sh.select("id", token_hash32(F.col("shingle")).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold_micro: int = 200000,
+) -> DataFrame:
+    """Near-duplicate candidates via banded MinHash LSH.
+
+    num_hashes/bands rows per band; docs colliding in any band are
+    candidates; estimated Jaccard = fraction of matching signature
+    positions. Sub-quadratic: the only join is on (band, band_hash) —
+    this is the 100 TB path, with ``jaccard_pairs`` as its exact
+    verifier at test scale.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
+    candidates = (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.floor(
+        F.lit(1000000.0)
+        * F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    ).cast("long")
+    return (
+        candidates.withColumn("est_jaccard_micro", est)
+        .where(F.col("est_jaccard_micro") >= threshold_micro)
+        .select("id_a", "id_b", "est_jaccard_micro")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit words (lo from md5[1:8], hi from
+    md5[9:16] of each token).
+
+    Classic per-bit majority vote: bit b of the sketch is 1 iff more
+    tokens have bit b set than clear. Multiset semantics (repeated
+    tokens vote repeatedly). Emitted as two LONG words to stay inside
+    oracle-safe integer ranges.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "id",
+        token_hash32(F.col("tok")).alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long").alias("h_hi"),
+    )
+    # bit b of h = floor(h / 2^b) mod 2 — double math is exact here
+    # (h < 2^32 << 2^53) and matches the oracle SQL expression 1:1.
+    pow2 = F.pow(F.lit(2.0), F.col("bit"))
+    bits = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        "h_lo",
+        "h_hi",
+    ).select(
+        "id",
+        "bit",
+        (F.floor(F.col("h_lo") / pow2).cast("long") % 2).alias("b_lo"),
+        (F.floor(F.col("h_hi") / pow2).cast("long") % 2).alias("b_hi"),
+    )
+    votes = bits.groupBy("id", "bit").agg(
+        F.sum(F.col("b_lo") * 2 - 1).alias("v_lo"),
+        F.sum(F.col("b_hi") * 2 - 1).alias("v_hi"),
+    )
+    word = lambda v: F.sum(  # noqa: E731
+        F.when(F.col(v) > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
+    ).cast("long")
+    return votes.groupBy("id").agg(
+        word("v_lo").alias("simhash_lo"), word("v_hi").alias("simhash_hi")
+    )
+
+
+def hamming_pairs(sketches: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Pairs of docs whose simhash words differ in <= max_hamming bits.
+
+    Blocked on the two 32-bit words (a pair within distance d must
+    match at least one of ceil(64/(d+1))-partitions — here the classic
+    2-block variant: word-equal on lo or hi). Scale path for simhash
+    dedup; exactness property-tested.
+    """
+    a = sketches.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+    )
+    b = sketches.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+    )
+    cand_lo = a.join(b, a.lo_a == b.lo_b).where(F.col("id_a") < F.col("id_b"))
+    cand_hi = a.join(b, a.hi_a == b.hi_b).where(F.col("id_a") < F.col("id_b"))
+    cands = cand_lo.unionByName(cand_hi).dropDuplicates(["id_a", "id_b"])
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).alias("hamming")
+    return cands.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+
+
+def dedup_keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
+    """Generic exact dedup: keep the first row per key by order_col.
+
+    Window-based (row_number over key partitions) — the canonical
+    hash-shuffle dedup; no driver-side state.
+    """
+    keys = key if isinstance(key, (list, tuple)) else [key]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built-in-function only (split / regexp /
+higher-order functions) — fully inside whole-stage codegen, no Python
+on the data path. Each operator has a deterministic, integer-output
+design so it can be hash-checked against the DuckDB oracle
+(FIXTURES.md §3): ratios are emitted as ``floor(1e6 * a / b)``
+("micro" fixed-point — one double division + floor is bit-identical
+across engines), and all hashes derive from md5 (the one digest both
+engines share).
+
+The reference has no text functions at all (its payloads are opaque
+bytes — SURVEY.md §2.0b "scalar fns: only codecs"); these operators
+are the north-star LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenizer contract (shared with the oracle): whitespace split for
+# n_tokens_ws; this regex for the BPE-ish token stream. Alternation +
+# char classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Small fixed stopword list for quality scoring (lowercase match).
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+FNV_MOD = 2147483647  # 2^31 - 1, Mersenne prime for the rolling hash
+
+
+def token_hash32(tok: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit token hash: first 8 hex digits of md5.
+
+    md5 is the only digest Spark and DuckDB both provide, so it is the
+    shared hash foundation for fingerprints, simhash and minhash.
+    """
+    salted = F.concat(F.lit(salt), tok) if salt else tok
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, regex tokens, distinct tokens."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + F.lit(1))
+        .cast("long")
+        .alias("n_tokens_ws"),
+        F.regexp_count(c, F.lit(TOKEN_REGEX)).cast("long").alias("n_tokens_re"),
+        F.size(F.array_distinct(F.split(c, " "))).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: stopword density, punctuation, repetition.
+
+    All outputs integer (counts or micro-ratios) for oracle parity.
+    ``stopword_micro`` ≈ classic stopword-ratio quality filter;
+    ``distinct_micro`` low ⇒ repetitive/boilerplate text.
+    """
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    n_tokens = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    n_punct = F.regexp_count(c, F.lit("[^a-zA-Z0-9 ]")).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    micro = lambda num, den: F.floor(F.lit(1000000.0) * num / den).cast("long")  # noqa: E731
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        micro(n_stop, n_tokens).alias("stopword_micro"),
+        micro(n_distinct, n_tokens).alias("distinct_micro"),
+    )
+
+
+# Marker tokens per language for the n-gram/marker language-ID
+# heuristic. Ties break by list order (en first).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "les", "des"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: argmax of marker hit counts.
+
+    Deterministic: scores tie-break by the fixed language order above.
+    (On the synthetic fixtures every language shares one vocabulary,
+    so predictions mostly collapse to the tie-break — the operator's
+    value is its contract + plumbing, verified against the oracle
+    computing the identical heuristic.)
+    """
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    scores = [
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in marks]), t))
+        ).cast("long").alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    scored = df.select("*", *scores)
+    # argmax with deterministic tie-break = greatest over (score, rank) pairs
+    langs = list(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.withColumn("predicted_lang", best["lang"]).drop(
+        *[f"score_{lang}" for lang in langs]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint.
+
+    fp = fold(tokens, acc -> (acc*31 + h32(token)) mod (2^31-1)) —
+    a Karp-Rabin style content fingerprint whose fold recursion is
+    identical to DuckDB's ``list_reduce`` (first element as seed),
+    because (0*31 + h) mod p == h for h < p.
+    """
+    toks = F.split(F.col(text_col), " ")
+    fp = F.aggregate(
+        F.transform(toks, lambda t: token_hash32(t)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(FNV_MOD),
+    )
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,749 @@
+"""The declared query surface — every (queries, oracle_sql) pair.
+
+This is the engine's acceptance contract (SURVEY.md §2.1): each entry
+maps a name to a Spark implementation ``(spark, sf_dir) -> DataFrame``
+and, when SQL-expressible, a DuckDB oracle string over the driver's
+pre-registered views. The driver hash-compares both at sf0.01.
+
+Determinism rules applied throughout (FIXTURES.md §3):
+- total ORDER BY on unique keys in every oracle,
+- integer/string/boolean outputs; ratios as floor(1e6·a/b) fixed-point;
+  money as floor(x*100) integer cents — never float sums,
+- md5 as the only cross-engine digest; 32-bit halves of it as the
+  shared token hash (Spark ``conv(hex,16,10)`` == DuckDB
+  ``CAST('0x'||hex AS BIGINT)``),
+- row_number/rank cast to BIGINT on the Spark side (Spark emits INT,
+  DuckDB BIGINT).
+
+Names are grouped: ``log_*`` = reference log surface (L1-L12),
+``events_*``/``docs_*``/``emb_*`` = analytics extensions (A1-A6 +
+training-data ops), ``tpch_*`` = join/agg bench workloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proglog_spark.acl import CONSUME, DEFAULT_POLICY, PRODUCE, Authorizer
+from proglog_spark.cluster import CANONICAL_SERVERS, servers_df
+from proglog_spark.errors import OffsetOutOfRangeError, PermissionDeniedError
+from proglog_spark.functions.vectors import quantized_dot
+from proglog_spark.multimodal import extract_media_meta
+from proglog_spark.operators import dedup, similarity, text, topk, windows
+from proglog_spark.sources.records import RECORDS_CTE, records_from_events
+from proglog_spark.sources.tables import load_table
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Log surface (reference RPCs + internal log API; SURVEY §2.1 L1-L12)
+# ---------------------------------------------------------------------------
+
+_POINT_OFFSET = 4242 % 1000  # present at every sf (sf0.001 has 1000 events)
+
+
+@register(
+    "log_read_point",
+    RECORDS_CTE
+    + f'SELECT "offset", value, term, type FROM records WHERE "offset" = {_POINT_OFFSET}',
+)
+def log_read_point(spark, sf_dir):
+    """L1: point lookup by offset (reference Consume RPC, O7/O11/O19)."""
+    r = records_from_events(spark, sf_dir)
+    return r.where(F.col("offset") == _POINT_OFFSET)
+
+
+@register(
+    "log_bounds",
+    RECORDS_CTE
+    + 'SELECT min("offset") AS lowest_offset, max("offset") AS highest_offset, '
+    "count(*) AS record_count FROM records",
+)
+def log_bounds(spark, sf_dir):
+    """L2/L3/L4: lowest/highest offset + count (O12/O13; count via density)."""
+    r = records_from_events(spark, sf_dir)
+    return r.agg(
+        F.min("offset").alias("lowest_offset"),
+        F.max("offset").alias("highest_offset"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+@register(
+    "log_scan_range",
+    RECORDS_CTE
+    + 'SELECT "offset", value, term, type FROM records '
+    'WHERE "offset" BETWEEN 100 AND 199 ORDER BY "offset"',
+)
+def log_scan_range(spark, sf_dir):
+    """L5: ordered range scan (segment routing generalized, O11)."""
+    r = records_from_events(spark, sf_dir)
+    return r.where(F.col("offset").between(100, 199)).orderBy("offset")
+
+
+@register(
+    "log_tail",
+    RECORDS_CTE
+    + 'SELECT "offset", value, term, type FROM records '
+    'WHERE "offset" > (SELECT max("offset") - 50 FROM records) ORDER BY "offset"',
+)
+def log_tail(spark, sf_dir):
+    """L6: last 50 records ascending (HighestOffset + backward window)."""
+    r = records_from_events(spark, sf_dir)
+    hi = r.agg((F.max("offset") - 50).alias("_cut"))
+    return (
+        r.join(F.broadcast(hi))
+        .where(F.col("offset") > F.col("_cut"))
+        .drop("_cut")
+        .orderBy("offset")
+    )
+
+
+@register(
+    "log_consume_from",
+    RECORDS_CTE
+    + 'SELECT "offset", value, term, type FROM records '
+    'WHERE "offset" >= (SELECT max("offset") - 99 FROM records) ORDER BY "offset"',
+)
+def log_consume_from(spark, sf_dir):
+    """L7: batch-equivalent of ConsumeStream from a given offset (O21)."""
+    r = records_from_events(spark, sf_dir)
+    cut = r.agg((F.max("offset") - 99).alias("_cut"))
+    return (
+        r.join(F.broadcast(cut))
+        .where(F.col("offset") >= F.col("_cut"))
+        .drop("_cut")
+        .orderBy("offset")
+    )
+
+
+@register(
+    "log_truncate_view",
+    RECORDS_CTE
+    + 'SELECT min("offset") AS lowest_offset, max("offset") AS highest_offset, '
+    'count(*) AS record_count FROM records WHERE "offset" > 500',
+)
+def log_truncate_view(spark, sf_dir):
+    """L9: post-truncate(500) visibility — exact semantics (offset > lowest)."""
+    r = records_from_events(spark, sf_dir)
+    return r.where(F.col("offset") > 500).agg(
+        F.min("offset").alias("lowest_offset"),
+        F.max("offset").alias("highest_offset"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+@register(
+    "log_read_out_of_range",
+    "SELECT 'OFFSET_OUT_OF_RANGE:99999999' AS error",
+)
+def log_read_out_of_range(spark, sf_dir):
+    """L10: reads past the end surface the typed, payload-carrying error
+    (api/v1/error.go:14-15 → canonical string form, FIXTURES §3.4)."""
+    r = records_from_events(spark, sf_dir)
+    k = 99999999
+    hit = r.where(F.col("offset") == k).count()
+    try:
+        if hit == 0:
+            raise OffsetOutOfRangeError(k)
+        raise AssertionError("fixture offset space exceeded")
+    except OffsetOutOfRangeError as e:
+        return spark.createDataFrame([(e.canonical(),)], "error STRING")
+
+
+@register(
+    "log_servers",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{i}', '{a}', {str(l).lower()})" for i, a, l in CANONICAL_SERVERS
+    )
+    + ") AS t(id, rpc_addr, is_leader) ORDER BY id",
+)
+def log_servers(spark, sf_dir):
+    """L11: GetServers cluster metadata (O22)."""
+    return servers_df(spark).orderBy("id")
+
+
+_ACL_MATRIX = [
+    ("root", PRODUCE),
+    ("root", CONSUME),
+    ("nobody", PRODUCE),
+    ("nobody", CONSUME),
+]
+
+
+@register(
+    "log_acl_check",
+    "SELECT * FROM (VALUES "
+    "('root', 'produce', 'OK'), ('root', 'consume', 'OK'), "
+    "('nobody', 'produce', 'PERMISSION_DENIED'), "
+    "('nobody', 'consume', 'PERMISSION_DENIED')"
+    ") AS t(subject, action, outcome) ORDER BY subject, action",
+)
+def log_acl_check(spark, sf_dir):
+    """L12: ACL gate outcomes for the canonical two-identity matrix
+    (root allowed / nobody denied, server_test.go:286-308 analog)."""
+    auth = Authorizer(DEFAULT_POLICY)
+    rows = []
+    for subject, action in _ACL_MATRIX:
+        try:
+            auth.authorize(subject, "*", action)
+            rows.append((subject, action, "OK"))
+        except PermissionDeniedError as e:
+            rows.append((subject, action, e.canonical()))
+    return spark.createDataFrame(
+        rows, "subject STRING, action STRING, outcome STRING"
+    ).orderBy("subject", "action")
+
+
+# ---------------------------------------------------------------------------
+# Events analytics (A1/A2/A5 + sessions, sliding windows, JSON)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_counts",
+    "SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, event_type, "
+    "count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_hourly_counts(spark, sf_dir):
+    """A1: tumbling 1h event counts (streaming twin in streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.tumbling_counts(e, "ts", 3600, ["event_type"]).orderBy(
+        "bucket", "event_type"
+    )
+
+
+@register(
+    "events_sliding_counts",
+    "WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ls FROM events), "
+    "exp AS (SELECT event_type, ls - 1800*i.i AS window_start FROM e "
+    "CROSS JOIN (SELECT unnest(range(2)) AS i) i) "
+    "SELECT window_start, event_type, count(*) AS n_events FROM exp "
+    "WHERE window_start >= 0 GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_sliding_counts(spark, sf_dir):
+    """Sliding 1h/30min counts (each event in 2 windows)."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.sliding_counts(e, "ts", 3600, 1800, ["event_type"]).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "events_user_topk",
+    "SELECT user_id, event_id, rn FROM ("
+    "SELECT user_id, event_id, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+    "WHERE rn <= 3 ORDER BY user_id, rn",
+)
+def events_user_topk(spark, sf_dir):
+    """A2: first 3 events per user (windowed top-k with rank pushdown)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        topk.topk_per_key(e, ["user_id"], [F.col("ts"), F.col("event_id")], 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
+    "events_extremes",
+    "SELECT event_type, min(value) AS min_value, max(value) AS max_value, "
+    "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_extremes(spark, sf_dir):
+    """A5: exact float reductions only (min/max — never float sums)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    "WITH base AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), "
+    "marked AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER "
+    "(PARTITION BY user_id ORDER BY ts_us) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM base), "
+    "sess AS (SELECT user_id, ts_us, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM marked) "
+    "SELECT user_id, session_id, min(ts_us) AS session_start_us, "
+    "max(ts_us) AS session_end_us, count(*) AS n_events FROM sess "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows: 30-min-gap sessionization (batch form)."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.sessionize(e, "user_id", "ts", 1800).orderBy("user_id", "session_id")
+
+
+@register(
+    "events_json_sum",
+    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, "
+    "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_json_sum(spark, sf_dir):
+    """JSON scalar extraction + integer aggregation over props."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dedup_exact",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_dupes "
+    "FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1",
+)
+def docs_dedup_exact(spark, sf_dir):
+    """A3: exact duplicate groups by content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).orderBy("content_hash")
+
+
+@register(
+    "docs_text_stats",
+    "SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len_text, "
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws "
+    "FROM documents ORDER BY doc_id",
+)
+def docs_text_stats(spark, sf_dir):
+    """A4: basic text stats, integer outputs."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(d).select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("long").alias("len_text"),
+        "n_tokens_ws",
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_token_stats",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS BIGINT) AS n_tokens_re, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens "
+    "FROM documents ORDER BY doc_id",
+)
+def docs_token_stats(spark, sf_dir):
+    """BPE-ish regex token count + distinct whitespace tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(d).select(
+        "doc_id", "n_tokens_re", "n_distinct_tokens"
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+
+@register(
+    "docs_quality",
+    "SELECT doc_id, "
+    "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
+    f"CAST(len(list_filter(string_split(text,' '), t -> list_contains({_STOP_SQL}, t))) AS BIGINT) AS n_stopwords, "
+    "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct, "
+    f"CAST(floor(1000000.0 * len(list_filter(string_split(text,' '), t -> list_contains({_STOP_SQL}, t))) "
+    "/ len(string_split(text,' '))) AS BIGINT) AS stopword_micro, "
+    "CAST(floor(1000000.0 * len(list_distinct(string_split(text,' '))) "
+    "/ len(string_split(text,' '))) AS BIGINT) AS distinct_micro "
+    "FROM documents ORDER BY doc_id",
+)
+def docs_quality(spark, sf_dir):
+    """Quality scoring: stopword/punctuation/repetition (micro fixed-point)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_quality(d).select(
+        "doc_id", "n_tokens", "n_stopwords", "n_punct", "stopword_micro", "distinct_micro"
+    ).orderBy("doc_id")
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, marks in text.LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in marks) + "]"
+        parts.append(
+            f"len(list_filter(string_split(text,' '), t -> list_contains({lst}, t))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    # cascading argmax: earlier languages win ties (same priority rule
+    # as the struct-greatest on the Spark side)
+    langs = list(text.LANG_MARKERS)
+    clauses = []
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "docs_lang_id",
+    f"WITH scored AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents) "
+    f"SELECT doc_id, {_lang_case_sql()} AS predicted_lang, "
+    f"lang = {_lang_case_sql()} AS is_match FROM scored ORDER BY doc_id",
+)
+def docs_lang_id(spark, sf_dir):
+    """Language ID via marker-token heuristic; compared to labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(d).select(
+        "doc_id",
+        "predicted_lang",
+        (F.col("lang") == F.col("predicted_lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_fingerprint",
+    "SELECT doc_id, CASE WHEN len(string_split(text,' ')) = 0 THEN 0 ELSE "
+    "list_reduce(list_transform(string_split(text,' '), "
+    "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fingerprint "
+    "FROM documents ORDER BY doc_id",
+)
+def docs_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (Karp-Rabin over token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "docs_simhash",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
+    "hashed AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h_lo, "
+    "CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS h_hi FROM toks), "
+    "bits AS (SELECT doc_id, b.bit, CAST(floor(h_lo / pow(2.0, bit)) AS BIGINT) % 2 AS b_lo, "
+    "CAST(floor(h_hi / pow(2.0, bit)) AS BIGINT) % 2 AS b_hi FROM hashed "
+    "CROSS JOIN (SELECT unnest(range(32)) AS bit) b), "
+    "votes AS (SELECT doc_id, bit, sum(b_lo*2-1) AS v_lo, sum(b_hi*2-1) AS v_hi "
+    "FROM bits GROUP BY 1, 2) "
+    "SELECT doc_id, "
+    "CAST(sum(CASE WHEN v_lo > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo, "
+    "CAST(sum(CASE WHEN v_hi > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi "
+    "FROM votes GROUP BY doc_id ORDER BY doc_id",
+)
+def docs_simhash(spark, sf_dir):
+    """64-bit SimHash sketch (two 32-bit words) per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash(d)
+        .select(F.col("id").alias("doc_id"), "simhash_lo", "simhash_hi")
+        .orderBy("doc_id")
+    )
+
+
+_JACCARD_SHINGLES_SQL = (
+    "SELECT doc_id, list_distinct(list_transform("
+    "range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1), "
+    "i -> concat_ws('_', string_split(text,' ')[i+1], "
+    "string_split(text,' ')[i+2], string_split(text,' ')[i+3]))) AS sh FROM documents"
+)
+
+
+@register(
+    "docs_neardup_jaccard",
+    f"WITH sh AS ({_JACCARD_SHINGLES_SQL}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common, "
+    "CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b, "
+    "CAST(floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_micro "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200000 "
+    "ORDER BY id_a, id_b",
+)
+def docs_neardup_jaccard(spark, sf_dir):
+    """Exact 3-gram-Jaccard near-dup pairs (complete inverted-index
+    blocking + verification — matches the all-pairs oracle exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
+
+
+@register("docs_minhash_lsh", None)  # probabilistic recall → rows-only check
+def docs_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (the sub-quadratic scale path);
+    recall property-tested against docs_neardup_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
+
+
+@register("docs_simhash_neardup", None)  # candidate recall is block-dependent
+def docs_simhash_neardup(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs via word-block candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    sk = dedup.simhash(d)
+    return dedup.hamming_pairs(sk, max_hamming=12).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_media_meta",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "hex(encode(substr(text, 1, 4))) AS header_hex FROM documents ORDER BY doc_id",
+)
+def docs_media_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → Arrow-batched
+    metadata extraction (byte length + magic-bytes hex) via mapInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_media_meta(payload).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + hygiene
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_exact_dup",
+    "SELECT count(*) AS n_dup_groups FROM "
+    "(SELECT embedding, count(*) AS c FROM embeddings GROUP BY 1 HAVING count(*) > 1)",
+)
+def emb_exact_dup(spark, sf_dir):
+    """A6: exact-duplicate vector groups (list equality)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dupes = e.groupBy("embedding").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    return dupes.agg(F.count(F.lit(1)).alias("n_dup_groups"))
+
+
+_QUERY_VECS = "(0, 1, 2)"
+
+
+@register(
+    "emb_dot_topk",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    f"WHERE vec_id IN {_QUERY_VECS}), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT))) AS qdot "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+    "ranked AS (SELECT query_id, vec_id, qdot, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank FROM scored) "
+    "SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 10 "
+    "ORDER BY query_id, rank",
+)
+def emb_dot_topk(spark, sf_dir):
+    """Similarity top-k, integer-exact variant (deterministic ranking):
+    broadcast queries, one corpus pass, per-query rank pushdown."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.quantized_dot_topk(e, q, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "emb_norm_stats",
+    "WITH n AS (SELECT label, list_sum(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qnorm2 FROM embeddings) "
+    "SELECT label, count(*) AS n_vecs, min(qnorm2) AS min_qnorm2, "
+    "max(qnorm2) AS max_qnorm2 FROM n GROUP BY label ORDER BY label",
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label embedding hygiene stats on the integer-quantized grid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qn = quantized_dot(F.col("embedding"), F.col("embedding"), 1000).alias("qnorm2")
+    return (
+        e.select("label", qn)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("qnorm2").alias("min_qnorm2"),
+            F.max("qnorm2").alias("max_qnorm2"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("emb_cosine_topk", None)  # float ranking → property-tested
+def emb_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k (float baseline for ANN; FIXTURES §3.5)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        similarity.brute_force_topk(e, q, k=10)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("emb_lsh_ann_topk", None)  # approximate recall → property-tested
+def emb_lsh_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-k (the 100 TB similarity path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        similarity.lsh_ann_topk(e, q, dim=64, k=10, bits=8)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish join/agg workloads (bench headliners; integer-cents outputs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_scaled, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Q1-style pricing summary: scan + partial-agg shuffle; money in
+    integer cents (floor(x*100)) for cross-engine exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "sum_disc_price_scaled"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled, "
+    "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """Q3-style: selective dim filter → broadcast-joined fact scan →
+    grouped revenue → global top-10."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue_scaled",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_scaled").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_nation_revenue",
+    "SELECT n_name, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_q5_nation_revenue(spark, sf_dir):
+    """Q5-style star join: small dims broadcast, one fact shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            )
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# public accessors (consumed by __spark_entry__)
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None}
