@@ -3,21 +3,25 @@
 Three tiers, all shuffle-minimal:
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the query
-  vectors, per-partition partial top-k, single merge. The baseline.
+  vectors, one corpus pass, per-query rank pushdown. The baseline.
 - ``quantized_dot_topk`` — integer-grid dot product (exact
   arithmetic), the oracle-checkable variant of the same plan shape.
-- ``lsh_ann_topk`` — random-hyperplane LSH: sign-bit signatures
-  bucket the corpus; search only the query's bucket (and its
-  1-bit-flip neighbors for recall). The 100 TB path: candidate set
-  per query is ~corpus/2^bits, and bucketing is one narrow pass.
-  An IVF variant would swap the hash for k-means cells; hyperplanes
-  chosen here because they need no training pass.
+- ``lsh_ann_topk`` — multi-table random-hyperplane LSH: T independent
+  tables of b sign-bits each; a neighbor with per-bit agreement p is
+  recalled with 1-(1-p^b)^T. The 100 TB path: the corpus pass scores
+  only bucket-colliding candidates, and bucketing itself is one
+  narrow projection. (An IVF variant would swap the hash for k-means
+  cells; hyperplanes need no training pass.)
 
-Hyperplanes are deterministic: component d of plane p is ±1 by bit
-(p*DIM+d) of md5 — no RNG state, stable across sessions (signs of
-±1-hyperplane dots are exact, no float-tie nondeterminism in
-bucketing; top-k *ranking* under float cosine is still
-property-tested, not hash-checked — FIXTURES.md §3.5).
+Hyperplanes are deterministic: component d of plane p is ±1 by a bit
+of md5 — no RNG state, stable across sessions. Signs of ±1-plane dots
+are exact, so *bucketing* is deterministic; top-k *ranking* under
+float cosine is property-tested, not oracle-hashed (FIXTURES.md §3.5).
+
+Parameter note: the driver's synthetic embeddings are near-random
+(top-10 neighbors at cosine 0.25-0.4 ⇒ per-bit p ≈ 0.58-0.63), which
+is the hard regime for sign-LSH — defaults (b=4, T=8) are tuned for
+≥0.5 recall there; clustered real-world corpora sit much higher.
 """
 
 from __future__ import annotations
@@ -50,9 +54,7 @@ def brute_force_topk(
     over one corpus pass, and the window's partition key is query_id
     so the top-k shuffle moves only (ids, score) — never vectors.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
@@ -93,37 +95,48 @@ def quantized_dot_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", id_col, "qdot", "rank")
 
 
-def hyperplane_signs(dim: int, bits: int) -> list[list[int]]:
+def hyperplane_signs(dim: int, planes: int, salt: str = "plane") -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 bits (no RNG state)."""
-    planes = []
-    for p in range(bits):
+    out = []
+    for p in range(planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            h = hashlib.md5(f"{salt}:{p}:{d}".encode()).digest()
             row.append(1 if h[0] & 1 else -1)
-        planes.append(row)
-    return planes
+        out.append(row)
+    return out
 
 
-def with_lsh_bucket(
-    df: DataFrame, dim: int, bits: int = 8, vec_col: str = "embedding"
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 4,
+    tables: int = 8,
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Append an integer LSH bucket: bit p = sign(vec · plane_p).
+    """Append (lsh_table, lsh_bucket): one output row per hash table.
 
-    ±1 planes make the dot a signed sum of elements — computed with
-    zip_with/aggregate, JVM-side, exact sign behavior.
+    Table t's bucket is the b-bit sign pattern of the vector against
+    that table's hyperplanes. ``tables`` is the recall knob, ``bits``
+    the selectivity knob. ±1 planes make each dot a signed element
+    sum — zip_with/aggregate, JVM-side, exact sign behavior.
     """
-    planes = hyperplane_signs(dim, bits)
-    bucket = F.lit(0).cast("long")
-    for p, signs in enumerate(planes):
-        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return df.withColumn("lsh_bucket", bucket)
+    planes = hyperplane_signs(dim, bits * tables)
+    table_buckets = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            sign_arr = F.array(*[F.lit(float(s)) for s in planes[t * bits + b]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        table_buckets.append(bucket)
+    return df.select(
+        "*", F.posexplode(F.array(*table_buckets)).alias("lsh_table", "lsh_bucket")
+    )
 
 
 def lsh_ann_topk(
@@ -131,40 +144,34 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 8,
-    probe_flips: int = 1,
+    bits: int = 4,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k via hyperplane-LSH bucketing.
+    """Approximate cosine top-k via multi-table hyperplane LSH.
 
-    Multi-probe: each query also searches buckets within
-    ``probe_flips`` bit flips (recall/cost knob). The join is an
-    equi-join on bucket id — at scale this is the difference between
-    touching the whole corpus and touching ~(1+bits)/2^bits of it.
+    Candidates = corpus vectors sharing any table's bucket with the
+    query; the join key is (lsh_table, lsh_bucket) so each table
+    contributes ~corpus/2^bits candidates. Scoring and dedup touch
+    candidate ids only; vectors travel once.
     """
-    c = with_lsh_bucket(corpus, dim, bits, vec_col)
-    q = with_lsh_bucket(queries, dim, bits, vec_col).select(
+    c = with_lsh_buckets(corpus, dim, bits, tables, vec_col)
+    q = with_lsh_buckets(queries, dim, bits, tables, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.col("lsh_bucket").alias("q_bucket"),
+        "lsh_table",
+        "lsh_bucket",
     )
-    probes = [F.col("q_bucket")]
-    if probe_flips >= 1:
-        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(bits)]
-    q = q.withColumn("probe_bucket", F.explode(F.array(*probes)))
     scored = (
-        c.join(
-            F.broadcast(q),
-            on=F.col("lsh_bucket") == F.col("probe_bucket"),
-        )
+        c.join(F.broadcast(q), on=["lsh_table", "lsh_bucket"])
         .where(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
         .select(
             "query_id",
             id_col,
             cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
         )
-        .dropDuplicates(["query_id", id_col])
     )
     ranked = _with_topk_rank(scored, "query_id", [F.col("cosine").desc(), F.col(id_col)])
     return ranked.where(F.col("rank") <= k)
@@ -175,23 +182,27 @@ def embedding_cosine_neardup(
     dim: int,
     threshold: float = 0.95,
     bits: int = 8,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate embedding pairs (cosine >= threshold) via LSH
-    self-join — the embedding analog of minhash_lsh_pairs. Pairs in
-    the same bucket are verified exactly; property-tested recall.
+    """Near-duplicate embedding pairs (cosine >= threshold) via
+    multi-table LSH self-join — the embedding analog of
+    minhash_lsh_pairs. At cosine 0.95 per-bit agreement is ~0.90, so
+    8 tables x 8 bits miss with prob (1-0.9^8)^8 ≈ 1%. Bucket-pair
+    candidates are verified exactly; recall property-tested.
     """
-    c = with_lsh_bucket(df, dim, bits, vec_col)
+    c = with_lsh_buckets(df, dim, bits, tables, vec_col)
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_table", "lsh_bucket"
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_table", "lsh_bucket"
     )
     return (
-        a.join(b, on="lsh_bucket")
+        a.join(b, on=["lsh_table", "lsh_bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",

@@ -601,7 +601,7 @@ def emb_lsh_ann_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
-        similarity.lsh_ann_topk(e, q, dim=64, k=10, bits=8)
+        similarity.lsh_ann_topk(e, q, dim=64, k=10, bits=4, tables=8)
         .select("query_id", "vec_id", "rank")
         .orderBy("query_id", "rank")
     )

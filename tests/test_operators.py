@@ -1,0 +1,205 @@
+"""Operator tests: property tests for probabilistic ops (FIXTURES.md
+§3.5 — float-ranking / recall behaviors are property-tested, never
+hash-compared) plus unit checks on deterministic kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proglog_spark.functions.vectors import cosine_similarity, quantized_dot
+from proglog_spark.operators import dedup, similarity, text, windows
+from proglog_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---------------------------------------------------------------- dedup ----
+
+
+def test_minhash_lsh_recall_of_high_jaccard_pairs(docs):
+    """Every pair with true Jaccard >= 0.5 must be found by LSH
+    (16 bands x 4 rows: P[miss at j=0.5] = (1-0.5^4)^16 ≈ 0.35 per
+    band config... so we check against the planted near-dups which
+    have j >= 0.8 where P[miss] < 1e-8)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold_micro=800000).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold_micro=500000).collect()
+    }
+    missed = exact - found
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard_micro
+        for r in dedup.jaccard_pairs(docs, threshold_micro=500000).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard_micro
+        for r in dedup.minhash_lsh_pairs(docs, threshold_micro=0).collect()
+    }
+    for pair, true_j in exact.items():
+        assert pair in est
+        # 64 hashes -> sigma ~ sqrt(j(1-j)/64) ~ 0.06; allow 4 sigma
+        assert abs(est[pair] - true_j) < 250000, (pair, est[pair], true_j)
+
+
+def test_simhash_close_for_near_dups_far_for_random(docs):
+    sk = dedup.simhash(docs)
+    pairs = dedup.jaccard_pairs(docs, threshold_micro=800000)
+    a = sk.select(F.col("id").alias("id_a"), F.col("simhash_lo").alias("lo_a"), F.col("simhash_hi").alias("hi_a"))
+    b = sk.select(F.col("id").alias("id_b"), F.col("simhash_lo").alias("lo_b"), F.col("simhash_hi").alias("hi_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    ham = joined.select(
+        (
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        ).alias("d")
+    ).collect()
+    assert ham, "need near-dup pairs"
+    for r in ham:
+        assert r.d <= 16, f"near-dup pair with hamming {r.d}"
+
+
+def test_exact_dedup_on_synthetic_dupes(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0].keeper == 1 and out[0].n_dupes == 3
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2)], "k STRING, seq INT"
+    )
+    out = dedup.dedup_keep_first(df, "k", "seq").collect()
+    assert sorted((r.k, r.seq) for r in out) == [("a", 1), ("b", 2)]
+
+
+# ----------------------------------------------------------- similarity ----
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
+    got = [(r.vec_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gv, gc), (wv, wc) in zip(got, want):
+        assert math.isclose(gc, wc, rel_tol=1e-9)
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    """Multi-probe hyperplane LSH must recover a healthy fraction of
+    the true top-10 (recall >= 0.5 on the 64-dim fixture at 8 bits)."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_ann_topk(emb, qs, dim=64, k=10, bits=4, tables=8).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_quantized_dot_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125], [1.0, 2.0, -4.0])],
+        "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    out = df.select(quantized_dot(F.col("a"), F.col("b"), 1000).alias("d")).collect()[0].d
+    want = sum(
+        math.floor(x * 1000) * math.floor(y * 1000)
+        for x, y in [(0.5, 1.0), (-0.25, 2.0), (0.125, -4.0)]
+    )
+    assert out == want
+
+
+def test_cosine_similarity_identity(spark, emb):
+    row = (
+        emb.where(F.col("vec_id") == 7)
+        .select(cosine_similarity(F.col("embedding"), F.col("embedding")).alias("c"))
+        .collect()[0]
+    )
+    assert math.isclose(row.c, 1.0, rel_tol=1e-9)
+
+
+# ------------------------------------------------------------------ text ----
+
+
+def test_fingerprint_matches_pure_python(spark, docs):
+    import hashlib
+
+    sample = docs.where(F.col("doc_id") < 5).select("doc_id", "text").collect()
+    got = {
+        r.doc_id: r.fingerprint
+        for r in text.with_fingerprint(docs.where(F.col("doc_id") < 5))
+        .select("doc_id", "fingerprint")
+        .collect()
+    }
+    for r in sample:
+        acc = 0
+        for tok in r.text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            acc = (acc * 31 + h) % text.FNV_MOD
+        assert got[r.doc_id] == acc, r.doc_id
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "xyzzy plugh")], "doc_id LONG, text STRING")
+    out = text.with_lang_id(df).collect()[0]
+    assert out.predicted_lang == "en"  # zero scores everywhere -> first lang wins
+
+
+# --------------------------------------------------------------- windows ----
+
+
+def test_sessionize_gap_semantics(spark):
+    base = 1_700_000_000
+    rows = [
+        (1, base), (1, base + 60), (1, base + 2000),  # gap 1940s < 1800? no: 2000-60=1940 > 1800 -> new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000) for u, t in rows], "user_id LONG, ts_us_raw LONG"
+    ).select("user_id", F.timestamp_micros("ts_us_raw").alias("ts"))
+    out = windows.sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2  # split at the 1940s gap
+    assert len(by_user[2]) == 1
+    s0 = sorted(by_user[1], key=lambda r: r.session_id)
+    assert s0[0].n_events == 2 and s0[1].n_events == 1
