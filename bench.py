@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the declared query suite and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list).
+
+Each query is timed end-to-end (plan + execute + collect), after one
+untimed warmup action to absorb JVM/codegen startup. Results are
+materialized with ``collect()`` exactly as the driver's correctness
+gate does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from proglog_spark import queries as q  # noqa: E402
+from proglog_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_session(
+        app_name="proglog-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(q.queries())
+    if only:
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
+
+    # warmup: touch every fixture once so IO cache + codegen are hot
+    from proglog_spark.sources.tables import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    n_rows: dict[str, int] = {}
+    fns = q.queries()
+    for name in names:
+        t0 = time.perf_counter()
+        rows = fns[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        n_rows[name] = len(rows)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "rows": sum(n_rows.values()),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql()
+are consistent, multimodal plumbing produces typed metadata. (Full
+Spark-vs-DuckDB parity runs via tools/check_oracle.py — kept out of
+pytest so the suite stays fast.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from proglog_spark.multimodal import extract_media_meta
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["id_a", "id_b", "n_common", "n_a", "n_b", "jaccard_micro"]
+    assert len(rows) > 0
+    assert all(r.jaccard_micro >= 200000 for r in rows)
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
+    # every oracle is a non-empty SQL string
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
+
+
+@pytest.mark.parametrize("name", ["log_bounds", "events_extremes", "emb_dot_topk"])
+def test_spot_queries_run(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert df.count() > 0
+
+
+def test_media_meta_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n")), (2, bytearray(b"RIFFxxxx"))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    assert out[1].n_bytes == 6 and out[1].header_hex == "89504E47"
+    assert out[2].n_bytes == 8 and out[2].header_hex == "52494646"

@@ -1,0 +1,106 @@
+"""Streaming tests — mirror the reference's liveness/ordering
+assertions: the blocking-tail test (a consumer subscribed before a
+produce receives it, server_test.go:247-284), per-batch offset acks
+(ProduceStream, server_test.go:212-245), and batch/stream parity for
+the windowed aggregation extension.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from proglog_spark import LogTable
+from proglog_spark.operators.windows import tumbling_counts
+from proglog_spark.sources.tables import load_table
+from proglog_spark.streaming import (
+    produce_stream,
+    streaming_tumbling_counts,
+    tail_follow,
+)
+
+
+def _drain(query, timeout=60):
+    query.processAllAvailable()
+
+
+def test_tail_follow_receives_later_appends(spark, tmp_path):
+    """Subscribe first, then append — the tail must deliver both the
+    backlog and the post-subscription batch, in offset order."""
+    log = LogTable.create(spark, str(tmp_path / "log"), bucket_size=8)
+    log.append(["a", "b", "c"])
+
+    seen: list[tuple[int, str]] = []
+    q = tail_follow(
+        log,
+        from_offset=1,
+        on_batch=lambda rows: seen.extend((r.offset, r.value) for r in rows),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        _drain(q)
+        assert seen == [(1, "b"), (2, "c")]
+        log.append(["d", "e"])  # produced AFTER subscription
+        _drain(q)
+        assert seen == [(1, "b"), (2, "c"), (3, "d"), (4, "e")]
+    finally:
+        q.stop()
+
+
+def test_produce_stream_assigns_dense_offsets(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    for i, batch in enumerate([["x", "y"], ["z"]]):
+        spark.createDataFrame([(v,) for v in batch], "value STRING").write.mode(
+            "append"
+        ).parquet(str(src_dir))
+    log = LogTable.create(spark, str(tmp_path / "log"), bucket_size=8)
+    acks: list[tuple[int, int, int]] = []
+    source = spark.readStream.schema("value STRING").parquet(str(src_dir))
+    q = produce_stream(
+        source,
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_ack=lambda b, first, last: acks.append((b, first, last)),
+    )
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    assert log.count() == 3
+    offs = sorted(r.offset for r in log.reader().collect())
+    assert offs == [0, 1, 2]
+    assert sum(last - first + 1 for _, first, last in acks) == 3
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the events fixture through the watermarked tumbling agg;
+    final counts must equal the batch twin (convergence parity)."""
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_stream")
+    events.write.parquet(stream_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    agg = streaming_tumbling_counts(stream, "ts", 3600, ["event_type"])
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {
+            (r.bucket, r.event_type): r.n_events
+            for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.bucket, r.event_type): r.n_events
+        for r in tumbling_counts(events, "ts", 3600, ["event_type"]).collect()
+    }
+    assert got == want
