@@ -49,8 +49,11 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle set per document:
+    (id, sh_arr array<string>, n_sh).
 
     Shingle construction (join with '_') matches the oracle SQL
     byte-for-byte so set cardinalities agree exactly.
@@ -64,7 +67,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         lambda i: F.concat_ws("_", *[F.get(toks, (i + F.lit(j)).cast("int")) for j in range(n)]),
     )
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col).alias("id"), F.array_distinct(grams).alias("sh_arr")
+    ).withColumn("n_sh", F.size("sh_arr").cast("long"))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded distinct shingles per document: (id, shingle)."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -84,10 +94,14 @@ def jaccard_pairs(
     Candidate generation is an equi-join on the shingle (shuffle keyed
     by shingle — skew governed by ``max_shingle_df`` stop-shingle
     capping and AQE skew splitting); verification is a pure
-    aggregation. No cross join anywhere.
+    aggregation. Set sizes ride along with the exploded rows (one
+    extra LONG per row) so no size-lookup joins exist — the whole
+    operator is scan → explode → one self-join → one aggregation.
+    The compact per-doc array form is cached (not the exploded rows:
+    ~n× smaller) so tokenize/distinct runs once, not per join side.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ss = shingle_sets(df, id_col, text_col, n).cache()
+    sh = ss.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -96,20 +110,16 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, on="shingle", how="left_anti")
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     common = (
         a.join(b, on="shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard_micro",
             F.floor(
                 F.lit(1000000.0)
