@@ -41,7 +41,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either norm is 0 —
+    a zero vector has no direction, so it matches nothing."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def quantized_dot(a: Column, b: Column, scale: int = 1000) -> Column:

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,24 +120,29 @@ def with_lsh_buckets(
 
     Table t's bucket is the b-bit sign pattern of the vector against
     that table's hyperplanes. ``tables`` is the recall knob, ``bits``
-    the selectivity knob. ±1 planes make each dot a signed element
-    sum — zip_with/aggregate, JVM-side, exact sign behavior.
+    the selectivity knob. All bits*tables dot products are one
+    Arrow-batched numpy matmul (rows x dim) @ (dim x bits*tables) per
+    batch — one vectorized pass instead of bits*tables codegen'd
+    array-aggregate expressions per row. The ±1 plane matrix is tiny
+    and closure-shipped; buckets are deterministic (each output
+    element is an independent row-dot, no batch-dependent reduction).
     """
-    planes = hyperplane_signs(dim, bits * tables)
-    table_buckets = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(bits):
-            sign_arr = F.array(*[F.lit(float(s)) for s in planes[t * bits + b]])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        table_buckets.append(bucket)
+    from pyspark.sql import types as T
+
+    planes = np.array(hyperplane_signs(dim, bits * tables), dtype=np.float64).T
+    n_bits, n_tables = bits, tables
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (rows, dim)
+        signs = (mat @ planes) >= 0.0  # (rows, bits*tables)
+        weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
+        per_bit = signs * weights  # (rows, bits*tables)
+        buckets = per_bit.reshape(len(mat), n_tables, n_bits).sum(axis=2)
+        return pd.Series(list(buckets))
+
     return df.select(
-        "*", F.posexplode(F.array(*table_buckets)).alias("lsh_table", "lsh_bucket")
+        "*", F.posexplode(_buckets(F.col(vec_col))).alias("lsh_table", "lsh_bucket")
     )
 
 
@@ -153,20 +160,34 @@ def lsh_ann_topk(
 
     Candidates = corpus vectors sharing any table's bucket with the
     query; the join key is (lsh_table, lsh_bucket) so each table
-    contributes ~corpus/2^bits candidates. Scoring and dedup touch
-    candidate ids only; vectors travel once.
+    contributes ~corpus/2^bits candidates. The corpus explode is
+    narrow — (id, table, bucket) only — and candidate dedup happens
+    before vectors are joined back for scoring, so each corpus
+    vector travels at most once (to its candidate row), never
+    ``tables`` times.
     """
-    c = with_lsh_buckets(corpus, dim, bits, tables, vec_col)
+    c = with_lsh_buckets(corpus.select(id_col, vec_col), dim, bits, tables, vec_col).select(
+        id_col, "lsh_table", "lsh_bucket"
+    )
     q = with_lsh_buckets(queries, dim, bits, tables, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "lsh_table",
         "lsh_bucket",
     )
-    scored = (
-        c.join(F.broadcast(q), on=["lsh_table", "lsh_bucket"])
+    cand = (
+        c.join(
+            F.broadcast(q.select("query_id", "lsh_table", "lsh_bucket")),
+            on=["lsh_table", "lsh_bucket"],
+        )
         .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
+    )
+    q_vecs = q.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(q_vecs), on="query_id")
         .select(
             "query_id",
             id_col,
@@ -192,17 +213,22 @@ def embedding_cosine_neardup(
     8 tables x 8 bits miss with prob (1-0.9^8)^8 ≈ 1%. Bucket-pair
     candidates are verified exactly; recall property-tested.
     """
-    c = with_lsh_buckets(df, dim, bits, tables, vec_col)
-    a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_table", "lsh_bucket"
+    c = with_lsh_buckets(df.select(id_col, vec_col), dim, bits, tables, vec_col).select(
+        id_col, "lsh_table", "lsh_bucket"
     )
-    b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_table", "lsh_bucket"
-    )
-    return (
+    a = c.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
+    b = c.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
+    cand = (
         a.join(b, on=["lsh_table", "lsh_bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -607,6 +607,18 @@ def emb_lsh_ann_topk(spark, sf_dir):
     )
 
 
+@register("emb_cosine_neardup", None)  # float threshold + LSH recall → property-tested
+def emb_cosine_neardup(spark, sf_dir):
+    """Near-duplicate embedding pairs (cosine >= 0.9) via multi-table
+    hyperplane-LSH self-join — the embedding analog of docs MinHash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.9, bits=8, tables=8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish join/agg workloads (bench headliners; integer-cents outputs)
 # ---------------------------------------------------------------------------

@@ -134,6 +134,26 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
+    """A corpus vector duplicated under a new id (tiny jitter) must be
+    recovered as a near-dup pair; unrelated random pairs must not."""
+    planted = emb.where(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        "label",
+    )
+    df = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_cosine_neardup(
+            df, dim=64, threshold=0.95, bits=8, tables=8
+        ).collect()
+    }
+    assert (7, 100007) in pairs
+    for a, b in pairs:
+        assert b == a + 100000  # only the planted clones clear 0.95
+
+
 def test_quantized_dot_matches_python(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.125], [1.0, 2.0, -4.0])],
