@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from proglog_spark import queries as q  # noqa: E402
@@ -49,6 +51,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # pre-spawn the Python/Arrow UDF workers (one per core, ~5 s once)
+    # so the first Pandas-UDF query measures steady state, not forks
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).repartition(int(cpus)).select(_noop("id")).collect()
 
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}

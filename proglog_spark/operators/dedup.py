@@ -24,10 +24,15 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from proglog_spark.operators.text import token_hash32
+from proglog_spark.sources.tables import fan_out
 
 MERSENNE31 = 2147483647
 
@@ -66,6 +71,7 @@ def shingle_sets(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws("_", *[F.get(toks, (i + F.lit(j)).cast("int")) for j in range(n)]),
     )
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("id"), F.array_distinct(grams).alias("sh_arr")
     ).withColumn("n_sh", F.size("sh_arr").cast("long"))
@@ -230,39 +236,44 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     tokens have bit b set than clear. Multiset semantics (repeated
     tokens vote repeatedly). Emitted as two LONG words to stay inside
     oracle-safe integer ranges.
+
+    SimHash is a pure per-document function, so it runs as one
+    Arrow-batched scalar Pandas UDF: tokenize, hash, and majority-vote
+    inside a numpy batch — ZERO shuffle at any scale (the earlier
+    explode-per-bit formulation shuffled tokens x 64 rows). Token
+    hashing matches the JVM/oracle definition exactly: the two 32-bit
+    halves of md5(token), split on a literal space with empty tokens
+    kept (Python str.split(' ') == Spark split(col, ' ')).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    )
-    hashed = toks.select(
-        "id",
-        token_hash32(F.col("tok")).alias("h_lo"),
-        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long").alias("h_hi"),
-    )
-    # bit b of h = floor(h / 2^b) mod 2 — double math is exact here
-    # (h < 2^32 << 2^53) and matches the oracle SQL expression 1:1.
-    pow2 = F.pow(F.lit(2.0), F.col("bit"))
-    bits = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-        "h_lo",
-        "h_hi",
-    ).select(
-        "id",
-        "bit",
-        (F.floor(F.col("h_lo") / pow2).cast("long") % 2).alias("b_lo"),
-        (F.floor(F.col("h_hi") / pow2).cast("long") % 2).alias("b_hi"),
-    )
-    votes = bits.groupBy("id", "bit").agg(
-        F.sum(F.col("b_lo") * 2 - 1).alias("v_lo"),
-        F.sum(F.col("b_hi") * 2 - 1).alias("v_hi"),
-    )
-    word = lambda v: F.sum(  # noqa: E731
-        F.when(F.col(v) > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
-    ).cast("long")
-    return votes.groupBy("id").agg(
-        word("v_lo").alias("simhash_lo"), word("v_hi").alias("simhash_hi")
-    )
+    shifts = np.arange(32, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+
+    @F.pandas_udf("struct<simhash_lo: long, simhash_hi: long>")
+    def _simhash(texts: pd.Series) -> pd.DataFrame:
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        digests = b"".join(
+            hashlib.md5(tok.encode("utf-8")).digest()
+            for toks in tok_lists
+            for tok in toks
+        )
+        # bytes 0-3 / 4-7 big-endian == int(hexdigest[:8],16) / [8:16]
+        h = (
+            np.frombuffer(digests, dtype=np.uint8)
+            .reshape(-1, 16)[:, :8]
+            .copy()
+            .view(">u4")
+            .astype(np.uint64)
+        )  # (ntok, 2): lo, hi
+        votes = 2 * ((h[:, :, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+        starts = np.cumsum(counts) - counts  # every doc has >=1 token
+        sums = np.add.reduceat(votes, starts, axis=0)  # (ndoc, 2, 32)
+        words = ((sums > 0) * weights).sum(axis=2)  # (ndoc, 2)
+        return pd.DataFrame({"simhash_lo": words[:, 0], "simhash_hi": words[:, 1]})
+
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("s")
+    ).select("id", "s.simhash_lo", "s.simhash_hi")
 
 
 def hamming_pairs(sketches: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -272,7 +283,11 @@ def hamming_pairs(sketches: DataFrame, max_hamming: int = 6) -> DataFrame:
     match at least one of ceil(64/(d+1))-partitions — here the classic
     2-block variant: word-equal on lo or hi). Scale path for simhash
     dedup; exactness property-tested.
+
+    The sketch table feeds four join sides — cache it so the sketch
+    computation (a Pandas-UDF pass) runs once, not four times.
     """
+    sketches = sketches.cache()
     a = sketches.select(
         F.col("id").alias("id_a"),
         F.col("simhash_lo").alias("lo_a"),

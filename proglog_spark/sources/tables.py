@@ -46,6 +46,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-split.
+
+    Small fixture tables arrive as one parquet file / one row group,
+    which pins every Pandas-UDF stage to a single core. At production
+    scale inputs have >= cluster-parallelism partitions and this is a
+    no-op (no shuffle added); locally it costs one tiny shuffle and
+    buys cores-times speedup on the Python stages.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
