@@ -517,6 +517,53 @@ def docs_media_meta(spark, sf_dir):
     return extract_media_meta(payload).orderBy("doc_id")
 
 
+@register(
+    "docs_frame_sample",
+    "WITH f AS (SELECT doc_id, text, "
+    "unnest(generate_series(0, CAST(floor((length(text)-1)/64.0) AS BIGINT))) AS k "
+    "FROM documents) "
+    "SELECT doc_id, k AS frame_idx, "
+    "CAST(length(substr(text, CAST(k*64+1 AS BIGINT), 64)) AS BIGINT) AS frame_bytes, "
+    "md5(substr(text, CAST(k*64+1 AS BIGINT), 64)) AS frame_md5 "
+    "FROM f WHERE k % 2 = 0 ORDER BY doc_id, k",
+)
+def docs_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: payload → fixed 64-byte
+    frames, every 2nd kept, md5 per frame (mapInPandas fan-out; the
+    fixture corpus is ASCII so the oracle's char substr == bytes)."""
+    from proglog_spark.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(payload, frame_bytes=64, every_n=2).orderBy("doc_id", "frame_idx")
+
+
+@register("docs_media_pipeline", None)  # fake-decoder pixels → rows-only; unit-tested
+def docs_media_pipeline(spark, sf_dir):
+    """Full media pipeline shape: decode (deterministic fake) →
+    nearest-neighbor resize → byte-histogram features, all
+    Arrow-batched mapInPandas stages. Integer pixel sums + feature
+    dim as the stable projection."""
+    from proglog_spark.multimodal import decode_media, extract_features, resize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    decoded = decode_media(payload, height=8, width=8)
+    resized = resize_media(decoded, out_h=4, out_w=4)
+    feats = extract_features(payload, dim=16)
+    return (
+        resized.join(feats, "doc_id")
+        .select(
+            "doc_id",
+            "height",
+            "width",
+            F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias("px_sum"),
+            F.size("feature").cast("long").alias("feature_dim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search + hygiene
 # ---------------------------------------------------------------------------
