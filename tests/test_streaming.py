@@ -14,10 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from proglog_spark import LogTable
-from proglog_spark.operators.windows import tumbling_counts
+from proglog_spark.operators.windows import sessionize, tumbling_counts
 from proglog_spark.sources.tables import load_table
 from proglog_spark.streaming import (
     produce_stream,
+    streaming_sessionize,
     streaming_tumbling_counts,
     tail_follow,
 )
@@ -102,5 +103,53 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     want = {
         (r.bucket, r.event_type): r.n_events
         for r in tumbling_counts(events, "ts", 3600, ["event_type"]).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful sessionization (applyInPandasWithState) must emit, for
+    every fixture user, exactly the sessions the batch lag+cumsum twin
+    computes — closed mid-batch sessions immediately, open ones via
+    event-time timeout once sentinel batches push the watermark past
+    their gap."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    stream_dir = tmp_path / "sess_stream"
+    events.write.parquet(str(stream_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        # two sentinel batches for one synthetic user: the first pushes
+        # the watermark past every fixture session's end+gap, the
+        # second triggers a batch in which those timeouts actually fire
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        for days in (30, 60):
+            spark.createDataFrame(
+                [(999_999_999, max_ts + __import__("datetime").timedelta(days=days))],
+                "user_id long, ts timestamp",
+            ).write.mode("append").parquet(str(stream_dir))
+            _drain(q)
+        got = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM stream_sessions WHERE user_id != 999999999"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(
+            load_table(spark, sf_dir, "events"), "user_id", "ts", 1800
+        ).collect()
     }
     assert got == want
