@@ -1,0 +1,105 @@
+"""Physical-plan audits — the 100 TB posture, asserted.
+
+The reference's two physical-layer tricks are offset indexing and
+segment pruning (internal/log/index.go:40-66, log.go:99-104); our
+equivalents are parquet predicate pushdown and partition pruning,
+plus broadcast joins and bounded shuffles for the analytics surface.
+These tests pin the *plan shape*, not timings: a plan that stops
+pushing filters or starts sort-merge-joining a dimension table is a
+scale regression even if sf0.1 still finishes fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proglog_spark.operators import dedup, similarity
+from proglog_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_point_read_pushes_offset_filter(spark, sf_dir):
+    """L1 point read: the offset predicate must reach the parquet scan
+    (our analog of the reference's mmap index lookup, index.go:49-54)."""
+    from proglog_spark.sources.records import records_from_events
+
+    df = records_from_events(spark, sf_dir).where(F.col("offset") == 42)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "event_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """Column pruning: a 2-column projection must not read the full
+    events schema (ReadSchema in the scan node)."""
+    df = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    read_schema = plan_of(df).split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    """Small dims (region/nation/supplier at any sf ratio) must come in
+    as broadcast joins, never shuffle the fact table for them."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q5_nation_revenue"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the lineitem-side fact join keys may legitimately shuffle; but
+    # region (5 rows) must never appear on a shuffle-exchange side
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=5)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # never a shuffled cross join
+
+
+def test_simhash_has_no_aggregate_exchange(spark, sf_dir):
+    """SimHash is per-document: beyond fan_out's round-robin split of
+    an under-partitioned input there must be NO shuffle (no hash
+    Exchange, no aggregate) — the operator scales embarrassingly."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup.simhash(d))
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_exact_dedup_is_single_hash_shuffle(spark, sf_dir):
+    """Exact dedup: one hash-partitioned aggregate over (hash, id) —
+    partial aggregation map-side, no sort, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup.exact_duplicates(d))
+    assert plan.count("hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_lsh_ann_join_is_broadcast_not_smj(spark, sf_dir):
+    """The bucket-collision join against the (tiny) query side must be
+    a broadcast join; candidate scoring must not sort-merge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.lsh_ann_topk(emb, emb.where(F.col("vec_id") == 0), dim=64, k=5)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_range_prunes_with_filter(spark, sf_dir):
+    """L5 range scan: BETWEEN bounds push to the scan, mirroring
+    segment-range routing (log.go:99-104)."""
+    from proglog_spark.sources.records import records_from_events
+
+    df = records_from_events(spark, sf_dir).where(F.col("offset").between(100, 200))
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters")[1][:250]
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
