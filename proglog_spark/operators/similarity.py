@@ -198,6 +198,116 @@ def lsh_ann_topk(
     return ranked.where(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample_mod: int = 1,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic mini k-means for IVF cells (the FAISS recipe:
+    train on a bounded sample, driver-side).
+
+    Sample = rows with ``id % sample_mod == 0`` (deterministic, scales
+    by raising sample_mod at larger corpora — the collect stays
+    bounded); init = first n_cells sample vectors by id; ``iters``
+    Lloyd steps in numpy. Vectors are L2-normalized so cell assignment
+    by max dot product == max cosine (spherical k-means).
+    """
+    rows = (
+        corpus.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    centroids = mat[:n_cells].copy()
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def _with_ivf_cells(df: DataFrame, centroids, n_probe: int, vec_col: str) -> DataFrame:
+    """Append (ivf_cell) — one row per probed cell (n_probe >= 1).
+
+    Assignment is one Arrow-batched matmul against the (tiny,
+    closure-shipped) centroid matrix; for the corpus n_probe=1 (each
+    vector lives in exactly one cell), queries probe their n_probe
+    nearest cells.
+    """
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    kp = n_probe
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ C.T
+        top = np.argsort(-sims, axis=1)[:, :kp]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return df.select("*", F.explode(_cells(F.col(vec_col))).alias("ivf_cell"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cells — the
+    trained-partition alternative to hyperplane LSH.
+
+    Corpus vectors land in their nearest of ``n_cells`` spherical
+    k-means cells (narrow (id, cell) projection); each query probes
+    its ``n_probe`` nearest cells, so the scored fraction is
+    ~n_probe/n_cells of the corpus. Same plan shape as lsh_ann_topk:
+    narrow explode → broadcast bucket join → dedup → vector join-back
+    → windowed top-k. Recall is property-tested (FIXTURES §3.5).
+    """
+    centroids = train_ivf_centroids(
+        corpus, n_cells, sample_mod, id_col=id_col, vec_col=vec_col
+    )
+    c = _with_ivf_cells(corpus.select(id_col, vec_col), centroids, 1, vec_col).select(
+        id_col, "ivf_cell"
+    )
+    q = _with_ivf_cells(queries, centroids, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "ivf_cell"
+    )
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "ivf_cell")), on="ivf_cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    q_vecs = q.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(q_vecs), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    ranked = _with_topk_rank(scored, "query_id", [F.col("cosine").desc(), F.col(id_col)])
+    return ranked.where(F.col("rank") <= k)
+
+
 def embedding_cosine_neardup(
     df: DataFrame,
     dim: int,

@@ -654,6 +654,19 @@ def emb_lsh_ann_topk(spark, sf_dir):
     )
 
 
+@register("emb_ivf_ann_topk", None)  # approximate recall → property-tested
+def emb_ivf_ann_topk(spark, sf_dir):
+    """IVF-cell ANN top-k (trained-partition scale path; n_probe/n_cells
+    of the corpus scored per query)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        similarity.ivf_ann_topk(e, q, dim=64, k=10, n_cells=16, n_probe=4)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register("emb_cosine_neardup", None)  # float threshold + LSH recall → property-tested
 def emb_cosine_neardup(spark, sf_dir):
     """Near-duplicate embedding pairs (cosine >= 0.9) via multi-table

@@ -134,6 +134,32 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, emb):
+    """IVF with n_probe=4 of 16 cells must recover a healthy fraction
+    of the true top-10 (the fixture corpus is near-random — the hard
+    regime; clustered corpora recall far higher)."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_ann_topk(emb, qs, dim=64, k=10, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_is_deterministic(spark, emb):
+    qs = emb.where(F.col("vec_id") == 0)
+    a = [(r.query_id, r.vec_id, r.rank) for r in
+         similarity.ivf_ann_topk(emb, qs, dim=64, k=5).orderBy("rank").collect()]
+    b = [(r.query_id, r.vec_id, r.rank) for r in
+         similarity.ivf_ann_topk(emb, qs, dim=64, k=5).orderBy("rank").collect()]
+    assert a == b and len(a) == 5
+
+
 def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     """A corpus vector duplicated under a new id (tiny jitter) must be
     recovered as a near-dup pair; unrelated random pairs must not."""
