@@ -150,21 +150,51 @@ def minhash_signatures(
     Universal-hash family over the 32-bit shingle hash:
     h_i(x) = (a_i * x + b_i) mod 2^31-1, with (a_i, b_i) fixed
     pseudo-random constants (deterministic across runs).
+
+    Like simhash, a signature is a pure per-document function — one
+    Arrow-batched Pandas UDF, ZERO shuffle (the earlier formulation
+    exploded shingles and ran 64 min-aggregates through a hash
+    exchange). Shingle + hash semantics are bit-identical to the JVM
+    path: '_'-joined word n-grams (concat_ws drops the nulls that
+    short docs produce — Python's short-slice join matches), md5's
+    first 32 bits as the base hash; duplicate shingles can't change a
+    min, so distinctness is free.
     """
     import random
 
     rnd = random.Random(42)
     coeffs = [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_hashes)]
-    sh = shingles(df, id_col, text_col, n)
-    hashed = sh.select("id", token_hash32(F.col("shingle")).alias("h"))
-    mins = hashed.groupBy("id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64)  # (H,)
+    B = np.array([b for _, b in coeffs], dtype=np.uint64)
+    M = np.uint64(MERSENNE31)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(texts: pd.Series) -> pd.Series:
+        gram_lists = []
+        for text in texts:
+            toks = text.split(" ")
+            gram_lists.append(
+                ["_".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+            )
+        counts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        digests = b"".join(
+            hashlib.md5(g.encode("utf-8")).digest() for grams in gram_lists for g in grams
+        )
+        h = (
+            np.frombuffer(digests, dtype=np.uint8)
+            .reshape(-1, 16)[:, :4]
+            .copy()
+            .view(">u4")
+            .astype(np.uint64)
+            .ravel()
+        )  # (total_grams,) == int(md5hex[:8], 16)
+        hashed = (h[:, None] * A + B) % M  # (total_grams, H) — fits u64: < 2^63
+        starts = np.cumsum(counts) - counts
+        mins = np.minimum.reduceat(hashed, starts, axis=0).astype(np.int64)
+        return pd.Series(list(mins))
+
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), _sigs(F.col(text_col)).alias("sig")
     )
 
 
@@ -188,9 +218,11 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # narrow band table: (id, band, band_hash) only — the 64-element
+    # signature arrays never travel through the self-join; they join
+    # back for the deduped candidate pairs (few) during verification
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -207,14 +239,16 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_hash"),
-    )
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
+    ).cache()
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     candidates = (
         a.join(b, on=["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.floor(
         F.lit(1000000.0)

@@ -323,8 +323,12 @@ def embedding_cosine_neardup(
     8 tables x 8 bits miss with prob (1-0.9^8)^8 ≈ 1%. Bucket-pair
     candidates are verified exactly; recall property-tested.
     """
-    c = with_lsh_buckets(df.select(id_col, vec_col), dim, bits, tables, vec_col).select(
-        id_col, "lsh_table", "lsh_bucket"
+    # cached: the narrow bucket table feeds both self-join sides (the
+    # bucketing UDF would otherwise run twice over the corpus)
+    c = (
+        with_lsh_buckets(df.select(id_col, vec_col), dim, bits, tables, vec_col)
+        .select(id_col, "lsh_table", "lsh_bucket")
+        .cache()
     )
     a = c.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
     b = c.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
