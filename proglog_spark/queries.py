@@ -808,6 +808,74 @@ def tpch_q5_nation_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q6_forecast",
+    "SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_scaled, "
+    "count(*) AS n_rows FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """Q6-style forecasting: the pure-pushdown query — every predicate
+    reaches the parquet scan, no joins, one partial-agg shuffle of a
+    single row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100).cast("long")  # noqa: E731
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(cents("l_extendedprice") * cents("l_discount")).alias("revenue_scaled"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "tpch_salted_priority_revenue",
+    "SELECT o_orderpriority, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_salted_priority_revenue(spark, sf_dir):
+    """The explicit skew tool, end-to-end: lineitem joined through
+    operators.skew.salted_join (hot l_orderkey spread over 8 salt
+    buckets, filtered orders replicated 8x). Row-identical to the
+    plain join — proven by the oracle hash."""
+    from proglog_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    return (
+        salted_join(li, o, on="l_orderkey", salt_factor=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

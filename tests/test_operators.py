@@ -180,6 +180,21 @@ def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
         assert b == a + 100000  # only the planted clones clear 0.95
 
 
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-identical to the plain equi-join,
+    including a pathologically hot key and unmatched rows."""
+    from proglog_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)] + [(2, "x"), (3, "y")],
+        "k long, payload string",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, name string")
+    got = sorted(tuple(r) for r in salted_join(large, small, "k", salt_factor=4).collect())
+    want = sorted(tuple(r) for r in large.join(small, "k").collect())
+    assert got == want and len(got) == 501
+
+
 def test_quantized_dot_matches_python(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.125], [1.0, 2.0, -4.0])],
