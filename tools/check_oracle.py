@@ -66,10 +66,10 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
