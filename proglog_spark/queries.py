@@ -155,7 +155,8 @@ def log_read_out_of_range(spark, sf_dir):
     (api/v1/error.go:14-15 → canonical string form, FIXTURES §3.4)."""
     r = records_from_events(spark, sf_dir)
     k = 99999999
-    hit = r.where(F.col("offset") == k).count()
+    # isEmpty == limit(1): early-exits on first match, stats-pruned scan
+    hit = 0 if r.where(F.col("offset") == k).isEmpty() else 1
     try:
         if hit == 0:
             raise OffsetOutOfRangeError(k)
@@ -673,7 +674,7 @@ def emb_cosine_neardup(spark, sf_dir):
     hyperplane-LSH self-join — the embedding analog of docs MinHash."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.9, bits=8, tables=8)
+        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.9, bits=12, tables=12)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
