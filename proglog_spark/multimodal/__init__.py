@@ -6,6 +6,7 @@ from proglog_spark.multimodal.media import (
     decode_image_stub,
     decode_media,
     extract_features,
+    extract_pixel_features,
     extract_media_meta,
     resize_media,
     sample_frames,
@@ -19,6 +20,7 @@ __all__ = [
     "decode_image_stub",
     "decode_media",
     "extract_features",
+    "extract_pixel_features",
     "extract_media_meta",
     "resize_media",
     "sample_frames",

@@ -105,25 +105,28 @@ def decode_media(
         import numpy as np
 
         for pdf in batches:
-            pixels = []
-            for payload in pdf["payload"]:
-                data = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(data) == 0:
-                    data = np.zeros(1, dtype=np.uint8)
-                # mean intensity of n_px equal slices, nearest-rank bounds
-                bounds = (np.arange(n_px + 1) * len(data)) // n_px
-                px = [
-                    int(data[bounds[i] : max(bounds[i + 1], bounds[i] + 1)].mean())
-                    for i in range(n_px)
-                ]
-                pixels.append(px)
+            # batch-wide vectorization: concatenate payloads, segment-mean
+            # all docs' slices in ONE reduceat (empty payloads -> one 0
+            # byte; empty slices of short payloads fall back to the byte
+            # at the slice start, matching the per-doc nearest-rank rule)
+            raw = [bytes(p) if len(p) else b"\x00" for p in pdf["payload"]]
+            lens = np.array([len(r) for r in raw], dtype=np.int64)
+            data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.float64)
+            doc_starts = np.cumsum(lens) - lens
+            bounds = doc_starts[:, None] + (np.arange(n_px) * lens[:, None]) // n_px
+            starts = bounds.ravel()
+            sums = np.add.reduceat(data, starts)
+            counts = np.maximum(np.diff(np.append(starts, len(data))), 1)
+            empty = np.diff(np.append(starts, len(data))) == 0
+            means = np.where(empty, data[np.minimum(starts, len(data) - 1)], sums / counts)
+            pixels = means.astype(np.int64).reshape(len(raw), n_px)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "height": height,
                     "width": width,
                     "channels": 1,
-                    "pixels": pixels,
+                    "pixels": list(pixels),
                 }
             )
 
@@ -140,19 +143,24 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for h, w, px in zip(pdf["height"], pdf["width"], pdf["pixels"]):
-                grid = np.asarray(list(px), dtype=np.int64).reshape(int(h), int(w))
+            if not len(pdf):
+                continue
+            # one fancy-index per (h, w) geometry group, not per row
+            out = np.empty((len(pdf), out_h * out_w), dtype=np.int64)
+            hw = pdf[["height", "width"]].to_numpy()
+            for h, w in {tuple(x) for x in hw}:
+                mask = (hw[:, 0] == h) & (hw[:, 1] == w)
+                grids = np.stack(pdf["pixels"][mask].to_numpy()).reshape(-1, h, w)
                 rows = (np.arange(out_h) * h) // out_h
                 cols_ = (np.arange(out_w) * w) // out_w
-                out.append([int(v) for v in grid[np.ix_(rows, cols_)].ravel()])
+                out[mask] = grids[:, rows][:, :, cols_].reshape(-1, out_h * out_w)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "height": out_h,
                     "width": out_w,
                     "channels": pdf["channels"],
-                    "pixels": out,
+                    "pixels": list(out),
                 }
             )
 
@@ -177,15 +185,43 @@ def extract_features(
         import numpy as np
 
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                data = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(data // (256 // dim), minlength=dim).astype(np.float64)
-                norm = np.linalg.norm(hist)
-                feats.append(list(hist / norm if norm > 0 else hist))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+            if not len(pdf):
+                continue
+            raw = [bytes(p) for p in pdf["payload"]]
+            lens = np.array([len(r) for r in raw], dtype=np.int64)
+            data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
+            doc_idx = np.repeat(np.arange(len(raw)), lens)
+            hists = np.bincount(
+                data // (256 // dim) + doc_idx * dim, minlength=dim * len(raw)
+            ).reshape(len(raw), dim).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(hists, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": list(hists / norms)})
 
     return cols.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+
+
+def extract_pixel_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Intensity-histogram feature over decoded/resized pixel grids
+    (dim buckets over 0..255, L2-normalized) — the chained-stage
+    feature extractor: decode → resize → features with no join, one
+    UDF lineage. Real numpy on fake or real pixels alike."""
+    assert 256 % dim == 0
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grids = np.stack(pdf["pixels"].to_numpy()).astype(np.int64)  # (nb, npx)
+            buckets = grids // (256 // dim) + dim * np.arange(len(grids))[:, None]
+            hists = np.bincount(buckets.ravel(), minlength=dim * len(grids)).reshape(
+                len(grids), dim
+            ).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(hists, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": list(hists / norms)})
+
+    return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

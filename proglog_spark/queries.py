@@ -541,28 +541,26 @@ def docs_frame_sample(spark, sf_dir):
 
 @register("docs_media_pipeline", None)  # fake-decoder pixels → rows-only; unit-tested
 def docs_media_pipeline(spark, sf_dir):
-    """Full media pipeline shape: decode (deterministic fake) →
-    nearest-neighbor resize → byte-histogram features, all
-    Arrow-batched mapInPandas stages. Integer pixel sums + feature
-    dim as the stable projection."""
-    from proglog_spark.multimodal import decode_media, extract_features, resize_media
+    """Full media pipeline as ONE chained lineage: decode
+    (deterministic fake) → nearest-neighbor resize → pixel-histogram
+    features — three Arrow-batched mapInPandas stages, zero joins,
+    zero shuffles (each stage is per-row). Feature L2-norm in
+    fixed-point as the stable projection."""
+    from proglog_spark.multimodal import decode_media, extract_pixel_features, resize_media
 
     d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    decoded = decode_media(payload, height=8, width=8)
-    resized = resize_media(decoded, out_h=4, out_w=4)
-    feats = extract_features(payload, dim=16)
-    return (
-        resized.join(feats, "doc_id")
-        .select(
-            "doc_id",
-            "height",
-            "width",
-            F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias("px_sum"),
-            F.size("feature").cast("long").alias("feature_dim"),
-        )
-        .orderBy("doc_id")
+    resized = resize_media(decode_media(payload, height=8, width=8), out_h=4, out_w=4)
+    feats = extract_pixel_features(
+        resized.select("doc_id", "pixels"), dim=16
     )
+    return feats.select(
+        "doc_id",
+        F.size("feature").cast("long").alias("feature_dim"),
+        F.floor(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x) * 1000000
+        ).cast("long").alias("feature_norm2_micro"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -875,6 +873,24 @@ def tpch_salted_priority_revenue(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ROLLUP_SQL = (
+    "SELECT coalesce(event_type, '__ALL__') AS event_type, "
+    "coalesce(um, -1) AS user_mod, count(*) AS n_events "
+    "FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS um FROM {table}) "
+    "GROUP BY ROLLUP(event_type, um) ORDER BY event_type, user_mod"
+)
+
+
+@register("events_rollup_counts", _ROLLUP_SQL.format(table="events"))
+def events_rollup_counts(spark, sf_dir):
+    """Hierarchical ROLLUP totals (grouping sets — absent in the
+    reference, free in Spark SQL; SURVEY §2.0b). The Spark side runs
+    the IDENTICAL SQL text through spark.sql over a registered view —
+    also exercising the engine's SQL entry path."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rollup_src")
+    return spark.sql(_ROLLUP_SQL.format(table="events_rollup_src"))
 
 
 # ---------------------------------------------------------------------------
