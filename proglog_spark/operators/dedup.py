@@ -107,7 +107,13 @@ def jaccard_pairs(
     ~n× smaller) so tokenize/distinct runs once, not per join side.
     """
     ss = shingle_sets(df, id_col, text_col, n).cache()
-    sh = ss.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
+    # join key = xxhash64(shingle): 8-byte keys through the shuffle
+    # instead of n-word strings. Set algebra is unchanged unless two
+    # distinct shingles in overlapping docs collide (p ~ |S|^2 / 2^65
+    # — negligible at any realistic vocabulary).
+    sh = ss.select("id", "n_sh", F.explode("sh_arr").alias("sh_str")).select(
+        "id", "n_sh", F.xxhash64("sh_str").alias("shingle")
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
