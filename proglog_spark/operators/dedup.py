@@ -20,6 +20,14 @@ Scale design notes (100 TB posture):
   against ``jaccard_pairs`` rather than oracle-hashed (FIXTURES §3.5).
 - ``simhash``: 64-bit (two 32-bit words) per-doc sketch; Hamming
   proximity ⇒ near-duplication. md5-derived bits, oracle-checkable.
+
+Cache note: operators that feed one computed table into multiple join
+sides ``.cache()`` it (shingle sets, signatures, sketches, bucket
+tables). Caches are session-scoped and LRU-evicted (MEMORY_AND_DISK)
+— callers running many operator invocations in one long session can
+reclaim eagerly via ``spark.catalog.clearCache()``; per-call eager
+unpersist is impossible while the returned DataFrame's lineage is
+still lazy.
 """
 
 from __future__ import annotations
@@ -122,6 +130,11 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, on="shingle", how="left_anti")
+        # recompute set sizes over the CAPPED sets so the similarity is
+        # a consistent capped-Jaccard (hot shingles removed from both
+        # numerator and denominators), exact again when the cap is off
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh_c"))
+        sh = sh.drop("n_sh").join(sizes, "id").withColumnRenamed("n_sh_c", "n_sh")
     a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     common = (
@@ -316,36 +329,70 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     ).select("id", "s.simhash_lo", "s.simhash_hi")
 
 
-def hamming_pairs(sketches: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Pairs of docs whose simhash words differ in <= max_hamming bits.
+def hamming_pairs(
+    sketches: DataFrame, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Pairs of docs whose 64-bit simhash differs in <= max_hamming bits.
 
-    Blocked on the two 32-bit words (a pair within distance d must
-    match at least one of ceil(64/(d+1))-partitions — here the classic
-    2-block variant: word-equal on lo or hi). Scale path for simhash
-    dedup; exactness property-tested.
+    Pigeonhole blocking: split the 64 bits into ``blocks`` equal
+    blocks; any pair within distance d must agree on at least one
+    whole block when blocks >= d + 1 (enforced), so candidate
+    generation is COMPLETE for the declared radius. Candidates join
+    on (block_idx, block_value) — narrow rows; the sketch words join
+    back only for deduped pairs. blocks=4 x 16 bits at d<=3 is the
+    classic simhash operating point (larger radii need more blocks
+    and coarser, hotter buckets — the standard recall/cost dial).
 
-    The sketch table feeds four join sides — cache it so the sketch
-    computation (a Pandas-UDF pass) runs once, not four times.
+    The sketch table feeds the explode and the verify join-back —
+    cached so the sketch UDF runs once per call (session-scoped,
+    LRU-evicted under pressure).
     """
+    assert blocks >= max_hamming + 1, "completeness needs blocks >= max_hamming+1"
+    assert 64 % blocks == 0 and 32 % (64 // blocks) == 0, "blocks must split the words"
+    bits_per = 64 // blocks
+    mask = (1 << bits_per) - 1
+    per_word = 32 // bits_per
+
+    def block_val(i: int):
+        word = F.col("simhash_lo") if i < per_word else F.col("simhash_hi")
+        shift = (i % per_word) * bits_per
+        return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
+
     sketches = sketches.cache()
-    a = sketches.select(
+    blocked = sketches.select(
+        "id",
+        F.posexplode(F.array(*[block_val(i) for i in range(blocks)])).alias(
+            "blk", "blk_val"
+        ),
+    )
+    a = blocked.select(F.col("id").alias("id_a"), "blk", "blk_val")
+    b = blocked.select(F.col("id").alias("id_b"), "blk", "blk_val")
+    cands = (
+        a.join(b, on=["blk", "blk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa = sketches.select(
         F.col("id").alias("id_a"),
         F.col("simhash_lo").alias("lo_a"),
         F.col("simhash_hi").alias("hi_a"),
     )
-    b = sketches.select(
+    wb = sketches.select(
         F.col("id").alias("id_b"),
         F.col("simhash_lo").alias("lo_b"),
         F.col("simhash_hi").alias("hi_b"),
     )
-    cand_lo = a.join(b, a.lo_a == b.lo_b).where(F.col("id_a") < F.col("id_b"))
-    cand_hi = a.join(b, a.hi_a == b.hi_b).where(F.col("id_a") < F.col("id_b"))
-    cands = cand_lo.unionByName(cand_hi).dropDuplicates(["id_a", "id_b"])
     ham = (
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).alias("hamming")
-    return cands.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+    return (
+        cands.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", ham)
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def dedup_keep_first(df: DataFrame, key, order_col: str) -> DataFrame:

@@ -34,13 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from proglog_spark.functions.vectors import cosine_similarity, quantized_dot
-
-
-def _with_topk_rank(scored: DataFrame, query_id_col: str, order_cols) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(*order_cols)
-    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+from proglog_spark.operators.topk import topk_per_key
 
 
 def brute_force_topk(
@@ -66,8 +60,9 @@ def brute_force_topk(
             cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
         )
     )
-    ranked = _with_topk_rank(scored, "query_id", [F.col("cosine").desc(), F.col(id_col)])
-    return ranked.where(F.col("rank") <= k)
+    return topk_per_key(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k, rank_col="rank"
+    )
 
 
 def quantized_dot_topk(
@@ -93,8 +88,9 @@ def quantized_dot_topk(
             quantized_dot(F.col(vec_col), F.col("q_vec"), scale).alias("qdot"),
         )
     )
-    ranked = _with_topk_rank(scored, "query_id", [F.col("qdot").desc(), F.col(id_col)])
-    return ranked.where(F.col("rank") <= k).select("query_id", id_col, "qdot", "rank")
+    return topk_per_key(
+        scored, ["query_id"], [F.col("qdot").desc(), F.col(id_col)], k, rank_col="rank"
+    ).select("query_id", id_col, "qdot", "rank")
 
 
 def hyperplane_signs(dim: int, planes: int, salt: str = "plane") -> list[list[int]]:
@@ -194,8 +190,9 @@ def lsh_ann_topk(
             cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
         )
     )
-    ranked = _with_topk_rank(scored, "query_id", [F.col("cosine").desc(), F.col(id_col)])
-    return ranked.where(F.col("rank") <= k)
+    return topk_per_key(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k, rank_col="rank"
+    )
 
 
 def train_ivf_centroids(
@@ -304,8 +301,9 @@ def ivf_ann_topk(
             cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
         )
     )
-    ranked = _with_topk_rank(scored, "query_id", [F.col("cosine").desc(), F.col(id_col)])
-    return ranked.where(F.col("rank") <= k)
+    return topk_per_key(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k, rank_col="rank"
+    )
 
 
 def embedding_cosine_neardup(

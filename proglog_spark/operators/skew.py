@@ -39,7 +39,18 @@ def salted_join(
     Use when the small side is too big to broadcast AND a key is hot
     enough that AQE's split granularity (one shuffle block) can't
     help; otherwise prefer broadcast() or plain join + AQE.
+
+    ``how`` is restricted to joins where replicating the small side
+    cannot duplicate output: right/full outer would emit an unmatched
+    small-side row once per salt bucket.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            f"rows would appear once per salt bucket (allowed: inner/left/semi/anti)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_factor))
     l_salted = large.withColumn("_salt", salt.cast("int"))
     s_salted = small.withColumn(

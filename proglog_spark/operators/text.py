@@ -128,9 +128,10 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash document fingerprint.
 
     fp = fold(tokens, acc -> (acc*31 + h32(token)) mod (2^31-1)) —
-    a Karp-Rabin style content fingerprint whose fold recursion is
-    identical to DuckDB's ``list_reduce`` (first element as seed),
-    because (0*31 + h) mod p == h for h < p.
+    a Karp-Rabin style content fingerprint, seeded with 0. NOTE:
+    token hashes are 32-bit and may exceed p = 2^31-1, so the seed
+    matters on 1-token docs — the DuckDB oracle prepends the 0 seed
+    (bare list_reduce would seed with the raw first hash, unreduced).
     """
     toks = F.split(F.col(text_col), " ")
     fp = F.aggregate(

@@ -424,10 +424,14 @@ def docs_lang_id(spark, sf_dir):
 
 @register(
     "docs_fingerprint",
-    "SELECT doc_id, CASE WHEN len(string_split(text,' ')) = 0 THEN 0 ELSE "
-    "list_reduce(list_transform(string_split(text,' '), "
-    "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)), "
-    "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fingerprint "
+    # the 0 seed is prepended so the first fold step is (0*31+h0)%p on
+    # BOTH engines — a bare list_reduce seeds with the RAW first hash
+    # (a 32-bit value that may exceed p), diverging on 1-token docs
+    "SELECT doc_id, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(text,' '), "
+    "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint "
     "FROM documents ORDER BY doc_id",
 )
 def docs_fingerprint(spark, sf_dir):
@@ -497,12 +501,15 @@ def docs_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
 
 
-@register("docs_simhash_neardup", None)  # candidate recall is block-dependent
+@register("docs_simhash_neardup", None)  # float-free but join-order ties → rows-only
 def docs_simhash_neardup(spark, sf_dir):
-    """SimHash Hamming-distance near-dup pairs via word-block candidates."""
+    """SimHash Hamming near-dup pairs at the classic 64-bit operating
+    point: radius 3 with 4 x 16-bit blocks — pigeonhole blocking is
+    COMPLETE (blocks >= d+1; all-pairs-exact, property-tested) and
+    16-bit buckets stay nearly collision-free."""
     d = load_table(spark, sf_dir, "documents")
     sk = dedup.simhash(d)
-    return dedup.hamming_pairs(sk, max_hamming=12).orderBy("id_a", "id_b")
+    return dedup.hamming_pairs(sk, max_hamming=3, blocks=4).orderBy("id_a", "id_b")
 
 
 @register(

@@ -8,18 +8,19 @@ built-in composition: per-key custom state with event-time timeouts
 via ``applyInPandasWithState``.
 
 Semantics match the batch twin ``operators.windows.sessionize``
-(lag+cumsum): events for one user belong to one session while
-consecutive gaps are <= gap_seconds; a session is EMITTED when the
-event-time watermark passes its end by the gap (event-time timeout),
-i.e. exactly when no in-watermark event can extend it.
+(lag+cumsum) for every event the watermark admits: state holds ALL of
+a user's sessions that an in-watermark event could still extend or
+bridge, merged interval-style with each batch's (sorted) events — so
+late events that arrive in a later micro-batch, out of order, or
+between two open sessions sessionize exactly. A session is emitted
+only once the watermark passes its end by the gap, i.e. when no
+admissible event can touch it (events older than the watermark are
+dropped by Spark before they reach the state function — the same
+boundary).
 
-Scale posture: state is one (start_us, end_us, n) triple per open
-session per user — O(active users), evicted on timeout; the shuffle
-key is user_id (same key the batch twin shuffles on). Late events
-within the watermark that arrive in the same micro-batch as their
-neighbors sessionize exactly; a late event that bridges two
-already-emitted sessions is an inherent limit of incremental
-sessionization (documented, watermark-bounded).
+Scale posture: state is O(sessions within one watermark horizon) per
+active user — three parallel long arrays; the shuffle key is user_id
+(same key the batch twin shuffles on).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = "user_id LONG, session_start_us LONG, session_end_us LONG, n_events LONG"
-_STATE_SCHEMA = "start_us LONG, end_us LONG, n LONG"
+_STATE_SCHEMA = "starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>"
 
 
 def streaming_sessionize(
@@ -41,56 +42,70 @@ def streaming_sessionize(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming sessions: (user_id, session_start_us, session_end_us,
-    n_events), emitted once closed (watermark past end + gap)."""
+    n_events), emitted exactly once, once closed (watermark past
+    end + gap)."""
     gap_us = gap_seconds * 1_000_000
 
     events = stream.select(
         F.col(user_col).cast("long").alias("user_id"), F.col(ts_col).alias("ts")
     ).withWatermark("ts", watermark)
 
+    def _timeout_ms(end_us: int) -> int:
+        return (end_us + gap_us) // 1000 + 1
+
+    def _emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start_us": [s[0] for s in sessions],
+                "session_end_us": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
     def sessionize_fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        old = (
+            [list(s) for s in zip(*state.get)] if state.exists else []
+        )  # [[start, end, n], ...]
+
         if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start_us": [start_us],
-                    "session_end_us": [end_us],
-                    "n_events": [n],
-                }
-            )
-            return
+            new_events = []
+        else:
+            ts_us = pd.concat([pdf["ts"] for pdf in pdf_iter]).astype("int64") // 1000
+            new_events = [[int(t), int(t), 1] for t in ts_us.sort_values()]
 
-        ts_us = pd.concat([pdf["ts"] for pdf in pdf_iter]).astype("int64") // 1000
-        ts_us = ts_us.sort_values().to_numpy()
-
-        open_start, open_end, open_n = state.get if state.exists else (None, None, 0)
-        closed = []
-        for t in ts_us:
-            t = int(t)
-            if open_start is None:
-                open_start, open_end, open_n = t, t, 1
-            elif t - open_end > gap_us:
-                closed.append((open_start, open_end, open_n))
-                open_start, open_end, open_n = t, t, 1
+        # interval merge: existing sessions + new events, by start time;
+        # adjacent pieces within the gap coalesce (late events can land
+        # between, before, or inside open sessions — all handled here)
+        pieces = sorted(old + new_events)
+        merged: list[list[int]] = []
+        for start, end, n in pieces:
+            if merged and start - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], end)
+                merged[-1][2] += n
             else:
-                open_end, open_n = max(open_end, t), open_n + 1
+                merged.append([start, end, n])
 
-        state.update((open_start, open_end, open_n))
-        # event-time timeout: fire when watermark passes end + gap
-        state.setTimeoutTimestamp((open_end + gap_us) // 1000 + 1)
+        # emit everything the watermark has sealed (no admissible event
+        # can be within gap of it); keep the rest in state
+        done = [s for s in merged if _timeout_ms(s[1]) <= wm_ms]
+        live = [s for s in merged if _timeout_ms(s[1]) > wm_ms]
 
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start_us": [c[0] for c in closed],
-                    "session_end_us": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
-                }
+        if live:
+            state.update(
+                (
+                    [s[0] for s in live],
+                    [s[1] for s in live],
+                    [s[2] for s in live],
+                )
             )
+            state.setTimeoutTimestamp(min(_timeout_ms(s[1]) for s in live))
+        else:
+            state.remove()
+        if done:
+            yield _emit(user_id, done)
 
     return events.groupBy("user_id").applyInPandasWithState(
         sessionize_fn,

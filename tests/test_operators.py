@@ -78,6 +78,52 @@ def test_simhash_close_for_near_dups_far_for_random(docs):
         assert r.d <= 16, f"near-dup pair with hamming {r.d}"
 
 
+def test_fingerprint_single_token_matches_duckdb(spark):
+    """Regression: a 1-token doc whose 32-bit hash exceeds p=2^31-1
+    must fingerprint identically on Spark and the DuckDB oracle (the
+    oracle prepends the 0 seed; bare list_reduce would not)."""
+    import duckdb
+
+    rows = [(1, "word"), (2, "a"), (3, "word a word")]  # md5('word')[:8] > p
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from proglog_spark.queries import REGISTRY
+
+    want = dict(con.execute(REGISTRY["docs_fingerprint"][1]).fetchall())
+    assert got == want and got[1] == 3296532592 % 2147483647
+
+
+def test_hamming_pairs_complete_vs_brute_force(spark, docs):
+    """Pigeonhole blocking must find EVERY pair within max_hamming
+    (blocks >= d+1) — compared against the all-pairs cross join."""
+    sk = dedup.simhash(docs).cache()
+    for d, blocks in ((3, 4), (7, 8)):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_pairs(sk, max_hamming=d, blocks=blocks).collect()
+        }
+        a = sk.select(F.col("id").alias("id_a"), F.col("simhash_lo").alias("lo_a"), F.col("simhash_hi").alias("hi_a"))
+        b = sk.select(F.col("id").alias("id_b"), F.col("simhash_lo").alias("lo_b"), F.col("simhash_hi").alias("hi_b"))
+        ham = (
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        ).alias("hamming")
+        want = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham)
+            .where(F.col("hamming") <= d)
+            .collect()
+        }
+        assert got == want, f"incomplete at d={d}, blocks={blocks}"
+    with pytest.raises(AssertionError):
+        dedup.hamming_pairs(sk, max_hamming=7, blocks=4)  # blocks < d+1 rejected
+
+
 def test_exact_dedup_on_synthetic_dupes(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],

@@ -153,3 +153,51 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_sessionize_cross_batch_out_of_order(spark, tmp_path):
+    """An in-watermark event arriving in a LATER batch and OLDER than
+    the open session must sessionize exactly (own earlier session
+    here), not be absorbed into the newer session — review finding."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "ooo_src"
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+            "append"
+        ).parquet(str(src))
+
+    write([(1, t0)])  # batch 1: 12:00
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        # batch 2: 08:00 — older than the open 12:00 session but well
+        # inside the 6h watermark; must become its OWN earlier session
+        write([(1, t0 - dt.timedelta(hours=4))])
+        _drain(q)
+        for days in (30, 60):  # sentinels advance watermark, fire timeouts
+            write([(9, t0 + dt.timedelta(days=days))])
+            _drain(q)
+        got = sorted(
+            (r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM ooo_sessions WHERE user_id = 1"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    assert got == [
+        (us(t0 - dt.timedelta(hours=4)), us(t0 - dt.timedelta(hours=4)), 1),
+        (us(t0), us(t0), 1),
+    ]
