@@ -882,6 +882,65 @@ def tpch_salted_priority_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "docs_length_quantiles",
+    "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn, "
+    "count(*) OVER () AS n FROM documents) "
+    "SELECT q, CAST(min(n_chars) AS BIGINT) AS n_chars FROM ("
+    "SELECT 50 AS q, n_chars FROM r WHERE rn = CAST(ceil(0.50 * n) AS BIGINT) "
+    "UNION ALL SELECT 90, n_chars FROM r WHERE rn = CAST(ceil(0.90 * n) AS BIGINT) "
+    "UNION ALL SELECT 99, n_chars FROM r WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
+    ") GROUP BY q ORDER BY q",
+)
+def docs_length_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles (p50/p90/p99 of document length) —
+    rank-based so both engines pick the identical element; the scale
+    path swaps in percentile_approx with a documented error bound."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    r = d.select(
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    parts = [
+        r.where(F.col("rn") == F.ceil(F.lit(q / 100.0) * F.col("n")).cast("long"))
+        .select(F.lit(q).cast("int").alias("q"), "n_chars")
+        for q in (50, 90, 99)
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        out.groupBy("q").agg(F.min("n_chars").cast("long").alias("n_chars")).orderBy("q")
+    )
+
+
+@register(
+    "events_heavy_users",
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1 "
+    "HAVING count(*) > (SELECT 1.2 * count(*) / count(DISTINCT user_id) FROM events) "
+    "ORDER BY n_events DESC, user_id LIMIT 50",
+)
+def events_heavy_users(spark, sf_dir):
+    """Exact heavy hitters: users with > 1.2x the mean event count —
+    one hash-shuffle groupBy + a broadcast scalar threshold (the
+    skew-detection primitive a salting strategy starts from)."""
+    e = load_table(spark, sf_dir, "events")
+    thresh = e.agg(
+        (F.lit(1.2) * F.count(F.lit(1)) / F.countDistinct("user_id")).alias("_t")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(thresh))
+        .where(F.col("n_events") > F.col("_t"))
+        .drop("_t")
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(50)
+    )
+
+
 _ROLLUP_SQL = (
     "SELECT coalesce(event_type, '__ALL__') AS event_type, "
     "coalesce(um, -1) AS user_mod, count(*) AS n_events "
