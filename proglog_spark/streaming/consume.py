@@ -56,6 +56,12 @@ def tail_follow(
 
     Returns the StreamingQuery; callers stop() it (the reference
     terminates via client context cancellation, server.go:141-145).
+
+    Cursor semantics: an existing checkpoint WINS over ``from_offset``
+    — restarting with the same checkpoint_dir resumes after the last
+    committed batch (no re-read, no duplicates), exactly like the
+    reference's client-held offset surviving a reconnect. Pass a fresh
+    checkpoint_dir to re-read from ``from_offset``.
     """
     stream = consume_stream(log, from_offset)
 
