@@ -48,11 +48,12 @@ def assign_dense_offsets(
     start: int = 0,
     order_by: Sequence[str] | None = None,
     offset_col: str = "offset",
-) -> DataFrame:
-    """Return ``df`` with a dense LONG ``offset_col`` = start, start+1, ...
+) -> tuple[DataFrame, int]:
+    """Return ``(df_with_offsets, n)``: a dense LONG ``offset_col`` =
+    start, start+1, ..., start+n-1, with no gaps and no duplicates.
 
-    Exactly ``df.count()`` consecutive offsets are assigned, with no
-    gaps and no duplicates.
+    ``n`` comes from the per-partition counts the algorithm already
+    collects — callers never need a second count job over the batch.
     """
     spark = df.sparkSession
     if order_by:
@@ -83,4 +84,4 @@ def assign_dense_offsets(
         )
         .drop("_pl_pid", "_pl_mid", "_pl_pstart")
     )
-    return out
+    return out, acc - int(start)

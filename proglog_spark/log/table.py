@@ -75,6 +75,10 @@ class LogTable:
         self.spark = spark
         self.path = path
         self.bucket_size = int(bucket_size)
+        if int(initial_offset) < 0:
+            # offsets are uint64 in the reference (api/v1/log.proto:9);
+            # non-negativity keeps bucket div/floor-division identical
+            raise ValueError(f"initial_offset must be >= 0, got {initial_offset}")
         self.initial_offset = int(initial_offset)
         self.max_records_per_file = int(max_records_per_file)
         # Offsets never regress, even if truncation empties the log —
@@ -82,6 +86,8 @@ class LogTable:
         # persist the floor in the meta file.
         self.next_offset_floor = int(initial_offset)
         self._highest: int | None = None  # cache; single-writer makes this safe
+        # produce_stream idempotence marker (replayed micro-batches skip)
+        self.last_produce_batch: int | None = None
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -96,11 +102,24 @@ class LogTable:
         initial_offset: int = 0,
         max_records_per_file: int = 1 << 22,
     ) -> "LogTable":
-        """Create a new log dir (idempotent if meta matches)."""
+        """Create a new log dir (idempotent if meta matches; a config
+        mismatch with an existing log raises instead of silently
+        discarding the caller's arguments)."""
         log = cls(spark, path, bucket_size, initial_offset, max_records_per_file)
         fs, p, jvm = log._fs()
         if fs.exists(jvm.org.apache.hadoop.fs.Path(path, _META_FILE)):
-            return cls.open(spark, path)
+            existing = cls.open(spark, path)
+            if (existing.bucket_size, existing.initial_offset) != (
+                int(bucket_size),
+                int(initial_offset),
+            ):
+                raise ValueError(
+                    f"LogTable at {path} exists with bucket_size="
+                    f"{existing.bucket_size}, initial_offset="
+                    f"{existing.initial_offset}; requested ({bucket_size}, "
+                    f"{initial_offset}) — open() it or choose a new path"
+                )
+            return existing
         fs.mkdirs(p)
         log._write_meta()
         return log
@@ -125,6 +144,8 @@ class LogTable:
         log.initial_offset = int(meta["initial_offset"])
         log.max_records_per_file = int(meta.get("max_records_per_file", 1 << 22))
         log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
+        log.last_produce_batch = int(meta["last_produce_batch"]) if "last_produce_batch" in meta else None
+        log._recover_truncate()
         return log
 
     def reset(self) -> None:
@@ -156,13 +177,15 @@ class LogTable:
         """
         df = self._coerce(records)
         base = self._next_offset()
-        with_off = assign_dense_offsets(df, start=base, order_by=order_by)
-        n = with_off.count()  # cheap: source is the checkpointed batch
+        with_off, n = assign_dense_offsets(df, start=base, order_by=order_by)
         if n == 0:
             return (base, base - 1)
         (
+            # `div` (integer division) — double division drifts past
+            # 2^53 and truncates-toward-zero; offsets are non-negative
+            # by contract so div == the read paths' Python //
             with_off.withColumn(
-                "bucket", (F.col("offset") / F.lit(self.bucket_size)).cast("long")
+                "bucket", F.expr(f"offset div {self.bucket_size}")
             )
             .select("bucket", *_DATA_COLS)
             .write.mode("append")
@@ -318,26 +341,61 @@ class LogTable:
             self._write_meta()
 
     def _rewrite_bucket(self, bucket: int, lowest: int) -> None:
+        """Rewrite the truncate boundary bucket crash-safely.
+
+        Protocol (every step leaves a recoverable state for
+        ``_recover_truncate``): (1) write survivors fully into a
+        hidden ``.truncate-new-<b>`` dir, (2) atomically rename the
+        live bucket aside to ``.truncate-old-<b>``, (3) rename the new
+        dir into place, (4) drop the old. The old delete-then-copy
+        order lost the survivors if the process died mid-copy.
+        """
         fs, _, jvm = self._fs()
-        bucket_dir = f"{self.path}/bucket={bucket}"
+        P = jvm.org.apache.hadoop.fs.Path
+        bucket_dir = P(f"{self.path}/bucket={bucket}")
+        new_dir = P(f"{self.path}/.truncate-new-{bucket}")
+        old_dir = P(f"{self.path}/.truncate-old-{bucket}")
         survivors = (
             self.spark.read.schema(RECORD_SCHEMA)
-            .parquet(bucket_dir)
+            .parquet(str(bucket_dir))
             .where(F.col("offset") > lowest)
         )
-        tmp = f"{self.path}/.tmp-truncate-bucket-{bucket}"
-        survivors.write.mode("overwrite").parquet(tmp)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(bucket_dir), True)
-        # keep only data files from the tmp dir
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(bucket_dir))
-        for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
+        fs.delete(new_dir, True)
+        survivors.write.mode("overwrite").parquet(str(new_dir))
+        # drop Spark's _SUCCESS marker; only data files move into place
+        fs.delete(P(f"{self.path}/.truncate-new-{bucket}/_SUCCESS"), False)
+        fs.rename(bucket_dir, old_dir)  # (2) atomic: live bucket aside
+        fs.rename(new_dir, bucket_dir)  # (3) atomic: survivors live
+        fs.delete(old_dir, True)  # (4)
+
+    def _recover_truncate(self) -> None:
+        """Finish or roll back a truncate interrupted between steps
+        (called from open(), mirroring reference crash recovery O16)."""
+        fs, p, jvm = self._fs()
+        if not fs.exists(p):
+            return
+        P = jvm.org.apache.hadoop.fs.Path
+        for status in fs.listStatus(p):
             name = status.getPath().getName()
-            if name.endswith(".parquet"):
-                fs.rename(
-                    status.getPath(),
-                    jvm.org.apache.hadoop.fs.Path(bucket_dir, name),
-                )
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            if name.startswith(".truncate-new-"):
+                b = name.rsplit("-", 1)[1]
+                bucket_dir = P(f"{self.path}/bucket={b}")
+                if not fs.exists(bucket_dir):
+                    # died between (2) and (3): survivors are complete
+                    # (they were written before the bucket moved aside)
+                    fs.rename(status.getPath(), bucket_dir)
+                else:
+                    # died before (2): live bucket untouched; the new
+                    # dir may be partial — discard it
+                    fs.delete(status.getPath(), True)
+            elif name.startswith(".truncate-old-"):
+                b = name.rsplit("-", 1)[1]
+                if fs.exists(P(f"{self.path}/bucket={b}")):
+                    fs.delete(status.getPath(), True)  # died before (4)
+                else:
+                    # paranoia: old exists and bucket missing with no
+                    # new dir — restore the old bucket untruncated
+                    fs.rename(status.getPath(), P(f"{self.path}/bucket={b}"))
 
     # ------------------------------------------------------------------
     # snapshot / restore (reference: fsm.Snapshot O28 / Restore O29)
@@ -370,7 +428,7 @@ class LogTable:
         if first is None:
             return log
         (
-            snap.withColumn("bucket", (F.col("offset") / F.lit(bucket_size)).cast("long"))
+            snap.withColumn("bucket", F.expr(f"offset div {int(bucket_size)}"))
             .select("bucket", *_DATA_COLS)
             .write.mode("append")
             .partitionBy("bucket")
@@ -445,6 +503,8 @@ class LogTable:
             "next_offset_floor": self.next_offset_floor,
             "format": "proglog_spark/v1",
         }
+        if self.last_produce_batch is not None:
+            meta["last_produce_batch"] = self.last_produce_batch
         out = fs.create(jvm.org.apache.hadoop.fs.Path(self.path, _META_FILE), True)
         try:
             out.write(bytearray(json.dumps(meta).encode("utf-8")))

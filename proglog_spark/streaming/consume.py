@@ -33,7 +33,13 @@ def consume_stream(
     sink via ``writeStream`` (or use ``tail_follow`` for the common
     ordered-callback shape).
     """
-    reader = log.spark.readStream.schema(log._full_schema())
+    reader = (
+        log.spark.readStream.schema(log._full_schema())
+        # retention (LogTable.truncate) may delete files this source has
+        # already listed; without this a concurrent truncate kills the
+        # running query with FileNotFoundException
+        .option("ignoreMissingFiles", "true")
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(log.path)
@@ -49,6 +55,7 @@ def tail_follow(
     on_batch: Callable[[list], None],
     checkpoint_dir: str,
     trigger_seconds: float | None = None,
+    max_files_per_trigger: int | None = 1000,
 ) -> S.StreamingQuery:
     """Tail the log, invoking ``on_batch(rows)`` with each micro-batch
     sorted by offset (the reference sends records strictly in offset
@@ -62,8 +69,13 @@ def tail_follow(
     committed batch (no re-read, no duplicates), exactly like the
     reference's client-held offset surviving a reconnect. Pass a fresh
     checkpoint_dir to re-read from ``from_offset``.
+
+    ``max_files_per_trigger`` (default 1000) bounds the first batch on
+    a log with a large backlog — each micro-batch is collect()ed to
+    the driver for ``on_batch``, so an unbounded first batch on a big
+    log would materialize the whole backlog in driver memory.
     """
-    stream = consume_stream(log, from_offset)
+    stream = consume_stream(log, from_offset, max_files_per_trigger)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.orderBy("offset").collect()

@@ -4,9 +4,16 @@ The reference's ProduceStream RPC (internal/server/server.go:122-136)
 is a loop of appends, each acked with its assigned offset. Here a
 streaming source feeds ``foreachBatch``, and each micro-batch is
 appended to the LogTable under the single-writer invariant — the
-batch's dense offset range is the "ack". Exactly-once visibility
-comes from the parquet commit + checkpoint pair (the reference's
-durability point is the Raft quorum instead; SURVEY.md §3.1).
+batch's dense offset range is the "ack".
+
+Delivery contract: ``foreachBatch`` is at-least-once, so a replayed
+micro-batch (driver death between the parquet commit and the
+streaming checkpoint commit) would double-append. A batch-id marker
+persisted in the log's meta file AFTER each append makes replays
+no-ops, narrowing duplication to a crash exactly between the data
+commit and the marker write; closing that last window needs an
+atomically-committing table format (Delta/Iceberg) — the reference's
+equivalent durability point is the Raft quorum (SURVEY.md §3.1).
 """
 
 from __future__ import annotations
@@ -32,7 +39,11 @@ def produce_stream(
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if log.last_produce_batch is not None and batch_id <= log.last_produce_batch:
+            return  # checkpoint replay of an already-applied batch
         base, last = log.append(batch_df)
+        log.last_produce_batch = int(batch_id)
+        log._write_meta()
         if on_ack is not None and last >= base:
             on_ack(batch_id, base, last)
 

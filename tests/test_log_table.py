@@ -128,7 +128,8 @@ def test_append_dataframe_with_order(spark, log):
 def test_dense_offsets_many_partitions(spark):
     # density invariant under arbitrary partitioning (no gaps, no dupes)
     df = spark.range(0, 10_000).repartition(13).select(F.col("id").alias("payload"))
-    out = assign_dense_offsets(df, start=100)
+    out, n = assign_dense_offsets(df, start=100)
+    assert n == 10_000  # returned count comes from the partition pass
     offs = sorted(r.offset for r in out.select("offset").collect())
     assert offs == list(range(100, 10_100))
 
@@ -143,3 +144,83 @@ def test_snapshot_restore(spark, log, tmp_path):
     assert restored.highest_offset() == 11
     assert restored.read(7).value == "v7"
     assert restored.initial_offset == 4
+
+
+def test_create_rejects_mismatched_config(spark, tmp_path):
+    """create() over an existing log with different config must raise,
+    not silently discard the caller's arguments (review finding)."""
+    path = str(tmp_path / "log_cfg")
+    LogTable.create(spark, path, bucket_size=8, initial_offset=0)
+    again = LogTable.create(spark, path, bucket_size=8, initial_offset=0)
+    assert again.bucket_size == 8  # matching config: idempotent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exists with bucket_size"):
+        LogTable.create(spark, path, bucket_size=16, initial_offset=0)
+    with _pytest.raises(ValueError, match="initial_offset must be >= 0"):
+        LogTable.create(spark, str(tmp_path / "neg"), initial_offset=-1)
+
+
+def test_truncate_crash_recovery(spark, tmp_path):
+    """A truncate interrupted between protocol steps must never lose
+    surviving records: open() either completes or rolls it back."""
+    path = str(tmp_path / "log_crash")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append([f"v{i}" for i in range(12)])  # buckets 0 (0-7), 1 (8-11)
+
+    fs, _, jvm = log._fs()
+    P = jvm.org.apache.hadoop.fs.Path
+
+    # simulate a crash between steps (2) and (3): survivors staged in
+    # .truncate-new-0, live bucket already moved aside
+    survivors = log.df().where("bucket = 0 AND offset > 3").select(
+        "offset", "value", "term", "type"
+    )
+    survivors.write.mode("overwrite").parquet(f"{path}/.truncate-new-0")
+    fs.delete(P(f"{path}/.truncate-new-0/_SUCCESS"), False)
+    fs.rename(P(f"{path}/bucket=0"), P(f"{path}/.truncate-old-0"))
+
+    reopened = LogTable.open(spark, path)
+    got = sorted((r.offset, r.value) for r in reopened.reader().collect())
+    # recovery lands in one of two safe states: truncate completed
+    # (4..11) or rolled back (0..11) — never missing survivors
+    assert got in (
+        [(i, f"v{i}") for i in range(4, 12)],
+        [(i, f"v{i}") for i in range(12)],
+    )
+    # no hidden protocol dirs left behind
+    names = [s.getPath().getName() for s in fs.listStatus(P(path))]
+    assert not any(n.startswith(".truncate-") for n in names)
+
+
+def test_produce_stream_replay_is_noop(spark, tmp_path):
+    """A micro-batch replayed after the data commit (simulated by
+    resetting last_produce_batch bookkeeping) must not double-append."""
+    from proglog_spark.streaming import produce_stream
+
+    src_dir = tmp_path / "replay_src"
+    spark.createDataFrame([("a",), ("b",)], "value STRING").write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    log = LogTable.create(spark, str(tmp_path / "log_replay"), bucket_size=8)
+    source = spark.readStream.schema("value STRING").parquet(str(src_dir))
+    q = produce_stream(source, log, checkpoint_dir=str(tmp_path / "ck1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert log.count() == 2 and log.last_produce_batch == 0
+
+    # new query, FRESH checkpoint -> Spark re-delivers batch 0; the
+    # log-side marker must make the replay a no-op
+    source2 = spark.readStream.schema("value STRING").parquet(str(src_dir))
+    q2 = produce_stream(source2, log, checkpoint_dir=str(tmp_path / "ck2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert log.count() == 2  # no duplicates
+
+    # and the marker survives reopen
+    re_log = LogTable.open(spark, str(tmp_path / "log_replay"))
+    assert re_log.last_produce_batch == 0
