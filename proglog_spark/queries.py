@@ -229,6 +229,48 @@ def events_hourly_counts(spark, sf_dir):
 
 
 @register(
+    "events_hourly_counts_streamed",
+    "SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, event_type, "
+    "count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_hourly_counts_streamed(spark, sf_dir):
+    """A1 through the STREAMING engine: the watermarked tumbling agg
+    runs as a real Structured Streaming query (availableNow trigger,
+    memory sink) over the same fixture and must hash-match the same
+    batch oracle — the convergence contract, oracle-enforced."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from proglog_spark.streaming.windows import streaming_tumbling_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the fixture is a single FILE; the streaming file source wants a
+    # directory, so stream the sf dir filtered to this one file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        # same ns→µs normalization as sources.tables.load_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = streaming_tumbling_counts(stream, "ts", 3600, ["event_type"])
+    name = "hourly_streamed_" + next(tempfile._get_candidate_names())
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("bucket", "event_type")
+
+
+@register(
     "events_sliding_counts",
     "WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ls FROM events), "
     "exp AS (SELECT event_type, ls - 1800*i.i AS window_start FROM e "
