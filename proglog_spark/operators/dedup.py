@@ -395,6 +395,94 @@ def hamming_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: (id, rep) where rep
+    is the minimum id reachable through any chain of pairs — the final
+    step of every sketch-based dedup (keep ``rep``, drop the rest).
+
+    Hybrid execution: the pair list is orders of magnitude smaller
+    than the corpus (it holds only duplicates), so when it fits
+    comfortably on the driver (< ``driver_threshold`` edges) an exact
+    union-find resolves it in one pass — the FAISS-style bounded-
+    driver-work pattern. Above the threshold, iterative min-label
+    propagation: each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(cluster diameter) rounds
+    (text-dedup chains are short; for adversarially long chains swap
+    in the large-star/small-star variant, same join shape, O(log n)
+    rounds). Each distributed round is one shuffle keyed by node id;
+    labels are ``localCheckpoint``ed so lineage stays flat.
+    Deterministic either way — oracle-checked against a recursive-CTE
+    transitive closure.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()  # cheap: checkpointed
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = int(row.src), int(row.dst)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the representative is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(rows, "id LONG, rep LONG")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("rep").alias("n_rep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("n_rep"), F.col("rep"))).alias(
+                    "rep"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
 def dedup_keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
     """Generic exact dedup: keep the first row per key by order_col.
 

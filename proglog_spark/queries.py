@@ -535,6 +535,34 @@ def docs_neardup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
 
 
+@register(
+    "docs_dedup_clusters",
+    f"WITH RECURSIVE sh AS ({_JACCARD_SHINGLES_SQL}), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200000), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) "
+    "SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id",
+)
+def docs_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution — the step after pair generation in
+    every dedup pipeline: connected components over the exact jaccard
+    pairs, each clustered doc mapped to its minimum-id representative
+    (keep rep, drop the rest). Spark side is iterative min-label
+    propagation; oracle is a recursive-CTE transitive closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
+        .orderBy("doc_id")
+    )
+
+
 @register("docs_minhash_lsh", None)  # probabilistic recall → rows-only check
 def docs_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (the sub-quadratic scale path);

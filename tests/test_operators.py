@@ -134,6 +134,25 @@ def test_exact_dedup_on_synthetic_dupes(spark):
     assert out[0].keeper == 1 and out[0].n_dupes == 3
 
 
+def test_connected_components_chains_and_isolates(spark):
+    """Chains must collapse transitively to the minimum id (1-2-3-4 →
+    rep 1 even though 1 and 4 never pair directly); separate clusters
+    stay separate; unpaired docs don't appear."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8), (10, 8)}
+    # driver union-find path (default threshold) ...
+    got = {(r.id, r.rep) for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+    # ... and the distributed label-propagation path must agree
+    dist = {
+        (r.id, r.rep)
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == want
+
+
 def test_dedup_keep_first(spark):
     df = spark.createDataFrame(
         [("a", 3), ("a", 1), ("b", 2)], "k STRING, seq INT"
