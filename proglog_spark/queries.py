@@ -155,14 +155,18 @@ def log_read_out_of_range(spark, sf_dir):
     (api/v1/error.go:14-15 → canonical string form, FIXTURES §3.4)."""
     r = records_from_events(spark, sf_dir)
     k = 99999999
-    # isEmpty == limit(1): early-exits on first match, stats-pruned scan
-    hit = 0 if r.where(F.col("offset") == k).isEmpty() else 1
+    # reference semantics (log.go:100-106): out-of-range iff k > highest.
+    # One column-pruned parallel agg job — NOT isEmpty() on an empty
+    # filter, whose take(1) probes partitions in growing waves (1, 4,
+    # 20, ...) and ends up scanning everything across several jobs.
+    highest = r.agg(F.max("offset").alias("hi")).first().hi
     try:
-        if hit == 0:
+        if highest is None or k > highest:
             raise OffsetOutOfRangeError(k)
         raise AssertionError("fixture offset space exceeded")
     except OffsetOutOfRangeError as e:
-        return spark.createDataFrame([(e.canonical(),)], "error STRING")
+        # single JVM-local row — no Python-side serialization round-trip
+        return spark.range(1).select(F.lit(e.canonical()).alias("error"))
 
 
 @register(
