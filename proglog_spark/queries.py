@@ -32,7 +32,7 @@ from proglog_spark.cluster import CANONICAL_SERVERS, servers_df
 from proglog_spark.errors import OffsetOutOfRangeError, PermissionDeniedError
 from proglog_spark.functions.vectors import quantized_dot
 from proglog_spark.multimodal import extract_media_meta
-from proglog_spark.operators import dedup, similarity, text, topk, windows
+from proglog_spark.operators import dedup, joins, similarity, text, topk, windows
 from proglog_spark.sources.records import RECORDS_CTE, records_from_events
 from proglog_spark.sources.tables import load_table
 
@@ -358,6 +358,96 @@ def events_json_sum(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "events_asof_order",
+    "SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM ("
+    "SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey, "
+    "o.o_totalprice AS asof_totalprice, "
+    "row_number() OVER (PARTITION BY e.event_id "
+    "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+    "FROM events e LEFT JOIN orders o "
+    "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
+    ") WHERE rn = 1 ORDER BY event_id",
+)
+def events_asof_order(spark, sf_dir):
+    """As-of join (merge_asof semantic — absent from both the reference
+    and Spark's builtins): each event annotated with the user's most
+    recent order at or before the event, ties broken by max orderkey.
+    Spark side is operators/joins.asof_join — one window over a tagged
+    union, a single key-hash shuffle, no inequality join; the oracle
+    is the quadratic windowed-left-join formulation. o_totalprice is a
+    point float carried through (no float arithmetic), hash-safe."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+    return (
+        joins.asof_join(
+            e.withColumnRenamed("user_id", "o_custkey"),
+            o,
+            on="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            tie_break="asof_orderkey",
+        )
+        .select(
+            "event_id",
+            F.col("o_custkey").alias("user_id"),
+            "asof_orderkey",
+            "asof_totalprice",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_attribution_window",
+    "SELECT p.event_id AS purchase_id, p.user_id AS user_id, "
+    "count(*) AS n_prior_events "
+    "FROM events p JOIN events c ON p.user_id = c.user_id "
+    "AND p.event_type = 'purchase' "
+    "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts "
+    "GROUP BY 1, 2 ORDER BY 1",
+)
+def events_attribution_window(spark, sf_dir):
+    """Range join (equi-key + interval containment): events landing in
+    the hour before each purchase by the same user — the attribution-
+    window shape. Spark side is operators/joins.range_join: bucketized
+    so Catalyst plans a hash join on (key, bucket) instead of the
+    BroadcastNestedLoopJoin a raw inequality condition forces; the
+    oracle is the direct inequality join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    cands = e.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        joins.range_join(
+            cands,
+            purchases,
+            point_key="c_user",
+            interval_key="p_user",
+            point_time="c_ts",
+            interval_start="win_start",
+            interval_end="win_end",
+            bucket_seconds=3600,
+        )
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_prior_events"))
+        .orderBy("purchase_id")
     )
 
 

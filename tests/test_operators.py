@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from proglog_spark.functions.vectors import cosine_similarity, quantized_dot
-from proglog_spark.operators import dedup, similarity, text, windows
+from proglog_spark.operators import dedup, joins, similarity, text, windows
 from proglog_spark.sources.tables import load_table
 
 
@@ -151,6 +151,65 @@ def test_connected_components_chains_and_isolates(spark):
         for r in dedup.connected_components(pairs, driver_threshold=0).collect()
     }
     assert dist == want
+
+
+def test_asof_join_semantics(spark):
+    """Latest right at-or-before each left; max tie_break on time ties;
+    NULL payload when nothing precedes; inner drops the unmatched;
+    allow_exact_matches=False makes the boundary strict."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 1, 5), (3, 2, 20)], "lid long, k long, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        # k=10: two rows at t=100 (tie -> rid 7 wins), one later (ignored)
+        [(5, 10, 100), (7, 10, 100), (9, 10, 101), (6, 2, 19)],
+        "rid long, k long, rt long",
+    ).select("rid", "k", F.timestamp_seconds("rt").alias("rt"))
+    out = {
+        r.lid: r.rid
+        for r in joins.asof_join(
+            left, right, on="k", left_time="t", right_time="rt", tie_break="rid"
+        ).collect()
+    }
+    assert out == {1: 7, 2: None, 3: 6}
+    inner = joins.asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        tie_break="rid", how="inner",
+    )
+    assert {r.lid for r in inner.collect()} == {1, 3}
+    strict = {
+        r.lid: r.rid
+        for r in joins.asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            tie_break="rid", allow_exact_matches=False,
+        ).collect()
+    }
+    assert strict[1] is None  # t=100 rights no longer admissible
+
+
+def test_range_join_boundaries_and_bucket_spans(spark):
+    """start inclusive, end exclusive; matches survive bucket-boundary
+    crossings (interval spanning several buckets); disjoint keys never
+    match; empty intervals match nothing."""
+    pts = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 3600), (3, 1, 7199), (4, 1, 7200), (5, 2, 3600)],
+        "pid long, pk long, pt long",
+    ).select("pid", "pk", F.timestamp_seconds("pt").alias("pt"))
+    iv = spark.createDataFrame(
+        [(100, 1, 0, 7200), (200, 3, 0, 7200), (300, 1, 50, 50)],
+        "iid long, ik long, s long, e long",
+    ).select(
+        "iid", "ik",
+        F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in joins.range_join(
+            pts, iv, "pk", "ik", "pt", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    # pid 4 is at t == end (exclusive); pid 5 has no key match
+    assert got == {(1, 100), (2, 100), (3, 100)}
 
 
 def test_dedup_keep_first(spark):

@@ -103,3 +103,45 @@ def test_scan_range_prunes_with_filter(spark, sf_dir):
     plan = plan_of(df)
     pushed = plan.split("PushedFilters")[1][:250]
     assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_asof_join_is_single_key_shuffle_window(spark, sf_dir):
+    """As-of join: exactly one hash shuffle (the window's key
+    partition) and one Window over the tagged union — never an
+    inequality join (which Catalyst can only nested-loop)."""
+    from proglog_spark.operators import joins
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("ok"),
+    )
+    df = joins.asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate", tie_break="ok"
+    )
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """Range join: the bucketized formulation must plan as a hash or
+    sort-merge equi-join with the containment predicate as a residual,
+    never BroadcastNestedLoopJoin/CartesianProduct."""
+    from proglog_spark.operators import joins
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(F.col("event_id").alias("c_id"),
+                   F.col("user_id").alias("c_user"),
+                   F.col("ts").alias("c_ts"))
+    iv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ws"),
+        F.col("ts").alias("we"))
+    df = joins.range_join(pts, iv, "c_user", "p_user", "c_ts", "ws", "we", 3600)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
