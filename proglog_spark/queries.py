@@ -33,6 +33,7 @@ from proglog_spark.errors import OffsetOutOfRangeError, PermissionDeniedError
 from proglog_spark.functions.vectors import quantized_dot
 from proglog_spark.multimodal import extract_media_meta
 from proglog_spark.operators import dedup, joins, similarity, text, topk, windows
+from proglog_spark.sources import json_codec
 from proglog_spark.sources.records import RECORDS_CTE, records_from_events
 from proglog_spark.sources.tables import load_table
 
@@ -167,6 +168,23 @@ def log_read_out_of_range(spark, sf_dir):
     except OffsetOutOfRangeError as e:
         # single JVM-local row — no Python-side serialization round-trip
         return spark.range(1).select(F.lit(e.canonical()).alias("error"))
+
+
+@register(
+    "log_json_roundtrip",
+    RECORDS_CTE
+    + 'SELECT "offset", value, term, type FROM records '
+    "WHERE \"offset\" < 100 ORDER BY \"offset\"",
+)
+def log_json_roundtrip(spark, sf_dir):
+    """O23 (HTTP JSON edge): encode records to the wire JSON form
+    ({"record": {..., value: base64}}, http.go:14-30) and decode them
+    back — the full codec path must be lossless, so the oracle is the
+    plain records themselves."""
+    r = records_from_events(spark, sf_dir).where(F.col("offset") < 100)
+    return json_codec.records_from_json(json_codec.records_to_json(r)).orderBy(
+        "offset"
+    )
 
 
 @register(
