@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from proglog_spark.acl import CONSUME, DEFAULT_POLICY, PRODUCE, Authorizer
@@ -341,6 +341,93 @@ def events_extremes(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "events_approx_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
+    "true AS approx_within_5pct FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_approx_distinct(spark, sf_dir):
+    """HLL++ approximate count-distinct (the 100 TB cardinality path —
+    one pass, constant memory, no distinct shuffle) asserted INSIDE the
+    gate: the output carries the exact count plus a boolean that the
+    sketch landed within 5% of it. The oracle states the boolean as a
+    literal, so a drifting sketch hash-mismatches. rsd=0.01 ⇒ the 5%
+    bound holds with overwhelming margin at every sf."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_running_count",
+    "SELECT user_id, event_id, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+    "AS nth_event, "
+    "CAST(count(*) OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nth_of_type "
+    "FROM events QUALIFY nth_event <= 20 ORDER BY user_id, nth_event",
+)
+def events_running_count(spark, sf_dir):
+    """Cumulative window functions (running ordinals overall and per
+    event_type) — the per-user sequence-feature shape of a training
+    pipeline. Two windows share one (user_id) shuffle; QUALIFY-style
+    rank filter keeps the output bounded."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w_all).cast("long").alias("nth_event"),
+            F.count(F.lit(1)).over(w_type).cast("long").alias("nth_of_type"),
+        )
+        .where(F.col("nth_event") <= 20)
+        .orderBy("user_id", "nth_event")
+    )
+
+
+@register(
+    "events_inactive_users",
+    "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day "
+    "FROM events WHERE event_type = 'signup' "
+    "EXCEPT SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
+    "FROM events WHERE event_type = 'purchase' "
+    "ORDER BY user_id, day",
+)
+def events_inactive_users(spark, sf_dir):
+    """Set difference (EXCEPT): (user, day) pairs with a signup but no
+    purchase that day. Spark side is a left-anti join — same
+    semantics, but anti-join states the asymmetry explicitly and
+    broadcasts the subtrahend when small; both sides pre-aggregate to
+    distinct keys so the shuffle carries (user, day), not events."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select("user_id", F.to_date("ts").alias("day"), "event_type")
+    signups = keyed.where(F.col("event_type") == "signup").drop("event_type").distinct()
+    buyers = keyed.where(F.col("event_type") == "purchase").drop("event_type").distinct()
+    return signups.join(buyers, on=["user_id", "day"], how="left_anti").orderBy(
+        "user_id", "day"
     )
 
 

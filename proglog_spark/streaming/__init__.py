@@ -1,10 +1,12 @@
 from proglog_spark.streaming.consume import consume_stream, tail_follow
+from proglog_spark.streaming.dedup import dedup_stream
 from proglog_spark.streaming.produce import produce_stream
 from proglog_spark.streaming.sessions import streaming_sessionize
 from proglog_spark.streaming.windows import streaming_tumbling_counts
 
 __all__ = [
     "consume_stream",
+    "dedup_stream",
     "produce_stream",
     "streaming_sessionize",
     "streaming_tumbling_counts",

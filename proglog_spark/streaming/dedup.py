@@ -1,0 +1,67 @@
+"""Streaming dedup — exactly-once delivery over an at-least-once feed.
+
+The reference's pull-based Replicator re-copies the whole source log
+when a member rejoins, explicitly shipping duplicates downstream
+(internal/log/replicator.go:43-87; SURVEY §2.0: "duplicates on rejoin
+... motivates the dedup extension operator"). The Spark-native cure is
+watermarked streaming dedup: keep each key in state only until the
+watermark passes its event time, so state is bounded by (watermark
+horizon × arrival rate) instead of growing with the stream — the only
+formulation that survives an unbounded 100 TB/day feed.
+
+Two dedup keys are offered:
+
+- ``by_offset`` — the replicator's own duplicate mode: the same record
+  (same offset) delivered again. Offset is unique in the log, so
+  offset alone is the identity.
+- ``by_content`` — producer-side retries that re-append the same
+  payload under a new offset; identity is the payload digest.
+
+Semantics: first occurrence wins; a duplicate arriving within the
+watermark horizon is dropped; one arriving later than the horizon is
+out of contract (same as every watermarked operator — the horizon IS
+the dedup guarantee window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    by: str = "offset",
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate records from a streaming DataFrame with bounded
+    state.
+
+    ``by``: 'offset' (replicator re-delivery) or 'content' (producer
+    retry under a fresh offset; identity = md5 of value‖term‖type).
+    ``stream`` must carry ``event_time_col`` (timestamp) — state for a
+    key is released once the watermark passes it.
+    """
+    if by == "offset":
+        keys = ["offset"]
+        keyed = stream
+    elif by == "content":
+        keyed = stream.withColumn(
+            "content_key",
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("value"),
+                    F.col("term").cast("string"),
+                    F.col("type").cast("string"),
+                )
+            ),
+        )
+        keys = ["content_key"]
+    else:
+        raise ValueError(f"by must be 'offset' or 'content', got {by!r}")
+    return keyed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -201,3 +201,85 @@ def test_streaming_sessionize_cross_batch_out_of_order(spark, tmp_path):
         (us(t0 - dt.timedelta(hours=4)), us(t0 - dt.timedelta(hours=4)), 1),
         (us(t0), us(t0), 1),
     ]
+
+
+def test_streaming_dedup_by_offset_drops_replayed_batch(spark, tmp_path):
+    """Replicator re-delivery (replicator.go:43-87: full re-copy on
+    rejoin): a second batch replaying earlier offsets must emit
+    nothing new; fresh offsets still pass."""
+    from proglog_spark.streaming.dedup import dedup_stream
+
+    stream_dir = str(tmp_path / "feed")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(o, v, 0, 1, f"2024-01-01 10:{m:02d}:00") for o, v, m in rows],
+            "offset long, value string, term long, type int, et string",
+        ).select(
+            "offset", "value", "term", "type",
+            F.col("et").cast("timestamp").alias("event_time"),
+        ).write.mode("append").parquet(stream_dir)
+
+    feed([(0, "a", 0), (1, "b", 1), (2, "c", 2)])
+    src = spark.readStream.schema(
+        "offset long, value string, term long, type int, event_time timestamp"
+    ).parquet(stream_dir)
+    q = (
+        dedup_stream(src, by="offset", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_offset")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        feed([(1, "b", 1), (2, "c", 2), (3, "d", 3), (4, "e", 4)])  # replay + new
+        _drain(q)
+        got = sorted(
+            r.offset for r in spark.sql("SELECT offset FROM dedup_offset").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_streaming_dedup_by_content_drops_producer_retries(spark, tmp_path):
+    """Producer retry: same payload re-appended under a new offset is
+    one logical record; distinct payloads all pass."""
+    from proglog_spark.streaming.dedup import dedup_stream
+
+    stream_dir = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [
+            (0, "x", 0, 1, "2024-01-01 10:00:00"),
+            (1, "x", 0, 1, "2024-01-01 10:00:05"),  # retry, new offset
+            (2, "y", 0, 1, "2024-01-01 10:00:10"),
+            (3, "x", 2, 1, "2024-01-01 10:00:15"),  # same value, different term
+        ],
+        "offset long, value string, term long, type int, et string",
+    ).select(
+        "offset", "value", "term", "type",
+        F.col("et").cast("timestamp").alias("event_time"),
+    ).write.parquet(stream_dir)
+
+    src = spark.readStream.schema(
+        "offset long, value string, term long, type int, event_time timestamp"
+    ).parquet(stream_dir)
+    q = (
+        dedup_stream(src, by="content", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_content")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        vals = sorted(
+            (r.value, r.term)
+            for r in spark.sql("SELECT value, term FROM dedup_content").collect()
+        )
+    finally:
+        q.stop()
+    assert vals == [("x", 0), ("x", 2), ("y", 0)]
