@@ -1,12 +1,15 @@
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
 from proglog_spark.streaming.produce import produce_stream
+from proglog_spark.streaming.rollup import continuous_rollup, read_rollup
 from proglog_spark.streaming.sessions import streaming_sessionize
 from proglog_spark.streaming.windows import streaming_tumbling_counts
 
 __all__ = [
     "consume_stream",
+    "continuous_rollup",
     "dedup_stream",
+    "read_rollup",
     "produce_stream",
     "streaming_sessionize",
     "streaming_tumbling_counts",

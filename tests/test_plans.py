@@ -15,15 +15,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from proglog_spark.operators import dedup, similarity
+from proglog_spark.plans import executed_plan as plan_of
+from proglog_spark.plans import optimized_plan as optimized_of
 from proglog_spark.sources.tables import load_table
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def optimized_of(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_point_read_pushes_offset_filter(spark, sf_dir):

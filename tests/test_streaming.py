@@ -283,3 +283,43 @@ def test_streaming_dedup_by_content_drops_producer_retries(spark, tmp_path):
     finally:
         q.stop()
     assert vals == [("x", 0), ("x", 2), ("y", 0)]
+
+
+def test_continuous_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Feed events in two appends; the materialized rollup must equal
+    the batch tumbling counts over everything fed — including buckets
+    UPDATED by the second batch, not just appended ones."""
+    from proglog_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)  # same time range -> updates
+    feed_dir = str(tmp_path / "feed")
+    first.write.mode("append").parquet(feed_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(feed_dir)
+    q = continuous_rollup(
+        stream,
+        "ts",
+        3600,
+        ["event_type"],
+        rollup_path=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="365 days",
+    )
+    try:
+        _drain(q)
+        second.write.mode("append").parquet(feed_dir)
+        _drain(q)
+    finally:
+        q.stop()
+
+    got = {
+        (r.bucket, r.event_type): r.n_events
+        for r in read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    want = {
+        (r.bucket, r.event_type): r.n_events
+        for r in tumbling_counts(events, "ts", 3600, ["event_type"]).collect()
+    }
+    assert got == want
