@@ -357,10 +357,15 @@ def events_approx_distinct(spark, sf_dir):
     literal, so a drifting sketch hash-mismatches. rsd=0.01 ⇒ the 5%
     bound holds with overwhelming margin at every sf."""
     e = load_table(spark, sf_dir, "events")
+    # dedup once, then count + sketch the deduped pairs: HLL is
+    # duplicate-insensitive, so this is equivalent — and it avoids the
+    # Expand-based plan Catalyst builds for exact+approx distinct in
+    # one aggregate over the raw rows
+    pairs = e.select("event_type", "user_id").distinct()
     return (
-        e.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
         )
         .select(
