@@ -1116,6 +1116,102 @@ def tpch_q6_forecast(spark, sf_dir):
 
 
 @register(
+    "tpch_q18_big_orders",
+    "SELECT o_orderkey, c_name, "
+    "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty "
+    "FROM orders JOIN customer ON o_custkey = c_custkey JOIN ("
+    "SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+    "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150"
+    ") ON o_orderkey = l_orderkey ORDER BY o_orderkey",
+)
+def tpch_q18_big_orders(spark, sf_dir):
+    """Q18-style large-volume orders: aggregate-then-join (HAVING
+    filter shrinks lineitem to the few big orders BEFORE the order/
+    customer joins — at 100 TB the agg output is orders-of-magnitude
+    smaller than the fact, so the joins broadcast). l_quantity is
+    whole-numbered; cast to BIGINT makes the sum exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tpch_q4_late_orders",
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """Q4-style EXISTS as a left-semi join: orders with any line
+    shipped >90 days after the order date, counted by priority. The
+    semi join keeps each order at most once with no post-join dedup;
+    lineitem prunes to (l_orderkey, l_shipdate) at the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q2_top_supplier",
+    "SELECT n_name, s_suppkey, s_name, "
+    "CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents FROM ("
+    "SELECT n_name, s_suppkey, s_name, s_acctbal, "
+    "row_number() OVER (PARTITION BY n_name "
+    "ORDER BY s_acctbal DESC, s_suppkey) AS rn "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    ") WHERE rn = 1 ORDER BY n_name",
+)
+def tpch_q2_top_supplier(spark, sf_dir):
+    """Q2-style argmax-per-group: each nation's best-funded supplier
+    (deterministic tie-break on suppkey). Broadcast dim join + one
+    windowed rank — the correlated-subquery shape without a
+    correlated subquery."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "tpch_salted_priority_revenue",
     "SELECT o_orderpriority, "
     "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
