@@ -154,6 +154,10 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard_micro") >= threshold_micro)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard_micro")
+        # the verified pair list is tiny (duplicates only) but costs a
+        # full shingle self-join; cache it so downstream consumers —
+        # cluster resolution, keeper selection — reuse it in-session
+        .cache()
     )
 
 
@@ -448,7 +452,11 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(rows, "id LONG, rep LONG")
+        # explicit slice count: the default (defaultParallelism) would
+        # schedule 32 near-empty tasks for a result this small
+        spark = pairs.sparkSession
+        rdd = spark.sparkContext.parallelize(rows, max(1, len(rows) // 100_000))
+        return spark.createDataFrame(rdd, "id LONG, rep LONG")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
