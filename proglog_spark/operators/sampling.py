@@ -1,0 +1,71 @@
+"""Deterministic sampling — stable subsets for training-data pipelines.
+
+Spark's ``df.sample``/``sampleBy`` draw from a seeded RNG whose output
+depends on partitioning, so the "same" sample changes when the input
+is repartitioned, compacted, or re-scaled — unacceptable when the
+sample feeds a training run that must be reproducible and joinable.
+These operators decide membership from a hash of the ROW KEY instead:
+
+- the same row is in or out forever, at any scale, any partitioning;
+- two tables sampled with the same salt stay join-consistent (a doc
+  and its embedding fall on the same side);
+- widening the rate from 10% to 20% keeps the original 10% (nested
+  samples by construction: ``hash < a`` ⊂ ``hash < b`` for a ≤ b).
+
+The hash is the repo-wide cross-engine convention (first 8 hex digits
+of md5 → int, operators/text.token_hash32), so every sample here is
+oracle-checkable in DuckDB — no RNG parity problems. All membership
+logic is JVM-side expression work: a sample is a pushable filter or a
+per-stratum window, never a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from proglog_spark.operators.text import token_hash32
+
+HASH_SPACE = 1_000_000
+
+
+def hash_bucket(key_col, salt: str = "") -> "F.Column":
+    """Uniform bucket in [0, 1e6) from the row key — micro-fraction
+    space, matching the repo's fixed-point ratio convention."""
+    return token_hash32(key_col.cast("string"), salt) % HASH_SPACE
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction_micro: int, salt: str = "s"
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction_micro``/1e6.
+
+    A plain filter — no shuffle, no RNG, prunes at the scan when the
+    planner can. Samples at different rates with the same salt nest.
+    """
+    return df.where(hash_bucket(F.col(key_col), salt) < fraction_micro)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "s",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen as the
+    k smallest (hash, key) — deterministic, and balanced across
+    strata regardless of how skewed the strata sizes are (the
+    rebalancing step after a skewed-source crawl).
+
+    One hash shuffle on the strata columns; rank ties are impossible
+    because the key is unique. Output carries ``sample_rank`` (1-based
+    hash-order rank within the stratum).
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )

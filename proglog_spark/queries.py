@@ -32,7 +32,15 @@ from proglog_spark.cluster import CANONICAL_SERVERS, servers_df
 from proglog_spark.errors import OffsetOutOfRangeError, PermissionDeniedError
 from proglog_spark.functions.vectors import quantized_dot
 from proglog_spark.multimodal import extract_media_meta
-from proglog_spark.operators import dedup, joins, similarity, text, topk, windows
+from proglog_spark.operators import (
+    dedup,
+    joins,
+    sampling,
+    similarity,
+    text,
+    topk,
+    windows,
+)
 from proglog_spark.sources import json_codec
 from proglog_spark.sources.records import RECORDS_CTE, records_from_events
 from proglog_spark.sources.tables import load_table
@@ -558,6 +566,50 @@ def events_attribution_window(spark, sf_dir):
         .groupBy("purchase_id", F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_prior_events"))
         .orderBy("purchase_id")
+    )
+
+
+_HASH_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) "
+    "% 1000000"
+)
+
+
+@register(
+    "docs_hash_sample",
+    f"SELECT doc_id, lang, source FROM documents WHERE {_HASH_BUCKET_SQL} < 100000 "
+    "ORDER BY doc_id",
+)
+def docs_hash_sample(spark, sf_dir):
+    """Deterministic 10% sample by key hash (operators/sampling):
+    membership is a pure function of doc_id, so the sample is stable
+    under repartitioning/rescale, join-consistent across tables, and
+    nested inside any higher rate — none of which holds for RNG
+    df.sample. Plan is a plain filter, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_sample(d, "doc_id", 100000)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    "SELECT doc_id, lang, sample_rank FROM ("
+    "SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
+    f"ORDER BY {_HASH_BUCKET_SQL}, doc_id) AS BIGINT) AS sample_rank "
+    "FROM documents) WHERE sample_rank <= 20 ORDER BY lang, sample_rank",
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Exactly-20-per-language stratified sample in hash order — the
+    rebalancing step after a skewed crawl. One shuffle on the stratum
+    key; deterministic because the (hash, key) order has no ties."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(d, ["lang"], 20, "doc_id")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
     )
 
 

@@ -388,3 +388,38 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[2]) == 1
     s0 = sorted(by_user[1], key=lambda r: r.session_id)
     assert s0[0].n_events == 2 and s0[1].n_events == 1
+
+
+# ------------------------------------------------------------- sampling ----
+
+
+def test_hash_sample_nested_and_partition_stable(docs):
+    """Rate-a sample must be a subset of rate-b (a<b) with identical
+    membership under any repartitioning — the properties RNG sampling
+    lacks."""
+    from proglog_spark.operators import sampling
+
+    s10 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 100000).collect()}
+    s20 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 200000).collect()}
+    assert s10 and s10 < s20
+    rep = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(13), "doc_id", 100000).collect()
+    }
+    assert rep == s10
+
+
+def test_stratified_sample_exact_counts_and_determinism(docs):
+    from proglog_spark.operators import sampling
+
+    out = sampling.stratified_sample(docs, ["lang"], 7, "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    sizes = {lang: len(v) for lang, v in per.items()}
+    truth = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {lang: min(7, n) for lang, n in truth.items()}
+    again = sampling.stratified_sample(docs.repartition(5), ["lang"], 7, "doc_id").collect()
+    assert sorted((r.lang, r.sample_rank, r.doc_id) for r in again) == sorted(
+        (r.lang, r.sample_rank, r.doc_id) for r in out
+    )
