@@ -95,3 +95,93 @@ def test_log_offsets_dense_under_random_batches(spark, tmp_path_factory, batch_s
 @pytest.fixture(scope="module")
 def tmp_path_factory(tmp_path_factory):
     return tmp_path_factory
+
+
+# ------------------------------------------------------------ joins ----
+
+asof_strategy = st.tuples(
+    # left rows: (key, t)
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    # right rows: (key, t) — tie id assigned by enumeration
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_asof_join_matches_python_reference(spark, data):
+    """asof_join == 'max (t, tie) among right rows with same key and
+    rt <= t' computed by brute force, including duplicate timestamps
+    on both sides."""
+    from proglog_spark.operators.joins import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("t"))
+    right_py = [(j, k, t) for j, (k, t) in enumerate(rrows)]
+    if right_py:
+        right = spark.createDataFrame(
+            right_py, "rid long, k long, rt long"
+        ).select("rid", "k", F.timestamp_seconds("rt").alias("rt"))
+    else:
+        right = spark.createDataFrame([], "rid long, k long, rt timestamp")
+
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", tie_break="rid"
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, j) for j, rk, rt in right_py if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 25)),
+        min_size=0,
+        max_size=8,
+    ),
+    st.sampled_from([1, 7, 16]),
+)
+def test_range_join_matches_brute_force(spark, pts, ivs, bucket):
+    """Bucketized range join == brute-force containment filter for
+    arbitrary intervals (including empty and multi-bucket spans) at
+    several bucket widths."""
+    from proglog_spark.operators.joins import range_join
+
+    p = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(pts)], "pid long, pk long, pt long"
+    ).select("pid", "pk", F.timestamp_seconds("pt").alias("pt"))
+    iv_py = [(100 + j, k, s, s + dur) for j, (k, s, dur) in enumerate(ivs)]
+    if iv_py:
+        iv = spark.createDataFrame(
+            iv_py, "iid long, ik long, s long, e long"
+        ).select(
+            "iid", "ik",
+            F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e"),
+        )
+    else:
+        iv = spark.createDataFrame([], "iid long, ik long, s timestamp, e timestamp")
+
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(p, iv, "pk", "ik", "pt", "s", "e", bucket).collect()
+    }
+    want = {
+        (i, iid)
+        for i, (pk, pt) in enumerate(pts)
+        for iid, ik, s, e in iv_py
+        if pk == ik and s <= pt < e
+    }
+    assert got == want
