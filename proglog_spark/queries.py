@@ -1371,6 +1371,81 @@ _ROLLUP_SQL = (
 )
 
 
+_CUBE_SQL = (
+    "SELECT coalesce(event_type, '__ALL__') AS event_type, "
+    "coalesce(um, -1) AS user_mod, count(*) AS n_events "
+    "FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS um FROM {table}) "
+    "GROUP BY CUBE(event_type, um) ORDER BY event_type, user_mod"
+)
+
+
+@register("events_cube_counts", _CUBE_SQL.format(table="events"))
+def events_cube_counts(spark, sf_dir):
+    """Full CUBE over (event_type, user decile) — all four grouping
+    sets in one pass via Expand (one shuffle, not four scans). Same
+    identical-SQL-text device as the rollup twin."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_cube_src")
+    return spark.sql(_CUBE_SQL.format(table="events_cube_src"))
+
+
+@register(
+    "events_pivot_counts",
+    "SELECT user_id, "
+    "count(*) FILTER (WHERE event_type = 'click') AS click, "
+    "count(*) FILTER (WHERE event_type = 'error') AS error, "
+    "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+    "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+    "count(*) FILTER (WHERE event_type = 'view') AS view "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_pivot_counts(spark, sf_dir):
+    """Pivot: one row per user, one count column per event type. The
+    explicit values list keeps it single-pass (no distinct-values
+    pre-query) and schema-stable at any scale; the oracle is the
+    equivalent conditional aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_trailing_hour_count",
+    "SELECT event_id, user_id, "
+    "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS n_trailing_1h FROM events QUALIFY n_trailing_1h >= 2 "
+    "ORDER BY event_id",
+)
+def events_trailing_hour_count(spark, sf_dir):
+    """RANGE-frame window: per event, how many same-user events fall
+    in the trailing hour (burst detection). The frame is value-based
+    (rangeBetween on epoch seconds), not row-based — duplicate
+    timestamps share a frame, so the count is well-defined without a
+    tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    # micros, not seconds: unix_timestamp would truncate and admit
+    # rows just outside the hour that the full-precision oracle excludes
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        )
+        .where(F.col("n_trailing_1h") >= 2)
+        .orderBy("event_id")
+    )
+
+
 @register("events_rollup_counts", _ROLLUP_SQL.format(table="events"))
 def events_rollup_counts(spark, sf_dir):
     """Hierarchical ROLLUP totals (grouping sets — absent in the
