@@ -1,0 +1,54 @@
+"""Stream-stream time-bounded joins.
+
+The reference cannot join at all, let alone two live feeds; Spark's
+stream-stream join is the scale-correct primitive: both sides are
+watermarked, the join condition carries an explicit event-time bound,
+and the state store retains only rows inside the bound — state is
+(watermark horizon × arrival rate), not the stream so far.
+
+``streaming_attribution_join`` is the streaming twin of
+``operators/joins.range_join``'s declared use (events in the hour
+before each purchase): candidates × anchors on the same key with
+``anchor_ts - window <= t < anchor_ts``. Batch/stream parity is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_attribution_join(
+    candidates: DataFrame,
+    anchors: DataFrame,
+    candidate_key: str,
+    anchor_key: str,
+    candidate_ts: str,
+    anchor_ts: str,
+    window_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner-join two streams: each candidate row to every anchor row
+    with the same key whose window ``[anchor_ts - window, anchor_ts)``
+    contains the candidate's time.
+
+    Column names must be disjoint (pre-alias for self-feeds). The
+    time bound makes the join state finite; ``watermark`` additionally
+    bounds how late either side may arrive. Output carries all columns
+    of both inputs and appends eagerly on match (inner join).
+    """
+    clash = set(candidates.columns) & set(anchors.columns)
+    if clash:
+        raise ValueError(f"candidate/anchor column names must be disjoint: {clash}")
+    c = candidates.withWatermark(candidate_ts, watermark)
+    a = anchors.withWatermark(anchor_ts, watermark)
+    cond = (
+        (F.col(candidate_key) == F.col(anchor_key))
+        & (
+            F.col(candidate_ts)
+            >= F.col(anchor_ts) - F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+        & (F.col(candidate_ts) < F.col(anchor_ts))
+    )
+    return c.join(a, cond, "inner")

@@ -323,3 +323,64 @@ def test_continuous_rollup_matches_batch(spark, sf_dir, tmp_path):
         for r in tumbling_counts(events, "ts", 3600, ["event_type"]).collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, sf_dir, tmp_path):
+    """Stream-stream time-bounded join == the batch bucketized
+    range_join on the same data (attribution pairs), fed across two
+    appends so the second batch must match against first-batch state."""
+    from proglog_spark.operators.joins import range_join
+    from proglog_spark.streaming.joins import streaming_attribution_join
+
+    e = load_table(spark, sf_dir, "events")
+    cands_b = e.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    anch_b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c_dir, a_dir = str(tmp_path / "cands"), str(tmp_path / "anchors")
+    # two appends each: exercises cross-batch join state
+    cands_b.where(F.col("c_id") % 2 == 0).write.mode("append").parquet(c_dir)
+    anch_b.write.mode("append").parquet(a_dir)
+
+    cs = spark.readStream.schema(cands_b.schema).parquet(c_dir)
+    as_ = spark.readStream.schema(anch_b.schema).parquet(a_dir)
+    joined = streaming_attribution_join(
+        cs, as_, "c_user", "p_user", "c_ts", "p_ts", 3600, watermark="365 days"
+    )
+    q = (
+        joined.select("c_id", "p_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_attr")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        cands_b.where(F.col("c_id") % 2 == 1).write.mode("append").parquet(c_dir)
+        _drain(q)
+        got = {
+            (r.c_id, r.p_id)
+            for r in spark.sql("SELECT * FROM ss_attr").collect()
+        }
+    finally:
+        q.stop()
+
+    iv = anch_b.select(
+        "p_id", "p_user",
+        (F.col("p_ts") - F.expr("INTERVAL 1 HOUR")).alias("ws"),
+        F.col("p_ts").alias("we"),
+    )
+    want = {
+        (r.c_id, r.p_id)
+        for r in range_join(cands_b, iv, "c_user", "p_user", "c_ts", "ws", "we", 3600)
+        .select("c_id", "p_id")
+        .collect()
+    }
+    assert got == want and got
