@@ -20,6 +20,7 @@ Everything is DataFrame-first: logical plans are declared through the
 DataFrame/SQL API and physical strategy is left to Catalyst + AQE.
 """
 
+from proglog_spark.engine import Engine
 from proglog_spark.errors import (
     OffsetOutOfRangeError,
     PermissionDeniedError,
@@ -29,6 +30,7 @@ from proglog_spark.log import LogTable
 from proglog_spark.session import build_session
 
 __all__ = [
+    "Engine",
     "LogTable",
     "OffsetOutOfRangeError",
     "PermissionDeniedError",

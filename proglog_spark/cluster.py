@@ -30,4 +30,7 @@ def servers_df(spark: SparkSession, servers=None) -> DataFrame:
     leaders = sum(1 for r in rows if r[2])
     if leaders != 1:
         raise ValueError(f"exactly one leader required, got {leaders}")
-    return spark.createDataFrame(rows, schema=SERVERS_SCHEMA)
+    # one slice: the default would schedule defaultParallelism
+    # near-empty tasks for a 3-row catalog table
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    return spark.createDataFrame(rdd, schema=SERVERS_SCHEMA)

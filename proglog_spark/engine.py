@@ -1,0 +1,131 @@
+"""Engine — the composition root a reference user lands on.
+
+The reference's ``Agent`` wires logger → mux → DistributedLog → gRPC
+server → membership into one process (internal/agent/agent.go:49-68),
+and its server enforces the ACL in front of every Produce/Consume RPC
+(internal/server/server.go:100-120). ``Engine`` is the Spark-native
+twin: one object that owns the log table, the authorizer, and the
+cluster-metadata catalog, and exposes the full RPC surface —
+produce/consume (batch and streaming), bounds, truncate, metadata,
+plus the analytics surface as registered SQL views.
+
+Identity is passed as a parameter (the reference derives it from the
+mTLS peer cert CN, server.go:162-174 — transport identity is out of
+scope here, SURVEY §2.0 O25); everything after that point matches the
+reference's order: authorize first, then touch the log.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pyspark.sql.streaming as S
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from proglog_spark.acl import CONSUME, DEFAULT_POLICY, PRODUCE, Authorizer
+from proglog_spark.cluster import CANONICAL_SERVERS, servers_df
+from proglog_spark.log import LogTable
+from proglog_spark.streaming.consume import consume_stream, tail_follow
+
+
+class Engine:
+    """One log + one policy + one metadata catalog, RPC-shaped.
+
+    ``Engine.create(spark, path)`` lays down a new log;
+    ``Engine.open(spark, path)`` recovers an existing one (O16).
+    """
+
+    def __init__(
+        self,
+        log: LogTable,
+        policy: Iterable[tuple[str, str, str]] = DEFAULT_POLICY,
+        servers=None,
+    ) -> None:
+        self.log = log
+        self.spark = log.spark
+        self.authorizer = Authorizer(policy)
+        self._servers = list(servers) if servers is not None else CANONICAL_SERVERS
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        bucket_size: int = 1 << 20,
+        policy: Iterable[tuple[str, str, str]] = DEFAULT_POLICY,
+        servers=None,
+    ) -> "Engine":
+        return cls(LogTable.create(spark, path, bucket_size=bucket_size), policy, servers)
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        policy: Iterable[tuple[str, str, str]] = DEFAULT_POLICY,
+        servers=None,
+    ) -> "Engine":
+        return cls(LogTable.open(spark, path), policy, servers)
+
+    # -- RPC surface (authorize first, then touch the log — server.go:101,112)
+
+    def produce(self, subject: str, records) -> tuple[int, int]:
+        """Append a batch; returns (first_offset, last_offset) — the
+        per-record ack stream of O20 collapsed to batch bounds."""
+        self.authorizer.authorize(subject, "*", PRODUCE)
+        return self.log.append(records)
+
+    def consume(self, subject: str, offset: int) -> Row:
+        """Point read (O19); raises OffsetOutOfRangeError past the end."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        return self.log.read(offset)
+
+    def consume_from(self, subject: str, offset: int) -> DataFrame:
+        """Batch catch-up read from an offset (ConsumeStream's batch
+        equivalent, L7)."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        return self.log.consume_from(offset)
+
+    def consume_stream(self, subject: str, from_offset: int = 0) -> DataFrame:
+        """Streaming tail (O21) as an unbounded DataFrame."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        return consume_stream(self.log, from_offset)
+
+    def tail_follow(
+        self,
+        subject: str,
+        from_offset: int,
+        on_batch: Callable[[list], None],
+        checkpoint_dir: str,
+    ) -> S.StreamingQuery:
+        """Callback-style tail (O21's send loop)."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        return tail_follow(self.log, from_offset, on_batch, checkpoint_dir)
+
+    def lowest_offset(self) -> int | None:
+        return self.log.lowest_offset()
+
+    def highest_offset(self) -> int | None:
+        return self.log.highest_offset()
+
+    def truncate(self, subject: str, lowest: int) -> None:
+        """Retention (O14) — a write, so gated on produce."""
+        self.authorizer.authorize(subject, "*", PRODUCE)
+        self.log.truncate(lowest)
+
+    def get_servers(self) -> DataFrame:
+        """Cluster metadata (O22)."""
+        return servers_df(self.spark, self._servers)
+
+    # -- SQL surface -------------------------------------------------------
+
+    def sql(self, query: str, subject: str = "root") -> DataFrame:
+        """Run SQL with the log registered as view ``records`` and the
+        metadata catalog as ``servers`` — the ad-hoc analytics entry
+        the reference never had. Gated on consume."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        self.log.df().createOrReplaceTempView("records")
+        self.get_servers().createOrReplaceTempView("servers")
+        return self.spark.sql(query)

@@ -235,8 +235,9 @@ def log_acl_check(spark, sf_dir):
             rows.append((subject, action, "OK"))
         except PermissionDeniedError as e:
             rows.append((subject, action, e.canonical()))
+    rdd = spark.sparkContext.parallelize(rows, 1)  # 4-row result: one slice
     return spark.createDataFrame(
-        rows, "subject STRING, action STRING, outcome STRING"
+        rdd, "subject STRING, action STRING, outcome STRING"
     ).orderBy("subject", "action")
 
 

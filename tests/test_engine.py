@@ -1,0 +1,64 @@
+"""Engine facade: the Agent-analog composition root — RPC surface with
+ACL enforcement in front of every call (server.go:100-120 wiring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from proglog_spark import Engine, OffsetOutOfRangeError, PermissionDeniedError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine.create(spark, str(tmp_path / "log"), bucket_size=8)
+
+
+def test_produce_consume_roundtrip_and_bounds(engine):
+    first, last = engine.produce("root", ["a", "b", "c"])
+    assert (first, last) == (0, 2)
+    assert engine.consume("root", 1).value == "b"
+    assert (engine.lowest_offset(), engine.highest_offset()) == (0, 2)
+    got = [(r.offset, r.value) for r in engine.consume_from("root", 1).collect()]
+    assert got == [(1, "b"), (2, "c")]
+
+
+def test_acl_denies_unauthorized_subjects(engine):
+    with pytest.raises(PermissionDeniedError):
+        engine.produce("nobody", ["x"])
+    with pytest.raises(PermissionDeniedError):
+        engine.consume("nobody", 0)
+    # denial happens BEFORE the log is touched
+    assert engine.highest_offset() is None
+
+
+def test_out_of_range_surfaces_typed_error(engine):
+    engine.produce("root", ["a"])
+    with pytest.raises(OffsetOutOfRangeError) as e:
+        engine.consume("root", 99)
+    assert "99" in e.value.canonical()
+
+
+def test_truncate_gated_on_produce(engine):
+    engine.produce("root", ["a", "b", "c"])
+    with pytest.raises(PermissionDeniedError):
+        engine.truncate("nobody", 1)
+    engine.truncate("root", 1)
+    assert engine.lowest_offset() == 2
+
+
+def test_sql_entry_over_registered_views(engine):
+    engine.produce("root", ["a", "b", "c"])
+    row = engine.sql(
+        "SELECT count(*) AS n, max(offset) AS hi FROM records"
+    ).first()
+    assert (row.n, row.hi) == (3, 2)
+    assert engine.sql("SELECT count(*) AS n FROM servers").first().n == 3
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("SELECT 1", subject="nobody")
+
+
+def test_reopen_recovers(spark, tmp_path):
+    e1 = Engine.create(spark, str(tmp_path / "log"), bucket_size=8)
+    e1.produce("root", ["a", "b"])
+    e2 = Engine.open(spark, str(tmp_path / "log"))
+    assert e2.highest_offset() == 1 and e2.consume("root", 0).value == "a"
