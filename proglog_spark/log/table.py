@@ -340,8 +340,12 @@ class LogTable:
             self.next_offset_floor = lowest + 1
             self._write_meta()
 
-    def _rewrite_bucket(self, bucket: int, lowest: int) -> None:
-        """Rewrite the truncate boundary bucket crash-safely.
+    def _rewrite_bucket(
+        self, bucket: int, lowest: int, coalesce_to: int | None = None
+    ) -> None:
+        """Rewrite one bucket crash-safely (truncate boundary and
+        compaction share this path — a compaction is a rewrite whose
+        predicate keeps everything).
 
         Protocol (every step leaves a recoverable state for
         ``_recover_truncate``): (1) write survivors fully into a
@@ -360,6 +364,8 @@ class LogTable:
             .parquet(str(bucket_dir))
             .where(F.col("offset") > lowest)
         )
+        if coalesce_to is not None:
+            survivors = survivors.coalesce(coalesce_to)
         fs.delete(new_dir, True)
         survivors.write.mode("overwrite").parquet(str(new_dir))
         # drop Spark's _SUCCESS marker; only data files move into place
@@ -396,6 +402,51 @@ class LogTable:
                     # paranoia: old exists and bucket missing with no
                     # new dir — restore the old bucket untruncated
                     fs.rename(status.getPath(), P(f"{self.path}/bucket={b}"))
+
+    # ------------------------------------------------------------------
+    # compaction (maintenance; reference analog: segment roll keeps
+    # files bounded at write time, segment.go:81-83 — under Spark the
+    # same pressure appears as one parquet file per append batch)
+    # ------------------------------------------------------------------
+
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Rewrite buckets holding more than ``max_files_per_bucket``
+        parquet files into ``ceil(rows / max_records_per_file)`` files
+        (at least one). Returns the number of buckets rewritten.
+
+        This is THE standing maintenance job for any streaming-written
+        log table: every append/produce batch commits its own file, so
+        a tail bucket written by 10k micro-batches is 10k tiny files —
+        correct, but each read pays per-file open cost and the
+        NameNode/listing pays per-file metadata. Offsets, bucket
+        routing, and reader results are unchanged (asserted by tests);
+        each bucket swap is atomic and crash-recoverable via the same
+        protocol as truncation, and single-writer semantics mean no
+        concurrent appender can race the swap.
+        """
+        fs, _, jvm = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        compacted = 0
+        for b in self._buckets():
+            bucket_dir = P(f"{self.path}/bucket={b}")
+            n_files = sum(
+                1
+                for s in fs.listStatus(bucket_dir)
+                if s.getPath().getName().endswith(".parquet")
+            )
+            if n_files <= max_files_per_bucket:
+                continue
+            rows = (
+                self.spark.read.schema(RECORD_SCHEMA)
+                .parquet(str(bucket_dir))
+                .count()
+            )
+            target = max(1, -(-rows // self.max_records_per_file))
+            if target >= n_files:
+                continue
+            self._rewrite_bucket(b, lowest=-1, coalesce_to=target)
+            compacted += 1
+        return compacted
 
     # ------------------------------------------------------------------
     # snapshot / restore (reference: fsm.Snapshot O28 / Restore O29)

@@ -224,3 +224,53 @@ def test_produce_stream_replay_is_noop(spark, tmp_path):
     # and the marker survives reopen
     re_log = LogTable.open(spark, str(tmp_path / "log_replay"))
     assert re_log.last_produce_batch == 0
+
+
+def test_compact_collapses_small_files_preserving_data(spark, tmp_path):
+    """Many tiny append batches -> many files; compact() must shrink
+    the file count without changing any read result, and a reopened
+    log must see the same records."""
+    from proglog_spark.log.table import LogTable
+
+    log = LogTable.create(spark, str(tmp_path / "log"), bucket_size=100)
+    for i in range(12):
+        log.append([f"v{3 * i}", f"v{3 * i + 1}", f"v{3 * i + 2}"])
+    before = [(r.offset, r.value) for r in log.reader().collect()]
+
+    def n_files(b):
+        fs, _, jvm = log._fs()
+        d = jvm.org.apache.hadoop.fs.Path(f"{log.path}/bucket={b}")
+        return sum(
+            1 for s in fs.listStatus(d)
+            if s.getPath().getName().endswith(".parquet")
+        )
+
+    assert n_files(0) >= 12
+    assert log.compact() == 1
+    assert n_files(0) == 1
+    after = [(r.offset, r.value) for r in log.reader().collect()]
+    assert after == before
+    assert log.read(17).value == "v17"
+    assert (log.lowest_offset(), log.highest_offset()) == (0, 35)
+    # idempotent: nothing left to do
+    assert log.compact() == 0
+    reopened = LogTable.open(spark, str(tmp_path / "log"))
+    assert [(r.offset, r.value) for r in reopened.reader().collect()] == before
+
+
+def test_compact_respects_max_records_per_file(spark, tmp_path):
+    """A bucket with more rows than max_records_per_file compacts to
+    several files, each under the roll size (segment IsMaxed analog)."""
+    from proglog_spark.log.table import LogTable
+
+    log = LogTable.create(
+        spark, str(tmp_path / "log"), bucket_size=1000, max_records_per_file=10
+    )
+    for i in range(8):
+        log.append([f"v{i}-{j}" for j in range(4)])  # 32 rows, 8 files
+    assert log.compact() == 1
+    fs, _, jvm = log._fs()
+    d = jvm.org.apache.hadoop.fs.Path(f"{log.path}/bucket=0")
+    files = [s for s in fs.listStatus(d) if s.getPath().getName().endswith(".parquet")]
+    assert len(files) == 4  # ceil(32 / 10)
+    assert log.count() == 32 and log.read(31).value == "v7-3"
