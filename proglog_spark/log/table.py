@@ -367,7 +367,12 @@ class LogTable:
         if coalesce_to is not None:
             survivors = survivors.coalesce(coalesce_to)
         fs.delete(new_dir, True)
-        survivors.write.mode("overwrite").parquet(str(new_dir))
+        # maxRecordsPerFile is the hard roll guarantee: coalesce only
+        # merges read splits, so uneven input files could otherwise
+        # produce an oversized output file
+        survivors.write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_records_per_file
+        ).parquet(str(new_dir))
         # drop Spark's _SUCCESS marker; only data files move into place
         fs.delete(P(f"{self.path}/.truncate-new-{bucket}/_SUCCESS"), False)
         fs.rename(bucket_dir, old_dir)  # (2) atomic: live bucket aside
@@ -419,10 +424,19 @@ class LogTable:
         a tail bucket written by 10k micro-batches is 10k tiny files —
         correct, but each read pays per-file open cost and the
         NameNode/listing pays per-file metadata. Offsets, bucket
-        routing, and reader results are unchanged (asserted by tests);
-        each bucket swap is atomic and crash-recoverable via the same
-        protocol as truncation, and single-writer semantics mean no
-        concurrent appender can race the swap.
+        routing, and batch reader results are unchanged (asserted by
+        tests); each bucket swap is atomic and crash-recoverable via
+        the same protocol as truncation, and single-writer semantics
+        mean no concurrent appender can race the swap.
+
+        Streaming-reader caveat: a live ``consume_stream`` tracks seen
+        parquet files BY PATH, so it ignores the removed originals
+        (ignoreMissingFiles) and then lists the compacted files as
+        new — re-delivering the bucket's records. Either run
+        compaction when no tail query is active (the reference's
+        analog: its log mutex serializes maintenance against readers),
+        or wrap the tail in ``streaming.dedup_stream(by='offset')``,
+        which exists precisely to absorb at-least-once re-delivery.
         """
         fs, _, jvm = self._fs()
         P = jvm.org.apache.hadoop.fs.Path

@@ -463,6 +463,7 @@ def connected_components(
         .withColumn("rep", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -479,15 +480,26 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        converged = (
+        # one parallel agg job — NOT isEmpty(), whose take(1) on the
+        # (usually empty) changed-set probes partitions in growing waves
+        n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.rep") != F.col("o.rep"))
-            .isEmpty()
+            .count()
         )
         labels = new_labels
-        if converged:
+        if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would silently split
+        # clusters; a chain of diameter > max_iterations needs the
+        # large-star/small-star variant (O(log n) rounds), not more luck
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "min-label rounds (cluster diameter exceeds the round budget)"
+        )
     return labels
 
 

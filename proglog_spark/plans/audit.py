@@ -34,7 +34,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
     plan = executed_plan(df)
     out = []
     for chunk in plan.split("PushedFilters: [")[1:]:
-        out.append(chunk.split("]", 1)[0])
+        # the block ends at the line end (or the next plan field), and
+        # may contain nested ']' (e.g. In(col, [1,2,3])) — splitting at
+        # the first ']' would truncate the list
+        line = chunk.splitlines()[0]
+        for stop in (", ReadSchema:", ", PartitionFilters:", ", DataFilters:"):
+            if stop in line:
+                line = line.split(stop)[0]
+        out.append(line.rstrip().rstrip("]"))
     return out
 
 

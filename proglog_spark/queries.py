@@ -440,8 +440,18 @@ def events_inactive_users(spark, sf_dir):
     keyed = e.select("user_id", F.to_date("ts").alias("day"), "event_type")
     signups = keyed.where(F.col("event_type") == "signup").drop("event_type").distinct()
     buyers = keyed.where(F.col("event_type") == "purchase").drop("event_type").distinct()
-    return signups.join(buyers, on=["user_id", "day"], how="left_anti").orderBy(
-        "user_id", "day"
+    # eqNullSafe: SQL EXCEPT compares null-safely, a plain anti-join
+    # equality would keep NULL-keyed left rows the oracle removes
+    s, b = signups.alias("s"), buyers.alias("b")
+    return (
+        s.join(
+            b,
+            F.col("s.user_id").eqNullSafe(F.col("b.user_id"))
+            & F.col("s.day").eqNullSafe(F.col("b.day")),
+            "left_anti",
+        )
+        .select("s.user_id", "s.day")
+        .orderBy("user_id", "day")
     )
 
 

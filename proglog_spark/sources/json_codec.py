@@ -56,17 +56,23 @@ def records_to_json(records: DataFrame) -> DataFrame:
 
 def records_from_json(wire: DataFrame, json_col: str = "json") -> DataFrame:
     """Decode wire JSON documents back into record rows. Malformed
-    documents decode to NULL structs (from_json PERMISSIVE mode) and
-    are dropped — the HTTP twin returns 400 for those
-    (http.go:36-39); batch semantics is skip-and-continue."""
+    documents are dropped — the HTTP twin returns 400 for those
+    (http.go:36-39); batch semantics is skip-and-continue. Both
+    failure layers are handled: non-JSON decodes to a NULL struct
+    (from_json PERMISSIVE mode), and valid JSON carrying a missing or
+    non-base64 ``value`` yields NULL from try_to_binary (plain
+    unbase64 would abort the whole job under ANSI mode)."""
     rec = F.from_json(F.col(json_col), WIRE_SCHEMA)["record"]
     return (
         wire.select(rec.alias("r"))
         .where(F.col("r").isNotNull())
         .select(
             F.col("r.offset").alias("offset"),
-            F.unbase64(F.col("r.value")).cast("string").alias("value"),
+            F.try_to_binary(F.col("r.value"), F.lit("base64"))
+            .cast("string")
+            .alias("value"),
             F.col("r.term").alias("term"),
             F.col("r.type").alias("type"),
         )
+        .where(F.col("value").isNotNull())
     )

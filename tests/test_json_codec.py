@@ -39,3 +39,18 @@ def test_malformed_documents_are_dropped(spark):
     )
     got = json_codec.records_from_json(wire).collect()
     assert [tuple(r) for r in got] == [(5, "hi", 0, 1)]
+
+
+def test_invalid_base64_value_is_dropped_not_fatal(spark):
+    """Valid JSON whose value is not base64 must be skipped like any
+    other malformed document — not abort the job (ANSI unbase64
+    would)."""
+    wire = spark.createDataFrame(
+        [
+            ('{"record":{"offset":1,"value":"!!!notb64","term":0,"type":1}}',),
+            ('{"record":{"offset":2,"value":"aGk=","term":0,"type":1}}',),
+        ],
+        "json string",
+    )
+    got = json_codec.records_from_json(wire).collect()
+    assert [tuple(r) for r in got] == [(2, "hi", 0, 1)]

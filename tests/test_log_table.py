@@ -274,3 +274,26 @@ def test_compact_respects_max_records_per_file(spark, tmp_path):
     files = [s for s in fs.listStatus(d) if s.getPath().getName().endswith(".parquet")]
     assert len(files) == 4  # ceil(32 / 10)
     assert log.count() == 32 and log.read(31).value == "v7-3"
+
+
+def test_compact_never_writes_oversized_files(spark, tmp_path):
+    """Uneven input files must not defeat the roll size: every
+    compacted file stays within max_records_per_file."""
+    from proglog_spark.log.table import LogTable
+
+    log = LogTable.create(
+        spark, str(tmp_path / "log"), bucket_size=1000, max_records_per_file=10
+    )
+    log.append([f"a{i}" for i in range(9)])       # one 9-row file
+    for i in range(12):
+        log.append([f"b{i}"])                     # twelve 1-row files
+    assert log.compact() == 1
+    fs, _, jvm = log._fs()
+    d = jvm.org.apache.hadoop.fs.Path(f"{log.path}/bucket=0")
+    sizes = [
+        spark.read.parquet(str(s.getPath())).count()
+        for s in fs.listStatus(d)
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    assert sum(sizes) == 21 and max(sizes) <= 10, sizes
+    assert log.count() == 21 and log.read(20).value == "b11"
