@@ -830,6 +830,44 @@ def docs_dedup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "docs_dedup_keepers",
+    f"WITH RECURSIVE sh AS ({_JACCARD_SHINGLES_SQL}), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200000), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+    "comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id) "
+    "SELECT d.doc_id, (c.id IS NULL OR c.rep = d.doc_id) AS is_kept "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id ORDER BY d.doc_id",
+)
+def docs_dedup_keepers(spark, sf_dir):
+    """The dedup pipeline's actual deliverable: the per-document
+    keep/drop verdict. A doc is kept iff it belongs to no near-dup
+    cluster or is its cluster's canonical representative (min id).
+    Exact duplicates are jaccard-1.0 pairs, so one cluster pass covers
+    both exact and near dedup. Broadcast of the (tiny) cluster map
+    against the corpus is the scale shape: verdicts without shuffling
+    the documents."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    clusters = dedup.connected_components(pairs)
+    return (
+        d.join(F.broadcast(clusters), d.doc_id == clusters.id, "left")
+        .select(
+            "doc_id",
+            (F.col("id").isNull() | (F.col("rep") == F.col("doc_id"))).alias(
+                "is_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("docs_minhash_lsh", None)  # probabilistic recall → rows-only check
 def docs_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (the sub-quadratic scale path);
