@@ -62,3 +62,23 @@ def test_reopen_recovers(spark, tmp_path):
     e1.produce("root", ["a", "b"])
     e2 = Engine.open(spark, str(tmp_path / "log"))
     assert e2.highest_offset() == 1 and e2.consume("root", 0).value == "a"
+
+
+def test_engine_streaming_tail_gated_and_live(engine, tmp_path):
+    """The facade's streaming consume enforces the ACL and delivers
+    post-subscription appends (the O21 liveness contract)."""
+    with pytest.raises(PermissionDeniedError):
+        engine.consume_stream("nobody")
+    engine.produce("root", ["a", "b"])
+    seen = []
+    q = engine.tail_follow(
+        "root", 0, lambda rows: seen.extend(r.value for r in rows),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        engine.produce("root", ["c"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == ["a", "b", "c"]
