@@ -1313,6 +1313,45 @@ def tpch_q2_top_supplier(spark, sf_dir):
 
 
 @register(
+    "tpch_q14_promo_share",
+    "SELECT CAST(floor(1000000.0 * promo_cents / total_cents) AS BIGINT) "
+    "AS promo_share_micro, promo_cents, total_cents FROM ("
+    "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00')",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """Q14-style promo revenue share: fact-to-dim join (part
+    broadcasts) + conditional aggregation, ratio in exact fixed-point
+    (integer cents both sides of the division, floored to micro)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        F.floor(1000000.0 * F.col("promo_cents") / F.col("total_cents"))
+        .cast("long")
+        .alias("promo_share_micro"),
+        "promo_cents",
+        "total_cents",
+    )
+
+
+@register(
     "tpch_salted_priority_revenue",
     "SELECT o_orderpriority, "
     "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
