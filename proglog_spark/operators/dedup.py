@@ -414,15 +414,17 @@ def connected_components(
     than the corpus (it holds only duplicates), so when it fits
     comfortably on the driver (< ``driver_threshold`` edges) an exact
     union-find resolves it in one pass — the FAISS-style bounded-
-    driver-work pattern. Above the threshold, iterative min-label
-    propagation: each round every node adopts the smallest label among
-    itself and its neighbors; converges in O(cluster diameter) rounds
-    (text-dedup chains are short; for adversarially long chains swap
-    in the large-star/small-star variant, same join shape, O(log n)
-    rounds). Each distributed round is one shuffle keyed by node id;
-    labels are ``localCheckpoint``ed so lineage stays flat.
-    Deterministic either way — oracle-checked against a recursive-CTE
-    transitive closure.
+    driver-work pattern. Above the threshold, alternating
+    large-star/small-star rounds (the MapReduce-CC formulation:
+    large-star hooks every above-center neighbor to the neighborhood
+    minimum, small-star re-points each node's below-or-equal
+    neighborhood at its minimum) — converges in O(log n) rounds even
+    for adversarially long pair-chains, where naive min-label
+    propagation needs O(cluster diameter). Each round is a
+    groupBy-join keyed by node id; the edge set is
+    ``localCheckpoint``ed so lineage stays flat. Deterministic either
+    way — oracle-checked against a recursive-CTE transitive closure
+    and property-tested against the union-find path.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -457,50 +459,79 @@ def connected_components(
         spark = pairs.sparkSession
         rdd = spark.sparkContext.parallelize(rows, max(1, len(rows) // 100_000))
         return spark.createDataFrame(rdd, "id LONG, rep LONG")
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("rep", F.col("id"))
-        .localCheckpoint(eager=True)
+    # nodes that ever appear — preserved through the star rounds so
+    # every input node gets a row even after its edges contract away
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
     )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        """Hook each neighbor v > u to m = min(N(u) ∪ {u}). The
+        neighborhood is undirected, so re-symmetrize first (small-star
+        hands back edges oriented toward the smaller endpoint)."""
+        d = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        m = d.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            d.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        """Orient each edge toward the smaller endpoint, then re-point
+        every below-or-equal neighborhood at its minimum."""
+        d = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        m = d.groupBy("src").agg(F.min("dst").alias("m"))
+        j = d.join(m, "src")
+        relinked = j.where(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        anchors = j.select("src", F.col("m").alias("dst"))
+        return relinked.unionByName(anchors).distinct()
+
     converged = False
+    star = edges
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("rep").alias("n_rep"))
+        star = small_star(large_star(star)).localCheckpoint(eager=True)
+        # single-job fingerprint of the edge multiset — stable set ⇒
+        # the graph is a forest of min-centered stars, i.e. done
+        sig = tuple(
+            star.agg(
+                F.count(F.lit(1)),
+                # decimal sum: a long sum of 64-bit hashes overflows
+                # under ANSI arithmetic
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.min("dst"),
+            ).first()
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("rep"), F.coalesce(F.col("n_rep"), F.col("rep"))).alias(
-                    "rep"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # one parallel agg job — NOT isEmpty(), whose take(1) on the
-        # (usually empty) changed-set probes partitions in growing waves
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     if not converged:
-        # returning partially-propagated labels would silently split
-        # clusters; a chain of diameter > max_iterations needs the
-        # large-star/small-star variant (O(log n) rounds), not more luck
+        # returning a half-contracted graph would silently split
+        # clusters into several representatives
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "min-label rounds (cluster diameter exceeds the round budget)"
+            "large/small-star rounds"
         )
-    return labels
+    # at fixpoint every edge points node -> component minimum; nodes
+    # with no outgoing edge are their own representative (centers)
+    reps = star.groupBy("src").agg(F.min("dst").alias("rep"))
+    return (
+        nodes.join(reps, nodes.id == reps.src, "left")
+        .select("id", F.coalesce("rep", "id").alias("rep"))
+    )
 
 
 def dedup_keep_first(df: DataFrame, key, order_col: str) -> DataFrame:

@@ -185,3 +185,38 @@ def test_range_join_matches_brute_force(spark, pts, ivs, bucket):
         if pk == ik and s <= pt < e
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_star_path_matches_union_find(spark, edges):
+    """The distributed large/small-star path must produce exactly the
+    union-find clustering on arbitrary small graphs (cycles, stars,
+    chains, multi-edges in both orientations)."""
+    from proglog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {(r.id, r.rep) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.rep)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == drv
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 120-diameter pair-chain must resolve within 10 star rounds
+    (naive min-label propagation would need 120)."""
+    from proglog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, driver_threshold=0, max_iterations=10)
+    assert {(r.id, r.rep) for r in out.collect()} == {(i, 0) for i in range(121)}
