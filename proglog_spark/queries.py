@@ -868,6 +868,32 @@ def docs_dedup_keepers(spark, sf_dir):
     )
 
 
+@register(
+    "docs_median_length",
+    "SELECT lang, CAST(floor(median(n_chars) * 10) AS BIGINT) AS median_decichars "
+    "FROM documents GROUP BY 1 ORDER BY 1",
+)
+def docs_median_length(spark, sf_dir):
+    """UDAF surface pinned end-to-end: exact per-language median doc
+    length through a GROUPED_AGG pandas_udf (functions/udaf). Median
+    of integers is k or k+0.5, so ×10 floored is exact cross-engine.
+    The docstring in functions/udaf.py explains why builtins
+    (F.percentile) beat this path whenever they exist."""
+    from proglog_spark.functions.udaf import median_udaf
+
+    d = load_table(spark, sf_dir, "documents")
+    # NB: a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — one more
+    # reason it is the reach-for-last surface
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.floor(median_udaf("n_chars") * 10).cast("long").alias("median_decichars")
+        )
+        .orderBy("lang")
+    )
+
+
 @register("docs_minhash_lsh", None)  # probabilistic recall → rows-only check
 def docs_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (the sub-quadratic scale path);
