@@ -1,3 +1,3 @@
-from proglog_spark.operators import dedup, similarity, text, topk, windows
+from proglog_spark.operators import dedup, rank, similarity, text, topk, windows
 
-__all__ = ["dedup", "similarity", "text", "topk", "windows"]
+__all__ = ["dedup", "rank", "similarity", "text", "topk", "windows"]

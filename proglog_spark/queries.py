@@ -1571,6 +1571,451 @@ def events_rollup_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Join-shape widening: outer/anti/disjunctive/correlated flavors
+# (each exercises a distinct physical-plan shape; SURVEY §2.0b joins row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_priority_lines",
+    "SELECT l_returnflag, "
+    "count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) "
+    "AS high_line_count, "
+    "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) "
+    "AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_q12_priority_lines(spark, sf_dir):
+    """Q12-style conditional aggregation over a fact-fact join. Both
+    sides are large at scale, so this is the canonical shuffle
+    (sort-merge/shuffled-hash) join on the order key — the date filter
+    prunes lineitem at the scan, and the priority CASE folds into the
+    partial aggregate, so only (flag, 2 longs) cross the final
+    exchange."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders "
+    "ON c_custkey = o_custkey AND o_orderstatus <> 'F' "
+    "GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC",
+)
+def tpch_q13_custdist(spark, sf_dir):
+    """Q13-style customer-order distribution: LEFT OUTER join with a
+    residual predicate on the right side, then two aggregation levels
+    (orders per customer → customers per order-count). The outer join
+    preserves order-less customers as count 0; count(o_orderkey)
+    counts non-null only — the classic outer-join/count interplay."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q16_part_suppliers",
+    "SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#21' AND p_size IN (1, 14, 23, 45) "
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size",
+)
+def tpch_q16_part_suppliers(spark, sf_dir):
+    """Q16-style supplier diversity: distinct-count after an anti join
+    (the NOT IN exclusion list) and a broadcast dim join. The
+    exclusion list is small by construction (negative-balance
+    suppliers) → broadcast anti join; part is filtered before the
+    broadcast; the distinct agg shuffles (brand, size, suppkey) only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#21") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    "WITH pa AS (SELECT l_partkey AS pk, "
+    "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+    "count(*) AS cnt FROM lineitem GROUP BY 1) "
+    "SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS small_qty_price_cents, count(*) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN pa ON pk = l_partkey "
+    "WHERE p_brand = 'Brand#23' AND p_size <= 10 "
+    "AND CAST(floor(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_qty_c",
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """Q17-style correlated scalar subquery (lines below 20% of their
+    part's average quantity), decorrelated into an aggregate-then-join.
+    The threshold compare is multiplied through (qty*5*cnt < sum) so
+    the arithmetic stays integer-exact — no float division crosses
+    engines. Spark side restricts to brand parts FIRST (broadcast
+    semi), so the per-part aggregate runs over the 1/25th slice that
+    can ever match — the decorrelation Catalyst can't derive itself."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    pa = li_brand.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li_brand.join(pa, "l_partkey")
+        .where(F.col("qty_c") * 5 * F.col("cnt") < F.col("sum_qty_c"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "small_qty_price_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    "SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled, "
+    "count(*) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 20 AND 30)",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """Q19-style OR-of-ANDs predicate. The join key (p_partkey =
+    l_partkey) is conjunctive, so Catalyst keeps an equi-join and
+    evaluates the disjunction as a residual; the single-table parts of
+    the disjunction (brand+size | quantity ranges) are pushed to each
+    scan as derived filters — l_quantity BETWEEN 1 AND 30 prunes
+    lineitem row groups before the join."""
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    p = load_table(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    arm = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(arm)
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    "WITH bal AS (SELECT "
+    "CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c, "
+    "count(*) AS cnt FROM customer WHERE c_acctbal > 0) "
+    "SELECT c_mktsegment, count(*) AS numcust, "
+    "CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents "
+    "FROM customer, bal "
+    "WHERE CAST(floor(c_acctbal * 100) AS BIGINT) * cnt > sum_c "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT') "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """Q22-style: global-average scalar subquery + NOT EXISTS anti
+    join (wealthy customers who never placed an urgent order). The
+    above-average test is multiplied through (bal*cnt > sum) so it is
+    integer-exact; the scalar aggregate is a 1-row broadcast (cross)
+    join; the anti join shuffles only the filtered urgent-order keys."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.col("c_acctbal"),
+    )
+    bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("cnt"))
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(bal))
+        .where(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN orders ON o_custkey = c_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY 1, 2, 3 ORDER BY revenue_scaled DESC, c_custkey LIMIT 20",
+)
+def tpch_q10_returned_revenue(spark, sf_dir):
+    """Q10-style top-k by aggregate: returned-item revenue per
+    customer for one quarter. The fact-fact join shuffles on the order
+    key; revenue is grouped down to one row per customer BEFORE the
+    customer join, so the second shuffle carries aggregates, not line
+    items; nation broadcasts; the global top-20 is a TakeOrdered, not
+    a full sort."""
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            )
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_scaled")
+        .orderBy(F.col("revenue_scaled").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window/scalar-surface widening: lag deltas, global ntile, arg-min/max,
+# INTERSECT, explode+agg term frequencies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_stats",
+    "WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+    "SELECT event_type, count(*) AS n_gaps, "
+    "CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, "
+    "CAST(min(gap_us) AS BIGINT) AS min_gap_us, "
+    "CAST(max(gap_us) AS BIGINT) AS max_gap_us "
+    "FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1",
+)
+def events_gap_stats(spark, sf_dir):
+    """lead/lag surface: inter-event gap (µs) per user via lag over
+    the per-user shuffle, aggregated per event type. Gaps are exact
+    integer micros, so sums hash-match across engines (no float
+    reassociation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return (
+        e.select(
+            "event_type",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_decile_value",
+    "SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_events, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id "
+    "FROM (SELECT event_id, ntile(10) OVER (ORDER BY value, event_id) AS decile "
+    "FROM events) GROUP BY 1 ORDER BY 1",
+)
+def events_decile_value(spark, sf_dir):
+    """Global NTILE(10) over event value — via operators/rank.py's
+    range-partitioned global ranking, NOT a PARTITION-BY-less window
+    (which would serialize 100 TB through one task). The oracle is the
+    plain SQL ntile; results are identical because the operator
+    replicates exact NTILE remainder semantics."""
+    from proglog_spark.operators import rank as rank_ops
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tiled = rank_ops.with_global_ntile(e, ["value", "event_id"], 10, tile_col="decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "events_first_last_touch",
+    "WITH w AS (SELECT user_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM events) "
+    "SELECT user_id, "
+    "max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch, "
+    "max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch, "
+    "count(*) AS n_events FROM w GROUP BY 1 ORDER BY 1",
+)
+def events_first_last_touch(spark, sf_dir):
+    """First/last-touch attribution per user. Spark side uses ONE
+    hash aggregation with min/max over (ts, event_id, event_type)
+    structs — no window, no sort, partial aggregation map-side — where
+    the naive formulation (the oracle's) needs a full per-user sort.
+    (ts, event_id) is unique, so struct order is total and the two
+    formulations agree exactly."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", "event_type")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min(key).alias("_f"),
+            F.max(key).alias("_l"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("_f.event_type").alias("first_touch"),
+            F.col("_l.event_type").alias("last_touch"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_same_day_conversion",
+    "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day "
+    "FROM events WHERE event_type = 'signup' "
+    "INTERSECT SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
+    "FROM events WHERE event_type = 'purchase' "
+    "ORDER BY user_id, day",
+)
+def events_same_day_conversion(spark, sf_dir):
+    """Set intersection (INTERSECT): (user, day) pairs that signed up
+    AND purchased the same day — the set-op twin of
+    events_inactive_users' EXCEPT. Spark plans a distinct + left-semi
+    on the pair key: the shuffle carries distinct (user, day) pairs,
+    never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    signup = e.where(F.col("event_type") == "signup").select("user_id", day)
+    purchase = e.where(F.col("event_type") == "purchase").select("user_id", day)
+    return signup.intersect(purchase).orderBy("user_id", "day")
+
+
+@register(
+    "docs_top_terms",
+    "SELECT lower(t) AS term, count(*) AS n_occurrences "
+    "FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t "
+    "FROM documents) WHERE t <> '' "
+    "GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 20",
+)
+def docs_top_terms(spark, sf_dir):
+    """Corpus term frequency: explode(split) → count → top-20. The
+    ASCII-letter tokenizer is locale-free so Java and utf8proc
+    lowercasing agree; partial aggregation combines counts map-side
+    before the term shuffle, and the top-20 is a TakeOrdered (no
+    global sort of the vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select(F.lower("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
 

@@ -423,3 +423,43 @@ def test_stratified_sample_exact_counts_and_determinism(docs):
     assert sorted((r.lang, r.sample_rank, r.doc_id) for r in again) == sorted(
         (r.lang, r.sample_rank, r.doc_id) for r in out
     )
+
+
+# ----------------------------------------------------------------- rank ----
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """The range-partitioned global rank must equal a plain
+    row_number() OVER (ORDER BY ...) — the single-partition
+    formulation it replaces at scale."""
+    from pyspark.sql import Window
+
+    from proglog_spark.operators import rank as rank_ops
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id")
+    )
+    ranked, total = rank_ops.with_global_rank(df, ["k", "id"], num_partitions=7)
+    assert total == 997
+    got = {(r.k, r.id): r["rank"] for r in ranked.collect()}
+    w = Window.orderBy("k", "id")
+    want = {
+        (r.k, r.id): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,count", [(10, 997), (10, 1000), (7, 5), (3, 3)])
+def test_global_ntile_matches_window_ntile(spark, n, count):
+    """Exact NTILE remainder semantics, including n > total rows."""
+    from pyspark.sql import Window
+
+    from proglog_spark.operators import rank as rank_ops
+
+    df = spark.range(0, count).select((F.col("id") * 97 % 1009).alias("k"), "id")
+    tiled = rank_ops.with_global_ntile(df, ["k", "id"], n, num_partitions=4)
+    got = {(r.k, r.id): r.tile for r in tiled.collect()}
+    w = Window.orderBy("k", "id")
+    want = {(r.k, r.id): r.nt for r in df.withColumn("nt", F.ntile(n).over(w)).collect()}
+    assert got == want

@@ -139,3 +139,45 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = plan_of(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    """The NOT-IN exclusion list (negative-balance suppliers) is tiny:
+    it must broadcast, never shuffle lineitem for the anti join."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["tpch_q16_part_suppliers"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q10_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The top-20-by-revenue must execute as TakeOrderedAndProject —
+    per-partition heaps merged on the driver — not a full Exchange
+    rangepartitioning + Sort of every customer."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["tpch_q10_returned_revenue"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_q19_pushes_derived_quantity_filter(spark, sf_dir):
+    """The OR-of-ANDs query must push the derived single-column
+    l_quantity range into the lineitem scan (row-group pruning)."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["tpch_q19_disjunctive"][0](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
+    assert "l_quantity" in pushed
+
+
+def test_first_last_touch_is_one_aggregation_no_window(spark, sf_dir):
+    """The struct-min/max formulation must plan as hash aggregation
+    with a single user-key exchange — no Window, no per-user Sort."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_first_last_touch"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(user_id") <= 1
