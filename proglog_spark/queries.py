@@ -2016,6 +2016,523 @@ def docs_top_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H flavors, third wave: multi-nation joins, scalar-max selection,
+# semi-join chains, window-elimination of double correlation (q7/q8/q9/
+# q15/q20/q21 shapes, adapted to the fixture schema — no partsupp, no
+# commit/receipt dates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(sum(vol) AS BIGINT) AS revenue_scaled FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT)) AS vol "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    ") GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """Q7-style nation-pair trade volume by ship year. One fact-fact
+    shuffle (lineitem⋈orders on orderkey); every dim broadcast. The
+    disjunctive nation-pair predicate is applied after the broadcast
+    joins, so the orderkey shuffle is the plan's only exchange before
+    the final group-by (reference has zero joins — SURVEY §2.0b)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair | rpair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    "SELECT o_year, "
+    "CAST(floor(1000000.0 * nation_vol / total_vol) AS BIGINT) AS share_micro, "
+    "nation_vol, total_vol FROM ("
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN vol ELSE 0 END) AS BIGINT) "
+    "AS nation_vol, CAST(sum(vol) AS BIGINT) AS total_vol FROM ("
+    "SELECT o_orderdate, s_nationkey, c_nationkey, "
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT)) AS vol "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN customer ON o_custkey = c_custkey) v "
+    "JOIN nation sn ON v.s_nationkey = sn.n_nationkey "
+    "JOIN nation cn ON v.c_nationkey = cn.n_nationkey "
+    "JOIN region ON cn.n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY 1) ORDER BY o_year",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8-style market share: NATION_2 suppliers' slice of the ASIA
+    customer market per order year, as a floored micro ratio of integer
+    volumes (never a float sum). The share's CASE folds into the same
+    partial aggregate as the total — one pass, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    vol = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+    )
+    by_year = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0)).alias(
+            "nation_vol"
+        ),
+        F.sum(vol).alias("total_vol"),
+    )
+    return by_year.select(
+        "o_year",
+        F.floor(1000000.0 * F.col("nation_vol") / F.col("total_vol"))
+        .cast("long")
+        .alias("share_micro"),
+        "nation_vol",
+        "total_vol",
+    ).orderBy("o_year")
+
+
+@register(
+    "tpch_q9_product_profit",
+    "SELECT n_name, o_year, CAST(sum(amount) AS BIGINT) AS profit_scaled FROM ("
+    "SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year, "
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT)) - "
+    "CAST(floor(p_retailprice * 100) AS BIGINT) * 100 * "
+    "CAST(floor(l_quantity) AS BIGINT) AS amount "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE p_type = 'STANDARD') "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9-style product profit by supplier nation × ship year (retail
+    price stands in for the missing partsupp supply cost; both sides of
+    the subtraction in the same cents·100 scale). The selective p_type
+    filter rides the broadcast of part, so the fact scan never
+    shuffles — dims broadcast, then a group-by exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    amount = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * 100 * F.floor("l_quantity").cast("long")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name", F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).alias("profit_scaled"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+    "JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
+    "ORDER BY s_suppkey",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15-style top supplier: quarter revenue per supplier, keep the
+    max (all ties). The revenue aggregate is computed once and reused
+    for the scalar max via a 1-row broadcast — no rescan, no window
+    over a single partition."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q20_promo_shippers",
+    "SELECT s_suppkey, s_name, shipped_qty FROM supplier JOIN ("
+    "SELECT l_suppkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) "
+    "AS shipped_qty FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_type = 'PROMO' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY 1 HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 50) q "
+    "ON s_suppkey = l_suppkey ORDER BY s_suppkey",
+)
+def tpch_q20_promo_shippers(spark, sf_dir):
+    """Q20-style semi-join chain: suppliers that moved > 50 units of
+    PROMO parts in 1996. Part filter broadcasts into the fact scan, the
+    HAVING prunes before the (broadcast) supplier join — the supplier
+    table is joined to an already-aggregated, already-filtered key set,
+    never to raw lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("shipped_qty"))
+        .where(F.col("shipped_qty") > 50)
+    )
+    return (
+        shipped.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "shipped_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_last_shipper",
+    "WITH lo AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS md "
+    "FROM lineitem GROUP BY 1, 2) "
+    "SELECT s_name, count(*) AS n_orders FROM lo l1 "
+    "JOIN supplier ON l1.l_suppkey = s_suppkey "
+    "WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.md >= l1.md) "
+    "GROUP BY 1 ORDER BY n_orders DESC, s_name",
+)
+def tpch_q21_last_shipper(spark, sf_dir):
+    """Q21-style double correlation (EXISTS + NOT EXISTS), re-expressed
+    as window aggregates: in multi-supplier orders, credit the supplier
+    whose last ship date strictly beats every other supplier's. One
+    shuffle for the (order, supplier) aggregate, one window pass over
+    the same orderkey partitioning — no self-joins, no correlated
+    rescans (the oracle keeps the textbook EXISTS form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("md"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_suppkey",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("md").over(w).alias("max_md"),
+        F.col("md"),
+        F.sum(F.when(F.col("md") == F.max("md").over(w), 1).otherwise(0))
+        .over(w)
+        .alias("n_at_max"),
+    ).where(
+        (F.col("n_supp") > 1)
+        & (F.col("md") == F.col("max_md"))
+        & (F.col("n_at_max") == 1)
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics, third wave: cohort retention, funnels, histograms, Pareto
+# concentration, bigram vocabulary, per-source dedup health
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    "WITH firstday AS (SELECT user_id, "
+    "CAST(min(epoch(ts)) / 86400 AS BIGINT) AS cohort_day FROM events GROUP BY 1) "
+    "SELECT cohort_day, "
+    "CAST(CAST(epoch(ts) AS BIGINT) / 86400 AS BIGINT) - cohort_day AS day_offset, "
+    "count(DISTINCT e.user_id) AS n_users "
+    "FROM events e JOIN firstday f ON e.user_id = f.user_id "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen epoch day,
+    activity counted by day offset. The first-touch aggregate reuses the
+    user_id shuffle; the cohort map is small (≤ #users) and broadcast
+    back onto the fact, so the triangle costs one fact shuffle + one
+    broadcast, not two fact shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    firstday = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        e.select("user_id", day.alias("day"))
+        .join(F.broadcast(firstday), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    "WITH stages AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts, "
+    "min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts, "
+    "min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts "
+    "FROM events GROUP BY 1) "
+    "SELECT count(CASE WHEN signup_ts IS NOT NULL THEN 1 END) AS n_signup, "
+    "count(CASE WHEN view_ts > signup_ts THEN 1 END) AS n_signup_view, "
+    "count(CASE WHEN view_ts > signup_ts AND purchase_ts > view_ts THEN 1 END) "
+    "AS n_full_funnel FROM stages",
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel signup → view → purchase: per-user first-touch
+    timestamps per stage in ONE conditional aggregate (no per-stage
+    scans, no joins), then strict-order comparisons. Single user_id
+    shuffle; NULL propagation makes missing stages drop out of the
+    ordered counts for free."""
+    e = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    stages = e.groupBy("user_id").agg(
+        first_of("signup").alias("signup_ts"),
+        first_of("view").alias("view_ts"),
+        first_of("purchase").alias("purchase_ts"),
+    )
+    sv = F.col("view_ts") > F.col("signup_ts")
+    return stages.agg(
+        F.count(F.when(F.col("signup_ts").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(sv, 1)).alias("n_signup_view"),
+        F.count(F.when(sv & (F.col("purchase_ts") > F.col("view_ts")), 1)).alias(
+            "n_full_funnel"
+        ),
+    )
+
+
+@register(
+    "events_value_histogram",
+    "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n, "
+    "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event value (bin = floor(value/25)).
+    Pure map-side binning + partial agg — the canonical distributed
+    histogram; /25.0 is exact in binary so both engines bin
+    identically, and the per-bin mass is integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 25.0).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "events_daily_active",
+    "SELECT CAST(CAST(epoch(ts) AS BIGINT) / 86400 AS BIGINT) AS day, "
+    "count(DISTINCT user_id) AS dau, count(*) AS n_events, "
+    "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_daily_active(spark, sf_dir):
+    """Daily active users + volume: count_distinct expands inside one
+    aggregate pass (Spark's two-phase distinct-agg rewrite), keyed on
+    epoch day so the day arithmetic is integer-exact in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_pareto_users",
+    "WITH per_user AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per_user) "
+    "SELECT user_id, n_events, "
+    "CAST(floor(1000000.0 * cum / total) AS BIGINT) AS cum_share_micro FROM ("
+    "SELECT user_id, n_events, CAST(sum(n_events) OVER ("
+    "ORDER BY n_events DESC, user_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    "FROM per_user) p, tot "
+    "ORDER BY n_events DESC, user_id LIMIT 20",
+)
+def events_pareto_users(spark, sf_dir):
+    """Pareto concentration: top-20 users by event count with their
+    cumulative share (floored micro). The running sum only ever runs
+    over the per-user aggregate (|users| rows, not |events|), and the
+    global total rides a 1-row broadcast — the only full-data shuffle
+    is the initial user_id aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per_user.agg(F.sum("n_events").cast("long").alias("total"))
+    w = (
+        Window.orderBy(F.col("n_events").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_user.select(
+            "user_id", "n_events", F.sum("n_events").over(w).cast("long").alias("cum")
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(1000000.0 * F.col("cum") / F.col("total"))
+            .cast("long")
+            .alias("cum_share_micro"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_bigram_counts",
+    "SELECT bigram, count(*) AS n_occurrences FROM ("
+    "SELECT lower(toks[i] || ' ' || toks[i + 1]) AS bigram FROM ("
+    "SELECT list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), "
+    "t -> t <> '') AS toks FROM documents) d, "
+    "UNNEST(range(1, greatest(len(toks), 1))) AS u(i)) "
+    "GROUP BY 1 ORDER BY n_occurrences DESC, bigram LIMIT 20",
+)
+def docs_bigram_counts(spark, sf_dir):
+    """Corpus bigram vocabulary, top-20. Adjacent-pair construction is
+    array-native (transform over an index sequence — no posexplode
+    self-join), tokens stay JVM-side throughout, and the final top-20
+    is a TakeOrdered, not a vocabulary-wide sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda t: t != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("toks")) - 2, F.lit(-1))),
+        lambda i: F.lower(
+            F.concat(F.element_at(F.col("toks"), i + 1), F.lit(" "),
+                     F.element_at(F.col("toks"), i + 2))
+        ),
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_source_dedup_stats",
+    "SELECT source, count(*) AS n_docs, "
+    "count(DISTINCT md5(text)) AS n_distinct, "
+    "CAST(floor(1000000.0 * (count(*) - count(DISTINCT md5(text))) / count(*)) "
+    "AS BIGINT) AS dup_rate_micro "
+    "FROM documents GROUP BY 1 ORDER BY 1",
+)
+def docs_source_dedup_stats(spark, sf_dir):
+    """Dedup health per source: doc counts, distinct content hashes,
+    and a floored-micro duplicate rate — the corpus-curation dashboard
+    query. Hashing before the distinct keeps the shuffle rows at
+    32 hex chars instead of full documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5("text")).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.floor(
+                1000000.0 * (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
 
