@@ -46,6 +46,30 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < fraction_micro)
 
 
+def train_split(
+    df: DataFrame,
+    key_col: str,
+    train_micro: int = 800_000,
+    valid_micro: int = 900_000,
+    salt: str = "s",
+) -> DataFrame:
+    """Assign every row a deterministic train/valid/test split label.
+
+    The assignment is a pure function of the row key (same hash as
+    ``hash_sample``), so it is reproducible across runs, stable under
+    repartitioning/compaction, and join-consistent across tables keyed
+    by the same id — the properties a dataset split must have before a
+    training run depends on it. Pure projection: no shuffle, no RNG.
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_micro, F.lit("train"))
+        .when(b < valid_micro, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -288,6 +288,10 @@ def events_hourly_counts_streamed(spark, sf_dir):
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         # same ns→µs normalization as sources.tables.load_table
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Spark >= 4.1 native nanos read: NTZ → session-TZ(UTC) timestamp
+        # (withWatermark requires TIMESTAMP, not TIMESTAMP_NTZ)
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     agg = streaming_tumbling_counts(stream, "ts", 3600, ["event_type"])
     name = "hourly_streamed_" + next(tempfile._get_candidate_names())
     q = (
@@ -2314,9 +2318,9 @@ def tpch_q21_last_shipper(spark, sf_dir):
 @register(
     "events_retention_cohorts",
     "WITH firstday AS (SELECT user_id, "
-    "CAST(min(epoch(ts)) / 86400 AS BIGINT) AS cohort_day FROM events GROUP BY 1) "
+    "CAST(floor(min(epoch(ts)) / 86400) AS BIGINT) AS cohort_day FROM events GROUP BY 1) "
     "SELECT cohort_day, "
-    "CAST(CAST(epoch(ts) AS BIGINT) / 86400 AS BIGINT) - cohort_day AS day_offset, "
+    "CAST(floor(epoch(ts) / 86400) AS BIGINT) - cohort_day AS day_offset, "
     "count(DISTINCT e.user_id) AS n_users "
     "FROM events e JOIN firstday f ON e.user_id = f.user_id "
     "GROUP BY 1, 2 ORDER BY 1, 2",
@@ -2400,7 +2404,7 @@ def events_value_histogram(spark, sf_dir):
 
 @register(
     "events_daily_active",
-    "SELECT CAST(CAST(epoch(ts) AS BIGINT) / 86400 AS BIGINT) AS day, "
+    "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
     "count(DISTINCT user_id) AS dau, count(*) AS n_events, "
     "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
     "FROM events GROUP BY 1 ORDER BY 1",
@@ -2529,6 +2533,223 @@ def docs_source_dedup_stats(spark, sf_dir):
             .alias("dup_rate_micro"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation, fourth wave: repetition filters, benchmark
+# contamination, split assignment, sequence mining + the Q11 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_repetition_stats",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "wt AS (SELECT doc_id, unnest(w) AS term FROM w), "
+    "bt AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1])) AS term FROM w), "
+    "wc AS (SELECT doc_id, term, count(*) AS c FROM wt GROUP BY 1, 2), "
+    "bc AS (SELECT doc_id, term, count(*) AS c FROM bt GROUP BY 1, 2), "
+    "ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+    "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+    "CAST(max(c) AS BIGINT) AS top_word_n FROM wc GROUP BY 1), "
+    "bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1) "
+    "SELECT ws.doc_id, n_words, n_distinct_words, top_word_n, "
+    "COALESCE(top_bigram_n, 0) AS top_bigram_n, "
+    "CAST(floor(1000000.0 * top_word_n / n_words) AS BIGINT) AS top_word_micro "
+    "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id",
+)
+def docs_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition filter: word count,
+    distinct words, most-frequent word and bigram counts, and the
+    top-word mass in micro-fraction — the signals used to drop
+    boilerplate/spam docs before training. One explode feeds both
+    unigram and bigram counts (words and bigrams union-tagged into a
+    single (doc, kind, term) partial-agg shuffle), then a per-doc
+    rollup; no joins against the corpus, scales linearly in tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    terms = w.select(
+        "doc_id", F.lit("w").alias("kind"), F.explode("w").alias("term")
+    ).unionAll(
+        w.select("doc_id", F.lit("b").alias("kind"), F.explode(bigrams).alias("term"))
+    )
+    counts = terms.groupBy("doc_id", "kind", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_w = F.col("kind") == "w"
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+            F.sum(F.when(is_w, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_distinct_words"
+            ),
+            F.max(F.when(is_w, F.col("c"))).alias("top_word_n"),
+            F.coalesce(F.max(F.when(~is_w, F.col("c"))), F.lit(0)).alias(
+                "top_bigram_n"
+            ),
+        )
+        .withColumn(
+            "top_word_micro",
+            F.floor(1000000.0 * F.col("top_word_n") / F.col("n_words")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONTAM_GRAMS_SQL = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3), "
+    "i -> array_to_string(w[i:i+4], ' '))) AS gs FROM w)"
+)
+
+
+@register(
+    "docs_contamination",
+    f"WITH {_CONTAM_GRAMS_SQL}, "
+    "bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0), "
+    "dg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0), "
+    "hit AS (SELECT dg.doc_id, count(*) AS n_shared_grams FROM dg "
+    "JOIN bg USING (gram) GROUP BY 1) "
+    "SELECT g.doc_id, CAST(hit.n_shared_grams AS BIGINT) AS n_shared_grams, "
+    "CAST(len(g.gs) AS BIGINT) AS n_grams, "
+    "CAST(floor(1000000.0 * hit.n_shared_grams / len(g.gs)) AS BIGINT) "
+    "AS contamination_micro "
+    "FROM g JOIN hit ON g.doc_id = hit.doc_id ORDER BY g.doc_id",
+)
+def docs_contamination(spark, sf_dir):
+    """Benchmark-contamination check: word 5-gram overlap between every
+    corpus document and a held-out benchmark set (here: doc_id % 97).
+    The production shape for decontaminating pretraining data: the
+    benchmark gram set is tiny relative to the corpus, so it is
+    DISTINCT-ed and broadcast; each corpus doc's distinct grams stream
+    through a broadcast LEFT SEMI join (no corpus shuffle, no pair
+    explosion) and a per-doc count yields the overlap fraction."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr(
+            "transform(sequence(1, size(w) - 4), "
+            "i -> concat_ws(' ', slice(w, i, 5)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    g = w.select("doc_id", F.array_distinct(grams).alias("gs"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = (
+        g.where(is_bench).select(F.explode("gs").alias("gram")).distinct()
+    )
+    hits = (
+        g.where(~is_bench)
+        .select("doc_id", F.explode("gs").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        g.where(~is_bench)
+        .select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            "n_grams",
+            F.floor(1000000.0 * F.col("n_shared_grams") / F.col("n_grams"))
+            .cast("long")
+            .alias("contamination_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_train_split",
+    "SELECT source, CASE WHEN b < 800000 THEN 'train' "
+    "WHEN b < 900000 THEN 'valid' ELSE 'test' END AS split, "
+    "count(*) AS n_docs FROM "
+    f"(SELECT source, {_HASH_BUCKET_SQL} AS b FROM documents) "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def docs_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment
+    (operators/sampling.train_split): membership is a pure function of
+    doc_id, so the split is reproducible across runs, stable under
+    repartitioning, and join-consistent with any table keyed by the
+    same id — prerequisites for a dataset card. The assignment itself
+    is a shuffle-free projection; this query audits per-source counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_split(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    "SELECT prev_type, event_type AS next_type, count(*) AS n_transitions "
+    "FROM (SELECT event_type, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_markov_transitions(spark, sf_dir):
+    """Event-sequence mining: first-order transition counts between
+    consecutive event types per user (the Markov-chain fit behind
+    next-action models). One user-key shuffle for the lag window —
+    deterministic order by (ts, event_id) — then a partial-agg shuffle
+    on the (prev, next) pair; both keys are low-cardinality-safe."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    "WITH pv AS (SELECT l_partkey, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS value_cents FROM lineitem GROUP BY 1) "
+    "SELECT l_partkey, value_cents FROM pv "
+    "WHERE value_cents * (SELECT count(*) FROM pv) > "
+    "(SELECT CAST(sum(value_cents) AS BIGINT) FROM pv) "
+    "ORDER BY value_cents DESC, l_partkey",
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """Q11 shape (no partsupp fixture — lineitem is the supply fact):
+    per-part inventory value filtered against a global scalar
+    threshold (above-average value — scale-free, unlike Q11's
+    SF-dependent 0.0001/SF fraction). The per-part aggregate is
+    computed ONCE and reused for both the group rows and the 1-row
+    global sum+count, which re-joins as a broadcast — Spark never
+    rescans or reshuffles the fact for the subquery. Money in integer
+    cents throughout; the compare is integer cross-multiplication."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    total = pv.agg(
+        F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("_n") > F.col("_total"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
     )
 
 

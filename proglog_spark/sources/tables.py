@@ -37,12 +37,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types to the engine schema."""
+    """Load one fixture table, normalizing types to the engine schema.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); depending on the Spark
+    version and the ``nanosAsLong`` legacy conf it arrives as either a
+    nanosecond LONG (legacy read path) or TIMESTAMP_NTZ (Spark >= 4.1
+    native nanos read, truncated to micros). Normalize both to a
+    session-TZ TIMESTAMP so downstream epoch arithmetic
+    (``unix_micros`` & friends) always sees one type. The session TZ is
+    pinned to UTC, so the NTZ→LTZ cast is the identity on epoch values
+    and matches DuckDB's ``epoch()`` of the same wall-clock instants.
+    """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # nanos → micros MUST be integer division (`div`): epoch-ns
-        # values exceed 2^53, so double division would lose microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos → micros MUST be integer division (`div`): epoch-ns
+            # values exceed 2^53, so double division would lose microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

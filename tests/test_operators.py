@@ -463,3 +463,80 @@ def test_global_ntile_matches_window_ntile(spark, n, count):
     w = Window.orderBy("k", "id")
     want = {(r.k, r.id): r.nt for r in df.withColumn("nt", F.ntile(n).over(w)).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------- sampling ----
+
+
+def test_train_split_partitions_and_nests_with_hash_sample(docs):
+    """The split labels must partition the corpus, match hash_sample's
+    80% boundary exactly (same hash, same salt ⇒ train == sample@0.8),
+    and be stable across recomputation/repartitioning."""
+    from proglog_spark.operators import sampling
+
+    labeled = sampling.train_split(docs, "doc_id")
+    by_split = {
+        r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(by_split.values()) == docs.count()
+    assert set(by_split) <= {"train", "valid", "test"}
+    train_ids = {r.doc_id for r in labeled.where(F.col("split") == "train").collect()}
+    sample_ids = {
+        r.doc_id for r in sampling.hash_sample(docs, "doc_id", 800_000).collect()
+    }
+    assert train_ids == sample_ids
+    relabeled = sampling.train_split(docs.repartition(7), "doc_id")
+    again = {r.doc_id for r in relabeled.where(F.col("split") == "train").collect()}
+    assert again == train_ids
+
+
+def test_repetition_stats_consistency(spark, sf_dir):
+    """Per-doc invariants: top counts bounded by totals, distinct <=
+    total, micro-fraction in range, and an exact hand-check on the
+    most repetitive doc's top word."""
+    from collections import Counter
+
+    from proglog_spark.queries import REGISTRY
+
+    rows = REGISTRY["docs_repetition_stats"][0](spark, sf_dir).collect()
+    docs_local = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(docs_local)
+    worst = max(rows, key=lambda r: r.top_word_micro)
+    for r in rows:
+        assert 1 <= r.top_word_n <= r.n_words
+        assert r.n_distinct_words <= r.n_words
+        assert 0 <= r.top_word_micro <= 1_000_000
+        assert r.top_bigram_n <= max(r.n_words - 1, 0)
+    counts = Counter(docs_local[worst.doc_id].split(" "))
+    assert worst.top_word_n == max(counts.values())
+    assert worst.n_words == sum(counts.values())
+
+
+def test_contamination_flags_only_gram_sharers(spark, sf_dir):
+    """Every flagged doc must genuinely share a 5-gram with a
+    benchmark doc (exact recount in Python), and contamination_micro
+    must equal the floored shared/total ratio."""
+    from proglog_spark.queries import REGISTRY
+
+    flagged = REGISTRY["docs_contamination"][0](spark, sf_dir).collect()
+    docs_local = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    bench = set()
+    for r in docs_local:
+        if r.doc_id % 97 == 0:
+            bench |= grams(r.text)
+    by_id = {r.doc_id: grams(r.text) for r in docs_local if r.doc_id % 97 != 0}
+    expected = {
+        did: len(gs & bench) for did, gs in by_id.items() if gs & bench
+    }
+    got = {r.doc_id: r.n_shared_grams for r in flagged}
+    assert got == expected
+    for r in flagged:
+        assert r.contamination_micro == (1_000_000 * r.n_shared_grams) // r.n_grams

@@ -181,3 +181,32 @@ def test_first_last_touch_is_one_aggregation_no_window(spark, sf_dir):
     plan = plan_of(df)
     assert "Window" not in plan
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_contamination_is_broadcast_semi_join(spark, sf_dir):
+    """The benchmark gram set is small: it must broadcast into a LEFT
+    SEMI join — never shuffle the corpus grams on the gram key."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_contamination"][0](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_reuses_aggregate_for_scalar_threshold(spark, sf_dir):
+    """The global-threshold compare must ride a 1-row broadcast onto
+    the per-part aggregate — no second scan-side shuffle join."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["tpch_q11_important_parts"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_train_split_is_pure_projection(spark, sf_dir):
+    """Split assignment must add zero exchanges — a scan + project."""
+    from proglog_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(sampling.train_split(d, "doc_id"))
+    assert "Exchange" not in plan
