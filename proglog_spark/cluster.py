@@ -30,7 +30,15 @@ def servers_df(spark: SparkSession, servers=None) -> DataFrame:
     leaders = sum(1 for r in rows if r[2])
     if leaders != 1:
         raise ValueError(f"exactly one leader required, got {leaders}")
-    # one slice: the default would schedule defaultParallelism
-    # near-empty tasks for a 3-row catalog table
-    rdd = spark.sparkContext.parallelize(rows, 1)
-    return spark.createDataFrame(rdd, schema=SERVERS_SCHEMA)
+    # inline VALUES → LocalRelation, entirely JVM-side: a catalog-sized
+    # table must never schedule an RDD job (parallelize runs a real
+    # task) nor pay the Python→Arrow createDataFrame conversion
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    values = ", ".join(
+        f"({q(i)}, {q(a)}, {'true' if l else 'false'})" for i, a, l in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(id, rpc_addr, is_leader)"
+    )

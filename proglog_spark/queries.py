@@ -2633,7 +2633,11 @@ def docs_contamination(spark, sf_dir):
     DISTINCT-ed and broadcast; each corpus doc's distinct grams stream
     through a broadcast LEFT SEMI join (no corpus shuffle, no pair
     explosion) and a per-doc count yields the overlap fraction."""
-    d = load_table(spark, sf_dir, "documents")
+    from proglog_spark.sources.tables import fan_out
+
+    # single-file fixture → fan out so the gram build uses every core
+    # (no-op at scale where the input already has enough splits)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = d.select("doc_id", F.split("text", " ").alias("w"))
     grams = F.when(
         F.size("w") >= 5,
@@ -2647,17 +2651,18 @@ def docs_contamination(spark, sf_dir):
     bench_grams = (
         g.where(is_bench).select(F.explode("gs").alias("gram")).distinct()
     )
-    hits = (
-        g.where(~is_bench)
-        .select("doc_id", F.explode("gs").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-    )
+    # n_grams rides the explode so the corpus gram arrays are built
+    # exactly once (a separate size() branch would rebuild them all)
     return (
         g.where(~is_bench)
-        .select("doc_id", F.size("gs").cast("long").alias("n_grams"))
-        .join(hits, "doc_id")
+        .select("doc_id", F.size("gs").cast("long").alias("n_grams"),
+                F.explode("gs").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min("n_grams").alias("n_grams"),
+        )
         .select(
             "doc_id",
             "n_shared_grams",
@@ -2717,6 +2722,33 @@ def events_markov_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "docs_udtf_ngrams",
+    "SELECT doc_id, CAST(pos AS INTEGER) AS pos, gram FROM ("
+    "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+    "i -> i - 1)) AS pos, "
+    "unnest(list_transform(range(1, len(w) - 1), "
+    "i -> array_to_string(w[i:i+2], ' '))) AS gram FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS w FROM documents) "
+    ") WHERE doc_id < 10 ORDER BY doc_id, pos",
+)
+def docs_udtf_ngrams(spark, sf_dir):
+    """UDTF surface pinned end-to-end: word trigram fan-out through a
+    Python UDTF in a SQL LATERAL join (functions/udtf.NGramsUDTF),
+    oracle-checked. The docstring there explains why the JVM-side
+    ``explode(transform(...))`` twin is the hot-path choice; this
+    query exists to keep the table-function plumbing honest."""
+    from proglog_spark.functions.udtf import register_ngrams_udtf
+
+    name = register_ngrams_udtf(spark)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    d.createOrReplaceTempView("_udtf_docs_src")
+    return spark.sql(
+        f"SELECT doc_id, pos, gram FROM _udtf_docs_src, "
+        f"LATERAL {name}(text, 3) ORDER BY doc_id, pos"
     )
 
 

@@ -540,3 +540,33 @@ def test_contamination_flags_only_gram_sharers(spark, sf_dir):
     assert got == expected
     for r in flagged:
         assert r.contamination_micro == (1_000_000 * r.n_shared_grams) // r.n_grams
+
+
+# ----------------------------------------------------------------- udtf ----
+
+
+def test_udtf_ngrams_matches_builtin_transform(spark, sf_dir):
+    """The Python UDTF fan-out must agree row-for-row with the
+    JVM-side explode(transform(...)) twin (the hot-path formulation)."""
+    from proglog_spark.queries import REGISTRY
+
+    got = {
+        (r.doc_id, r.pos): r.gram
+        for r in REGISTRY["docs_udtf_ngrams"][0](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    builtin = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> struct(i - 1 AS pos, concat_ws(' ', slice(w, i, 3)) AS gram))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("pg"),
+    ).select("doc_id", "pg.pos", "pg.gram")
+    want = {(r.doc_id, r.pos): r.gram for r in builtin.collect()}
+    assert got == want and got
