@@ -60,6 +60,12 @@ def main() -> None:
         return s
 
     spark.range(10_000).repartition(int(cpus)).select(_noop("id")).collect()
+    # first use of the JSON codec loads Jackson + evaluator classes
+    # (~2 s once, data-independent) — absorb it here, one row
+    spark.sql(
+        "SELECT from_json(to_json(named_struct('a', id)), 'a BIGINT'), "
+        "unbase64(base64(CAST('x' AS BINARY))) FROM range(1)"
+    ).collect()
 
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}

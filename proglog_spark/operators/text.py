@@ -124,6 +124,39 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII scrubbing: pattern -> redaction token, applied in this order
+# (URLs first so their path segments are not re-matched as emails/IPs).
+# Patterns use only syntax Java regex (Spark) and RE2 (DuckDB) share:
+# char classes, bounded repetition, \d, \b.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "url": (r"https?://[A-Za-z0-9._/%-]+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+}
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data curation, JVM-side only.
+
+    Adds per-pattern match counts (``n_url``/``n_email``/``n_ipv4``/
+    ``n_phone``, each counted independently on the ORIGINAL text) and a
+    ``redacted`` column where every match is replaced by its token, in
+    the fixed PII_PATTERNS order. Pure ``regexp_count``/
+    ``regexp_replace`` — whole-stage codegen, no Python on the data
+    path, embarrassingly parallel (no shuffle) at any scale.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, (pat, _tok) in PII_PATTERNS.items()
+    ]
+    red = c
+    for _name, (pat, tok) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, tok)
+    return df.select("*", *counts, red.alias("redacted"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash document fingerprint.
 

@@ -235,10 +235,14 @@ def log_acl_check(spark, sf_dir):
             rows.append((subject, action, "OK"))
         except PermissionDeniedError as e:
             rows.append((subject, action, e.canonical()))
-    rdd = spark.sparkContext.parallelize(rows, 1)  # 4-row result: one slice
-    return spark.createDataFrame(
-        rdd, "subject STRING, action STRING, outcome STRING"
-    ).orderBy("subject", "action")
+    # JVM-side VALUES LocalRelation — the outcomes are driver-side ACL
+    # decisions over a closed vocabulary (no quoting hazard); avoids
+    # the Python RDD path entirely (createDataFrame(list) parallelizes)
+    values = ", ".join(f"('{s}', '{a}', '{o}')" for s, a, o in rows)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(subject, action, outcome) "
+        "ORDER BY subject, action"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2697,6 +2701,67 @@ def docs_train_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# deterministic PII augmentation shared by the Spark query and the
+# oracle: the synthetic corpus contains no PII (verified: zero digits,
+# '@' or 'http' at every sf), so both engines append the same synthetic
+# contact line before scrubbing — the operator is exercised for real
+# and the redaction output stays hash-checkable.
+_PII_AUG_SQL = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR) "
+    "|| '.0.1 see https://ex.org/d/' || CAST(doc_id AS VARCHAR) "
+    "|| ' call +1-555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "AS text FROM documents"
+)
+
+
+@register(
+    "docs_pii_redaction",
+    f"WITH aug AS ({_PII_AUG_SQL}) SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _tok) in text.PII_PATTERNS.items()
+    )
+    + ", md5("
+    + "".join(
+        "regexp_replace(" for _ in text.PII_PATTERNS
+    )
+    + "text"
+    + "".join(
+        f", '{pat}', '{tok}', 'g')"
+        for _name, (pat, tok) in text.PII_PATTERNS.items()
+    )
+    + ") AS redacted_md5 FROM aug ORDER BY doc_id",
+)
+def docs_pii_redaction(spark, sf_dir):
+    """PII scrubbing for training-data curation (text.with_pii_scrub):
+    email/IPv4/phone/URL counts + full redaction, all JVM-side regexp
+    (whole-stage codegen, zero shuffle — embarrassingly parallel at
+    100 TB). The reference never inspects payloads (opaque bytes,
+    api/v1/log.proto:8); this is north-star curation surface."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 see https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" call +1-555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = text.with_pii_scrub(aug)
+    return scrubbed.select(
+        "doc_id",
+        *[f"n_{name}" for name in text.PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -63,8 +63,14 @@ def records_from_json(wire: DataFrame, json_col: str = "json") -> DataFrame:
     non-base64 ``value`` yields NULL from try_to_binary (plain
     unbase64 would abort the whole job under ANSI mode)."""
     rec = F.from_json(F.col(json_col), WIRE_SCHEMA)["record"]
+    # explode(array(x)) is a Generate barrier: without it, Catalyst
+    # collapses the projects and merges the validity predicates into
+    # the upstream Filter, so from_json would be (a) duplicated per
+    # predicate and (b) evaluated on every scanned row instead of the
+    # rows surviving the caller's cheap pushed-down filters. A 1-item
+    # explode keeps decode-once-then-filter ordering at any scale.
     return (
-        wire.select(rec.alias("r"))
+        wire.select(F.explode(F.array(rec)).alias("r"))
         .where(F.col("r").isNotNull())
         .select(
             F.col("r.offset").alias("offset"),

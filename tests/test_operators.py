@@ -570,3 +570,29 @@ def test_udtf_ngrams_matches_builtin_transform(spark, sf_dir):
     ).select("doc_id", "pg.pos", "pg.gram")
     want = {(r.doc_id, r.pos): r.gram for r in builtin.collect()}
     assert got == want and got
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Crafted-PII redaction: counts per pattern and full scrub (the
+    fixture corpus is PII-free, so the declared query augments it; this
+    test pins the operator itself on adversarial strings)."""
+    rows = [
+        (0, "mail a.b-c_d@sub.example.co.uk then http://x.io/p%20q done"),
+        (1, "ips 10.0.0.1 and 255.255.255.255, call +44-123-456-7890"),
+        (2, "no pii here, just words and 1234 numbers"),
+        (3, "double alice@ex.com bob@ex.org https://a.b/c https://d.e/f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r.asDict()
+        for r in text.with_pii_scrub(df).collect()
+    }
+    assert (got[0]["n_email"], got[0]["n_url"]) == (1, 1)
+    assert (got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 1)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"], got[2]["n_url"]) == (0, 0, 0, 0)
+    assert got[2]["redacted"] == rows[2][1]  # untouched text passes through
+    assert (got[3]["n_email"], got[3]["n_url"]) == (2, 2)
+    assert got[3]["redacted"] == "double <EMAIL> <EMAIL> <URL> <URL>"
+    assert "<EMAIL>" in got[0]["redacted"] and "<URL>" in got[0]["redacted"]
+    assert "@" not in got[0]["redacted"].replace("<EMAIL>", "")
+    assert got[1]["redacted"] == "ips <IP> and <IP>, call <PHONE>"
