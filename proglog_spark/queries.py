@@ -2703,6 +2703,48 @@ def docs_train_split(spark, sf_dir):
     )
 
 
+@register(
+    "events_unpivot_extremes",
+    "WITH a AS (SELECT event_type, CAST(floor(min(value)*100) AS BIGINT) AS min_cents, "
+    "CAST(floor(max(value)*100) AS BIGINT) AS max_cents, count(*) AS n_events "
+    "FROM events GROUP BY 1) "
+    "SELECT event_type, metric, val FROM ("
+    "SELECT event_type, 'min_cents' AS metric, min_cents AS val FROM a "
+    "UNION ALL SELECT event_type, 'max_cents', max_cents FROM a "
+    "UNION ALL SELECT event_type, 'n_events', n_events FROM a) "
+    "ORDER BY event_type, metric",
+)
+def events_unpivot_extremes(spark, sf_dir):
+    """Unpivot (wide->long melt) surface: per-type extremes pivoted to
+    (type, metric, value) rows via DataFrame.unpivot — the Expand-based
+    single-pass melt (no self-union: one scan, not three). Values
+    integer fixed-point so the long layout stays hash-checkable."""
+    e = load_table(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.floor(F.min("value") * 100).cast("long").alias("min_cents"),
+        F.floor(F.max("value") * 100).cast("long").alias("max_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["min_cents", "max_cents", "n_events"], "metric", "val"
+    ).orderBy("event_type", "metric")
+
+
+@register("emb_pca_power", None)
+def emb_pca_power(spark, sf_dir):
+    """Iterative distributed PCA over the embedding table
+    (operators/linalg.py): d×d Gram via per-batch numpy partials (the
+    treeAggregate pattern — O(d²) to the driver regardless of row
+    count), then power-iteration eigensolve driver-side. Rows-only
+    checked: float partial-sum reassociation makes exact hashing
+    unsound (SURVEY §2.1 non-hashed set); tests/test_operators.py pins
+    it against numpy's dense eigendecomposition."""
+    from proglog_spark.operators import linalg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return linalg.pca_summary(e, "embedding", k=2)
+
+
 # deterministic PII augmentation shared by the Spark query and the
 # oracle: the synthetic corpus contains no PII (verified: zero digits,
 # '@' or 'http' at every sf), so both engines append the same synthetic

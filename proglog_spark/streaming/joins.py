@@ -52,3 +52,28 @@ def streaming_attribution_join(
         & (F.col(candidate_ts) < F.col(anchor_ts))
     )
     return c.join(a, cond, "inner")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: a live stream against a batch
+    dimension table (the lookup-table pattern — user profiles, ACL
+    subjects, server metadata).
+
+    Stateless by construction: Spark re-evaluates the static side per
+    micro-batch (picking up dim-table refreshes on file sources) and
+    plans a BroadcastHashJoin when the dim is small — no streaming
+    state store, no watermark needed. The dim side must be the
+    non-stream side; only stateless join types are allowed here
+    (inner / left_outer with the stream on the left), which is exactly
+    what Structured Streaming supports for stream-static joins.
+    """
+    if dim.isStreaming:
+        raise ValueError("dim must be a static DataFrame")
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"stream-static join supports inner/left, got {how}")
+    return stream.join(F.broadcast(dim), on, how)

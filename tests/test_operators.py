@@ -596,3 +596,26 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert "<EMAIL>" in got[0]["redacted"] and "<URL>" in got[0]["redacted"]
     assert "@" not in got[0]["redacted"].replace("<EMAIL>", "")
     assert got[1]["redacted"] == "ips <IP> and <IP>, call <PHONE>"
+
+
+def test_pca_power_matches_numpy(spark, emb):
+    """Distributed Gram + power iteration must agree with numpy's dense
+    eigendecomposition on the same data (eigenvalue to 1e-6 relative,
+    leading component up to sign)."""
+    import numpy as np
+
+    from proglog_spark.operators import linalg
+
+    n, gram = linalg.gram_matrix(emb, "embedding")
+    x = np.asarray([np.asarray(r.embedding, float) for r in emb.collect()])
+    assert n == len(x)
+    assert np.allclose(gram, x.T @ x, rtol=1e-9)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    comps = linalg.top_components(gram, k=2)
+    for i, (lam, v) in enumerate(comps):
+        ref_lam = evals[-1 - i]
+        ref_v = evecs[:, -1 - i]
+        assert abs(lam - ref_lam) / ref_lam < 1e-6
+        # convergence rate is (gap ratio)^iters — tolerance covers the
+        # near-degenerate spectrum of the synthetic clusters
+        assert min(np.linalg.norm(v - ref_v), np.linalg.norm(v + ref_v)) < 5e-3

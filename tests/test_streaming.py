@@ -384,3 +384,63 @@ def test_stream_stream_attribution_matches_batch_range_join(spark, sf_dir, tmp_p
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment == the batch left join, fed
+    across two appends; the dim misses one key so the left-outer NULL
+    path is exercised too."""
+    from proglog_spark.streaming.joins import enrich_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # static dim derived from the data, minus one key -> NULL enrich
+    dim = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_freq"))
+        .orderBy("event_type")
+        .limit(3)
+    )
+    batch = {
+        (r.event_id, r.type_freq)
+        for r in e.join(dim, "event_type", "left")
+        .select("event_id", "type_freq")
+        .collect()
+    }
+
+    s_dir = str(tmp_path / "stream")
+    e.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(s_dir)
+    stream = spark.readStream.schema(e.schema).parquet(s_dir)
+    q = (
+        enrich_stream(stream, dim, "event_type", "left")
+        .select("event_id", "type_freq")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        e.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(s_dir)
+        _drain(q)
+        got = {
+            (r.event_id, r.type_freq)
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert any(f is None for _id, f in got)  # unmatched key enriched as NULL
+
+
+def test_enrich_stream_rejects_streaming_dim(spark, sf_dir, tmp_path):
+    from proglog_spark.streaming.joins import enrich_stream
+
+    e = load_table(spark, sf_dir, "events")
+    s_dir = str(tmp_path / "s")
+    e.limit(1).write.parquet(s_dir)
+    stream = spark.readStream.schema(e.schema).parquet(s_dir)
+    with pytest.raises(ValueError):
+        enrich_stream(stream, stream, "event_id")
