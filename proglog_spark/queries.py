@@ -2730,6 +2730,57 @@ def events_unpivot_extremes(spark, sf_dir):
     ).orderBy("event_type", "metric")
 
 
+@register(
+    "events_halves_full_outer",
+    "WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events), "
+    "h1 AS (SELECT user_id, count(*) AS n1 FROM events, mid WHERE epoch_us(ts) < m GROUP BY 1), "
+    "h2 AS (SELECT user_id, count(*) AS n2 FROM events, mid WHERE epoch_us(ts) >= m GROUP BY 1) "
+    "SELECT coalesce(h1.user_id, h2.user_id) AS user_id, "
+    "coalesce(n1, 0) AS n_first_half, coalesce(n2, 0) AS n_second_half, "
+    "coalesce(n2, 0) - coalesce(n1, 0) AS activity_delta "
+    "FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id "
+    "ORDER BY user_id",
+)
+def events_halves_full_outer(spark, sf_dir):
+    """FULL OUTER join flavor: period-over-period per-user activity
+    (first vs second half of the event-time range), users present in
+    either period — the drift/churn comparison shape. Both sides are
+    pre-aggregated (shuffle carries one row per user per side, not
+    events), the midpoint is a 1-row broadcast, and the full-outer is
+    the only row-expanding step."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    # exact integer midpoint in epoch-µs — matches the oracle's // 2
+    mid = e.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    )
+    tagged = e.join(F.broadcast(mid)).select(
+        "user_id", (us < F.col("m")).alias("in_h1")
+    )
+    h1 = (
+        tagged.where("in_h1")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    h2 = (
+        tagged.where(~F.col("in_h1"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return (
+        h1.join(h2, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n1", F.lit(0)).alias("n_first_half"),
+            F.coalesce("n2", F.lit(0)).alias("n_second_half"),
+            (F.coalesce("n2", F.lit(0)) - F.coalesce("n1", F.lit(0))).alias(
+                "activity_delta"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register("emb_pca_power", None)
 def emb_pca_power(spark, sf_dir):
     """Iterative distributed PCA over the embedding table

@@ -444,3 +444,53 @@ def test_enrich_stream_rejects_streaming_dim(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(e.schema).parquet(s_dir)
     with pytest.raises(ValueError):
         enrich_stream(stream, stream, "event_id")
+
+
+def test_native_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """The built-in session_window streaming agg must agree with the
+    batch lag+cumsum sessionize (start, last-event ts, count) across a
+    two-append feed. Gap chosen so no consecutive delta equals it
+    exactly (the two primitives differ on that boundary)."""
+    from proglog_spark.operators.windows import sessionize
+    from proglog_spark.streaming.windows import streaming_session_counts
+
+    gap = 1801  # odd gap: fixture deltas at exact 1801s don't occur
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # precondition for parity: no delta == gap
+    from pyspark.sql import Window as W
+
+    deltas = e.withColumn(
+        "d",
+        F.unix_micros("ts")
+        - F.unix_micros(
+            F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        ),
+    )
+    assert deltas.where(F.col("d") == gap * 1_000_000).count() == 0
+
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us + gap * 1_000_000, r.n_events)
+        for r in sessionize(e, "user_id", "ts", gap).collect()
+    }
+
+    s_dir = str(tmp_path / "stream")
+    e.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(s_dir)
+    e.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(s_dir)
+    stream = spark.readStream.schema(e.schema).parquet(s_dir)
+    q = (
+        streaming_session_counts(stream, "ts", gap, ("user_id",), "365 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("native_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {
+            (r.user_id, r.session_start_us, r.session_end_us_gap, r.n_events)
+            for r in spark.sql("SELECT * FROM native_sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
