@@ -2731,6 +2731,41 @@ def events_unpivot_extremes(spark, sf_dir):
 
 
 @register(
+    "events_user_value_percentiles",
+    "WITH t AS (SELECT user_id, sum(CAST(floor(value*100) AS BIGINT)) AS total_cents "
+    "FROM events GROUP BY 1) "
+    "SELECT user_id, total_cents, "
+    "CAST(floor(1000000.0 * (rank() OVER (ORDER BY total_cents, user_id) - 1) "
+    "/ (count(*) OVER () - 1)) AS BIGINT) AS pct_rank_micro, "
+    "CAST(floor(1000000.0 * (cume_dist() OVER (ORDER BY total_cents, user_id))) AS BIGINT) "
+    "AS cume_micro FROM t ORDER BY user_id",
+)
+def events_user_value_percentiles(spark, sf_dir):
+    """percent_rank / cume_dist window flavor over per-user totals —
+    micro fixed-point so the rational outputs hash identically. The
+    global-order window runs over the AGGREGATED per-user rows (one row
+    per user), not events: at scale this is the same pre-aggregate-
+    then-rank shape as events_decile_value; for very large user counts
+    swap the final window for operators/rank.global_rank."""
+    e = load_table(spark, sf_dir, "events")
+    # per-row integer cents, then exact integer sum — float sums are
+    # order-dependent and banned from the hashed set (FIXTURES §3)
+    t = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    w = Window.orderBy("total_cents", "user_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    return t.select(
+        "user_id",
+        "total_cents",
+        F.floor(1000000.0 * (F.rank().over(w) - 1) / (n - 1))
+        .cast("long")
+        .alias("pct_rank_micro"),
+        F.floor(1000000.0 * F.cume_dist().over(w)).cast("long").alias("cume_micro"),
+    ).orderBy("user_id")
+
+
+@register(
     "events_halves_full_outer",
     "WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events), "
     "h1 AS (SELECT user_id, count(*) AS n1 FROM events, mid WHERE epoch_us(ts) < m GROUP BY 1), "

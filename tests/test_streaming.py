@@ -494,3 +494,63 @@ def test_native_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path)
     finally:
         q.stop()
     assert got == batch
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Watermark contract (the late-data bound the reference's
+    busy-poll tail lacks entirely): in append mode a tumbling window is
+    emitted once the watermark passes it, and a row arriving later
+    than the watermark allows is DROPPED, not merged.
+
+    Feed: batch 1 has hours 0 and 10 (watermark advances to 10:00-1h);
+    batch 2 replays an hour-0 row (too late: window end 01:00 <
+    watermark 09:00) plus a fresh hour-11 row. The late row must not
+    re-open or re-emit the hour-0 window."""
+    from proglog_spark.streaming.windows import streaming_tumbling_counts
+
+    s_dir = str(tmp_path / "late")
+    schema = "ts TIMESTAMP, event_type STRING"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(s_dir)
+
+    import datetime as dt
+
+    h = lambda k, m=0: dt.datetime(2026, 1, 1, k, m)  # noqa: E731
+    write([(h(0), "a"), (h(0, 30), "a"), (h(10), "a")])
+
+    stream = spark.readStream.schema(schema).parquet(s_dir)
+    agg = streaming_tumbling_counts(stream, "ts", 3600, ["event_type"], "1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        write([(h(0, 45), "a"), (h(11), "a")])  # late replay + fresh row
+        _drain(q)
+        # one more empty-ish advance so the 10:00 window can finalize
+        write([(h(12), "a")])
+        _drain(q)
+        got = {
+            (r.bucket, r.n_events)
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+    finally:
+        q.stop()
+
+    base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # hour-0 window emitted with batch-1 count only (2) — the late
+    # 00:45 row was dropped; hour-10 emitted once the watermark passed
+    # its end. Hour-11/12 stay OPEN (watermark reached 11:00, < their
+    # ends) — append mode holds them back, which is itself the
+    # finalize-once contract under test.
+    assert (base, 2) in got
+    assert (base, 3) not in got
+    assert (base + 10, 1) in got
+    assert (base + 11, 1) not in got

@@ -1,0 +1,101 @@
+"""KeyedTable merge-upsert: partial rewrite, idempotence, recovery.
+
+Mirrors the reference test idioms (SURVEY §5): reopen-and-reread
+persistence, crash-state recovery, exact content assertions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from proglog_spark.sources.upsert import BUCKET_COL, KeyedTable
+
+
+def _mk_base(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("v0-"), "id").alias("val")
+    )
+
+
+def _content(t):
+    return {(r.doc_id, r.val) for r in t.df().select("doc_id", "val").collect()}
+
+
+def test_merge_replaces_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "kt")
+    t = KeyedTable.create(spark, path, _mk_base(spark), "doc_id", n_buckets=8)
+    updates = spark.createDataFrame(
+        [(5, "v1-5"), (50, "v1-50"), (150, "v1-150")], "doc_id LONG, val STRING"
+    )
+    n_rewritten = t.merge(updates)
+    assert 1 <= n_rewritten <= 3
+    want = {(i, f"v0-{i}") for i in range(100) if i not in (5, 50)}
+    want |= {(5, "v1-5"), (50, "v1-50"), (150, "v1-150")}
+    assert _content(t) == want
+    # reopen-and-reread (new reader over the same path)
+    t2 = KeyedTable.open(spark, path, "doc_id", 8)
+    assert _content(t2) == want
+
+
+def test_merge_leaves_untouched_buckets_alone(spark, tmp_path):
+    path = str(tmp_path / "kt")
+    t = KeyedTable.create(spark, path, _mk_base(spark), "doc_id", n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{BUCKET_COL}="):
+                b = int(d.split("=")[1])
+                full = os.path.join(path, d)
+                out[b] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                }
+        return out
+
+    before = bucket_files()
+    updates = spark.createDataFrame([(5, "v1-5")], "doc_id LONG, val STRING")
+    touched_bucket = updates.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("b")
+    ).first().b
+    assert t.merge(updates) == 1
+    after = bucket_files()
+    for b in before:
+        if b != touched_bucket:
+            assert after[b] == before[b], f"bucket {b} was rewritten"
+    assert after[touched_bucket] != before[touched_bucket]
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "kt")
+    t = KeyedTable.create(spark, path, _mk_base(spark, 20), "doc_id", 4)
+    updates = spark.createDataFrame(
+        [(3, "v1-3"), (21, "v1-21")], "doc_id LONG, val STRING"
+    )
+    t.merge(updates)
+    first = _content(t)
+    t.merge(updates)
+    assert _content(t) == first
+
+
+def test_recover_restores_aside_bucket(spark, tmp_path):
+    """Crash between 'aside' and 'swap in': the live bucket dir is
+    missing and its content sits in .merge-old-<b>; open() restores."""
+    path = str(tmp_path / "kt")
+    t = KeyedTable.create(spark, path, _mk_base(spark, 20), "doc_id", 4)
+    want = _content(t)
+    b = next(
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    )
+    os.rename(
+        os.path.join(path, f"{BUCKET_COL}={b}"),
+        os.path.join(path, f".merge-old-{b}"),
+    )
+    t2 = KeyedTable.open(spark, path, "doc_id", 4)
+    assert _content(t2) == want
+    # stale aside dirs with a live bucket are dropped
+    assert not any(d.startswith(".merge-old") for d in os.listdir(path))
