@@ -2731,6 +2731,37 @@ def events_unpivot_extremes(spark, sf_dir):
 
 
 @register(
+    "events_props_map_explode",
+    # oracle parses the (fixed, single-entry) props object textually —
+    # DuckDB's json table functions aren't loadable from a bare query
+    "SELECT regexp_extract(props, '\"([^\"]+)\"', 1) AS prop_key, "
+    "count(*) AS n_rows, "
+    "sum(CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT)) AS value_sum "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_props_map_explode(spark, sf_dir):
+    """Map-type surface: parse the props JSON object into
+    map<string,string>, explode to (key, value) rows (generator over a
+    map), aggregate per key. The lateral fan-out shape for nested
+    property bags — narrow (explode factor = bag size), then one
+    partial-agg shuffle on the low-cardinality key."""
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "prop_key", "prop_value"
+        )
+    )
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("prop_value").cast("long")).alias("value_sum"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+@register(
     "events_user_value_percentiles",
     "WITH t AS (SELECT user_id, sum(CAST(floor(value*100) AS BIGINT)) AS total_cents "
     "FROM events GROUP BY 1) "
