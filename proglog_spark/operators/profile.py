@@ -1,0 +1,111 @@
+"""Column profiling — the "describe my table" pass every curation
+pipeline runs before touching 100 TB.
+
+``profile_columns`` computes, per requested column: total rows, null
+count, exact distinct count, and canonical string renderings of
+min/max. Everything rides ONE aggregation over the scan (Catalyst
+plans the multi-distinct via a single Expand + partial aggregation —
+one shuffle total, no per-column passes), then a driver-free
+``stack`` unpivot turns the 1-row wide result into the long
+``(column_name, ...)`` shape.
+
+min/max are aggregated on the TYPED values and rendered to canonical
+strings only afterwards (rendering first would be wrong: decimal
+strings are not order-isomorphic to their values — "9" > "10").
+Renderings match the DuckDB oracle exactly:
+
+- ``int``   → decimal string of the integral value
+- ``micros``→ decimal string of ``floor(x * 1e6)`` (fixed-point, never
+  a float repr)
+- ``str``   → the value itself
+- ``date``  → ``yyyy-MM-dd``
+
+100 TB posture: exact distinct over many columns multiplies shuffled
+rows by the column count (Expand). At cluster scale pass
+``approx=True`` to swap in HLL++ (`approx_count_distinct`, rsd 1%) —
+one ordinary partial-agg, no Expand; the oracle-hashed query keeps
+``approx=False`` because exactness is what the gate checks.
+
+No reference analog (the reference's only metadata is offset bounds,
+`internal/log/log.go:137-153`); this is north-star pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KINDS = ("int", "micros", "str", "date")
+
+
+def _render(c: Column, kind: str) -> Column:
+    if kind == "int":
+        return c.cast("bigint").cast("string")
+    if kind == "micros":
+        # floor commutes with min/max (monotone), so rendering the
+        # aggregated value equals aggregating rendered fixed-points
+        return F.floor(c * F.lit(1000000)).cast("bigint").cast("string")
+    if kind == "str":
+        return c.cast("string")
+    if kind == "date":
+        return F.date_format(c.cast("date"), "yyyy-MM-dd")
+    raise ValueError(f"unknown kind {kind!r}; expected one of {_KINDS}")
+
+
+def profile_columns(
+    df: DataFrame, specs: list[tuple[str, str]], approx: bool = False
+) -> DataFrame:
+    """Profile ``specs`` = [(column, kind)] → long-form stats table.
+
+    Output: ``column_name, n_rows, n_nulls, n_distinct, min_repr,
+    max_repr`` — one row per requested column, ordered by name.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, _kind in specs:
+        c = F.col(name)
+        distinct = (
+            F.approx_count_distinct(name, rsd=0.01)
+            if approx
+            else F.count_distinct(c)
+        )
+        aggs += [
+            F.count(c).alias(f"__nn_{name}"),
+            distinct.alias(f"__nd_{name}"),
+            F.min(c).alias(f"__min_{name}"),
+            F.max(c).alias(f"__max_{name}"),
+        ]
+    wide = df.agg(*aggs)
+
+    # render typed extremes to canonical strings, then unpivot
+    rendered = wide.select(
+        F.col("__n"),
+        *[
+            col
+            for name, kind in specs
+            for col in (
+                F.col(f"__nn_{name}"),
+                F.col(f"__nd_{name}").cast("bigint").alias(f"__nd_{name}"),
+                _render(F.col(f"__min_{name}"), kind).alias(f"__min_{name}"),
+                _render(F.col(f"__max_{name}"), kind).alias(f"__max_{name}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', __nn_{name}, __nd_{name}, __min_{name}, __max_{name}"
+        for name, _kind in specs
+    )
+    stacked = rendered.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(column_name, __nn, n_distinct, min_repr, max_repr)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+    ).orderBy("column_name")

@@ -3009,6 +3009,116 @@ def tpch_q11_important_parts(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_profile",
+    "SELECT column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr "
+    "FROM ("
+    "SELECT 'l_orderkey' AS column_name, count(*) AS n_rows, "
+    "count(*) - count(l_orderkey) AS n_nulls, "
+    "count(DISTINCT l_orderkey) AS n_distinct, "
+    "CAST(min(l_orderkey) AS VARCHAR) AS min_repr, "
+    "CAST(max(l_orderkey) AS VARCHAR) AS max_repr FROM lineitem "
+    "UNION ALL "
+    "SELECT 'l_quantity', count(*), count(*) - count(l_quantity), "
+    "count(DISTINCT l_quantity), "
+    "CAST(CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS VARCHAR) "
+    "FROM lineitem "
+    "UNION ALL "
+    "SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), "
+    "count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag) "
+    "FROM lineitem "
+    "UNION ALL "
+    "SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate), "
+    "count(DISTINCT l_shipdate), "
+    "strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d'), "
+    "strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') FROM lineitem"
+    ") ORDER BY column_name",
+)
+def lineitem_profile(spark, sf_dir):
+    """Data profiling (curation pre-flight): per-column rows / nulls /
+    exact distinct / canonical min-max over the fact table, in ONE
+    aggregation pass (`operators/profile.py` — Expand-based
+    multi-distinct, single shuffle; the DuckDB oracle spells it as
+    four UNION'd scans, which is exactly the per-column rescan shape
+    the Spark plan avoids). `approx=True` swaps HLL++ in at cluster
+    scale."""
+    from proglog_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        [
+            ("l_orderkey", "int"),
+            ("l_quantity", "micros"),
+            ("l_returnflag", "str"),
+            ("l_shipdate", "date"),
+        ],
+    )
+
+
+@register(
+    "events_value_moments",
+    "WITH m AS (SELECT event_type, count(*) AS n, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS sx, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT) * "
+    "CAST(floor(value * 1000000) AS BIGINT)) AS sxx, "
+    "sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sy, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT) * "
+    "CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxy "
+    "FROM events GROUP BY 1) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n_events, "
+    "CAST(sx // n AS BIGINT) AS mean_micro, "
+    "CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS pvar_micro2, "
+    "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 "
+    "WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS INTEGER) AS cov_sign, "
+    "CAST(abs(n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov_abs_microhour "
+    "FROM m ORDER BY event_type",
+)
+def events_value_moments(spark, sf_dir):
+    """Exact statistical moments in fixed point: per-type mean and
+    population variance of `value` (micro units), plus the covariance
+    of value with hour-of-day — the two-variable sufficient-statistics
+    pattern (n, Σx, Σx², Σy, Σxy) every profiling/drift job runs.
+
+    One partial-agg shuffle carries five integers per group; all
+    arithmetic is DECIMAL(38,0) (Spark) vs HUGEINT (DuckDB) — exact,
+    so hash-safe where float `var_pop`/`covar_pop` never is. The
+    covariance (sign-indefinite) is split into sign + abs before the
+    integral division so truncation semantics can't differ between
+    engines. Headroom: Σx² ≤ 6.4e24 at sf100 — within DECIMAL(38,0)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1000000).cast("decimal(38,0)")
+    y = F.hour("ts").cast("decimal(38,0)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr("sx div n").cast("bigint").alias("mean_micro"),
+            F.expr("(n * sxx - sx * sx) div (n * n)")
+            .cast("bigint")
+            .alias("pvar_micro2"),
+            F.when(cov_num < 0, -1)
+            .when(cov_num > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("cov_sign"),
+            F.expr("abs(n * sxy - sx * sy) div (n * n)")
+            .cast("bigint")
+            .alias("cov_abs_microhour"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

@@ -619,3 +619,34 @@ def test_pca_power_matches_numpy(spark, emb):
         # convergence rate is (gap ratio)^iters — tolerance covers the
         # near-degenerate spectrum of the synthetic clusters
         assert min(np.linalg.norm(v - ref_v), np.linalg.norm(v + ref_v)) < 5e-3
+
+
+def test_profile_columns_nulls_and_rendering(spark):
+    """Profile must count nulls, aggregate min/max on TYPED values
+    (not rendered strings — '9' vs '10' would invert), and render
+    fixed-point micros / ISO dates canonically."""
+    from proglog_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (9, 1.5, "b", "2024-03-01 10:00:00"),
+            (10, None, "a", "2023-12-31 23:59:59"),
+            (2, 0.25, None, None),
+            (10, -1.75, "a", "2024-03-01 10:00:00"),
+        ],
+        "k LONG, v DOUBLE, s STRING, t STRING",
+    ).selectExpr("k", "v", "s", "CAST(t AS TIMESTAMP) AS t")
+    out = {
+        r.column_name: r
+        for r in profile_columns(
+            df, [("k", "int"), ("v", "micros"), ("s", "str"), ("t", "date")]
+        ).collect()
+    }
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["k"].n_nulls, out["k"].n_distinct) == (0, 3)
+    # typed min/max: 2..10, not lexicographic "10".."9"
+    assert (out["k"].min_repr, out["k"].max_repr) == ("2", "10")
+    assert (out["v"].n_nulls, out["v"].n_distinct) == (1, 3)
+    assert (out["v"].min_repr, out["v"].max_repr) == ("-1750000", "1500000")
+    assert (out["s"].min_repr, out["s"].max_repr) == ("a", "b")
+    assert (out["t"].min_repr, out["t"].max_repr) == ("2023-12-31", "2024-03-01")
