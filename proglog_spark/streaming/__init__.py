@@ -1,6 +1,10 @@
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
-from proglog_spark.streaming.joins import streaming_attribution_join
+from proglog_spark.streaming.joins import (
+    enrich_stream,
+    streaming_attribution_join,
+    streaming_outer_attribution_join,
+)
 from proglog_spark.streaming.produce import produce_stream
 from proglog_spark.streaming.rollup import continuous_rollup, read_rollup
 from proglog_spark.streaming.sessions import streaming_sessionize
@@ -10,9 +14,11 @@ __all__ = [
     "consume_stream",
     "continuous_rollup",
     "dedup_stream",
+    "enrich_stream",
     "produce_stream",
     "read_rollup",
     "streaming_attribution_join",
+    "streaming_outer_attribution_join",
     "streaming_sessionize",
     "streaming_tumbling_counts",
     "tail_follow",

@@ -54,6 +54,50 @@ def streaming_attribution_join(
     return c.join(a, cond, "inner")
 
 
+def streaming_outer_attribution_join(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    anchor_key: str,
+    candidate_key: str,
+    anchor_ts: str,
+    candidate_ts: str,
+    window_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join, anchors preserved: every anchor
+    row eventually emits — joined to each in-window candidate if any
+    arrived, else exactly once NULL-extended.
+
+    The outer semantics are what attribution/funnel jobs actually
+    need ("purchases with NO preceding touch" is the interesting
+    cohort), and they are only well-defined because BOTH sides are
+    watermarked and the condition carries the event-time bound: an
+    unmatched anchor's NULL row is emitted when the watermark passes
+    the end of its candidate window — i.e. when no matching candidate
+    can still arrive — and its state is dropped at that same point.
+    State stays (watermark horizon x arrival rate), exactly as in the
+    inner variant; the NULL rows are late by one watermark, which is
+    the price of correctness (emitting earlier could double-answer).
+
+    Column names must be disjoint. Matched pairs emit eagerly; only
+    the NULL extensions wait for the watermark.
+    """
+    clash = set(anchors.columns) & set(candidates.columns)
+    if clash:
+        raise ValueError(f"anchor/candidate column names must be disjoint: {clash}")
+    a = anchors.withWatermark(anchor_ts, watermark)
+    c = candidates.withWatermark(candidate_ts, watermark)
+    cond = (
+        (F.col(anchor_key) == F.col(candidate_key))
+        & (
+            F.col(candidate_ts)
+            >= F.col(anchor_ts) - F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+        & (F.col(candidate_ts) < F.col(anchor_ts))
+    )
+    return a.join(c, cond, "leftOuter")
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -554,3 +554,60 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     assert (base, 3) not in got
     assert (base + 10, 1) in got
     assert (base + 11, 1) not in got
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched anchors emit eagerly;
+    an anchor with no in-window candidate emits its NULL-extended row
+    only after the watermark passes the end of its candidate window
+    (and exactly once)."""
+    from proglog_spark.streaming.joins import streaming_outer_attribution_join
+
+    a_dir, c_dir = str(tmp_path / "anchors"), str(tmp_path / "cands")
+    a_schema = "p_id LONG, p_user LONG, p_ts TIMESTAMP"
+    c_schema = "c_id LONG, c_user LONG, c_ts TIMESTAMP"
+
+    def w(path, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # p1 has a candidate 30 min before; p2 has none
+    w(a_dir, a_schema, [(1, 100, t(10)), (2, 200, t(10))])
+    w(c_dir, c_schema, [(11, 100, t(9, 30))])
+
+    joined = streaming_outer_attribution_join(
+        spark.readStream.schema(a_schema).parquet(a_dir),
+        spark.readStream.schema(c_schema).parquet(c_dir),
+        "p_user", "c_user", "p_ts", "c_ts",
+        3600, watermark="10 minutes",
+    )
+    q = (
+        joined.select("p_id", "c_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {(r.p_id, r.c_id) for r in spark.sql("SELECT * FROM ss_outer").collect()}
+        assert (1, 11) in got  # eager match
+        assert (2, None) not in got  # watermark hasn't passed p2's window yet
+
+        # advance both watermarks well past p2's window, then one more
+        # batch so eviction results land in the sink
+        w(a_dir, a_schema, [(3, 300, t(14))])
+        w(c_dir, c_schema, [(12, 300, t(14, 30))])
+        _drain(q)
+        w(a_dir, a_schema, [(4, 400, t(15))])
+        w(c_dir, c_schema, [(13, 400, t(15, 30))])
+        _drain(q)
+        rows = [(r.p_id, r.c_id) for r in spark.sql("SELECT * FROM ss_outer").collect()]
+    finally:
+        q.stop()
+
+    assert rows.count((2, None)) == 1  # exactly-once NULL extension
+    assert (1, 11) in rows
