@@ -3119,6 +3119,118 @@ def events_value_moments(spark, sf_dir):
     )
 
 
+@register(
+    "docs_fuzzy_block_match",
+    "WITH d AS (SELECT doc_id, source, n_chars // 100 AS sz, "
+    "left(text, 40) AS p FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(levenshtein(a.p, b.p) AS BIGINT) AS prefix_dist "
+    "FROM d a JOIN d b ON a.source = b.source AND a.sz = b.sz "
+    "AND a.doc_id < b.doc_id "
+    "WHERE levenshtein(a.p, b.p) <= 12 ORDER BY id_a, id_b",
+)
+def docs_fuzzy_block_match(spark, sf_dir):
+    """Blocked fuzzy matching — the classic record-linkage shape:
+    edit distance is O(len²) per pair and all-pairs is O(n²), so pairs
+    are generated only inside (source, size-bucket) blocks via an
+    equi-join (shuffle on the block key), then JVM-side
+    ``levenshtein`` on fixed 40-char prefixes filters survivors.
+    Block sizes are bounded by the source/size histogram (≤ ~70 docs
+    at sf0.1 → ≤ ~2.5k pairs per block); at cluster scale skewed
+    blocks get the salted-join treatment (`operators/skew.py`) or a
+    MinHash pre-filter (`docs_minhash_lsh`) before the exact
+    distance."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("n_chars div 100").alias("sz"),
+        F.substring("text", 1, 40).alias("p"),
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    return (
+        a.join(
+            b,
+            (F.col("a_source") == F.col("b_source"))
+            & (F.col("a_sz") == F.col("b_sz"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .select(
+            F.col("a_doc_id").alias("id_a"),
+            F.col("b_doc_id").alias("id_b"),
+            F.levenshtein("a_p", "b_p").cast("bigint").alias("prefix_dist"),
+        )
+        .where(F.col("prefix_dist") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "events_minute_gapfill",
+    "WITH ev AS (SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m, event_type "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-15' "
+    "AND ts < TIMESTAMP '2024-01-16'), "
+    "bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM ev), "
+    "spine AS (SELECT unnest(generate_series(lo, hi)) AS m FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM ev), "
+    "cnt AS (SELECT m, event_type, count(*) AS n FROM ev GROUP BY 1, 2) "
+    "SELECT t.event_type, s.m AS bucket, "
+    "COALESCE(c.n, 0) AS n_events, "
+    "CAST(sum(COALESCE(c.n, 0)) OVER "
+    "(PARTITION BY t.event_type ORDER BY s.m) AS BIGINT) AS cum_events "
+    "FROM spine s CROSS JOIN types t "
+    "LEFT JOIN cnt c ON c.m = s.m AND c.event_type = t.event_type "
+    "ORDER BY t.event_type, s.m",
+)
+def events_minute_gapfill(spark, sf_dir):
+    """Time-series regularization (`operators/timeseries.gap_fill`):
+    dense per-type minute spine over one day, zero-filled counts +
+    running totals. The raw events are touched once (partial-agg
+    shuffle); the spine is sequence()+explode from the 1-row bounds —
+    synthetic rows are born distributed, never collected."""
+    from proglog_spark.operators.timeseries import gap_fill
+
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    return gap_fill(e, "ts", ["event_type"], 60)
+
+
+@register(
+    "emb_label_centroids",
+    "SELECT label, CAST(ord - 1 AS INTEGER) AS dim, "
+    "count(*) AS n_vecs, "
+    "sum(CAST(floor(CAST(embedding[ord] AS DOUBLE) * 1000000) AS BIGINT)) "
+    "AS sum_micro FROM ("
+    "SELECT label, embedding, "
+    "unnest(generate_series(1, len(embedding))) AS ord FROM embeddings"
+    ") GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid sufficient statistics: element-wise vector
+    sums in exact micro fixed point (float32 → double widening is
+    exact, so both engines floor identical doubles). posexplode fans
+    each vector into (dim, value) — a ×64 narrow expansion feeding one
+    partial-agg shuffle keyed (label, dim); output is |labels|×d rows.
+    At cluster scale the same statistic can ride a grouped-agg Arrow
+    UDF summing numpy blocks (no explode), cf. `operators/linalg.py`
+    — the explode form stays whole-stage-codegen and needs no Python
+    workers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1000000).cast("bigint")
+            ).alias("sum_micro"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

@@ -650,3 +650,31 @@ def test_profile_columns_nulls_and_rendering(spark):
     assert (out["v"].min_repr, out["v"].max_repr) == ("-1750000", "1500000")
     assert (out["s"].min_repr, out["s"].max_repr) == ("a", "b")
     assert (out["t"].min_repr, out["t"].max_repr) == ("2023-12-31", "2024-03-01")
+
+
+def test_gap_fill_dense_spine_and_running_totals(spark):
+    """Every bucket between global min and max appears for every key,
+    zeros where nothing happened, running totals accumulate."""
+    from proglog_spark.operators.timeseries import gap_fill
+
+    rows = [
+        ("a", "2024-01-01 00:00:30"),
+        ("a", "2024-01-01 00:03:10"),
+        ("a", "2024-01-01 00:03:50"),
+        ("b", "2024-01-01 00:01:05"),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, t STRING").selectExpr(
+        "k", "CAST(t AS TIMESTAMP) AS ts"
+    )
+    out = gap_fill(df, "ts", ["k"], 60).collect()
+    base = out[0].bucket
+    # 4 buckets (minutes 0..3) x 2 keys, dense
+    assert len(out) == 8
+    got = {(r.k, r.bucket - base): (r.n_events, r.cum_events) for r in out}
+    assert got[("a", 0)] == (1, 1)
+    assert got[("a", 1)] == (0, 1)  # gap zero-filled, total carried
+    assert got[("a", 2)] == (0, 1)
+    assert got[("a", 3)] == (2, 3)
+    assert got[("b", 0)] == (0, 0)
+    assert got[("b", 1)] == (1, 1)
+    assert got[("b", 3)] == (0, 1)
