@@ -60,21 +60,31 @@ def profile_columns(
     Output: ``column_name, n_rows, n_nulls, n_distinct, min_repr,
     max_repr`` — one row per requested column, ordered by name.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # TWO aggregation jobs, not one: mixing several DISTINCT aggregates
+    # with plain min/max/count in a single Aggregate makes Catalyst
+    # Expand every input row once per distinct column AND drag the
+    # plain-agg columns through the expansion — measured 6.5 s at
+    # sf0.1 vs 0.8 s + 1.5 s split. Two columnar scans that each
+    # shuffle a handful of numbers beat one scan that shuffles
+    # (columns × rows); the 1-row results recombine with a free
+    # broadcast cross join.
+    basic_aggs = [F.count(F.lit(1)).alias("__n")]
+    distinct_aggs = []
     for name, _kind in specs:
         c = F.col(name)
-        distinct = (
-            F.approx_count_distinct(name, rsd=0.01)
-            if approx
-            else F.count_distinct(c)
-        )
-        aggs += [
+        basic_aggs += [
             F.count(c).alias(f"__nn_{name}"),
-            distinct.alias(f"__nd_{name}"),
             F.min(c).alias(f"__min_{name}"),
             F.max(c).alias(f"__max_{name}"),
         ]
-    wide = df.agg(*aggs)
+        distinct_aggs.append(
+            (
+                F.approx_count_distinct(name, rsd=0.01)
+                if approx
+                else F.count_distinct(c)
+            ).alias(f"__nd_{name}")
+        )
+    wide = df.agg(*basic_aggs).crossJoin(F.broadcast(df.agg(*distinct_aggs)))
 
     # render typed extremes to canonical strings, then unpivot
     rendered = wide.select(

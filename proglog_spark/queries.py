@@ -3146,15 +3146,25 @@ def docs_fuzzy_block_match(spark, sf_dir):
         F.expr("n_chars div 100").alias("sz"),
         F.substring("text", 1, 40).alias("p"),
     )
-    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    # parallelism must be pinned BEFORE the join: the dim-sized corpus
+    # broadcasts, so the join inherits the probe side's partitioning —
+    # and a single-file scan is ONE partition, serializing ~115k
+    # levenshtein DPs inside one task (measured 4-7 s vs <1 s spread).
+    # Repartitioning 5k tiny rows costs nothing; at 100 TB the probe
+    # side is many files and this becomes a no-op guard.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns]).repartition(
+        n_part
+    )
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a_source") == F.col("b_source"))
+        & (F.col("a_sz") == F.col("b_sz"))
+        & (F.col("a_doc_id") < F.col("b_doc_id")),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a_source") == F.col("b_source"))
-            & (F.col("a_sz") == F.col("b_sz"))
-            & (F.col("a_doc_id") < F.col("b_doc_id")),
-        )
+        pairs
         .select(
             F.col("a_doc_id").alias("id_a"),
             F.col("b_doc_id").alias("id_b"),

@@ -55,6 +55,14 @@ def build_session(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # AQE coalescing is BYTE-based; stages whose cost is CPU per
+        # row on tiny rows (levenshtein pairs, sketch UDFs) serialize
+        # when their whole input undercuts the 1 MB default min
+        # partition size. 64 KB keeps such stages parallel while still
+        # folding genuinely empty partitions (measured: blocked fuzzy
+        # match 4 s -> sub-second; no regression on scan-bound
+        # queries, which AQE sizes by the 64 MB advisory target).
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         # Arrow batches for the pandas-UDF slow path (vector ops, media).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Keep partition files bounded — the LogTable "segment roll" knob
