@@ -3241,6 +3241,118 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "docs_pack_sequences",
+    "WITH t AS (SELECT doc_id, CAST(length(text) - "
+    "length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok FROM documents), "
+    "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum "
+    "FROM t) "
+    "SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id, "
+    "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
+    "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+    "FROM c GROUP BY 1 ORDER BY 1",
+)
+def docs_pack_sequences(spark, sf_dir):
+    """Sequence packing (`operators/packing.py`): walk the corpus in
+    doc_id order, fill 2048-token bins, documents straddle boundaries
+    (concatenate-and-chunk dataloader model). The global running sum
+    never creates a single-partition window: range-partition + local
+    sort, per-partition sums to the driver (P longs), Arrow cumsum
+    pass adds the offsets. The oracle spells the same thing as the
+    naive `sum() OVER (ORDER BY doc_id)`."""
+    from proglog_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    packed = pack_sequences(t, ["doc_id"], "n_tok", 2048)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@register(
+    "docs_tokenize_ids",
+    "WITH tok AS (SELECT doc_id, i AS pos, lower(arr[i]) AS term FROM "
+    "(SELECT doc_id, regexp_split_to_array(text, '[^A-Za-z]+') AS arr "
+    "FROM documents), LATERAL (SELECT unnest(generate_series(1, len(arr))) "
+    "AS i) WHERE arr[i] <> ''), "
+    "vc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1), "
+    "vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) "
+    "- 1 AS BIGINT) AS id FROM vc ORDER BY c DESC, term LIMIT 1000), "
+    "j AS (SELECT t.doc_id, t.pos, v.id FROM tok t LEFT JOIN vocab v "
+    "USING (term)), "
+    "base AS (SELECT doc_id, count(*) AS n_tokens, "
+    "count(*) - count(id) AS n_oov FROM j GROUP BY 1), "
+    "pref AS (SELECT doc_id, list(id ORDER BY pos) AS ids FROM "
+    "(SELECT doc_id, pos, id, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS rn FROM j WHERE id IS NOT NULL) "
+    "WHERE rn <= 8 GROUP BY 1) "
+    "SELECT b.doc_id, b.n_tokens, b.n_oov, "
+    "COALESCE(p.ids, CAST([] AS BIGINT[])) AS ids_prefix "
+    "FROM base b LEFT JOIN pref p USING (doc_id) ORDER BY b.doc_id",
+)
+def docs_tokenize_ids(spark, sf_dir):
+    """Tokenization with a learned vocabulary — the map-text-to-ids
+    step of every pretraining pipeline: build the top-1000 vocab by
+    (frequency DESC, term) from the corpus itself (TakeOrdered — no
+    global vocabulary sort; id assignment is a window over the
+    already-LIMITed 1000 rows, driver-scale by construction),
+    broadcast it, and stream every token through the broadcast left
+    join. Per doc: token count, OOV count, and the ids of the first 8
+    in-vocab tokens in document order (array output, hash-compared
+    order-sensitively)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(F.split("text", "[^A-Za-z]+")).alias("pos", "t"))
+        .where(F.col("t") != "")
+        .select("doc_id", "pos", F.lower("t").alias("term"))
+    )
+    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = vc.orderBy(F.col("c").desc(), "term").limit(1000)
+    wv = Window.orderBy(F.col("c").desc(), "term")
+    vocab = top.select(
+        "term", (F.row_number().over(wv) - 1).cast("long").alias("id")
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    base = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count("id")).alias("n_oov"),
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    pref = (
+        j.where(F.col("id").isNotNull())
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= 8)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "id"))).alias("ps"))
+        .select("doc_id", F.expr("transform(ps, x -> x.id)").alias("ids"))
+    )
+    return (
+        base.join(pref, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.coalesce(F.col("ids"), F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias(
+                "ids_prefix"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

@@ -678,3 +678,28 @@ def test_gap_fill_dense_spine_and_running_totals(spark):
     assert got[("b", 0)] == (0, 0)
     assert got[("b", 1)] == (1, 1)
     assert got[("b", 3)] == (0, 1)
+
+
+def test_running_total_and_packing_match_window(spark):
+    """Two-phase distributed running sum == naive single-partition
+    window; straddling documents keep their starting bin."""
+    from pyspark.sql import Window
+    from proglog_spark.operators.packing import pack_sequences, with_running_total
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100 + 1).alias("sz")
+    )
+    got = {
+        r.k: r.running_total
+        for r in with_running_total(df, ["k"], "sz", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("sz").over(w)).collect()}
+    assert got == want
+
+    packed = pack_sequences(df, ["k"], "sz", 512, num_partitions=7)
+    rows = {r.k: r.bin_id for r in packed.collect()}
+    assert rows == {k: (want[k] - (k * 37) % 100 - 1) // 512 for k in rows}
+    # bins fill contiguously: bin ids are dense from 0
+    bins = sorted(set(rows.values()))
+    assert bins == list(range(len(bins)))
