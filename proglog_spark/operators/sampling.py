@@ -93,3 +93,25 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def mixture_rates(
+    col, rates: dict[str, int], default_micro: int
+) -> "F.Column":
+    """Per-group sampling rate (micro) as a CASE chain: the declared
+    mixture recipe ("keep 80% of src0, 40% of src1, 10% of the rest")
+    expressed as a pure column — deterministic, broadcast-free."""
+    expr = F.lit(default_micro)
+    for k in sorted(rates, reverse=True):
+        expr = F.when(col == k, F.lit(int(rates[k]))).otherwise(expr)
+    return expr
+
+
+def mixture_sample(df, key_col: str, rate_micro, salt: str = "mix"):
+    """Weighted mixture sampling: keep each row iff its key hash falls
+    below the row's own target rate. Same key-hash membership as
+    ``hash_sample`` (stable, join-consistent, nested: raising a
+    source's rate only ADDS documents), so re-weighting a 100 TB
+    mixture is a metadata change plus one filter scan — no shuffle,
+    no RNG, reproducible across runs and cluster sizes."""
+    return df.where(hash_bucket(F.col(key_col), salt) < rate_micro)

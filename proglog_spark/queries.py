@@ -3353,6 +3353,102 @@ def docs_tokenize_ids(spark, sf_dir):
     )
 
 
+@register(
+    "docs_tfidf_top_terms",
+    "WITH tok AS (SELECT doc_id, lower(t) AS term FROM "
+    "(SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t "
+    "FROM documents) WHERE t <> ''), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+    "idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+    "s AS (SELECT doc_id, term, "
+    "CAST(tf * 1000000000000 // df AS BIGINT) AS score_pico, "
+    "row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY tf * 1000000000000 // df DESC, term) AS rn "
+    "FROM tf JOIN idf USING (term)) "
+    "SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score_pico "
+    "FROM s WHERE rn <= 5 ORDER BY doc_id, rank",
+)
+def docs_tfidf_top_terms(spark, sf_dir):
+    """Rarity-weighted term importance (tf-idf family): per-doc top-5
+    terms scored ``tf/df`` in pico fixed point — monotone in tf×idf
+    for any decreasing idf, and integer-exact where ``ln(N/df)``
+    could never hash-match across engines. One shuffle builds tf
+    (doc, term), a broadcast of the aggregated df table scores every
+    term in place, and the per-doc top-5 is a bounded window. At
+    cluster scale the df table may outgrow a broadcast — it falls
+    back to an equi-join on term (AQE decides)."""
+    from proglog_spark.sources.tables import fan_out
+
+    # single-file fixture → spread the tokenize+explode across cores
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.expr("tf * 1000000000000 div df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "term",
+            score.cast("long").alias("score_pico"),
+        )
+        .where(F.col("rank") <= 5)
+        .orderBy("doc_id", "rank")
+    )
+
+
+_MIXTURE_RATES = {"src0": 800000, "src1": 400000, "src2": 200000}
+_MIXTURE_DEFAULT = 100000
+_MIXTURE_RATE_SQL = (
+    "CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 400000 "
+    "WHEN 'src2' THEN 200000 ELSE 100000 END"
+)
+
+
+@register(
+    "docs_weighted_mixture",
+    "SELECT source, count(*) AS n_docs, "
+    "count(CASE WHEN h < r THEN 1 END) AS n_kept, "
+    "CAST(COALESCE(sum(CASE WHEN h < r THEN n_chars END), 0) AS BIGINT) "
+    "AS kept_chars FROM ("
+    "SELECT source, n_chars, "
+    "CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000 AS h, "
+    f"{_MIXTURE_RATE_SQL} AS r FROM documents) "
+    "GROUP BY 1 ORDER BY 1",
+)
+def docs_weighted_mixture(spark, sf_dir):
+    """Mixture re-weighting audit (`sampling.mixture_rates` /
+    `mixture_sample`): each source gets a declared keep-rate; a doc
+    survives iff its key hash lands under its source's rate. The whole
+    recipe is one conditional-agg scan (no shuffle of documents, no
+    RNG); because membership is nested in the hash order, raising a
+    source's weight only ADDS documents — incremental re-mixes of a
+    100 TB corpus reprocess nothing."""
+    from proglog_spark.operators.sampling import hash_bucket, mixture_rates
+
+    d = load_table(spark, sf_dir, "documents")
+    r = mixture_rates(F.col("source"), _MIXTURE_RATES, _MIXTURE_DEFAULT)
+    kept = hash_bucket(F.col("doc_id"), "mix") < r
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

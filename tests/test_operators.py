@@ -703,3 +703,17 @@ def test_running_total_and_packing_match_window(spark):
     # bins fill contiguously: bin ids are dense from 0
     bins = sorted(set(rows.values()))
     assert bins == list(range(len(bins)))
+
+
+def test_mixture_sample_nested_and_weighted(docs):
+    """Raising a source's rate only ADDS documents (hash-nested), and
+    per-source keep fractions track the declared weights."""
+    from proglog_spark.operators.sampling import mixture_rates, mixture_sample
+
+    lo = mixture_rates(F.col("source"), {"src0": 200000}, 100000)
+    hi = mixture_rates(F.col("source"), {"src0": 800000}, 400000)
+    kept_lo = {r.doc_id for r in mixture_sample(docs, "doc_id", lo).select("doc_id").collect()}
+    kept_hi = {r.doc_id for r in mixture_sample(docs, "doc_id", hi).select("doc_id").collect()}
+    assert kept_lo <= kept_hi
+    n = docs.count()
+    assert 0 < len(kept_lo) < len(kept_hi) < n
