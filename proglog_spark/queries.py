@@ -3449,6 +3449,101 @@ def docs_weighted_mixture(spark, sf_dir):
     )
 
 
+@register(
+    "docs_curation_pipeline",
+    f"WITH {_CONTAM_GRAMS_SQL}, "
+    "keep1 AS (SELECT d.* FROM documents d JOIN "
+    "(SELECT md5(text) AS h, min(doc_id) AS k FROM documents GROUP BY 1) kk "
+    "ON md5(d.text) = kk.h AND d.doc_id = kk.k), "
+    "q AS (SELECT doc_id FROM keep1 WHERE "
+    "len(string_split(text, ' ')) >= 20 AND "
+    "floor(1000000.0 * len(list_distinct(string_split(text, ' '))) "
+    "/ len(string_split(text, ' '))) >= 300000), "
+    "bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0), "
+    "contaminated AS (SELECT DISTINCT dg.doc_id FROM "
+    "(SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0) dg "
+    "JOIN bg USING (gram)), "
+    "final AS (SELECT k.doc_id, k.source, k.n_chars FROM keep1 k "
+    "JOIN q USING (doc_id) WHERE k.doc_id % 97 <> 0 "
+    "AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)), "
+    "lab AS (SELECT source, n_chars, CASE WHEN h < 800000 THEN 'train' "
+    "WHEN h < 900000 THEN 'valid' ELSE 'test' END AS split FROM "
+    "(SELECT *, CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), "
+    "1, 8) AS BIGINT) % 1000000 AS h FROM final)) "
+    "SELECT split, source, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM lab GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def docs_curation_pipeline(spark, sf_dir):
+    """The flagship end-to-end curation composition — what a user of
+    this engine actually runs over 100 TB, as ONE declarative plan:
+
+      exact dedup (keep min-id per content hash, one hash shuffle)
+      → quality gate (stopword/repetition metrics, pure projection)
+      → benchmark decontamination (5-gram overlap vs the held-out
+        doc_id%97 set: tiny gram set DISTINCT-ed and broadcast, corpus
+        anti-joined — no corpus shuffle)
+      → deterministic train/valid/test split (key-hash projection)
+      → per-(split, source) accounting.
+
+    Every stage is a previously-declared operator (`operators/dedup`,
+    `operators/text.with_quality`, the contamination shape,
+    `sampling.train_split`) composed in-plan: Catalyst sees one tree,
+    so the text column is scanned once and the stages pipeline without
+    materialization."""
+    from proglog_spark.operators.text import with_quality
+    from proglog_spark.sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    keep1 = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    q = (
+        with_quality(keep1)
+        .where((F.col("n_tokens") >= 20) & (F.col("distinct_micro") >= 300000))
+        .select("doc_id")
+    )
+
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr(
+            "transform(sequence(1, size(w) - 4), "
+            "i -> concat_ws(' ', slice(w, i, 5)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    g = w.select("doc_id", F.array_distinct(grams).alias("gs"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = (
+        g.where(is_bench).select(F.explode("gs").alias("gram")).distinct()
+    )
+    contaminated = (
+        g.where(~is_bench)
+        .select("doc_id", F.explode("gs").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    final = (
+        keep1.join(q, "doc_id", "left_semi")
+        .where(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    labeled = sampling.train_split(final, "doc_id")
+    return (
+        labeled.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
