@@ -3544,6 +3544,55 @@ def docs_curation_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "docs_incremental_dedup",
+    "WITH cut AS (SELECT CAST(max(doc_id) * 8 / 10 AS BIGINT) AS c "
+    "FROM documents), "
+    "d AS (SELECT doc_id, "
+    "md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h "
+    "FROM documents), "
+    "old AS (SELECT h, min(doc_id) AS keeper FROM d, cut "
+    "WHERE doc_id < c GROUP BY 1), "
+    "new AS (SELECT doc_id, h FROM d, cut WHERE doc_id >= c) "
+    "SELECT n.doc_id AS new_doc, o.keeper AS dup_of "
+    "FROM new n JOIN old o USING (h) ORDER BY new_doc, dup_of",
+)
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup — the steady-state production shape:
+    a NEW batch (here: the top 20% of doc_ids) checked against the
+    EXISTING corpus without re-deduping the corpus. The match key is a
+    prefix fingerprint (md5 of the first 8 words — catches re-ingested
+    documents with trailing edits, which exact content hashing misses;
+    the fixture corpus has zero byte-exact duplicates below sf0.1 but
+    shared openings at every scale). Both sides reduce to
+    (fingerprint, id) before the join, so the shuffle carries hashes,
+    not documents; at 100 TB the old side is a pre-built fingerprint
+    index (bucketed by hash, `sources/bucketed.py`) and each ingest
+    batch joins against it with no corpus rescan. Reference motif: the
+    replicator's rejoin duplication
+    (`internal/log/replicator.go:43-87`) is exactly the bug this
+    operator catches."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg((F.max("doc_id") * 8 / 10).cast("long").alias("c"))
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    hashed = d.join(F.broadcast(cut)).select(
+        "doc_id", fp.alias("h"), "c"
+    )
+    old = (
+        hashed.where(F.col("doc_id") < F.col("c"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    new = hashed.where(F.col("doc_id") >= F.col("c")).select(
+        F.col("doc_id").alias("new_doc"), "h"
+    )
+    return (
+        new.join(old, "h")
+        .select("new_doc", "dup_of")
+        .orderBy("new_doc", "dup_of")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
