@@ -210,3 +210,76 @@ def test_train_split_is_pure_projection(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = plan_of(sampling.train_split(d, "doc_id"))
     assert "Exchange" not in plan
+
+
+def test_mixture_audit_is_single_agg_no_join(spark, sf_dir):
+    """Weighted mixture accounting: the whole recipe (hash + CASE
+    rates + conditional aggs) must be ONE aggregation over the scan —
+    no join, no second pass."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_weighted_mixture"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial-agg shuffle + sort
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """The per-term document-frequency table joins back by broadcast —
+    the tf table must not shuffle twice on term."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_tfidf_top_terms"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_match_probe_is_repartitioned(spark, sf_dir):
+    """Blocked fuzzy match: the probe side must be explicitly
+    repartitioned ahead of the broadcast join so the levenshtein
+    stage can never collapse to the scan's (possibly single-file)
+    parallelism."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_fuzzy_block_match"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_incremental_dedup_shuffles_hashes_not_documents(spark, sf_dir):
+    """Both join sides reduce to (fingerprint, id) before the shuffle:
+    the text column must not appear past the scan projection."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_incremental_dedup"][0](spark, sf_dir)
+    plan = optimized_of(df)
+    # text is consumed by md5() inside the first projection; no join
+    # output or aggregate should carry it
+    last = plan.split("Join")[0]
+    assert "text" not in last
+
+
+def test_gap_fill_spine_is_generated_not_collected(spark, sf_dir):
+    """The dense bucket spine comes from sequence()+explode over the
+    1-row bounds aggregate — no collect, and the raw events feed only
+    one aggregation."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_minute_gapfill"][0](spark, sf_dir)
+    plan = optimized_of(df)
+    assert "Generate explode(sequence" in plan.replace("\n", " ") or "explode" in plan
+
+
+def test_profile_has_no_expand_over_wide_rows(spark, sf_dir):
+    """Profiling splits plain and distinct aggregates: the Expand for
+    multi-distinct must only carry the distinct columns (the plain
+    min/max agg runs in a separate subtree joined by broadcast)."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["lineitem_profile"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # two independent aggregation subtrees over the scan
+    assert plan.count("Scan parquet") == 2
