@@ -1,3 +1,4 @@
+from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
 from proglog_spark.streaming.joins import (
@@ -11,10 +12,12 @@ from proglog_spark.streaming.sessions import streaming_sessionize
 from proglog_spark.streaming.windows import streaming_tumbling_counts
 
 __all__ = [
+    "apply_cdc_stream",
     "consume_stream",
     "continuous_rollup",
     "dedup_stream",
     "enrich_stream",
+    "latest_per_key",
     "produce_stream",
     "read_rollup",
     "streaming_attribution_join",

@@ -611,3 +611,54 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
 
     assert rows.count((2, None)) == 1  # exactly-once NULL extension
     assert (1, 11) in rows
+
+
+def test_cdc_stream_applies_latest_per_key(spark, tmp_path):
+    """Streaming CDC apply: per-batch latest-per-key reduction, merge
+    into the bucketed table, idempotent under replay."""
+    from proglog_spark.sources.upsert import KeyedTable
+    from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
+
+    schema = "k LONG, v STRING, seq LONG"
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], schema
+    )
+    table = KeyedTable.create(
+        spark, str(tmp_path / "table"), base, "k", n_buckets=4
+    )
+
+    feed = str(tmp_path / "feed")
+    # batch 1: update k=1 twice (seq decides), insert k=4
+    spark.createDataFrame(
+        [(1, "a1", 1), (1, "a2", 2), (4, "d", 1)], schema
+    ).write.mode("append").parquet(feed)
+
+    q = apply_cdc_stream(
+        spark.readStream.schema(schema).parquet(feed),
+        table,
+        order_col="seq",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        _drain(q)
+        got = {r.k: r.v for r in table.df().select("k", "v").collect()}
+        assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+        # batch 2: delete-as-tombstone-free update + another insert
+        spark.createDataFrame(
+            [(2, "b9", 7), (5, "e", 1)], schema
+        ).write.mode("append").parquet(feed)
+        _drain(q)
+        got = {r.k: r.v for r in table.df().select("k", "v").collect()}
+        assert got == {1: "a2", 2: "b9", 3: "c", 4: "d", 5: "e"}
+    finally:
+        q.stop()
+
+    # replay idempotency: re-merging batch 2's reduction is a no-op
+    replay = latest_per_key(
+        spark.createDataFrame([(2, "b9", 7), (5, "e", 1)], schema), "k", "seq"
+    )
+    table.merge(replay)
+    got = {r.k: r.v for r in table.df().select("k", "v").collect()}
+    assert got == {1: "a2", 2: "b9", 3: "c", 4: "d", 5: "e"}
+    assert table.df().count() == 5
