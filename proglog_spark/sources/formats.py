@@ -79,6 +79,7 @@ def read_table(
     schema: T.StructType | str | None = None,
     mode: str = "FAILFAST",
     corrupt_col: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a table written by ``write_table`` (or any landing zone).
 
@@ -94,6 +95,16 @@ def read_table(
             "it sampled"
         )
     r = spark.read.format(fmt).option("mode", mode)
+    if merge_schema:
+        # schema evolution (parquet only): a landing zone whose
+        # producers added columns over time reads as the union schema,
+        # older files NULL-filling the new columns. Off by default —
+        # merging footers across millions of files costs a driver-side
+        # pass, so evolved tables at scale should register the final
+        # schema explicitly instead.
+        if fmt != "parquet":
+            raise ValueError("merge_schema only applies to parquet")
+        r = r.option("mergeSchema", "true")
     if schema is not None:
         r = r.schema(schema)
     if fmt == "csv":

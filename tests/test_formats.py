@@ -91,3 +91,23 @@ def test_corrupt_col_rejects_failfast(spark, tmp_path):
             spark, str(tmp_path), fmt="json", schema="k LONG",
             corrupt_col="_bad",
         )
+
+
+def test_parquet_schema_evolution_merges_union(spark, tmp_path):
+    """Producers added a column over time: mergeSchema reads the union,
+    old files NULL-fill; the default read keeps whichever schema the
+    footer sample picked (so evolution must be explicit)."""
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "k LONG, v STRING").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 99)], "k LONG, v STRING, extra LONG"
+    ).write.mode("append").parquet(path)
+
+    merged = read_table(spark, path, fmt="parquet", merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    got = {r.k: r.extra for r in merged.collect()}
+    assert got == {1: None, 2: 99}
+
+    with pytest.raises(ValueError, match="parquet"):
+        read_table(spark, str(tmp_path), fmt="csv", schema="k LONG",
+                   merge_schema=True)
