@@ -3652,6 +3652,52 @@ def events_trailing_anomaly(spark, sf_dir):
     )
 
 
+@register(
+    "events_rolling_wau",
+    "WITH p AS (SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) "
+    "AS day, user_id FROM events), "
+    "d AS (SELECT day, count(*) AS dau FROM p GROUP BY 1), "
+    "x AS (SELECT DISTINCT day + o AS day, user_id FROM p, "
+    "(SELECT unnest(generate_series(0, 6)) AS o)), "
+    "bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM p) "
+    "SELECT x.day, min(d.dau) AS dau, count(*) AS wau "
+    "FROM x JOIN d ON x.day = d.day, bounds "
+    "WHERE x.day BETWEEN lo AND hi GROUP BY 1 ORDER BY 1",
+)
+def events_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct users per day (DAU + trailing WAU) — the
+    canonical sliding-window DISTINCT, which cannot partial-aggregate
+    (a user active twice in the window must count once). Spark-first
+    exact formulation: dedup to (user, day) pairs FIRST (the only
+    shuffle that sees event volume), then each pair contributes to its
+    next 7 days via a narrow ``explode(sequence(0,6))``, dedup again
+    at (day, user) — ×7 of the already-tiny pair table — and count.
+    No window function, no per-day rescans; at extreme scale the
+    second dedup swaps for an HLL sketch union per day (the
+    `events_approx_distinct` pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    d = p.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    x = (
+        p.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "user_id"
+        )
+        .select((F.col("day") + F.col("o")).alias("day"), "user_id")
+        .distinct()
+    )
+    bounds = p.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    return (
+        x.join(d, "day")
+        .join(F.broadcast(bounds))
+        .where(F.col("day").between(F.col("_lo"), F.col("_hi")))
+        .groupBy("day")
+        .agg(F.min("dau").alias("dau"), F.count(F.lit(1)).alias("wau"))
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
