@@ -1,3 +1,4 @@
+from proglog_spark.streaming.anomaly import streaming_trailing_anomaly
 from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
@@ -23,6 +24,7 @@ __all__ = [
     "streaming_attribution_join",
     "streaming_outer_attribution_join",
     "streaming_sessionize",
+    "streaming_trailing_anomaly",
     "streaming_tumbling_counts",
     "tail_follow",
 ]

@@ -662,3 +662,54 @@ def test_cdc_stream_applies_latest_per_key(spark, tmp_path):
     got = {r.k: r.v for r in table.df().select("k", "v").collect()}
     assert got == {1: "a2", 2: "b9", 3: "c", 4: "d", 5: "e"}
     assert table.df().count() == 5
+
+
+def test_streaming_anomaly_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Stateful trailing-mean anomaly == the batch RANGE-frame query on
+    the same data, fed as two chronological micro-batches (the second
+    batch's early windows must reach back into first-batch state)."""
+    from proglog_spark.queries import REGISTRY
+    from proglog_spark.streaming.anomaly import streaming_trailing_anomaly
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    mid = e.agg(
+        F.timestamp_micros(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+             ).cast("long")
+        ).alias("m")
+    ).collect()[0].m
+
+    feed = str(tmp_path / "feed")
+    e.where(F.col("ts") <= F.lit(mid)).write.mode("append").parquet(feed)
+
+    q = (
+        streaming_trailing_anomaly(
+            spark.readStream.schema(e.schema).parquet(feed)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        e.where(F.col("ts") > F.lit(mid)).write.mode("append").parquet(feed)
+        _drain(q)
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT event_id, event_type, value_micro, trail_n, "
+                "trail_sum_micro FROM anom"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        tuple(r)
+        for r in REGISTRY["events_trailing_anomaly"][0](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
