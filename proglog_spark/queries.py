@@ -3698,6 +3698,74 @@ def events_rolling_wau(spark, sf_dir):
     )
 
 
+@register(
+    "docs_length_quantiles_sketch",
+    "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) "
+    "AS rn, count(*) OVER () AS n FROM documents), "
+    "ex AS (SELECT q, CAST(min(n_chars) AS BIGINT) AS exact_value FROM ("
+    "SELECT 50 AS q, n_chars FROM r WHERE rn = CAST(ceil(0.50 * n) AS BIGINT) "
+    "UNION ALL SELECT 90, n_chars FROM r WHERE rn = CAST(ceil(0.90 * n) AS BIGINT) "
+    "UNION ALL SELECT 99, n_chars FROM r WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
+    ") GROUP BY q) "
+    "SELECT q, exact_value, true AS sketch_within_5pct FROM ex ORDER BY q",
+)
+def docs_length_quantiles_sketch(spark, sf_dir):
+    """Quantiles the way a 100 TB job computes them: the GK/approx
+    sketch (`percentile_approx`, mergeable partial aggregation — one
+    pass, bounded memory, no global sort) asserted INSIDE the gate
+    against the exact nearest-rank answer: the output carries the
+    exact value plus a boolean that the sketch landed within 5% of
+    it, and the oracle states the boolean as a literal — a drifting
+    sketch hash-mismatches. accuracy=10000 ⇒ rank error ≤ 0.01%, so
+    the 5% VALUE bound holds with huge margin on any non-degenerate
+    distribution. Exact twin: `docs_length_quantiles`."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    r = d.select(
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    parts = [
+        r.where(F.col("rn") == F.ceil(F.lit(q / 100.0) * F.col("n")).cast("long"))
+        .select(F.lit(q).cast("int").alias("q"), "n_chars")
+        for q in (50, 90, 99)
+    ]
+    exact = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("q")
+        .agg(F.min("n_chars").cast("long").alias("exact_value"))
+    )
+    sketch = d.agg(
+        F.percentile_approx(
+            "n_chars", [0.50, 0.90, 0.99], 10000
+        ).alias("a")
+    ).select(
+        F.posexplode("a").alias("i", "approx_value")
+    ).select(
+        F.element_at(F.array(F.lit(50), F.lit(90), F.lit(99)), F.col("i") + 1)
+        .cast("int")
+        .alias("q"),
+        "approx_value",
+    )
+    return (
+        exact.join(sketch, "q")
+        .select(
+            "q",
+            "exact_value",
+            (
+                F.abs(F.col("approx_value") - F.col("exact_value"))
+                <= 0.05 * F.col("exact_value")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

@@ -713,3 +713,47 @@ def test_streaming_anomaly_matches_batch_twin(spark, sf_dir, tmp_path):
         for r in REGISTRY["events_trailing_anomaly"][0](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cdc_checkpoint_restart_resumes_without_reapply(spark, tmp_path):
+    """Stop the CDC query, start a NEW query on the same checkpoint:
+    it must resume at the next batch — already-committed batches are
+    not re-read — and continue applying new changes."""
+    from proglog_spark.sources.upsert import KeyedTable
+    from proglog_spark.streaming.cdc import apply_cdc_stream
+
+    schema = "k LONG, v STRING, seq LONG"
+    table = KeyedTable.create(
+        spark,
+        str(tmp_path / "table"),
+        spark.createDataFrame([(1, "a", 0)], schema),
+        "k",
+        n_buckets=2,
+    )
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a1", 1)], schema).write.mode("append").parquet(feed)
+
+    def start():
+        return apply_cdc_stream(
+            spark.readStream.schema(schema).parquet(feed),
+            table, order_col="seq", checkpoint=ckpt,
+        )
+
+    q = start()
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    assert {r.k: r.v for r in table.df().select("k", "v").collect()} == {1: "a1"}
+
+    # new data lands while no query is running
+    spark.createDataFrame([(2, "b", 1)], schema).write.mode("append").parquet(feed)
+    q2 = start()
+    try:
+        _drain(q2)
+        got = {r.k: r.v for r in table.df().select("k", "v").collect()}
+    finally:
+        q2.stop()
+    assert got == {1: "a1", 2: "b"}
+    # no duplicate keys from any batch re-application
+    assert table.df().count() == 2
