@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship near-duplicate-detection query on
+``entry(spark)`` runs the flagship curation-pipeline query on
 sf0.001; ``queries()`` / ``oracle_sql()`` expose the declared query
 surface from ``proglog_spark.queries`` (SURVEY.md §2.1) for the
 driver's DuckDB cross-check at sf0.01.
@@ -31,10 +31,13 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: exact n-gram-Jaccard near-duplicate pairs over the
-    documents table (inverted-index blocking, no cross join)."""
+    """Flagship: the end-to-end curation pipeline over the documents
+    table — exact dedup → quality gate → benchmark decontamination →
+    deterministic train/valid/test split → per-(split, source)
+    accounting, composed as ONE Catalyst plan
+    (proglog_spark/queries.docs_curation_pipeline)."""
     _ensure_confs(spark)
-    return q.docs_neardup_jaccard(spark, _SMOKE_SF_DIR)
+    return q.docs_curation_pipeline(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

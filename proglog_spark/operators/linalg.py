@@ -116,3 +116,47 @@ def pca_summary(
         "t(component, var_share_micro, top_dim, top_loading_milli) "
         "ORDER BY component"
     )
+
+
+def grouped_vector_sums(
+    df, key_col: str, vec_col: str, micro: bool = True
+):
+    """Per-key element-wise vector sums WITHOUT the explode fan-out —
+    the Arrow twin of the `emb_label_centroids` formulation.
+
+    The explode path multiplies rows ×d before its partial agg (fully
+    codegen, no Python); this path keeps vectors whole: one shuffle on
+    the key, then each group's Arrow batches stack into a numpy matrix
+    and column-sum — O(rows·d) flops at memory bandwidth, one output
+    row per key. Use it when d is large enough that ×d row expansion
+    dominates (d ≳ several hundred); below that the JVM explode wins
+    by skipping Python workers entirely.
+
+    With ``micro=True`` values are floored to int64 micro fixed point
+    BEFORE summing — bit-identical to the explode path's aggregation
+    (integer addition is associative; float sums would be
+    order-dependent across both paths).
+
+    Output: (key, n_vecs LONG, sums ARRAY<LONG|DOUBLE>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_type = "ARRAY<BIGINT>" if micro else "ARRAY<DOUBLE>"
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {key_type}, n_vecs LONG, sums {out_type}"
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].to_numpy())
+        if micro:
+            mat = np.floor(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+        sums = mat.sum(axis=0)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_vecs": [len(pdf)],
+                "sums": [sums.tolist()],
+            }
+        )
+
+    return df.select(key_col, vec_col).groupBy(key_col).applyInPandas(agg, schema)

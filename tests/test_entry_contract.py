@@ -16,9 +16,10 @@ from proglog_spark.multimodal import extract_media_meta
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert df.columns == ["id_a", "id_b", "n_common", "n_a", "n_b", "jaccard_micro"]
+    assert df.columns == ["split", "source", "n_docs", "total_chars"]
     assert len(rows) > 0
-    assert all(r.jaccard_micro >= 200000 for r in rows)
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert all(r.n_docs > 0 and r.total_chars > 0 for r in rows)
 
 
 def test_oracle_keys_subset_of_queries():

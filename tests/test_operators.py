@@ -717,3 +717,31 @@ def test_mixture_sample_nested_and_weighted(docs):
     assert kept_lo <= kept_hi
     n = docs.count()
     assert 0 < len(kept_lo) < len(kept_hi) < n
+
+
+def test_grouped_vector_sums_matches_explode_path(spark, emb):
+    """Arrow no-explode vector sums == the posexplode + partial-agg
+    formulation, bit-identical (integer micro fixed point)."""
+    from proglog_spark.operators.linalg import grouped_vector_sums
+
+    got = {
+        r.label: (r.n_vecs, r.sums)
+        for r in grouped_vector_sums(emb, "label", "embedding").collect()
+    }
+    want_rows = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("v").cast("double") * 1000000).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    want = {}
+    for r in want_rows:
+        n, sums = want.setdefault(r.label, [r.n, {}])
+        sums[r.dim] = r.s
+    for label, (n, sums) in want.items():
+        gn, gs = got[label]
+        assert gn == n
+        assert gs == [sums[i] for i in range(len(gs))]
