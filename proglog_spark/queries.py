@@ -3766,6 +3766,44 @@ def docs_length_quantiles_sketch(spark, sf_dir):
     )
 
 
+@register(
+    "orders_bucket_ranks",
+    "WITH b AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month, "
+    "CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket, "
+    "count(*) AS n_orders FROM orders GROUP BY 1, 2) "
+    "SELECT month, bucket, n_orders, "
+    "CAST(rank() OVER w AS BIGINT) AS rnk, "
+    "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+    "nth_value(bucket, 2) OVER w AS second_bucket "
+    "FROM b WINDOW w AS (PARTITION BY month ORDER BY n_orders DESC, bucket) "
+    "ORDER BY month, rnk, bucket",
+)
+def orders_bucket_ranks(spark, sf_dir):
+    """Ranking-function surface: rank vs dense_rank (count ties across
+    price buckets make them diverge) plus nth_value with the standard
+    RANGE-to-current-row frame, over a pre-aggregated bucket table —
+    the window runs on |months|×|buckets| rows, never on raw orders
+    (aggregate-then-rank, same discipline as
+    `events_user_value_percentiles`)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("month").orderBy(F.col("n_orders").desc(), "bucket")
+    return (
+        b.select(
+            "month",
+            "bucket",
+            "n_orders",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.nth_value("bucket", 2).over(w).alias("second_bucket"),
+        )
+        .orderBy("month", "rnk", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
