@@ -3804,6 +3804,86 @@ def orders_bucket_ranks(spark, sf_dir):
     )
 
 
+@register(
+    "orders_calendar_profile",
+    "SELECT CAST((CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 4) % 7 "
+    "AS BIGINT) AS dow, "
+    "CAST((EXTRACT(month FROM o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def orders_calendar_profile(spark, sf_dir):
+    """Calendar features without calendar functions: day-of-week as
+    pure epoch arithmetic ``(epoch_days + 4) % 7`` — 1970-01-01 was a
+    Thursday, so the +4 shift yields 0=Sunday..6=Saturday —
+    engine-independent where the built-in DOW functions disagree on
+    numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+    0=Sunday); quarter from the month extract, which both engines
+    agree on. The classic cross-engine calendar hazards, resolved by
+    arithmetic instead of locale-sensitive formatting."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            (
+                (
+                    F.expr(
+                        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+                        "div 86400000000"
+                    )
+                    + 4
+                )
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+            F.expr("(month(o_orderdate) - 1) div 3 + 1")
+            .cast("long")
+            .alias("quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("dow", "quarter")
+    )
+
+
+@register(
+    "events_nullsafe_match",
+    "WITH a AS (SELECT nullif(event_type, 'error') AS t, count(*) AS n "
+    "FROM events GROUP BY 1) "
+    "SELECT COALESCE(x.t, '<null>') AS t_repr, x.n AS n_x, y.n AS n_y "
+    "FROM a x JOIN a y ON x.t IS NOT DISTINCT FROM y.t "
+    "ORDER BY t_repr",
+)
+def events_nullsafe_match(spark, sf_dir):
+    """Three-valued-logic surface: a NULL-keyed group must match
+    itself under null-safe equality (Spark ``<=>`` / DuckDB ``IS NOT
+    DISTINCT FROM``) where ordinary ``=`` silently drops it — the
+    difference between a join that loses the unknown-key bucket and
+    one that reconciles it. Null-safe equi-joins hash NULL as an
+    ordinary key, so the plan stays a hash join (no null-filter
+    rewrite needed)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.groupBy(
+        F.nullif("event_type", F.lit("error")).alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = a.select(F.col("t").alias("x_t"), F.col("n").alias("n_x"))
+    y = a.select(F.col("t").alias("y_t"), F.col("n").alias("n_y"))
+    return (
+        x.join(y, F.col("x_t").eqNullSafe(F.col("y_t")))
+        .select(
+            F.coalesce(F.col("x_t"), F.lit("<null>")).alias("t_repr"),
+            "n_x",
+            "n_y",
+        )
+        .orderBy("t_repr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
