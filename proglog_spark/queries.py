@@ -3884,6 +3884,43 @@ def events_nullsafe_match(spark, sf_dir):
     )
 
 
+_GSETS_SQL = (
+    "SELECT coalesce(event_type, '__ALL__') AS event_type, "
+    "coalesce(d, -1) AS day, "
+    "CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid, "
+    "count(*) AS n_events "
+    "FROM (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d "
+    "FROM {table}) "
+    "GROUP BY GROUPING SETS ((event_type), (d), ()) "
+    "ORDER BY gid, event_type, day"
+)
+
+
+@register("events_grouping_sets", _GSETS_SQL.format(table="events"))
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the non-hierarchical sibling of ROLLUP
+    and CUBE (both declared): three disjoint aggregations (per-type,
+    per-day, grand total) in ONE Expand pass, disambiguated by
+    ``grouping()`` bits rather than sentinel collisions. Identical SQL
+    text through spark.sql and DuckDB, exercising the SQL entry path.
+    Spark's epoch() differs from DuckDB's, so the view pre-computes
+    the day bucket with the engine-portable micros arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    e.createOrReplaceTempView("events_gsets_src")
+    return spark.sql(
+        "SELECT coalesce(event_type, '__ALL__') AS event_type, "
+        "coalesce(d, -1) AS day, "
+        "CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid, "
+        "count(*) AS n_events "
+        "FROM events_gsets_src "
+        "GROUP BY GROUPING SETS ((event_type), (d), ()) "
+        "ORDER BY gid, event_type, day"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
