@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Log-surface throughput microbench — the Produce/Consume paths.
+
+The reference's hot paths are single-record append (O(1) buffered
+write + 12-byte index entry, internal/log/store.go:38-57) and offset
+point-read (internal/log/log.go:94-109). This engine is micro-batch
+columnar, so the honest comparison is THROUGHPUT, not per-record
+latency: records/second appended in batches, point reads/second
+against the bucketed table, and full ordered-scan rows/second.
+
+Usage: python tools/bench_log.py [--records N] [--batches B] [--reads R]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--records", type=int, default=200_000)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--reads", type=int, default=50)
+    ap.add_argument("--payload-bytes", type=int, default=100)
+    args = ap.parse_args()
+
+    from proglog_spark import LogTable
+    from proglog_spark.session import build_session
+
+    spark = build_session("bench-log")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="benchlog_")
+    log = LogTable.create(spark, os.path.join(d, "log"), bucket_size=65536)
+
+    per_batch = args.records // args.batches
+    payload = "x" * args.payload_bytes
+    batch = [f"{payload}{i:08d}" for i in range(per_batch)]
+
+    # warmup (JVM + committer paths)
+    log.append(batch[:100])
+
+    t0 = time.time()
+    for _ in range(args.batches):
+        log.append(batch)
+    append_s = time.time() - t0
+    n_appended = per_batch * args.batches
+
+    hi = log.highest_offset()
+    t0 = time.time()
+    for i in range(args.reads):
+        # spread point reads across the offset space (bucket pruning path)
+        log.read((i * 7919) % hi)
+    read_s = time.time() - t0
+
+    t0 = time.time()
+    n_scanned = log.reader().count()
+    scan_s = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "log_surface_throughput",
+                "append_records_per_s": round(n_appended / append_s),
+                "append_batch_ms": round(1000 * append_s / args.batches, 1),
+                "point_reads_per_s": round(args.reads / read_s, 1),
+                "scan_rows_per_s": round(n_scanned / scan_s),
+                "records": n_appended,
+                "payload_bytes": args.payload_bytes,
+                "unit": "mixed",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
