@@ -39,6 +39,7 @@ files, so reads are read-your-committed-writes.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -213,8 +214,22 @@ class LogTable:
         The bucket equality predicate prunes to one directory; the
         offset predicate then prunes row groups via footer stats —
         the two-level routing of reference log.go:99-104 + index.go.
+
+        Fast path: on a local filesystem the lookup runs in-process
+        through pyarrow over the SAME committed bucket files (directory
+        prune + footer-stat row-group prune, no Spark job) — point
+        reads drop from the ~130 ms job-scheduling floor to
+        single-digit ms, which is the honest analog of the reference's
+        mmap read (its read is also a local, scheduler-free read,
+        internal/log/segment.go:66-79). Remote/object-store paths and
+        any pyarrow surprise fall back to the Spark plan, which is the
+        source of truth for semantics (the test suite runs both: the
+        fast path serves the same bytes Spark committed).
         """
         offset = int(offset)
+        native = self._read_native(offset)
+        if native is not None:
+            return native
         rows = (
             self.df()
             .where(
@@ -227,6 +242,49 @@ class LogTable:
         if not rows:
             raise OffsetOutOfRangeError(offset)
         return rows[0]
+
+    def _local_dir(self) -> str | None:
+        """The table path as a local directory, or None if remote."""
+        p = self.path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        elif "://" in p:
+            return None  # hdfs/s3/... → Spark path
+        return p if os.path.isdir(p) else None
+
+    def _read_native(self, offset: int) -> Row | None:
+        """In-process point read via pyarrow; None ⇒ use the Spark path.
+
+        Raises OffsetOutOfRangeError itself on a definitive local miss
+        (bucket directory absent, or present without the offset) —
+        that IS the answer, not a reason to fall back.
+        """
+        local = self._local_dir()
+        if local is None:
+            return None
+        bdir = os.path.join(local, f"bucket={offset // self.bucket_size}")
+        try:
+            import pyarrow.dataset as pads
+
+            if not os.path.isdir(bdir):
+                raise OffsetOutOfRangeError(offset)
+            # ignore_prefixes drops Spark's _SUCCESS/_committed markers
+            # and dot-temp files; only committed part files remain
+            tbl = (
+                pads.dataset(bdir, format="parquet")
+                .to_table(
+                    columns=_DATA_COLS,
+                    filter=pads.field("offset") == offset,
+                )
+            )
+        except OffsetOutOfRangeError:
+            raise
+        except Exception:
+            return None  # any pyarrow/layout surprise → Spark path
+        if tbl.num_rows == 0:
+            raise OffsetOutOfRangeError(offset)
+        rec = tbl.to_pylist()[0]
+        return Row(**{c: rec[c] for c in _DATA_COLS})
 
     def scan(self, lo: int, hi: int) -> DataFrame:
         """Ordered range scan, offsets in [lo, hi] (L5)."""

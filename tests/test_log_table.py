@@ -297,3 +297,28 @@ def test_compact_never_writes_oversized_files(spark, tmp_path):
     ]
     assert sum(sizes) == 21 and max(sizes) <= 10, sizes
     assert log.count() == 21 and log.read(20).value == "b11"
+
+
+def test_point_read_spark_fallback_matches_native(spark, tmp_path):
+    """read() has two implementations (in-process pyarrow fast path,
+    Spark plan fallback for remote stores) — both must return the same
+    row and the same out-of-range error."""
+    from proglog_spark import LogTable
+    from proglog_spark.errors import OffsetOutOfRangeError
+
+    log = LogTable.create(spark, str(tmp_path / "log"), bucket_size=4)
+    log.append([f"v{i}" for i in range(10)])
+
+    native = log.read(7)
+    try:
+        log._read_native = lambda _off: None  # force the Spark plan
+        via_spark = log.read(7)
+        assert tuple(via_spark) == tuple(native) == (7, "v7", 0, 0)
+        import pytest as _pytest
+
+        with _pytest.raises(OffsetOutOfRangeError):
+            log.read(99)
+    finally:
+        del log._read_native
+    with pytest.raises(OffsetOutOfRangeError):
+        log.read(99)  # native path: definitive local miss
