@@ -4,13 +4,21 @@ The reference's ConsumeStream RPC (internal/server/server.go:138-158)
 is an unbounded ordered tail: read offset k, k+1, ... and busy-retry
 when past the end until new data arrives. The Spark-native
 re-expression is a file-source ``readStream`` over the LogTable
-directory: every committed append batch becomes newly-discovered
-parquet files, each micro-batch is the "new data" the reference's
-busy-loop waits for, and the checkpoint replaces the client-held
-cursor. Delivery is at-least-once from a given offset with per-batch
-ordering — the same contract the reference provides (its busy-wait
-gives no cross-batch total order to a slow consumer either; ordering
-within a micro-batch is restored by sorting on offset in foreachBatch).
+directory used as a NOTIFICATION channel, plus cursor-driven
+authoritative scans for delivery — the same split the reference makes
+(its loop holds a client cursor and issues Read(off) against the log
+per iteration, server.go:138-158; it never trusts arrival order).
+
+Why not deliver the micro-batch contents directly? Under a rate limit
+(``maxFilesPerTrigger``) the file source picks files in listing
+order, which is NOT offset order — batches would arrive offset-
+interleaved (caught by tests/test_streaming.py's rate-limit test).
+Instead each trigger advances a persisted cursor through contiguous
+``log.scan(cursor, hi)`` chunks: strict gap-free global offset order,
+bounded driver memory per chunk, and at-least-once delivery — a crash
+between a delivered chunk and its cursor persist re-delivers that
+chunk on restart, exactly the reference's at-least-once reconnect
+semantics.
 """
 
 from __future__ import annotations
@@ -56,31 +64,70 @@ def tail_follow(
     checkpoint_dir: str,
     trigger_seconds: float | None = None,
     max_files_per_trigger: int | None = 1000,
+    chunk_records: int = 100_000,
 ) -> S.StreamingQuery:
-    """Tail the log, invoking ``on_batch(rows)`` with each micro-batch
-    sorted by offset (the reference sends records strictly in offset
-    order within its loop; micro-batch boundaries replace loop turns).
+    """Tail the log, invoking ``on_batch(rows)`` with successive
+    contiguous chunks in STRICT offset order (the reference sends
+    records strictly in offset order, server.go:152-155; micro-batch
+    triggers replace its loop turns).
 
     Returns the StreamingQuery; callers stop() it (the reference
     terminates via client context cancellation, server.go:141-145).
 
-    Cursor semantics: an existing checkpoint WINS over ``from_offset``
-    — restarting with the same checkpoint_dir resumes after the last
-    committed batch (no re-read, no duplicates), exactly like the
-    reference's client-held offset surviving a reconnect. Pass a fresh
-    checkpoint_dir to re-read from ``from_offset``.
-
-    ``max_files_per_trigger`` (default 1000) bounds the first batch on
-    a log with a large backlog — each micro-batch is collect()ed to
-    the driver for ``on_batch``, so an unbounded first batch on a big
-    log would materialize the whole backlog in driver memory.
+    Delivery: each trigger reads the newly-observed high offset from
+    the micro-batch, then advances a cursor through authoritative
+    ``log.scan`` chunks of ≤ ``chunk_records`` rows — never the batch
+    contents, whose file-pickup order is not offset order under rate
+    limiting. The cursor persists in a sidecar file inside
+    ``checkpoint_dir``; restarting with the same checkpoint resumes
+    after the last DELIVERED chunk (a crash between delivery and
+    persist re-delivers one chunk: at-least-once, the reference's
+    reconnect contract). Pass a fresh checkpoint_dir to re-read from
+    ``from_offset``. ``max_files_per_trigger`` (default 1000) bounds
+    per-trigger file listing work; ``chunk_records`` bounds driver
+    memory per delivery.
     """
+    import json
+    import os
+
     stream = consume_stream(log, from_offset, max_files_per_trigger)
+    cursor_path = os.path.join(checkpoint_dir, "proglog_cursor.json")
+    state: dict = {"cursor": None}
+
+    def _load_cursor() -> int:
+        try:
+            with open(cursor_path) as f:
+                return int(json.load(f)["cursor"])
+        except Exception:
+            return int(from_offset)
+
+    def _persist_cursor(c: int) -> None:
+        try:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = cursor_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"cursor": c}, f)
+            os.replace(tmp, cursor_path)
+        except Exception:
+            # non-local checkpoint dir: cursor lives in memory only;
+            # a restart re-scans from from_offset on the next trigger
+            # (at-least-once, never lossy)
+            pass
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.orderBy("offset").collect()
-        if rows:
-            on_batch(rows)
+        if state["cursor"] is None:
+            state["cursor"] = _load_cursor()
+        hi = batch_df.agg(F.max("offset")).collect()[0][0]
+        if hi is None:
+            return
+        while state["cursor"] <= hi:
+            lo = state["cursor"]
+            hi_chunk = min(hi, lo + int(chunk_records) - 1)
+            rows = log.scan(lo, hi_chunk).collect()
+            if rows:
+                on_batch(rows)
+            state["cursor"] = hi_chunk + 1
+            _persist_cursor(state["cursor"])
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -757,3 +757,31 @@ def test_cdc_checkpoint_restart_resumes_without_reapply(spark, tmp_path):
     assert got == {1: "a1", 2: "b"}
     # no duplicate keys from any batch re-application
     assert table.df().count() == 2
+
+
+def test_tail_follow_rate_limit_stays_ordered_and_chunked(spark, tmp_path):
+    """Under a file-source rate limit, file pickup order is NOT offset
+    order — delivery must still be strict, gap-free offset order
+    (cursor-driven scans), in chunks bounded by chunk_records."""
+    log = LogTable.create(
+        spark, str(tmp_path / "log"), bucket_size=1000, max_records_per_file=1
+    )
+    log.append([f"r{i}" for i in range(8)])  # 8 single-record files
+
+    batches = []
+    q = tail_follow(
+        log,
+        from_offset=0,
+        on_batch=lambda rows: batches.append([r.offset for r in rows]),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        chunk_records=3,
+    )
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    flat = [o for b in batches for o in b]
+    assert flat == list(range(8))  # strict order, no gaps, no dups
+    assert all(len(b) <= 3 for b in batches)  # driver memory bound
+    assert len(batches) >= 3
