@@ -3921,6 +3921,36 @@ def events_grouping_sets(spark, sf_dir):
     )
 
 
+_RCTE_SQL = (
+    "WITH RECURSIVE anc(doc_id, anc_id, depth) AS ("
+    "SELECT doc_id, doc_id, 0 FROM {table} WHERE doc_id < 64 "
+    "UNION ALL "
+    "SELECT a.doc_id, CAST(floor((a.anc_id - 1) / 2.0) AS BIGINT), "
+    "a.depth + 1 FROM anc a WHERE a.anc_id > 0) "
+    "SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth_to_root, "
+    "count(*) AS chain_len FROM anc GROUP BY 1 ORDER BY 1"
+)
+
+
+@register("docs_recursive_ancestry", _RCTE_SQL.format(table="documents"))
+def docs_recursive_ancestry(spark, sf_dir):
+    """Recursive CTE surface (WITH RECURSIVE — new in Spark 4.x, so
+    the one iterative construct both engines now express natively):
+    walk each document's ancestor chain in the implicit binary tree
+    ``parent(n) = (n-1) div 2`` to the root, reporting depth and chain
+    length. Identical SQL text through spark.sql and DuckDB; the
+    parent step is spelled ``floor((n-1)/2.0)`` because integer-div
+    syntax differs between the engines (div vs //) while floor-of-
+    double is exact on this domain. Each recursion step is a Spark
+    job over the frontier — fine for hierarchy walks (depth ≈ log n),
+    the wrong tool for bulk iteration (the large-star/small-star
+    contraction in `operators/dedup.py` is the scale path there)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "rcte_docs_src"
+    )
+    return spark.sql(_RCTE_SQL.format(table="rcte_docs_src"))
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
