@@ -3951,6 +3951,40 @@ def docs_recursive_ancestry(spark, sf_dir):
     return spark.sql(_RCTE_SQL.format(table="rcte_docs_src"))
 
 
+@register(
+    "events_variant_props",
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS sum_k, "
+    "CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS min_k, "
+    "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS max_k FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_variant_props(spark, sf_dir):
+    """Semi-structured surface via Spark 4's VARIANT type: ``props``
+    parses ONCE into the shredded binary variant encoding and typed
+    paths extract with ``variant_get`` — at 100 TB this is the
+    difference between one parse + columnar access and re-running a
+    string JSON parser per predicate per row (the trap the
+    `log_json_roundtrip` tuning already hit with from_json
+    re-evaluation). The DuckDB oracle reads the same paths through its
+    native JSON type. Sibling: `events_json_sum` (get_json_object —
+    the string path, kept for engines without VARIANT)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.min(k).cast("long").alias("min_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
