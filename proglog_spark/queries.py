@@ -3986,6 +3986,259 @@ def events_variant_props(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Scale-path wave: bloom-pruned joins, sketch heavy hitters, accuracy
+# gates for the probabilistic dedup path, watermark-sizing audit,
+# per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_bloom_filter_join",
+    "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) "
+    "AS order_month, count(*) AS n_lines, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderpriority = '1-URGENT' "
+    "GROUP BY 1 ORDER BY 1",
+)
+def tpch_bloom_filter_join(spark, sf_dir):
+    """Runtime-filter join: urgent orders (1/5 of the table) build a
+    Bloom bitmap (one ≤2 MB partial-agg shuffle); lineitem is pruned
+    by a codegen bit-test BEFORE its join Exchange, so the fact
+    shuffle carries ~20% of the rows + ~1% false positives instead of
+    everything. The exact join then removes the false positives —
+    result is row-identical to the plain join (the oracle IS the plain
+    join). At 100 TB this is the difference between shuffling 100 TB
+    and shuffling the matching fraction; same pattern as Catalyst's
+    InjectRuntimeFilter, available here on any composed join."""
+    from proglog_spark.operators import bloomjoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    j = bloomjoin.bloom_filtered_join(li, o, on="l_orderkey")
+    cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
+    return (
+        j.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_scaled"
+            ),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "docs_heavy_terms_sketch",
+    "WITH toks AS (SELECT lower(t) AS term FROM (SELECT "
+    "unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t FROM documents) "
+    "WHERE t <> ''), "
+    "tot AS (SELECT count(*) AS n FROM toks), "
+    "exact AS (SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1) "
+    "SELECT term, n_occurrences, TRUE AS in_sketch, TRUE AS est_in_bounds "
+    "FROM exact, tot WHERE n_occurrences * 256 >= 2 * n "
+    "ORDER BY term",
+)
+def docs_heavy_terms_sketch(spark, sf_dir):
+    """Approximate heavy hitters via merged Misra-Gries summaries
+    (k=255): per-partition O(k) state, shuffle carries ≤ k·partitions
+    candidate rows — never the key space. The sketch's one-sided
+    guarantee (true - N/256 ≤ est ≤ true, every key above N/256
+    present) is ASSERTED inside the hash-checked result: for each
+    exact heavy term (count ≥ 2N/256) the gate checks sketch
+    membership and the error bound; the oracle emits literal TRUE.
+    Exact twin: `docs_top_terms`. Scale story: at 100 TB with n-gram
+    keys the exact groupBy shuffles billions of distinct keys; this
+    shuffles ~256 rows per partition."""
+    from proglog_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select(F.lower("t").alias("term"))
+    )
+    mg = sketch.misra_gries(toks, "term", k=255)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * 256 >= 2 * F.col("n_total"))
+        .join(F.broadcast(mg), "term", "left")
+        .select(
+            "term",
+            "n_occurrences",
+            F.col("est").isNotNull().alias("in_sketch"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("n_occurrences"))
+                & (
+                    F.col("est")
+                    >= F.col("n_occurrences") - F.floor(F.col("n_total") / 256)
+                )
+            ).alias("est_in_bounds"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "docs_minhash_estimate_gate",
+    f"WITH sh AS ({_JACCARD_SHINGLES_SQL}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) "
+    "AS jaccard_micro, TRUE AS est_within_tol "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200000 "
+    "ORDER BY id_a, id_b",
+)
+def docs_minhash_estimate_gate(spark, sf_dir):
+    """Accuracy gate for the probabilistic dedup path: for every
+    EXACT near-dup pair (3-gram Jaccard ≥ 0.2), the 64-hash MinHash
+    estimate (matching components / 64) must sit within ±0.25 of the
+    exact similarity — ~5σ for J≈0.2 (worst observed error is 0.089
+    at sf0.1, a 2.8× margin), so the boolean is deterministic in
+    practice and the oracle emits literal TRUE. This pins the sketch
+    the sub-quadratic `docs_minhash_lsh` path relies on to the ground
+    truth it approximates, inside the hash-checked suite (the LSH
+    query itself stays rows-only: candidate RECALL is probabilistic
+    per band arrangement, but signature ACCURACY is a per-pair
+    concentration bound). 64 hashes = the LSH path's configuration,
+    so in-session the signatures and the verified-pairs cache are
+    both shared, not recomputed."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold_micro=200000).select(
+        "id_a", "id_b", "jaccard_micro"
+    )
+    sigs = dedup.minhash_signatures(d, num_hashes=64)
+    n_eq = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"
+    )
+    return (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_micro",
+            (
+                F.abs(
+                    F.floor(n_eq * 1_000_000 / 64).cast("long")
+                    - F.col("jaccard_micro")
+                )
+                <= 250_000
+            ).alias("est_within_tol"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "events_out_of_order_audit",
+    "WITH w AS (SELECT event_type, epoch_us(ts) AS us, "
+    "max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx FROM events) "
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(CASE WHEN mx - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_late_1h, CAST(max(mx - us) AS BIGINT) AS max_lateness_us "
+    "FROM w GROUP BY 1 ORDER BY 1",
+)
+def events_out_of_order_audit(spark, sf_dir):
+    """Watermark-sizing audit: treating `event_id` as arrival order
+    (the log's dense offset), an event's lateness is how far its
+    event-time sits behind the per-user running high-water mark at
+    arrival. `max_lateness_us` IS the minimum watermark delay that
+    loses nothing; `n_late_1h` is what a 1-hour watermark would drop.
+    This is the batch query you run before choosing
+    `withWatermark()` for the streaming twins (SURVEY §2.0b late
+    data). One user-key window shuffle + one type agg; integer µs."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (F.max(us).over(w) - us).alias("lateness_us")
+    return (
+        e.select("event_type", late)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("lateness_us") > 3_600_000_000).cast("long"))
+            .cast("long")
+            .alias("n_late_1h"),
+            F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_type_value_quantiles",
+    "WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents "
+    "FROM events), r AS (SELECT event_type, cents, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM c) "
+    "SELECT event_type, CAST(max(n) AS BIGINT) AS n_events, "
+    "max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS p50_cents, "
+    "max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS p90_cents, "
+    "max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END) AS p99_cents "
+    "FROM r GROUP BY 1 ORDER BY 1",
+)
+def events_type_value_quantiles(spark, sf_dir):
+    """PER-GROUP exact nearest-rank quantiles (the global twin is
+    `docs_length_quantiles`): one window shuffle partitioned by
+    event_type — no single-partition global sort — then the rank-
+    matching rows fold to one row per group. Ties are safe: equal
+    cents at the target rank give the same value whatever order the
+    window breaks them in. Scale: group-parallel; per-group skew is
+    the only hazard (a group's rows must fit one task's spill budget;
+    `docs_length_quantiles_sketch` is the sketch escape hatch)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("cents"))
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            at(0.5).alias("p50_cents"),
+            at(0.9).alias("p90_cents"),
+            at(0.99).alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
 

@@ -37,7 +37,12 @@ from pyspark.sql import types as T
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 _TEXT_FORMATS = ("csv", "json")
-_FORMATS = _TEXT_FORMATS + ("parquet",)
+# Columnar formats carry their own schema + footer statistics; orc is
+# the interchange peer for Hive/Trino-centric estates (predicate
+# pushdown and column pruning work the same as parquet — asserted in
+# tests/test_formats.py). Parquet stays the native storage format.
+_COLUMNAR_FORMATS = ("parquet", "orc")
+_FORMATS = _TEXT_FORMATS + _COLUMNAR_FORMATS
 
 
 def _check_fmt(fmt: str) -> None:

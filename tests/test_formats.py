@@ -111,3 +111,18 @@ def test_parquet_schema_evolution_merges_union(spark, tmp_path):
     with pytest.raises(ValueError, match="parquet"):
         read_table(spark, str(tmp_path), fmt="csv", schema="k LONG",
                    merge_schema=True)
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC interchange: lossless round-trip (timestamps at full µs,
+    JSON-bearing strings) and the same scan discipline as parquet —
+    a selective filter reaches the ORC reader as a pushed predicate."""
+    df = _events_sample(spark, sf_dir)
+    path = os.path.join(str(tmp_path), "events_orc")
+    write_table(df, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert back.schema == df.schema
+    assert _rows(back) == _rows(df)
+
+    plan = executed_plan(back.where(F.col("event_id") == 7).select("event_id", "ts"))
+    assert "PushedFilters: [" in plan and "event_id" in plan.split("PushedFilters")[1]

@@ -745,3 +745,73 @@ def test_grouped_vector_sums_matches_explode_path(spark, emb):
         gn, gs = got[label]
         assert gn == n
         assert gs == [sums[i] for i in range(len(gs))]
+
+
+def test_bloom_filtered_join_matches_plain_join(spark, sf_dir):
+    """Bloom pre-pruning never changes the join result (false
+    positives are removed by the exact join; false negatives are
+    impossible), and the probe really prunes: kept rows sit between
+    the true match count and full size."""
+    from proglog_spark.operators import bloomjoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    got = bloomjoin.bloom_filtered_join(li, o, on="l_orderkey")
+    want = li.join(o, on="l_orderkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    bitmap, m, k = bloomjoin.bloom_build(o, "l_orderkey", o.count(), fpp=0.01)
+    kept = bloomjoin.bloom_probe(li, "l_orderkey", bitmap, m, k).count()
+    true_matches = want.count()
+    assert true_matches <= kept < li.count()
+    # ~1% fpp: false-positive rows are a small fraction of the pruned-away set
+    assert (kept - true_matches) <= 0.05 * li.count() + 10
+
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloomjoin.bloom_filtered_join(li, o, on="l_orderkey", how="left")
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Every key actually in the build set survives the probe, even at
+    aggressive (tiny) bitmap sizing where false positives abound."""
+    from proglog_spark.operators import bloomjoin
+
+    build = spark.range(0, 500, 7).withColumnRenamed("id", "k")  # 72 keys
+    probe = spark.range(0, 500).withColumnRenamed("id", "k")
+    bitmap, m, kh = bloomjoin.bloom_build(build, "k", 72, fpp=0.3)
+    kept = {r.k for r in bloomjoin.bloom_probe(probe, "k", bitmap, m, kh).collect()}
+    assert {r.k for r in build.collect()} <= kept
+
+
+def test_misra_gries_one_sided_bounds(spark, docs):
+    """Merged MG estimates are pure undercounts within N/(k+1), and
+    every key above the error bound is present — the PODS'12 merge
+    guarantee the sketch query's gate relies on. k=7 with a 31-term
+    vocabulary forces constant decrement churn."""
+    from proglog_spark.operators import sketch
+
+    toks = (
+        docs.select(F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select(F.lower("t").alias("term"))
+        .repartition(8)  # several partitions -> several summaries merged
+    )
+    k = 7
+    est = {r.term: r.est for r in sketch.misra_gries(toks, "term", k=k).collect()}
+    exact = {
+        r.term: r.n
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total // (k + 1)
+    for term, e in est.items():
+        assert e <= exact[term]
+        assert e >= exact[term] - bound
+    for term, n in exact.items():
+        if n > bound:
+            assert term in est, f"guaranteed-heavy term {term} missing"

@@ -283,3 +283,37 @@ def test_profile_has_no_expand_over_wide_rows(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # two independent aggregation subtrees over the scan
     assert plan.count("Scan parquet") == 2
+
+
+def test_bloom_probe_filters_before_join_exchange(spark, sf_dir):
+    """The Bloom bit-test sits on the probe side BELOW the join's
+    Exchange (pruning happens before rows shuffle), and it is plain
+    codegen — no Python eval, no extra shuffle beyond the join's own."""
+    from proglog_spark.operators import bloomjoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    bitmap, m, k = bloomjoin.bloom_build(o, "l_orderkey", 500, fpp=0.01)
+    probed = bloomjoin.bloom_probe(li, "l_orderkey", bitmap, m, k)
+    plan = plan_of(probed)
+    from proglog_spark.plans.audit import SHUFFLE_MARKER
+
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftright" in plan  # the bit-test filter is in the plan
+    # probe adds zero hash shuffles; the only exchange is the one-row
+    # bitmap broadcast it ships the filter with
+    assert SHUFFLE_MARKER not in plan
+    assert "BroadcastExchange" in plan
+
+    # force the scale-relevant shape (at 100 TB neither side
+    # broadcasts): in a shuffle join the bit-test must sit BELOW the
+    # probe side's Exchange — tree-print order puts the parent
+    # Exchange first, so the filter's offset is after it
+    joined = probed.hint("shuffle_hash").join(o, "l_orderkey")
+    jp = plan_of(joined)
+    assert SHUFFLE_MARKER in jp
+    assert jp.index("shiftright") > jp.index(SHUFFLE_MARKER)
