@@ -4238,6 +4238,84 @@ def events_type_value_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "events_bitmap_distinct",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps
+    (bitmap_construct_agg / bitmap_or_agg): the inner aggregation
+    folds user ids into one ≤4 KB bitmap per (event_type, 32k-id
+    bucket); the outer one ORs bitmaps and counts bits. Same answer
+    as count(DISTINCT), different physics: a plain distinct-count
+    shuffles every raw id; the bitmap shuffle carries fixed-size
+    bitmaps, and — the real point at 100 TB — the per-bucket bitmaps
+    are a PERSISTABLE increment: a continuous rollup stores them per
+    partition/day and re-merges with bitmap_or, never re-scanning
+    history (exact twin of the HLL pattern in
+    `events_hll_rollup_gate`; ids are +1-shifted because position 0
+    of bucket 0 aliases with id 32768's slot for non-positive ids)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id + 1)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id + 1)").alias("pos"),
+        )
+        .groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("b"))
+    )
+    return (
+        buckets.groupBy("event_type")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(b))").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hll_rollup_gate",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, "
+    "TRUE AS est_within_5pct FROM events GROUP BY 1 ORDER BY 1",
+)
+def events_hll_rollup_gate(spark, sf_dir):
+    """Mergeable-sketch distinct counting: per (event_type, day) HLL
+    sketches (hll_sketch_agg — the increment a streaming rollup
+    persists) are re-merged with hll_union_agg and estimated; the
+    gate asserts the merged estimate lands within 5% of exact and the
+    oracle emits literal TRUE. The sibling `events_approx_distinct`
+    measures one-shot approx_count_distinct; THIS query pins the
+    property that matters for incremental pipelines — union-merging
+    pre-aggregated sketches loses nothing vs sketching the raw
+    stream, so yesterday's sketches never need re-scanning."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type", F.to_date("ts").alias("day"), F.col("user_id")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(s))").alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
