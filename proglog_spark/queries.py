@@ -4239,6 +4239,79 @@ def events_type_value_quantiles(spark, sf_dir):
 
 
 @register(
+    "docs_repeated_span_dedup",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, array_to_string(w[i:i+19], ' ') AS gram "
+    "FROM w, LATERAL unnest(range(1, len(w) - 20 + 2)) AS t(i)), "
+    "d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), "
+    "spans AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1), "
+    "dups AS (SELECT doc_id, count(*) AS n_dup_spans FROM g JOIN d USING (gram) "
+    "GROUP BY 1) "
+    "SELECT doc_id, n_spans, COALESCE(n_dup_spans, 0) AS n_dup_spans, "
+    "CAST(CASE WHEN n_spans > 0 THEN floor(1000000.0 * COALESCE(n_dup_spans, 0) "
+    "/ n_spans) ELSE 0 END AS BIGINT) AS dup_span_micro "
+    "FROM spans LEFT JOIN dups USING (doc_id) ORDER BY doc_id",
+)
+def docs_repeated_span_dedup(spark, sf_dir):
+    """Substring-granular dedup accounting (the ExactSubstr idea from
+    the training-data dedup literature, at 20-token-window
+    granularity): a span is flagged when its 20-gram occurs in ≥ 2
+    DISTINCT documents, and each doc reports how much of it is
+    cross-corpus duplicated text — the signal for span-level (not
+    whole-doc) dedup of boilerplate, licenses, and mirrored passages.
+    Within-doc repetition is deliberately excluded
+    (`docs_repetition_stats` owns that). One explode feeds both the
+    offender set and the probe; the flagged-gram set is tiny (`≈5%
+    of grams here) so the semi join broadcasts. At 100 TB, group on
+    the 64-bit gram fingerprint instead of the string — the
+    `docs_incremental_dedup` idiom — so the shuffle carries 8-byte
+    hashes; fingerprint collisions then over-flag ~2^-64·spans²,
+    the standard trade."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 20,
+        F.expr(
+            "transform(sequence(1, size(w) - 19), "
+            "i -> concat_ws(' ', slice(w, i, 20)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    g = w.select("doc_id", F.explode(grams).alias("gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = (
+        g.join(F.broadcast(dup), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        spans.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.floor(
+                    1_000_000.0
+                    * F.coalesce("n_dup_spans", F.lit(0))
+                    / F.col("n_spans")
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("dup_span_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "events_bitmap_distinct",
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
     "FROM events GROUP BY 1 ORDER BY 1",

@@ -2,6 +2,10 @@ from proglog_spark.streaming.anomaly import streaming_trailing_anomaly
 from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
+from proglog_spark.streaming.distinct import (
+    continuous_distinct_rollup,
+    read_distinct_rollup,
+)
 from proglog_spark.streaming.joins import (
     enrich_stream,
     streaming_attribution_join,
@@ -15,11 +19,13 @@ from proglog_spark.streaming.windows import streaming_tumbling_counts
 __all__ = [
     "apply_cdc_stream",
     "consume_stream",
+    "continuous_distinct_rollup",
     "continuous_rollup",
     "dedup_stream",
     "enrich_stream",
     "latest_per_key",
     "produce_stream",
+    "read_distinct_rollup",
     "read_rollup",
     "streaming_attribution_join",
     "streaming_outer_attribution_join",

@@ -785,3 +785,71 @@ def test_tail_follow_rate_limit_stays_ordered_and_chunked(spark, tmp_path):
     assert flat == list(range(8))  # strict order, no gaps, no dups
     assert all(len(b) <= 3 for b in batches)  # driver memory bound
     assert len(batches) >= 3
+
+
+@pytest.mark.parametrize("mode", ["exact", "sketch"])
+def test_continuous_distinct_rollup_parity_and_replay(spark, sf_dir, tmp_path, mode):
+    """Distinct-count rollup via mergeable structures: after two
+    overlapping appends the materialized table answers per-bucket
+    distinct users (exactly in bitmap mode, within 5% in HLL mode) —
+    and a FULL REPLAY from batch zero into the existing table changes
+    nothing, because OR/HLL-union merges are idempotent (the
+    at-least-once ⇒ exactly-once argument, exercised for real)."""
+    from proglog_spark.streaming.distinct import (
+        continuous_distinct_rollup,
+        read_distinct_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)  # same buckets -> merges
+    feed_dir = str(tmp_path / "feed")
+    first.write.mode("append").parquet(feed_dir)
+
+    rollup_path = str(tmp_path / "rollup")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(events.schema).parquet(feed_dir)
+        q = continuous_distinct_rollup(
+            stream, "ts", 3600, ["event_type"], "user_id",
+            rollup_path=rollup_path, checkpoint_dir=str(tmp_path / ckpt),
+            mode=mode,
+        )
+        try:
+            _drain(q)
+        finally:
+            q.stop()
+
+    run("ckpt1")
+    second.write.mode("append").parquet(feed_dir)
+    run("ckpt1")
+
+    def counts():
+        return {
+            (r.bucket, r.event_type): r.n_distinct
+            for r in read_distinct_rollup(
+                spark, rollup_path, ["event_type"], mode=mode
+            ).collect()
+        }
+
+    got = counts()
+    want = {
+        (r.bucket, r.event_type): r.n
+        for r in events.groupBy(
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, n in want.items():
+        if mode == "exact":
+            assert got[k] == n
+        else:
+            assert abs(got[k] - n) <= max(1, 0.05 * n)
+
+    # replay: fresh checkpoint re-feeds EVERY batch into the existing
+    # table; idempotent merges must leave the answers unchanged
+    run("ckpt2")
+    assert counts() == got
