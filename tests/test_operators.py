@@ -815,3 +815,45 @@ def test_misra_gries_one_sided_bounds(spark, docs):
     for term, n in exact.items():
         if n > bound:
             assert term in est, f"guaranteed-heavy term {term} missing"
+
+
+def test_cogroup_aligned_stats_matches_join_formulation(spark, sf_dir):
+    """cogroup().applyInPandas per-key alignment == the JVM join
+    formulation: an order is 'attributed' when a same-key event
+    precedes it within an hour. Includes keys with orders but no
+    events (cogroup is full-outer over keys)."""
+    from proglog_spark.operators.cogroup import aligned_activity_stats
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r.key: (r.n_events, r.n_orders, r.n_attributed)
+        for r in aligned_activity_stats(events, orders).collect()
+    }
+
+    ev = events.select(F.col("user_id").alias("k"), "ts")
+    od = orders.select(F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate")
+    attributed = (
+        od.join(
+            ev,
+            (od.k == ev.k)
+            & (ev.ts <= od.o_orderdate)
+            & (
+                F.unix_micros(ev.ts)
+                >= F.unix_micros(od.o_orderdate.cast("timestamp")) - 3_600_000_000
+            ),
+            "left_semi",
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+    )
+    n_ev = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    n_od = od.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    want_ev = {r.k: r.n for r in n_ev.collect()}
+    want_od = {r.k: r.n for r in n_od.collect()}
+    want_at = {r.k: r.n for r in attributed.collect()}
+    assert set(got) == set(want_ev) | set(want_od)
+    for k, (ge, go, ga) in got.items():
+        assert ge == want_ev.get(k, 0)
+        assert go == want_od.get(k, 0)
+        assert ga == want_at.get(k, 0)

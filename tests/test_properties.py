@@ -286,3 +286,71 @@ def test_packing_conserves_totals_and_orders_bins(spark, sizes, capacity):
         .groupBy("bin_id").agg(F.sum("sz").alias("t")).collect()
     )
     assert sum(r.t for r in agg) == sum(sizes)
+
+
+# ---------------------------------------------------------------------------
+# stateful model test: random op interleavings vs an in-memory model
+# ---------------------------------------------------------------------------
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6),
+                     min_size=1, max_size=7),
+        ),
+        st.tuples(st.just("truncate"), st.floats(min_value=0.0, max_value=1.0)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("reopen"), st.none()),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_ops)
+def test_log_table_model_random_interleavings(spark, tmp_path_factory, ops):
+    """The reference pins each log behavior with a hand-written
+    scenario table (log_test.go:13-34); this is the generated
+    counterpart: random interleavings of append / exact-truncate /
+    compact / reopen must keep the LogTable indistinguishable from a
+    plain in-memory list with dense offsets — bounds, count, full
+    ordered scan, and point reads all agree at every step."""
+    import tempfile
+
+    from proglog_spark import LogTable
+
+    path = tempfile.mkdtemp(dir=str(tmp_path_factory.mktemp("model"))) + "/log"
+    log = LogTable.create(spark, path, bucket_size=4)  # tiny -> many buckets
+    model: list[tuple[int, str]] = []
+    next_off = 0
+
+    for op, arg in ops:
+        if op == "append":
+            log.append(arg)
+            model.extend((next_off + i, v) for i, v in enumerate(arg))
+            next_off += len(arg)
+        elif op == "truncate":
+            if not model:
+                continue
+            lo, hi = model[0][0], model[-1][0]
+            lowest = lo + int((hi - lo) * arg)
+            log.truncate(lowest)
+            model = [r for r in model if r[0] > lowest]
+        elif op == "compact":
+            log.compact()
+        else:
+            log = LogTable.open(spark, path)
+
+        assert log.count() == len(model)
+        assert log.lowest_offset() == (model[0][0] if model else None)
+        assert log.highest_offset() == (model[-1][0] if model else None)
+
+    got = [(r.offset, r.value) for r in log.reader().orderBy("offset").collect()]
+    assert got == model
+    if model:
+        mid = model[len(model) // 2]
+        r = log.read(mid[0])
+        assert (r.offset, r.value) == mid
