@@ -1426,6 +1426,32 @@ def tpch_salted_priority_revenue(spark, sf_dir):
     )
 
 
+def _exact_length_quantiles(spark, sf_dir, qs):
+    """Exact nearest-rank quantile rows (q, n_chars) via the
+    range-partitioned global rank (`operators/rank.py`) — the earlier
+    formulation used a PARTITION-BY-less window, which collapses the
+    whole corpus into one task at scale. The total row count comes
+    back with the rank, so the target ranks are three literals joined
+    as a broadcast 3-row relation."""
+    import math
+
+    from proglog_spark.operators import rank as rank_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked, n = rank_ops.with_global_rank(
+        d.select("n_chars", "doc_id"), ["n_chars", "doc_id"], rank_col="rn"
+    )
+    tdf = spark.createDataFrame(
+        [(q, math.ceil(q / 100.0 * n)) for q in qs], "q int, rn bigint"
+    )
+    return (
+        ranked.withColumn("rn", F.col("rn").cast("long"))
+        .join(F.broadcast(tdf), "rn")
+        .groupBy("q")
+        .agg(F.min("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 @register(
     "docs_length_quantiles",
     "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn, "
@@ -1438,26 +1464,11 @@ def tpch_salted_priority_revenue(spark, sf_dir):
 )
 def docs_length_quantiles(spark, sf_dir):
     """Exact nearest-rank quantiles (p50/p90/p99 of document length) —
-    rank-based so both engines pick the identical element; the scale
-    path swaps in percentile_approx with a documented error bound."""
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    r = d.select(
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    parts = [
-        r.where(F.col("rn") == F.ceil(F.lit(q / 100.0) * F.col("n")).cast("long"))
-        .select(F.lit(q).cast("int").alias("q"), "n_chars")
-        for q in (50, 90, 99)
-    ]
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return (
-        out.groupBy("q").agg(F.min("n_chars").cast("long").alias("n_chars")).orderBy("q")
-    )
+    rank-based so both engines pick the identical element, computed
+    with the scalable two-phase global rank (no single-partition
+    window); `docs_length_quantiles_sketch` is the one-pass sketch
+    twin."""
+    return _exact_length_quantiles(spark, sf_dir, (50, 90, 99)).orderBy("q")
 
 
 @register(
@@ -3718,27 +3729,11 @@ def docs_length_quantiles_sketch(spark, sf_dir):
     it, and the oracle states the boolean as a literal — a drifting
     sketch hash-mismatches. accuracy=10000 ⇒ rank error ≤ 0.01%, so
     the 5% VALUE bound holds with huge margin on any non-degenerate
-    distribution. Exact twin: `docs_length_quantiles`."""
-    from pyspark.sql import Window
-
+    distribution. Exact twin: `docs_length_quantiles` (both ride the
+    scalable two-phase global rank, no single-partition window)."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    r = d.select(
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    parts = [
-        r.where(F.col("rn") == F.ceil(F.lit(q / 100.0) * F.col("n")).cast("long"))
-        .select(F.lit(q).cast("int").alias("q"), "n_chars")
-        for q in (50, 90, 99)
-    ]
-    exact = (
-        parts[0]
-        .unionByName(parts[1])
-        .unionByName(parts[2])
-        .groupBy("q")
-        .agg(F.min("n_chars").cast("long").alias("exact_value"))
+    exact = _exact_length_quantiles(spark, sf_dir, (50, 90, 99)).select(
+        "q", F.col("n_chars").alias("exact_value")
     )
     sketch = d.agg(
         F.percentile_approx(
