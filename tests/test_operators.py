@@ -857,3 +857,54 @@ def test_cogroup_aligned_stats_matches_join_formulation(spark, sf_dir):
         assert ge == want_ev.get(k, 0)
         assert go == want_od.get(k, 0)
         assert ga == want_at.get(k, 0)
+
+
+def test_bpe_training_matches_python_reference(spark, sf_dir):
+    """Distributed BPE (corpus reduced to the weighted word-frequency
+    table, then vocabulary-sized merge iterations) must reproduce the
+    exact merge sequence of a sequential in-memory implementation —
+    including the deterministic count-desc / pair-lexicographic
+    tie-break — and the encoder must conserve words (every word ends
+    with exactly one </w>-terminated token run)."""
+    import collections
+
+    from proglog_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, num_merges=8)
+
+    wf = collections.Counter()
+    for r in d.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+
+    vocab = {w: list(w) + [bpe.END] for w in wf}
+    ref = []
+    for _ in range(8):
+        pc = collections.Counter()
+        for w, n in wf.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc or max(pc.values()) < 2:
+            break
+        bc = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == bc)[0]
+        ref.append((a, b))
+        for w, s in vocab.items():
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            vocab[w] = res
+    assert merges == ref
+
+    enc = bpe.encode(d.limit(20), merges).collect()
+    for r in enc:
+        assert r.n_tokens >= r.n_words  # every word ends with a </w> token
+        assert 0 < len(r.token_prefix) <= 12
