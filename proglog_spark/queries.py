@@ -4010,12 +4010,18 @@ def tpch_bloom_filter_join(spark, sf_dir):
     from proglog_spark.operators import bloomjoin
 
     li = load_table(spark, sf_dir, "lineitem")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
-    j = bloomjoin.bloom_filtered_join(li, o, on="l_orderkey")
+    # sizing needs only an UPPER bound on build keys; the unfiltered
+    # row count is parquet-footer metadata (no scan), and oversizing
+    # the bitmap only lowers the false-positive rate
+    # fpp vs the UPPER bound; against the actual (5x smaller) build
+    # set the realized false-positive rate is far lower still
+    j = bloomjoin.bloom_filtered_join(
+        li, o, on="l_orderkey", expected_items=orders.count(), fpp=0.05
+    )
     cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
     return (
         j.groupBy(
@@ -4231,6 +4237,62 @@ def events_type_value_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_distinct_rollup_streamed",
+    "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS bucket, event_type, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_distinct_rollup_streamed(spark, sf_dir):
+    """The continuous DISTINCT rollup (`streaming/distinct.py`, exact
+    bitmap mode) run as a real streaming query over the fixture: the
+    materialized mergeable-bitmap table must answer per-bucket
+    distinct users EXACTLY equal to the batch count(DISTINCT) oracle.
+    This is the streaming convergence contract for distinct counts —
+    the idempotent-merge design means the same table would hash-match
+    even under batch replays (pinned in tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from proglog_spark.streaming.distinct import (
+        continuous_distinct_rollup,
+        read_distinct_rollup,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    work = tempfile.mkdtemp(prefix="distinct_rollup_")
+    q = continuous_distinct_rollup(
+        stream,
+        "ts",
+        86400,  # daily: the rollup cost per batch scales with TOUCHED
+        # bucket partitions, and a backfill of the whole fixture in
+        # one batch touches every bucket — hourly granularity writes
+        # ~500 tiny partition dirs here for no extra test coverage
+        ["event_type"],
+        "user_id",
+        rollup_path=os.path.join(work, "rollup"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        mode="exact",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return read_distinct_rollup(
+        spark, os.path.join(work, "rollup"), ["event_type"], mode="exact"
+    ).orderBy("bucket", "event_type")
 
 
 @register(

@@ -811,7 +811,7 @@ def test_continuous_distinct_rollup_parity_and_replay(spark, sf_dir, tmp_path, m
     def run(ckpt):
         stream = spark.readStream.schema(events.schema).parquet(feed_dir)
         q = continuous_distinct_rollup(
-            stream, "ts", 3600, ["event_type"], "user_id",
+            stream, "ts", 86400, ["event_type"], "user_id",
             rollup_path=rollup_path, checkpoint_dir=str(tmp_path / ckpt),
             mode=mode,
         )
@@ -836,7 +836,7 @@ def test_continuous_distinct_rollup_parity_and_replay(spark, sf_dir, tmp_path, m
     want = {
         (r.bucket, r.event_type): r.n
         for r in events.groupBy(
-            (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("bucket"),
             "event_type",
         )
         .agg(F.countDistinct("user_id").alias("n"))
