@@ -14,6 +14,7 @@ from proglog_spark.streaming.joins import (
 from proglog_spark.streaming.produce import produce_stream
 from proglog_spark.streaming.rollup import continuous_rollup, read_rollup
 from proglog_spark.streaming.sessions import streaming_sessionize
+from proglog_spark.streaming.stateful import inactivity_alerts
 from proglog_spark.streaming.windows import streaming_tumbling_counts
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "continuous_rollup",
     "dedup_stream",
     "enrich_stream",
+    "inactivity_alerts",
     "latest_per_key",
     "produce_stream",
     "read_distinct_rollup",

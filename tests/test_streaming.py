@@ -853,3 +853,68 @@ def test_continuous_distinct_rollup_parity_and_replay(spark, sf_dir, tmp_path, m
     # table; idempotent merges must leave the answers unchanged
     run("ckpt2")
     assert counts() == got
+
+
+def test_inactivity_alerts_fire_on_watermark_not_on_data(spark, tmp_path):
+    """Event-time timers: a key with NO new input must alert once the
+    watermark (advanced by OTHER keys' events) passes last_seen + gap;
+    keys that keep producing slide their deadline instead. Three
+    batches: A,B at t0 -> A again at t0+2h (B goes quiet -> B alerts
+    at t0+1h) -> C at t0+5h (A quiet since t0+2h -> A alerts at
+    t0+3h; C's own timer still pending).
+
+    transformWithState's worker protocol needs the protobuf package
+    at runtime; without it only plan construction is checked."""
+    from proglog_spark.streaming.stateful import inactivity_alerts
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        runtime_ok = True
+    except ImportError:
+        runtime_ok = False
+
+    t0 = 1_700_000_000_000  # epoch ms
+    hour = 3_600_000
+    feed = str(tmp_path / "feed")
+    schema = "user_id long, ts timestamp"
+
+    def emit(rows):
+        spark.createDataFrame(rows, "user_id long, ms long").select(
+            "user_id", F.timestamp_millis("ms").alias("ts")
+        ).write.mode("append").parquet(feed)
+
+    emit([(1, t0), (2, t0)])
+    stream = spark.readStream.schema(schema).parquet(feed)
+    alerts = inactivity_alerts(stream, "user_id", "ts", gap_seconds=3600)
+    # analysis always works (plan-level contract, no protobuf needed)
+    assert [f.name for f in alerts.schema.fields] == [
+        "k", "last_seen_ms", "deadline_ms"
+    ]
+    if not runtime_ok:
+        pytest.skip("protobuf not installed: transformWithState worker cannot run")
+    name = "inactivity_alerts_sink"
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {(r.k, r.deadline_ms) for r in spark.table(name).collect()}
+        assert got == set()  # watermark still at t0: nothing expired
+
+        emit([(1, t0 + 2 * hour)])
+        _drain(q)
+        got = {(r.k, r.deadline_ms) for r in spark.table(name).collect()}
+        assert got == {(2, t0 + hour)}  # B silent; A slid its deadline
+
+        emit([(3, t0 + 5 * hour)])
+        _drain(q)
+        got = {(r.k, r.deadline_ms) for r in spark.table(name).collect()}
+        assert got == {(2, t0 + hour), (1, t0 + 2 * hour + hour)}
+        rows = {r.k: r.last_seen_ms for r in spark.table(name).collect()}
+        assert rows == {2: t0, 1: t0 + 2 * hour}
+    finally:
+        q.stop()
