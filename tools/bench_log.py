@@ -64,6 +64,47 @@ def main():
     n_scanned = log.reader().count()
     scan_s = time.time() - t0
 
+    # tail-follow latency: the ConsumeStream analog
+    # (internal/server/server.go:138-158 busy-polls per record; we
+    # measure append-commit -> micro-batch delivery, median of a few
+    # rounds with the query already running and warm)
+    import threading
+
+    from proglog_spark.streaming import tail_follow
+
+    delivered: dict[int, float] = {}
+    lock = threading.Lock()
+
+    def on_batch(rows):
+        now = time.time()
+        with lock:
+            for r in rows:
+                delivered[r.offset] = now
+
+    q = tail_follow(
+        log,
+        from_offset=log.highest_offset() + 1,
+        on_batch=on_batch,
+        checkpoint_dir=os.path.join(d, "tail_ckpt"),
+    )
+    tail_lat_ms = []
+    try:
+        q.processAllAvailable()  # drain startup
+        for i in range(5):
+            target = log.highest_offset() + 1
+            t0 = time.time()
+            log.append([f"tail{i}"])
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                with lock:
+                    if target in delivered:
+                        tail_lat_ms.append(1000 * (delivered[target] - t0))
+                        break
+                time.sleep(0.02)
+    finally:
+        q.stop()
+    tail_ms = round(sorted(tail_lat_ms)[len(tail_lat_ms) // 2], 1) if tail_lat_ms else None
+
     print(
         json.dumps(
             {
@@ -72,6 +113,7 @@ def main():
                 "append_batch_ms": round(1000 * append_s / args.batches, 1),
                 "point_reads_per_s": round(args.reads / read_s, 1),
                 "scan_rows_per_s": round(n_scanned / scan_s),
+                "tail_follow_latency_ms": tail_ms,
                 "records": n_appended,
                 "payload_bytes": args.payload_bytes,
                 "unit": "mixed",
