@@ -89,6 +89,13 @@ class LogTable:
         self._highest: int | None = None  # cache; single-writer makes this safe
         # produce_stream idempotence marker (replayed micro-batches skip)
         self.last_produce_batch: int | None = None
+        # native point-read dataset cache, keyed by (bucket dir, its
+        # committed file set): a fresh listdir per read keeps the key
+        # honest (parquet files are immutable once committed, so a
+        # changed file SET is the only way a bucket changes), while the
+        # expensive part — footer parse + row-group statistics — is
+        # paid once per bucket version instead of per read
+        self._native_ds_cache: dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -268,14 +275,32 @@ class LogTable:
 
             if not os.path.isdir(bdir):
                 raise OffsetOutOfRangeError(offset)
-            # ignore_prefixes drops Spark's _SUCCESS/_committed markers
-            # and dot-temp files; only committed part files remain
-            tbl = (
-                pads.dataset(bdir, format="parquet")
-                .to_table(
-                    columns=_DATA_COLS,
-                    filter=pads.field("offset") == offset,
+            # committed part files only (no _SUCCESS/_committed markers,
+            # no dot-temp files)
+            files = sorted(
+                f
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not files:
+                raise OffsetOutOfRangeError(offset)
+            key = (bdir, tuple(files))
+            ds = self._native_ds_cache.get(key)
+            if ds is None:
+                # drop superseded versions of this bucket; cap total
+                # cached buckets so a scan over a huge log stays bounded
+                self._native_ds_cache = {
+                    k: v for k, v in self._native_ds_cache.items() if k[0] != bdir
+                }
+                if len(self._native_ds_cache) >= 256:
+                    self._native_ds_cache.clear()
+                ds = pads.dataset(
+                    [os.path.join(bdir, f) for f in files], format="parquet"
                 )
+                self._native_ds_cache[key] = ds
+            tbl = ds.to_table(
+                columns=_DATA_COLS,
+                filter=pads.field("offset") == offset,
             )
         except OffsetOutOfRangeError:
             raise
