@@ -183,8 +183,16 @@ class LogTable:
         becomes visible atomically on parquet commit (the micro-batch
         analog of the reference's flush-before-read, store.go:63).
         """
-        df = self._coerce(records)
         base = self._next_offset()
+        if not isinstance(records, DataFrame):
+            # Driver-side batch fast path: the input's order IS the
+            # offset order (the reference's arrival-order contract),
+            # and n is len() — so offsets and buckets are computed in
+            # the driver and the append is ONE Spark job (the write),
+            # instead of checkpoint + count + write. DataFrame appends
+            # keep the distributed two-pass assignment below.
+            return self._append_driver_batch(records, base, order_by)
+        df = self._coerce(records)
         with_off, n = assign_dense_offsets(df, start=base, order_by=order_by)
         if n == 0:
             return (base, base - 1)
@@ -196,6 +204,52 @@ class LogTable:
                 "bucket", F.expr(f"offset div {self.bucket_size}")
             )
             .select("bucket", *_DATA_COLS)
+            .write.mode("append")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+        last = base + n - 1
+        self._highest = last
+        return (base, last)
+
+    def _append_driver_batch(
+        self, records, base: int, order_by: Sequence[str] | None
+    ) -> tuple[int, int]:
+        """Append an iterable already materialized in the driver:
+        offsets/buckets stamped driver-side, one write job total."""
+        rows = self._coerce_rows(records)
+        if order_by:
+            idx = {"value": 0, "term": 1, "type": 2}
+            try:
+                keys = [idx[c] for c in order_by]
+            except KeyError as e:
+                raise ValueError(f"unknown order_by column: {e}") from None
+            rows.sort(key=lambda r: tuple(r[k] for k in keys))
+        n = len(rows)
+        if n == 0:
+            return (base, base - 1)
+        schema = "bucket LONG, offset LONG, value STRING, term LONG, type INT"
+        if n >= 1000:
+            try:
+                import pandas as pd
+
+                pdf = pd.DataFrame(rows, columns=["value", "term", "type"])
+                pdf.insert(0, "offset", range(base, base + n))
+                pdf.insert(0, "bucket", pdf["offset"] // self.bucket_size)
+                sdf = self.spark.createDataFrame(pdf, schema=schema)
+            except Exception:
+                sdf = None
+        else:
+            sdf = None
+        if sdf is None:
+            stamped = [
+                ((base + i) // self.bucket_size, base + i, *r)
+                for i, r in enumerate(rows)
+            ]
+            sdf = self.spark.createDataFrame(stamped, schema=schema)
+        (
+            sdf.select("bucket", *_DATA_COLS)
             .write.mode("append")
             .option("maxRecordsPerFile", self.max_records_per_file)
             .partitionBy("bucket")
@@ -588,6 +642,17 @@ class LogTable:
     # internals
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _coerce_rows(records) -> list[tuple]:
+        rows = []
+        for r in records:
+            if isinstance(r, str):
+                rows.append((r, 0, 0))
+            else:
+                value, term, typ = (tuple(r) + (0, 0))[:3]
+                rows.append((str(value), int(term), int(typ)))
+        return rows
+
     def _coerce(self, records) -> DataFrame:
         if isinstance(records, DataFrame):
             df = records
@@ -600,13 +665,7 @@ class LogTable:
                 F.col("term").cast("long"),
                 F.col("type").cast("int"),
             )
-        rows = []
-        for r in records:
-            if isinstance(r, str):
-                rows.append((r, 0, 0))
-            else:
-                value, term, typ = (tuple(r) + (0, 0))[:3]
-                rows.append((str(value), int(term), int(typ)))
+        rows = self._coerce_rows(records)
         # Arrow-serialize driver-side batches: a pandas DataFrame rides
         # the Arrow fast path into the JVM (~3x faster than pickling
         # row tuples at 10^4+ records); tiny batches skip the detour.
