@@ -4368,6 +4368,30 @@ def docs_repeated_span_dedup(spark, sf_dir):
     )
 
 
+# the merge list is a FIXED artifact (tokenizers are deployed as
+# frozen files); this one was trained by operators/bpe.train_bpe on
+# the documents fixture and is reproducible from it (parity pinned in
+# tests/test_operators.py). Training in-query would re-run the merge
+# loop per invocation for no coverage gain.
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+]
+
+
+@register("docs_bpe_token_stats", None)  # BPE is not SQL-expressible → rows-only
+def docs_bpe_token_stats(spark, sf_dir):
+    """Subword tokenization as a pipeline stage: the frozen BPE merge
+    list (`operators/bpe.py`) applied corpus-wide in one Arrow-batched
+    pass — per-doc word/token counts plus the leading token ids'
+    strings. The compression ratio n_tokens/n_chars is the metric a
+    data pipeline tracks per source before training."""
+    from proglog_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.encode(d, _BPE_MERGES).orderBy("doc_id")
+
+
 @register(
     "events_bitmap_distinct",
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
