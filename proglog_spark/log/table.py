@@ -72,6 +72,7 @@ class LogTable:
         bucket_size: int,
         initial_offset: int,
         max_records_per_file: int,
+        row_group_bytes: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -82,6 +83,12 @@ class LogTable:
             raise ValueError(f"initial_offset must be >= 0, got {initial_offset}")
         self.initial_offset = int(initial_offset)
         self.max_records_per_file = int(max_records_per_file)
+        # parquet row-group size for the data files (None = writer
+        # default, ~128 MB groups). The point-read latency dial: the
+        # native read path prunes row groups by footer stats and then
+        # decodes ONE group, so smaller groups mean faster Consume at
+        # the cost of more groups per scan. Persisted in meta.
+        self.row_group_bytes = int(row_group_bytes) if row_group_bytes else None
         # Offsets never regress, even if truncation empties the log —
         # the reference keeps nextOffset in its active segment; we
         # persist the floor in the meta file.
@@ -109,11 +116,15 @@ class LogTable:
         bucket_size: int = 1 << 20,
         initial_offset: int = 0,
         max_records_per_file: int = 1 << 22,
+        row_group_bytes: int | None = None,
     ) -> "LogTable":
         """Create a new log dir (idempotent if meta matches; a config
         mismatch with an existing log raises instead of silently
         discarding the caller's arguments)."""
-        log = cls(spark, path, bucket_size, initial_offset, max_records_per_file)
+        log = cls(
+            spark, path, bucket_size, initial_offset, max_records_per_file,
+            row_group_bytes,
+        )
         fs, p, jvm = log._fs()
         if fs.exists(jvm.org.apache.hadoop.fs.Path(path, _META_FILE)):
             existing = cls.open(spark, path)
@@ -151,6 +162,8 @@ class LogTable:
         log.bucket_size = int(meta["bucket_size"])
         log.initial_offset = int(meta["initial_offset"])
         log.max_records_per_file = int(meta.get("max_records_per_file", 1 << 22))
+        rgb = meta.get("row_group_bytes")
+        log.row_group_bytes = int(rgb) if rgb else None
         log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
         log.last_produce_batch = int(meta["last_produce_batch"]) if "last_produce_batch" in meta else None
         log._recover_truncate()
@@ -200,12 +213,13 @@ class LogTable:
             # `div` (integer division) — double division drifts past
             # 2^53 and truncates-toward-zero; offsets are non-negative
             # by contract so div == the read paths' Python //
-            with_off.withColumn(
-                "bucket", F.expr(f"offset div {self.bucket_size}")
+            self._apply_write_opts(
+                with_off.withColumn(
+                    "bucket", F.expr(f"offset div {self.bucket_size}")
+                )
+                .select("bucket", *_DATA_COLS)
+                .write.mode("append")
             )
-            .select("bucket", *_DATA_COLS)
-            .write.mode("append")
-            .option("maxRecordsPerFile", self.max_records_per_file)
             .partitionBy("bucket")
             .parquet(self.path)
         )
@@ -249,9 +263,9 @@ class LogTable:
             ]
             sdf = self.spark.createDataFrame(stamped, schema=schema)
         (
-            sdf.select("bucket", *_DATA_COLS)
-            .write.mode("append")
-            .option("maxRecordsPerFile", self.max_records_per_file)
+            self._apply_write_opts(
+                sdf.select("bucket", *_DATA_COLS).write.mode("append")
+            )
             .partitionBy("bucket")
             .parquet(self.path)
         )
@@ -507,9 +521,9 @@ class LogTable:
         # maxRecordsPerFile is the hard roll guarantee: coalesce only
         # merges read splits, so uneven input files could otherwise
         # produce an oversized output file
-        survivors.write.mode("overwrite").option(
-            "maxRecordsPerFile", self.max_records_per_file
-        ).parquet(str(new_dir))
+        self._apply_write_opts(survivors.write.mode("overwrite")).parquet(
+            str(new_dir)
+        )
         # drop Spark's _SUCCESS marker; only data files move into place
         fs.delete(P(f"{self.path}/.truncate-new-{bucket}/_SUCCESS"), False)
         fs.rename(bucket_dir, old_dir)  # (2) atomic: live bucket aside
@@ -642,6 +656,12 @@ class LogTable:
     # internals
     # ------------------------------------------------------------------
 
+    def _apply_write_opts(self, w):
+        w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        if self.row_group_bytes:
+            w = w.option("parquet.block.size", str(self.row_group_bytes))
+        return w
+
     @staticmethod
     def _coerce_rows(records) -> list[tuple]:
         rows = []
@@ -720,6 +740,7 @@ class LogTable:
             "bucket_size": self.bucket_size,
             "initial_offset": self.initial_offset,
             "max_records_per_file": self.max_records_per_file,
+            "row_group_bytes": self.row_group_bytes,
             "next_offset_floor": self.next_offset_floor,
             "format": "proglog_spark/v1",
         }

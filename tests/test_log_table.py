@@ -322,3 +322,29 @@ def test_point_read_spark_fallback_matches_native(spark, tmp_path):
         del log._read_native
     with pytest.raises(OffsetOutOfRangeError):
         log.read(99)  # native path: definitive local miss
+
+
+def test_row_group_bytes_knob_persists_and_reads(spark, tmp_path):
+    """row_group_bytes: writer produces multiple small row groups (the
+    point-read latency dial — the native read decodes ONE group after
+    footer-stat pruning), the setting survives reopen via meta, and
+    compaction rewrites keep honoring it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=1 << 20, row_group_bytes=1 << 16)
+    log.append([f"v{i:06d}" for i in range(20000)])
+    f = glob.glob(path + "/bucket=0/*.parquet")[0]
+    assert pq.ParquetFile(f).num_row_groups > 1
+
+    reopened = LogTable.open(spark, path)
+    assert reopened.row_group_bytes == 1 << 16
+    assert tuple(reopened.read(12345))[:2] == (12345, "v012345")
+
+    log.append(["tail"])
+    log.compact()
+    fs = glob.glob(path + "/bucket=0/*.parquet")
+    assert len(fs) == 1 and pq.ParquetFile(fs[0]).num_row_groups > 1
+    assert tuple(log.read(20000))[:2] == (20000, "tail")
