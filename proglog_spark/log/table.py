@@ -719,6 +719,67 @@ class LogTable:
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return fs, p, jvm
 
+    def files(self) -> DataFrame:
+        """Physical-layout introspection: one row per committed data
+        file — (bucket, file, n_rows, min_offset, max_offset, bytes).
+
+        The queryable analog of the reference's segment list
+        (internal/log/log.go:39-68 walks `<base>.store` files; here the
+        parquet footers carry the same base/next information as row
+        counts + offset statistics). Everything comes from FOOTERS —
+        no data pages are read — so this is the tool for answering
+        "which files does offset k route to", auditing `compact()`
+        debt (files per bucket vs max_records_per_file), and verifying
+        truncate boundaries, at metadata cost.
+
+        Local fast path: pyarrow footer reads in-process. Remote
+        stores fall back to a Spark job grouping by input file — same
+        schema, scan cost instead of footer cost.
+        """
+        schema = (
+            "bucket long, file string, n_rows long, "
+            "min_offset long, max_offset long, bytes long"
+        )
+        local = self._local_dir()
+        if local is not None:
+            import pyarrow.parquet as pq
+
+            rows = []
+            for b in self._buckets():
+                bdir = os.path.join(local, f"bucket={b}")
+                for fn in sorted(os.listdir(bdir)):
+                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(bdir, fn)
+                    md = pq.ParquetFile(fp).metadata
+                    off_idx = next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).name == "offset"
+                    )
+                    mins, maxs = [], []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(off_idx).statistics
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    rows.append(
+                        (b, fn, md.num_rows, min(mins), max(maxs),
+                         os.path.getsize(fp))
+                    )
+            return self.spark.createDataFrame(rows, schema)
+        from pyspark.sql import functions as _F
+
+        return (
+            self.df()
+            .groupBy("bucket", _F.input_file_name().alias("file"))
+            .agg(
+                _F.count(_F.lit(1)).alias("n_rows"),
+                _F.min("offset").alias("min_offset"),
+                _F.max("offset").alias("max_offset"),
+                _F.lit(-1).cast("long").alias("bytes"),
+            )
+        )
+
     def _buckets(self) -> list[int]:
         """Bucket directory listing — the catalog of 'segments' (O16)."""
         fs, p, _ = self._fs()

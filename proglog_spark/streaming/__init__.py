@@ -2,6 +2,7 @@ from proglog_spark.streaming.anomaly import streaming_trailing_anomaly
 from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 from proglog_spark.streaming.dedup import dedup_stream
+from proglog_spark.streaming.derive import derive_log
 from proglog_spark.streaming.distinct import (
     continuous_distinct_rollup,
     read_distinct_rollup,
@@ -23,6 +24,7 @@ __all__ = [
     "continuous_distinct_rollup",
     "continuous_rollup",
     "dedup_stream",
+    "derive_log",
     "enrich_stream",
     "inactivity_alerts",
     "latest_per_key",

@@ -32,16 +32,22 @@ def produce_stream(
     checkpoint_dir: str,
     on_ack: Callable[[int, int, int], None] | None = None,
     trigger_seconds: float | None = None,
+    order_by: list[str] | None = None,
 ) -> S.StreamingQuery:
     """Append a streaming source (columns value[, term[, type]]) to the
     log; ``on_ack(batch_id, first_offset, last_offset)`` mirrors the
     per-record offset acks of the reference's bidi stream.
+
+    ``order_by``: columns fixing each batch's offset order (one range
+    shuffle per batch); without it offsets follow partition order —
+    fine for a produce firehose, required when deriving a log whose
+    order must track an upstream key (see ``streaming/derive.py``).
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if log.last_produce_batch is not None and batch_id <= log.last_produce_batch:
             return  # checkpoint replay of an already-applied batch
-        base, last = log.append(batch_df)
+        base, last = log.append(batch_df, order_by=order_by)
         log.last_produce_batch = int(batch_id)
         log._write_meta()
         if on_ack is not None and last >= base:

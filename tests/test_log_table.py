@@ -348,3 +348,27 @@ def test_row_group_bytes_knob_persists_and_reads(spark, tmp_path):
     fs = glob.glob(path + "/bucket=0/*.parquet")
     assert len(fs) == 1 and pq.ParquetFile(fs[0]).num_row_groups > 1
     assert tuple(log.read(20000))[:2] == (20000, "tail")
+
+
+def test_files_metadata_matches_physical_layout(spark, tmp_path):
+    """files(): per-file rows/offset-range/bytes from footers only.
+    Row counts sum to the log count, offset ranges are disjoint and
+    dense in union, and truncate/compact are visible in the listing."""
+    log = LogTable.create(
+        spark, str(tmp_path / "log"), bucket_size=100, max_records_per_file=40
+    )
+    log.append([f"v{i}" for i in range(250)])
+    files = log.files().collect()
+    assert sum(r.n_rows for r in files) == 250
+    assert all(r.n_rows == r.max_offset - r.min_offset + 1 for r in files)
+    assert all(r.bytes > 0 for r in files)
+    assert all(r.n_rows <= 40 for r in files)  # maxRecordsPerFile honored
+    covered = sorted((r.min_offset, r.max_offset) for r in files)
+    assert covered[0][0] == 0 and covered[-1][1] == 249
+    for (a, b), (c, d) in zip(covered, covered[1:]):
+        assert c == b + 1  # disjoint, gap-free union
+
+    log.truncate(99)
+    files = log.files().collect()
+    assert min(r.min_offset for r in files) == 100
+    assert {r.bucket for r in files} == {1, 2}

@@ -918,3 +918,44 @@ def test_inactivity_alerts_fire_on_watermark_not_on_data(spark, tmp_path):
         assert rows == {2: t0, 1: t0 + 2 * hour}
     finally:
         q.stop()
+
+
+def test_derive_log_chain_filters_and_survives_restart(spark, tmp_path):
+    """Log -> transform -> log topology: the derived log holds exactly
+    the transformed survivors in source-offset order with dense
+    offsets of its own; appending more to the source extends it; a
+    restart on the same checkpoint appends nothing new (replay
+    marker)."""
+    from proglog_spark.streaming.derive import derive_log
+
+    src = LogTable.create(spark, str(tmp_path / "src"), bucket_size=8)
+    dst = LogTable.create(spark, str(tmp_path / "dst"), bucket_size=8)
+    src.append([f"v{i}" for i in range(10)])
+
+    def transform(stream):
+        return stream.where(F.col("offset") % 2 == 0).select(
+            F.upper("value").alias("value"),
+            F.col("offset").alias("term"),  # carry source order
+            F.lit(0).alias("type"),
+        )
+
+    def run():
+        q = derive_log(
+            src, dst, transform, str(tmp_path / "ckpt"), order_by=["term"]
+        )
+        try:
+            _drain(q)
+        finally:
+            q.stop()
+
+    run()
+    got = [(r.offset, r.value, r.term) for r in dst.reader().orderBy("offset").collect()]
+    assert got == [(i, f"V{2 * i}", 2 * i) for i in range(5)]
+
+    src.append([f"v{i}" for i in range(10, 14)])
+    run()
+    got = [(r.offset, r.value, r.term) for r in dst.reader().orderBy("offset").collect()]
+    assert got == [(i, f"V{2 * i}", 2 * i) for i in range(7)]
+
+    run()  # pure restart, no new source data -> no duplicates
+    assert dst.count() == 7
