@@ -4204,31 +4204,49 @@ def events_out_of_order_audit(spark, sf_dir):
     "FROM r GROUP BY 1 ORDER BY 1",
 )
 def events_type_value_quantiles(spark, sf_dir):
-    """PER-GROUP exact nearest-rank quantiles (the global twin is
-    `docs_length_quantiles`): one window shuffle partitioned by
-    event_type — no single-partition global sort — then the rank-
-    matching rows fold to one row per group. Ties are safe: equal
-    cents at the target rank give the same value whatever order the
-    window breaks them in. Scale: group-parallel; per-group skew is
-    the only hazard (a group's rows must fit one task's spill budget;
-    `docs_length_quantiles_sketch` is the sketch escape hatch)."""
+    """PER-GROUP exact nearest-rank quantiles via the CDF formulation:
+    first reduce to counts per (event_type, cents) — a partial-agg
+    shuffle whose output is bounded by the DISTINCT VALUE domain, not
+    the row count — then run the rank arithmetic on that tiny table
+    (a running sum per group over ~10^3 distinct cents). The naive
+    per-group row_number window was measured at a 19x ratio in the
+    100x scale probe (SCALING.md §9): with few groups its parallelism
+    is capped at the group count, while the CDF reduction uses every
+    core and ships ~|groups|·|distinct values| rows. Nearest-rank
+    pick: the smallest cents whose cumulative count reaches
+    ceil(q·n). `docs_length_quantiles_sketch` remains the sketch path
+    for unbounded/continuous domains."""
     e = load_table(spark, sf_dir, "events")
-    c = e.select(
-        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    counts = (
+        e.select(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wo = Window.partitionBy("event_type").orderBy("cents")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("event_type")
-    r = c.select(
+    cdf = counts.select(
         "event_type",
         "cents",
-        F.row_number().over(wo).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wn).cast("long").alias("n"),
     )
-    at = lambda q: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("cents"))
+    # smallest cents whose cumulative count reaches the target rank ==
+    # the value at that rank in the sorted sequence (ties collapse
+    # into one cents row, so the min over qualifying rows is exact)
+    at = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("cents"),
+        )
     )
     return (
-        r.groupBy("event_type")
+        cdf.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_events"),
             at(0.5).alias("p50_cents"),
