@@ -4489,6 +4489,260 @@ def events_hll_rollup_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Coverage wave: remaining join flavors (CROSS + RIGHT OUTER), context-window
+# chunking, perplexity-proxy rarity filtering, iterative PageRank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_day_matrix",
+    "WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, "
+    "event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), "
+    "d AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day "
+    "FROM events), "
+    "t AS (SELECT DISTINCT event_type FROM events) "
+    "SELECT d.day, t.event_type, COALESCE(c.n_events, 0) AS n_events "
+    "FROM d CROSS JOIN t LEFT JOIN c ON c.day = d.day "
+    "AND c.event_type = t.event_type ORDER BY 1, 2",
+)
+def events_type_day_matrix(spark, sf_dir):
+    """Dense day x event-type matrix with zero-fill — the reporting
+    shape where absent combinations must appear as explicit zeros.
+    Completes the join-flavor inventory with the two remaining kinds:
+    a CROSS JOIN building the dense grid (both sides are DISTINCT
+    projections — days x types, metadata-scale however large the fact
+    table grows) and a RIGHT OUTER hash join from the aggregated
+    counts onto the grid. The grid's type side is broadcast, so the
+    cross product never shuffles; counts come from one partial-agg
+    shuffle over the facts. At 100 TB the grid stays tiny (days x
+    types), so the outer join is itself broadcastable by AQE."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    counts = e.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    days = e.select(day.alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return (
+        counts.join(grid, ["day", "event_type"], "right_outer")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_CHUNK_SIZE = 400
+_CHUNK_STRIDE = 300
+
+
+@register(
+    "docs_chunk_spans",
+    "SELECT doc_id, CAST(start // 300 AS BIGINT) AS chunk_idx, "
+    "CAST(start AS BIGINT) AS start, "
+    "CAST(least(start + 400, n) - start AS BIGINT) AS chunk_len, "
+    "md5(substring(text, start + 1, 400)) AS chunk_md5 FROM ("
+    "SELECT doc_id, text, length(text) AS n, "
+    "unnest(generate_series(0, greatest(length(text) - 1, 0), 300)) AS start "
+    "FROM documents) ORDER BY doc_id, start",
+)
+def docs_chunk_spans(spark, sf_dir):
+    """Context-window chunking — split every document into 400-char
+    chunks with a 300-char stride (100-char overlap), emitting the
+    char span and a content digest per chunk. This is the pretraining
+    step that turns variable-length documents into model-window
+    pieces while keeping provenance (doc_id, start) for dedup and
+    attribution downstream. Pure narrow plan: length/sequence/explode
+    /substring all run JVM-side inside one codegen stage with ZERO
+    shuffles before the final presentation sort — at 100 TB the
+    chunker is scan-bound, exactly as it should be. Chunk starts come
+    from ``sequence(0, n-1, stride)`` so the last partial chunk is
+    kept and empty documents still yield one empty chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    ch = d.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        (F.least(F.col("start") + _CHUNK_SIZE, F.col("n")) - F.col("start"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(F.expr(f"substring(text, start + 1, {_CHUNK_SIZE})")).alias(
+            "chunk_md5"
+        ),
+    ).orderBy("doc_id", "start")
+
+
+@register(
+    "docs_rarity_filter",
+    "WITH tok AS (SELECT doc_id, lower(t) AS term FROM "
+    "(SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t "
+    "FROM documents) WHERE t <> ''), "
+    "vc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1), "
+    "vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) - 1 "
+    "AS BIGINT) AS id FROM vc ORDER BY c DESC, term LIMIT 1000), "
+    "j AS (SELECT t.doc_id, COALESCE(v.id, 1000) AS r FROM tok t "
+    "LEFT JOIN vocab v USING (term)) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(r) AS BIGINT) AS rarity_sum, "
+    "CAST(floor(1000000.0 * sum(r) / count(*)) AS BIGINT) AS rarity_mean_micro "
+    "FROM j GROUP BY 1 ORDER BY 1",
+)
+def docs_rarity_filter(spark, sf_dir):
+    """Perplexity-proxy quality filter, model-free: score each doc by
+    the mean corpus-frequency RANK of its tokens (0 = most frequent;
+    out-of-vocab beyond the top-1000 costs a flat 1000). Rank-sum is
+    the integer-exact stand-in for unigram negative-log-likelihood
+    (log-prob is monotone in frequency rank), so the filter behaves
+    like a KenLM perplexity gate while staying hash-comparable across
+    engines — float ``ln`` ulp differences can flip a floor, ranks
+    cannot. Same scale shape as `docs_tokenize_ids`: the vocabulary is
+    a TakeOrdered top-1000 (driver-scale by construction), broadcast
+    into a map-side left join; one token-explode scan, one partial-agg
+    shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("term"))
+    )
+    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = vc.orderBy(F.col("c").desc(), "term").limit(1000)
+    wv = Window.orderBy(F.col("c").desc(), "term")
+    vocab = top.select("term", (F.row_number().over(wv) - 1).cast("long").alias("id"))
+    j = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", F.coalesce(F.col("id"), F.lit(1000)).alias("r")
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("r").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_sum",
+            F.floor(1000000.0 * F.col("rarity_sum") / F.col("n_tokens"))
+            .cast("long")
+            .alias("rarity_mean_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PR_SCALE = 1_000_000_000  # rank mass in nano units
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank oracle: 5 damped iterations as
+    chained CTEs (DuckDB's recursive CTE disallows aggregation in the
+    recursive term, so the loop is unrolled). All arithmetic is BIGINT
+    with `//` floor division — structurally identical to the Spark
+    side's `div`, so the hashes match exactly."""
+    base = (
+        "WITH tr AS (SELECT prev_type AS src, event_type AS dst, "
+        "CAST(count(*) AS BIGINT) AS n FROM (SELECT event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events) WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "outw AS (SELECT src, CAST(sum(n) AS BIGINT) AS ow FROM tr GROUP BY 1), "
+        "e AS (SELECT tr.src, tr.dst, tr.n, outw.ow FROM tr "
+        "JOIN outw USING (src)), "
+        "nodes AS (SELECT DISTINCT event_type AS node FROM events), "
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT count(*) FROM nodes) "
+        "AS rank FROM nodes)"
+    )
+    teleport = f"({15 * _PR_SCALE // 100} // (SELECT count(*) FROM nodes))"
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f", r{i} AS (SELECT nodes.node, {teleport} + "
+            f"(85 * COALESCE(s.t, 0)) // 100 AS rank FROM nodes LEFT JOIN "
+            f"(SELECT e.dst AS node, CAST(sum((r{i-1}.rank * e.n) // e.ow) "
+            f"AS BIGINT) AS t FROM r{i-1} JOIN e ON r{i-1}.node = e.src "
+            "GROUP BY 1) s USING (node))"
+        )
+    return (
+        base
+        + "".join(steps)
+        + f" SELECT node AS event_type, CAST(rank AS BIGINT) AS pagerank_nano "
+        f"FROM r{_PR_ITERS} ORDER BY node"
+    )
+
+
+@register("events_type_pagerank", _pagerank_oracle())
+def events_type_pagerank(spark, sf_dir):
+    """Iterative PageRank over the event-type transition graph (edges
+    = per-user consecutive-event transitions, the `events_markov_
+    transitions` graph), 5 damped iterations at damping 0.85. All
+    arithmetic is nano-scaled BIGINT with floor division (`div`), so
+    the result hash-matches the unrolled DuckDB oracle exactly —
+    iterative graph algorithms usually settle for rows-only checks;
+    the fixed-point formulation makes this one exact. Scale shape:
+    the EDGE build is the distributed part (one user-key window
+    shuffle + one pair agg, linear in events); the iteration then
+    runs on the node/edge tables, which are |event_type|-sized —
+    each step broadcasts the current rank vector into the edge table
+    (map-side join), aggregates contributions by destination (tiny
+    shuffle), and left-joins back onto the node list. For graphs with
+    large node sets the same loop holds with the broadcast replaced
+    by a hash join on src — the Pregel pattern — which this code
+    path demonstrates without needing it at event-type cardinality.
+    Dangling nodes keep teleport mass only (no redistribution), the
+    same convention on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outw = tr.groupBy("src").agg(F.sum("n").alias("ow"))
+    edges = tr.join(outw, "src").persist()
+    nodes = e.select(F.col("event_type").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    teleport = (15 * _PR_SCALE // 100) // n_nodes
+    rank = nodes.select("node", F.lit(_PR_SCALE // n_nodes).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(rank), edges["src"] == rank["node"]
+            )
+            .select("dst", F.expr("(rank * n) div ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("t"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(t, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank"),
+            )
+        )
+    out = rank.select(
+        F.col("node").alias("event_type"),
+        F.col("rank").cast("long").alias("pagerank_nano"),
+    ).orderBy("event_type")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
 

@@ -126,3 +126,73 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
 
     plan = executed_plan(back.where(F.col("event_id") == 7).select("event_id", "ts"))
     assert "PushedFilters: [" in plan and "event_id" in plan.split("PushedFilters")[1]
+
+
+def test_binary_file_ingest(spark, tmp_path):
+    """Whole-file byte ingestion (the media landing-zone edge): rows
+    are (path, mtime, length, content) with the bytes untouched;
+    pathGlobFilter prunes at listing time; metadata filters (length)
+    are pushed into the file index so oversized blobs are never
+    opened; mapInPandas-side typed metadata extraction composes on
+    top (the multimodal plumbing's entry point)."""
+    from proglog_spark.multimodal import extract_media_meta
+    from proglog_spark.sources.raw import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    wav = b"RIFF" + b"\x01" * 64
+    (d / "a.png").write_bytes(png)
+    (d / "b.wav").write_bytes(wav)
+    (d / "notes.txt").write_text("not media")
+
+    all_files = read_binary_files(spark, str(d))
+    got = {r.name: (r.length, bytes(r.content)) for r in all_files.collect()}
+    assert got["a.png"] == (len(png), png)
+    assert got["b.wav"] == (len(wav), wav)
+    assert len(got) == 3
+
+    only_png = read_binary_files(spark, str(d), glob="*.png")
+    assert [r.name for r in only_png.collect()] == ["a.png"]
+
+    # length predicate reaches the binaryFile index (metadata pushdown)
+    small = all_files.where(F.col("length") < 45)
+    plan = executed_plan(small.select("path", "length"))
+    assert "LessThan(length,45)" in plan or "length" in plan.split("PushedFilters")[-1]
+    assert {r.name for r in small.collect()} == {"a.png", "notes.txt"}
+
+    # media-meta extraction composes directly on the ingest schema
+    meta = extract_media_meta(
+        all_files.where(F.col("name") != "notes.txt").select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    kinds = {r.header_hex[:8] for r in meta.collect()}
+    assert "89504E47" in kinds and "52494646" in kinds
+
+
+def test_text_lines_and_wholetext(spark, tmp_path):
+    """Line-oriented vs one-doc-per-file text ingestion: line mode
+    splits big dumps across tasks (the parallel-safe default);
+    wholetext yields exactly one row per file; lineSep handles
+    NUL-framed exports."""
+    from proglog_spark.sources.raw import read_text_lines
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "x.txt").write_text("alpha\nbeta\n")
+    (d / "y.txt").write_text("gamma\n")
+
+    lines = read_text_lines(spark, str(d))
+    assert sorted(r.value for r in lines.collect()) == ["alpha", "beta", "gamma"]
+
+    whole = read_text_lines(spark, str(d), whole=True)
+    vals = sorted(r.value for r in whole.collect())
+    assert vals == ["alpha\nbeta\n", "gamma\n"]
+
+    nul = tmp_path / "nul"
+    nul.mkdir()
+    (nul / "z.dat").write_bytes(b"one\x00two\x00three")
+    parts = read_text_lines(spark, str(nul), line_sep="\x00")
+    assert sorted(r.value for r in parts.collect()) == ["one", "three", "two"]
