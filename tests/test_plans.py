@@ -338,3 +338,44 @@ def test_observe_audit_rides_the_same_pass(spark, sf_dir, tmp_path):
     assert audit["nulls_user_id"] == 0
     assert audit["nulls_props"] == e.where(F.col("props").isNull()).count()
     assert audit["violations"] == e.where(~F.expr("value >= -1000000")).count()
+
+
+def test_chunker_is_zero_shuffle_narrow_plan(spark, sf_dir):
+    """docs_chunk_spans before its presentation sort: length/sequence/
+    explode/substring must compose into one codegen stage with no
+    Exchange — the chunker stays scan-bound at any scale."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_chunk_spans"][0](spark, sf_dir)
+    # strip the final orderBy (presentation-only) by re-deriving the
+    # pre-sort projection from the same logical plan: count Exchanges
+    # in the full plan and require the only one to be the range
+    # partitioning for the sort.
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1  # rangepartitioning for ORDER BY
+    assert "rangepartitioning" in plan
+    assert "Generate explode" in plan
+
+
+def test_day_type_matrix_broadcasts_grid_sides(spark, sf_dir):
+    """The dense-grid query: the cross product is broadcast (no
+    shuffle for the cartesian of the two DISTINCT projections) and
+    the outer join onto counts is hash/broadcast, never a nested
+    loop over facts."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_type_day_matrix"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the tiny cross product
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_broadcasts_rank_vector(spark, sf_dir):
+    """Each PageRank step joins the rank vector into the edge table as
+    a broadcast — the edge side never re-shuffles on src across
+    iterations."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_type_pagerank"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
