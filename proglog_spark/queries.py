@@ -4742,6 +4742,45 @@ def events_type_pagerank(spark, sf_dir):
     return out
 
 
+@register(
+    "events_journey_segments",
+    "WITH r AS (SELECT user_id, event_type, ts, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events), "
+    "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) "
+    "AS type_path FROM r WHERE rn <= 3 GROUP BY 1) "
+    "SELECT type_path, CAST(count(*) AS BIGINT) AS n_users "
+    "FROM p GROUP BY 1 ORDER BY 1",
+)
+def events_journey_segments(spark, sf_dir):
+    """User-journey segmentation via ordered-set string aggregation:
+    each user's signature is their first three events' types joined
+    in time order (``listagg(...) WITHIN GROUP (ORDER BY ...)`` —
+    the SQL:2016 ordered-set aggregate, new surface in Spark 4),
+    then users are counted per signature. Signatures are bounded (3
+    steps), so every intermediate is small: the rank and the listagg
+    share one user_id shuffle, then one partial-agg shuffle on the
+    signature. The oracle uses DuckDB's spelling (``string_agg(...
+    ORDER BY)``) of the same aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.expr(
+            "listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("type_path")
+    )
+    return (
+        paths.groupBy("type_path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_path")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------

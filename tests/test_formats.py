@@ -196,3 +196,62 @@ def test_text_lines_and_wholetext(spark, tmp_path):
     (nul / "z.dat").write_bytes(b"one\x00two\x00three")
     parts = read_text_lines(spark, str(nul), line_sep="\x00")
     assert sorted(r.value for r in parts.collect()) == ["one", "three", "two"]
+
+
+def test_training_shard_export(spark, sf_dir, tmp_path):
+    """Shard sink contract: deterministic key-hash assignment (stable
+    across re-exports), hive shard=K/ layout with one writer per
+    shard, size balance auditable from footers only, directory-level
+    pruning when reading one shard back, and explicit intra-shard
+    order."""
+    from proglog_spark.sources.shards import (
+        assign_shard,
+        read_shard,
+        shard_stats,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        docs, path, 4, key_col="doc_id", order_by=["doc_id"]
+    )
+
+    stats = shard_stats(spark, path)
+    assert [s["shard"] for s in stats] == [0, 1, 2, 3]
+    assert sum(s["rows"] for s in stats) == n_docs
+    # uniform hash => no shard more than ~2x the smallest at 500 rows
+    rows = [s["rows"] for s in stats]
+    assert max(rows) <= 2 * max(min(rows), 1)
+    assert all(s["files"] == 1 for s in stats)
+
+    # assignment is the declared pure function of the key
+    back = spark.read.parquet(path)
+    mismatch = back.where(
+        F.col("shard") != assign_shard("doc_id", 4)
+    ).count()
+    assert mismatch == 0
+
+    # re-export is byte-stable on assignment (same key -> same shard)
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(
+        docs.limit(100), path2, 4, key_col="doc_id", order_by=["doc_id"]
+    )
+    again = spark.read.parquet(path2).select("doc_id", "shard")
+    joined = again.alias("a").join(
+        back.select("doc_id", "shard").alias("b"), "doc_id"
+    )
+    assert joined.where("a.shard != b.shard").count() == 0
+
+    # reading one shard prunes the other directories before any file opens
+    one = read_shard(spark, path, 2)
+    plan = executed_plan(one)
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert one.count() == stats[2]["rows"]
+
+    # intra-shard training order is the requested one
+    got = [r.doc_id for r in one.orderBy(F.monotonically_increasing_id()).collect()]
+    assert got == sorted(got)
