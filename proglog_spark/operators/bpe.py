@@ -128,24 +128,40 @@ def encode(
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
+        # Zipf makes a distinct-word cache the whole ballgame: each
+        # worker encodes a word ONCE and every later occurrence is a
+        # dict hit — the merge loop runs |vocab| times per worker, not
+        # |corpus tokens| times. Cache lives for the worker's lifetime
+        # (pure function of the frozen merge list, so reuse is safe).
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(word: str) -> list[str]:
+            s = list(word) + [END]
+            for a, b in merge_list:
+                if len(s) < 2:
+                    break
+                i, res = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            return s
+
         out = []
         for text in texts:
             toks: list[str] = []
             for word in text.split(" "):
                 if not word:
                     continue
-                s = list(word) + [END]
-                for a, b in merge_list:
-                    i, res = 0, []
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    s = res
-                toks.extend(s)
+                t = cache.get(word)
+                if t is None:
+                    t = enc_word(word)
+                    cache[word] = t
+                toks.extend(t)
             out.append(toks)
         return pd.Series(out)
 
