@@ -1,0 +1,121 @@
+"""HTTP edge tests — mirror the reference's server scenario table
+(internal/server/server_test.go:40-59): produce/consume round-trip
+with exact offsets, past-boundary 404 with the canonical error
+payload, ACL deny for `nobody`, cluster metadata, and the batch
+produce ack shape.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+
+from proglog_spark.engine import Engine
+from proglog_spark.server import HttpLogServer
+
+
+def _call(port, method, path, payload=None, subject=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method=method
+    )
+    req.add_header("Content-Type", "application/json")
+    if subject:
+        req.add_header("X-Subject", subject)
+    data = json.dumps(payload).encode() if payload is not None else None
+    with urllib.request.urlopen(req, data=data, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+@pytest.fixture(scope="module")
+def served_engine(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("httplog") / "log")
+    engine = Engine.create(spark, path, bucket_size=8)
+    srv = HttpLogServer(engine)
+    host, port = srv.start()
+    yield engine, port
+    srv.stop()
+
+
+def test_produce_consume_roundtrip(served_engine):
+    _, port = served_engine
+    st, out = _call(port, "POST", "/", {"record": {"value": _b64("hello")}})
+    assert st == 200 and out == {"offset": 0}
+    st, out = _call(port, "POST", "/", {"record": {"value": _b64("world")}})
+    assert out == {"offset": 1}
+
+    st, out = _call(port, "GET", "/?offset=1")
+    assert st == 200
+    rec = out["record"]
+    assert base64.b64decode(rec["value"]).decode() == "world"
+    assert (rec["offset"], rec["term"], rec["type"]) == (1, 0, 0)
+
+    # the reference reads the offset from the GET body (http.go:55-58)
+    st, out = _call(port, "GET", "/", {"offset": 0})
+    assert base64.b64decode(out["record"]["value"]).decode() == "hello"
+
+
+def test_batch_produce_and_bounds(served_engine):
+    _, port = served_engine
+    st, out = _call(
+        port,
+        "POST",
+        "/",
+        {"records": [{"value": _b64(v)} for v in ("a", "b", "c")]},
+    )
+    assert st == 200
+    first, last = out["first_offset"], out["last_offset"]
+    assert last - first == 2  # dense batch ack (O20 collapsed)
+
+    st, out = _call(port, "GET", "/bounds")
+    assert out["highest_offset"] == last
+    assert out["count"] == last + 1
+
+
+def test_consume_past_boundary_is_404(served_engine):
+    _, port = served_engine
+    with pytest.raises(HTTPError) as e:
+        _call(port, "GET", "/?offset=999999")
+    assert e.value.code == 404
+    body = json.loads(e.value.read())
+    assert body["error"] == "OFFSET_OUT_OF_RANGE:999999"
+
+
+def test_unauthorized_subject_is_403(served_engine):
+    _, port = served_engine
+    with pytest.raises(HTTPError) as e:
+        _call(
+            port,
+            "POST",
+            "/",
+            {"record": {"value": _b64("x")}},
+            subject="nobody",
+        )
+    assert e.value.code == 403
+    assert "PERMISSION_DENIED" in json.loads(e.value.read())["error"]
+
+    with pytest.raises(HTTPError) as e:
+        _call(port, "GET", "/?offset=0", subject="nobody")
+    assert e.value.code == 403
+
+
+def test_servers_metadata(served_engine):
+    _, port = served_engine
+    st, out = _call(port, "GET", "/servers")
+    assert st == 200
+    leaders = [s for s in out["servers"] if s["is_leader"]]
+    assert len(leaders) == 1 and {"id", "rpc_addr"} <= set(leaders[0])
+
+
+def test_malformed_request_is_400(served_engine):
+    _, port = served_engine
+    with pytest.raises(HTTPError) as e:
+        _call(port, "POST", "/", {"record": {}})
+    assert e.value.code == 400
