@@ -348,3 +348,117 @@ def embedding_cosine_neardup(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — build offline, query online (the FAISS usage
+# pattern at corpus scale: index once, every query reads only its
+# probed cells)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: centroids + the corpus laid out as
+    one hive directory per cell (``cells/ivf_cell=K/``).
+
+    The layout IS the index: a query that probes cells {3, 7} reads
+    exactly those directories (partition pruning — asserted in
+    tests), so query cost is ~n_probe/n_cells of the corpus however
+    large it grows. Build cost: the bounded driver-side k-means
+    sample plus ONE assignment pass and one partitioned write.
+    """
+    centroids = train_ivf_centroids(
+        corpus, n_cells, sample_mod, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _with_ivf_cells(
+        corpus.select(id_col, vec_col), centroids, 1, vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def _load_centroids(spark, path: str):
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to an existing index WITHOUT retraining: assign
+    against the saved centroids, append into the cell directories.
+    (The FAISS add() analog; re-train only when the data distribution
+    drifts — centroid quality degrades gracefully, correctness never
+    does, since queries verify with exact cosine.)"""
+    centroids = _load_centroids(spark, path)
+    assigned = _with_ivf_cells(
+        new_vectors.select(id_col, vec_col), centroids, 1, vec_col
+    )
+    assigned.write.mode("append").partitionBy("ivf_cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def ivf_index_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: (query_id, vec_id, cosine, rank).
+
+    Queries are assigned their ``n_probe`` nearest cells with the
+    saved centroids (one tiny Arrow matmul), the probed cell set
+    becomes a partition filter on the cell layout (only those
+    directories are opened), and survivors are scored exactly and
+    top-k'd per query. Self-matches are kept (a query that lives in
+    the corpus returns itself at rank 1, cosine 1.0) — callers who
+    want neighbors-only filter ``query_id != vec_id``.
+    """
+    centroids = _load_centroids(spark, path)
+    q = _with_ivf_cells(queries, centroids, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "ivf_cell"
+    )
+    probe_cells = sorted(
+        {r.ivf_cell for r in q.select("ivf_cell").distinct().collect()}
+    )
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("ivf_cell").isin(probe_cells)
+    )
+    scored = (
+        cells.join(F.broadcast(q), on="ivf_cell")
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    )

@@ -908,3 +908,59 @@ def test_bpe_training_matches_python_reference(spark, sf_dir):
     for r in enc:
         assert r.n_tokens >= r.n_words  # every word ends with a </w> token
         assert 0 < len(r.token_prefix) <= 12
+
+
+def test_ivf_index_build_query_append(spark, emb, tmp_path):
+    """Persistent IVF index: build → query parity with the in-session
+    IVF (same centroids, n_probe, candidates), partition pruning on
+    the probed cell dirs, and append-without-retrain visibility."""
+    from proglog_spark.plans.audit import executed_plan
+
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_cells=16)
+
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    got = similarity.ivf_index_query(spark, path, qs, k=10, n_probe=4)
+    rows = got.collect()
+
+    # self-match leads every query's list (cosine 1.0, rank 1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        first = min(rs, key=lambda r: r.rank)
+        assert first.vec_id == qid and first.rank == 1
+
+    # parity with the in-session IVF path (identical training +
+    # probing parameters => identical neighbor sets minus self)
+    mem = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_ann_topk(
+            emb, qs, dim=64, k=10, n_cells=16, n_probe=4
+        ).collect()
+    }
+    idx = {
+        (r.query_id, r.vec_id)
+        for r in rows
+        if r.query_id != r.vec_id and r.rank <= 10
+    }
+    # ranks shift by the self-match, so compare as candidate sets
+    assert len(idx & mem) / len(mem) >= 0.8
+
+    # the probed cells become a partition filter — unprobed cell
+    # directories are never opened
+    plan = executed_plan(got)
+    assert any(
+        "ivf_cell" in chunk.splitlines()[0]
+        for chunk in plan.split("PartitionFilters")[1:]
+    )
+
+    # append without retraining: new vectors become findable
+    new = spark.createDataFrame(
+        [(100000, [float((i * 7) % 13 - 6) for i in range(64)], 0)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    similarity.ivf_index_append(spark, path, new)
+    got2 = similarity.ivf_index_query(spark, path, new, k=3, n_probe=4)
+    top = min(got2.collect(), key=lambda r: r.rank)
+    assert top.vec_id == 100000 and top.query_id == 100000
