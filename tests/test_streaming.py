@@ -959,3 +959,59 @@ def test_derive_log_chain_filters_and_survives_restart(spark, tmp_path):
 
     run()  # pure restart, no new source data -> no duplicates
     assert dst.count() == 7
+
+
+def test_stream_stream_full_outer_reconciliation(spark, tmp_path):
+    """FULL OUTER stream-stream join: matched pairs emit eagerly;
+    unmatched rows from BOTH sides NULL-extend exactly once after the
+    watermark passes their window."""
+    from proglog_spark.streaming.joins import streaming_reconciliation_join
+
+    o_dir, p_dir = str(tmp_path / "orders"), str(tmp_path / "pays")
+    o_schema = "o_id LONG, o_key LONG, o_ts TIMESTAMP"
+    p_schema = "p_id LONG, p_key LONG, p_ts TIMESTAMP"
+
+    def w(path, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # key 100 matches within the hour; order 2 and payment 22 don't
+    w(o_dir, o_schema, [(1, 100, t(10)), (2, 200, t(10))])
+    w(p_dir, p_schema, [(11, 100, t(10, 30)), (22, 300, t(10, 30))])
+
+    joined = streaming_reconciliation_join(
+        spark.readStream.schema(o_schema).parquet(o_dir),
+        spark.readStream.schema(p_schema).parquet(p_dir),
+        "o_key", "p_key", "o_ts", "p_ts",
+        3600, watermark="10 minutes",
+    )
+    q = (
+        joined.select("o_id", "p_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_full")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        got = {(r.o_id, r.p_id) for r in spark.sql("SELECT * FROM ss_full").collect()}
+        assert (1, 11) in got  # eager match
+        assert (2, None) not in got and (None, 22) not in got  # too early
+
+        # push both watermarks past the unmatched rows' windows
+        w(o_dir, o_schema, [(3, 400, t(14))])
+        w(p_dir, p_schema, [(13, 400, t(14, 5))])
+        _drain(q)
+        w(o_dir, o_schema, [(4, 500, t(15))])
+        w(p_dir, p_schema, [(14, 500, t(15, 5))])
+        _drain(q)
+        rows = [(r.o_id, r.p_id) for r in spark.sql("SELECT * FROM ss_full").collect()]
+    finally:
+        q.stop()
+
+    assert rows.count((2, None)) == 1  # unmatched left, exactly once
+    assert rows.count((None, 22)) == 1  # unmatched right, exactly once
+    assert (1, 11) in rows
