@@ -65,6 +65,9 @@ def build_session(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         # Arrow batches for the pandas-UDF slow path (vector ops, media).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python DataSource filter pushdown (the format("proglog")
+        # connector consumes offset predicates for bucket pruning).
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Keep partition files bounded — the LogTable "segment roll" knob
         # (reference internal/log/segment.go:81-83 IsMaxed analog).
         "spark.sql.files.maxPartitionBytes": "134217728",
