@@ -125,16 +125,17 @@ def encode(
     prefix). One Arrow-batched pass over the corpus, merges applied
     per word in learned order (the standard greedy BPE encoder)."""
     merge_list = list(merges)
+    # Zipf makes a distinct-word cache the whole ballgame: each worker
+    # encodes a word ONCE and every later occurrence is a dict hit —
+    # the merge loop runs |vocab| times per worker, not |corpus tokens|
+    # times. The dict lives in the UDF CLOSURE (not the batch-function
+    # body), so it persists across Arrow batches for the worker's
+    # lifetime; safe because encoding is a pure function of the frozen
+    # merge list.
+    cache: dict[str, list[str]] = {}
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
-        # Zipf makes a distinct-word cache the whole ballgame: each
-        # worker encodes a word ONCE and every later occurrence is a
-        # dict hit — the merge loop runs |vocab| times per worker, not
-        # |corpus tokens| times. Cache lives for the worker's lifetime
-        # (pure function of the frozen merge list, so reuse is safe).
-        cache: dict[str, list[str]] = {}
-
         def enc_word(word: str) -> list[str]:
             s = list(word) + [END]
             for a, b in merge_list:

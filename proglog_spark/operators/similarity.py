@@ -437,8 +437,17 @@ def ivf_index_query(
     want neighbors-only filter ``query_id != vec_id``.
     """
     centroids = _load_centroids(spark, path)
-    q = _with_ivf_cells(queries, centroids, n_probe, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "ivf_cell"
+    # persisted: the probe-cell collect below is one action and the
+    # returned join plan is another — without the cache the assignment
+    # UDF (and the query-side scan) would run twice
+    q = (
+        _with_ivf_cells(queries, centroids, n_probe, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "ivf_cell",
+        )
+        .persist()
     )
     probe_cells = sorted(
         {r.ivf_cell for r in q.select("ivf_cell").distinct().collect()}

@@ -63,24 +63,35 @@ def curate_and_shard(
         )
         .select(*docs.columns)
     )
-    labeled = train_split(gated, "doc_id")
-    for split in ("train", "valid", "test"):
-        part = labeled.where(F.col("split") == split).drop("split")
-        write_training_shards(
-            part,
-            f"{out_path}/split={split}",
-            n_shards,
-            key_col="doc_id",
-            order_by=["doc_id"],
+    # one materialization feeds all three split writes — without the
+    # persist each write re-executes the dedup shuffle + gate + split
+    # lineage (three actions, no shuffle reuse across them)
+    labeled = train_split(gated, "doc_id").persist()
+    try:
+        for split in ("train", "valid", "test"):
+            part = labeled.where(F.col("split") == split).drop("split")
+            write_training_shards(
+                part,
+                f"{out_path}/split={split}",
+                n_shards,
+                key_col="doc_id",
+                order_by=["doc_id"],
+            )
+        # accounting from the (persisted) labeled frame with the SAME
+        # deterministic shard function the writer used — no read-back,
+        # so an all-filtered split yields zero rows instead of a
+        # schema-inference error over a file-less directory
+        from proglog_spark.sources.shards import assign_shard
+
+        return (
+            labeled.withColumn("shard", assign_shard("doc_id", n_shards))
+            .groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("split", "shard")
+            .localCheckpoint(eager=True)
         )
-    out = spark.read.option("basePath", out_path).parquet(
-        *[f"{out_path}/split={s}" for s in ("train", "valid", "test")]
-    )
-    return (
-        out.groupBy("split", "shard")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split", "shard")
-    )
+    finally:
+        labeled.unpersist()
 
 
 def media_pipeline(
@@ -103,28 +114,29 @@ def media_pipeline(
     keep = hashed.groupBy("content_md5").agg(
         F.min("path").alias("path")
     )
-    deduped = hashed.join(keep, ["content_md5", "path"], "left_semi")
-    meta = extract_media_meta(
-        deduped.select(
-            F.abs(F.xxhash64("path")).alias("doc_id"),
-            F.col("content").alias("payload"),
+    # persisted: the meta branch and the enriched branch would
+    # otherwise each re-read and re-hash the whole landing zone
+    deduped = (
+        hashed.join(keep, ["content_md5", "path"], "left_semi")
+        .withColumn("doc_id", F.abs(F.xxhash64("path")))
+        .persist()
+    )
+    try:
+        meta = extract_media_meta(
+            deduped.select("doc_id", F.col("content").alias("payload"))
         )
-    )
-    enriched = deduped.select(
-        F.abs(F.xxhash64("path")).alias("doc_id"),
-        "path",
-        "name",
-        "length",
-        "content_md5",
-        "content",
-    ).join(meta, "doc_id")
-    write_training_shards(
-        enriched,
-        out_path,
-        n_shards,
-        key_col="content_md5",
-        order_by=["path"],
-    )
+        enriched = deduped.select(
+            "doc_id", "path", "name", "length", "content_md5", "content"
+        ).join(meta, "doc_id")
+        write_training_shards(
+            enriched,
+            out_path,
+            n_shards,
+            key_col="content_md5",
+            order_by=["path"],
+        )
+    finally:
+        deduped.unpersist()
     out = spark.read.parquet(out_path)
     return (
         out.groupBy("shard")

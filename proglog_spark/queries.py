@@ -4745,6 +4745,11 @@ def events_type_pagerank(spark, sf_dir):
         F.col("node").alias("event_type"),
         F.col("rank").cast("long").alias("pagerank_nano"),
     ).orderBy("event_type")
+    # the iterations are eager (localCheckpoint), so the working-set
+    # caches have served their purpose — release them rather than
+    # accumulating executor storage across repeated invocations
+    edges.unpersist()
+    nodes.unpersist()
     return out
 
 

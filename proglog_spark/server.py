@@ -143,6 +143,9 @@ class HttpLogServer:
                             },
                         )
                         return
+                    if url.path != "/":
+                        self._reply(404, {"error": f"NOT_FOUND:{url.path}"})
+                        return
                     q = parse_qs(url.query)
                     if "offset" in q:
                         offset = int(q["offset"][0])

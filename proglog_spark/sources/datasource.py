@@ -105,6 +105,26 @@ def _scan_rows(path: str, lo: int, hi: int):
     return rows
 
 
+def _min_offset_at_least(path: str, lo: int):
+    """Smallest offset >= lo in the log, or None — footer-stat scan of
+    the first candidate bucket(s) only."""
+    import pyarrow.dataset as pads
+
+    meta = _meta(path)
+    bs = int(meta["bucket_size"])
+    for b, bdir in _bucket_dirs(path):
+        if (b + 1) * bs <= lo:
+            continue
+        files = _bucket_files(bdir)
+        if not files:
+            continue
+        ds = pads.dataset(files, format="parquet")
+        tbl = ds.to_table(columns=["offset"], filter=pads.field("offset") >= lo)
+        if tbl.num_rows:
+            return min(tbl.column("offset").to_pylist())
+    return None
+
+
 @dataclass
 class BucketPartition(InputPartition):
     files: list
@@ -196,7 +216,15 @@ class ProglogStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         lo = int(start["offset"])
-        rows = _scan_rows(self.path, lo, lo + self.max_batch - 1)
+        # The cursor may sit below the lowest surviving offset (log
+        # created with initial_offset > 0, or truncated past the
+        # cursor). Jump to the first available offset >= cursor FIRST;
+        # scanning a fixed [lo, lo+max) window would return empty and
+        # never advance — a permanent stall.
+        lo2 = _min_offset_at_least(self.path, lo)
+        if lo2 is None:
+            return iter(()), {"offset": lo}
+        rows = _scan_rows(self.path, lo2, lo2 + self.max_batch - 1)
         if not rows:
             return iter(()), {"offset": lo}
         return iter(rows), {"offset": rows[-1][0] + 1}

@@ -96,3 +96,31 @@ def test_stream_tail_cursor(spark, served_log, tmp_path):
     offs = [r.offset for r in rows]
     assert offs == list(range(25, 32))  # gap-free, no duplicates
     assert rows[-1].value == "late-2"
+
+
+def test_stream_cursor_jumps_truncation_gap(spark, tmp_path):
+    """A cursor below the lowest surviving offset (after truncation)
+    must jump forward instead of stalling on an empty fixed window."""
+    path = str(tmp_path / "gap_log")
+    log = LogTable.create(spark, path, bucket_size=4)
+    log.append([f"g-{i}" for i in range(10)])
+    log.truncate(5)  # offsets <= 5 gone; 6..9 survive
+    register_proglog_source(spark)
+
+    q = (
+        spark.readStream.format("proglog")
+        .option("path", path)
+        .option("from_offset", 0)
+        .option("max_batch_records", 3)  # window [0,2] sees nothing
+        .load()
+        .writeStream.format("memory")
+        .queryName("pl_gap")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.offset for r in spark.sql("SELECT * FROM pl_gap").collect())
+    finally:
+        q.stop()
+    assert got == [6, 7, 8, 9]

@@ -119,3 +119,11 @@ def test_malformed_request_is_400(served_engine):
     with pytest.raises(HTTPError) as e:
         _call(port, "POST", "/", {"record": {}})
     assert e.value.code == 400
+
+
+def test_unknown_path_is_404(served_engine):
+    _, port = served_engine
+    with pytest.raises(HTTPError) as e:
+        _call(port, "GET", "/health")
+    assert e.value.code == 404
+    assert "NOT_FOUND" in json.loads(e.value.read())["error"]

@@ -78,3 +78,16 @@ def test_log_to_training_text(spark, tmp_path):
     log.append(["another tail record arrives"])
     kept2 = log_to_training_text(spark, log, from_offset=3, out_path=out)
     assert kept2.count() == 3
+
+
+def test_curate_and_shard_all_filtered(spark, tmp_path):
+    """Thresholds that reject every document yield empty accounting,
+    not a schema-inference crash over file-less shard dirs."""
+    docs = spark.createDataFrame(
+        [(1, "tiny doc", "s", 8), (2, "also small", "s", 10)],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    )
+    acct = curate_and_shard(
+        spark, docs, str(tmp_path / "none"), n_shards=2, min_tokens=50
+    )
+    assert acct.count() == 0
