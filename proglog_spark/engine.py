@@ -129,3 +129,15 @@ class Engine:
         self.log.df().createOrReplaceTempView("records")
         self.get_servers().createOrReplaceTempView("servers")
         return self.spark.sql(query)
+
+    def register_analytics_views(self, sf_dir: str, subject: str = "root") -> list[str]:
+        """Register every analytics fixture table (events, documents,
+        embeddings, the TPC-H star) as a temp view so ``sql`` spans
+        the full surface — log + metadata + analytics in one catalog.
+        Returns the view names registered. Gated on consume."""
+        from proglog_spark.sources.tables import TABLES, load_table
+
+        self.authorizer.authorize(subject, "*", CONSUME)
+        for name in TABLES:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+        return list(TABLES)

@@ -1,0 +1,80 @@
+"""CLI smoke tests (the cmd/server analog): serve + one-shot
+subcommands driven over a real subprocess, JSON wire round-trip
+through the served port.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "proglog_spark", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_append_read_bounds_cli(tmp_path):
+    path = str(tmp_path / "clilog")
+    out = _run_cli(["append", "--path", path, "--create", "x", "y", "z"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "0 2"
+
+    out = _run_cli(["read", "--path", path, "1"])
+    assert out.stdout.strip().splitlines()[-1] == "1\ty\t0\t0"
+
+    out = _run_cli(["bounds", "--path", path])
+    assert out.stdout.strip().splitlines()[-1] == "lowest=0 highest=2 count=3"
+
+
+def test_serve_cli_roundtrip(tmp_path):
+    path = str(tmp_path / "servelog")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "proglog_spark",
+            "serve", "--path", path, "--create", "--port", "0",
+        ],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 240
+        addr = None
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("SERVING "):
+                addr = line.split()[1]
+                break
+            if proc.poll() is not None:
+                raise AssertionError("serve process died before binding")
+        assert addr, "no SERVING line"
+
+        def call(method, payload=None, q=""):
+            req = urllib.request.Request(
+                f"http://{addr}/{q}", method=method
+            )
+            data = json.dumps(payload).encode() if payload else None
+            with urllib.request.urlopen(req, data=data, timeout=60) as r:
+                return json.loads(r.read())
+
+        v = base64.b64encode(b"cli-hello").decode()
+        assert call("POST", {"record": {"value": v}}) == {"offset": 0}
+        got = call("GET", q="?offset=0")
+        assert base64.b64decode(got["record"]["value"]) == b"cli-hello"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

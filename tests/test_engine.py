@@ -82,3 +82,27 @@ def test_engine_streaming_tail_gated_and_live(engine, tmp_path):
     finally:
         q.stop()
     assert seen == ["a", "b", "c"]
+
+
+def test_register_analytics_views_spans_full_catalog(spark, sf_dir, tmp_path):
+    """engine.sql over log + metadata + analytics fixtures in one
+    catalog after register_analytics_views."""
+    from proglog_spark.engine import Engine
+
+    eng = Engine.create(spark, str(tmp_path / "cat_log"), bucket_size=8)
+    eng.produce("root", ["a", "b"])
+    names = eng.register_analytics_views(sf_dir)
+    assert "events" in names and "documents" in names
+    out = eng.sql(
+        "SELECT (SELECT count(*) FROM records) AS n_records, "
+        "(SELECT count(*) FROM events) AS n_events, "
+        "(SELECT count(*) FROM documents) AS n_docs"
+    ).collect()[0]
+    assert out.n_records == 2 and out.n_events > 0 and out.n_docs > 0
+
+    import pytest as _pytest
+
+    from proglog_spark.errors import PermissionDeniedError
+
+    with _pytest.raises(PermissionDeniedError):
+        eng.register_analytics_views(sf_dir, subject="nobody")
