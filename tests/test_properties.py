@@ -354,3 +354,96 @@ def test_log_table_model_random_interleavings(spark, tmp_path_factory, ops):
         mid = model[len(model) // 2]
         r = log.read(mid[0])
         assert (r.offset, r.value) == mid
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=900
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_spans_tile_documents(spark, texts):
+    """Chunking invariants on random texts: chunks start at stride
+    multiples from 0, every chunk digest matches the python substring,
+    spans cover the full text (union of [start, start+len) == [0, n)),
+    and empty docs still yield exactly one empty chunk."""
+    import hashlib
+
+    from proglog_spark.queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    # the chunker logic applied to this frame (same expressions as
+    # docs_chunk_spans, which is bound to the fixture loader)
+    from pyspark.sql import functions as F2
+
+    n = F2.length("text")
+    ch = df.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F2.explode(
+            F2.sequence(
+                F2.lit(0), F2.greatest(n - 1, F2.lit(0)), F2.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        (F2.least(F2.col("start") + _CHUNK_SIZE, F2.col("n")) - F2.col("start"))
+        .alias("chunk_len"),
+        F2.md5(F2.expr(f"substring(text, start + 1, {_CHUNK_SIZE})")).alias(
+            "chunk_md5"
+        ),
+    )
+    rows = ch.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.start)
+        assert [c.start for c in chunks] == list(
+            range(0, max(len(t), 1), _CHUNK_STRIDE)
+        )
+        covered = 0
+        for c in chunks:
+            want = t[c.start : c.start + _CHUNK_SIZE]
+            assert c.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+            assert c.chunk_len == len(want)
+            covered = max(covered, c.start + c.chunk_len)
+        assert covered == len(t)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shard_assignment_properties(spark, keys, n_shards):
+    """Shard assignment is a pure function of (key, n_shards, salt):
+    stable across partitionings, in-range, and salt-sensitive."""
+    from proglog_spark.sources.shards import assign_shard
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    a = {r.k: r.s for r in df.select("k", assign_shard("k", n_shards).alias("s")).collect()}
+    b = {
+        r.k: r.s
+        for r in df.repartition(5)
+        .select("k", assign_shard("k", n_shards).alias("s"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= s < n_shards for s in a.values())
+    if n_shards > 1 and len(keys) >= 30:
+        alt = {
+            r.k: r.s
+            for r in df.select(
+                "k", assign_shard("k", n_shards, salt="other").alias("s")
+            ).collect()
+        }
+        assert alt != a  # a different salt moves at least one key
