@@ -4847,6 +4847,76 @@ def events_halves_bag_ops(spark, sf_dir):
     )
 
 
+@register(
+    "docs_source_scorecard",
+    "WITH d AS (SELECT source, lang, md5(text) AS h, "
+    "len(string_split(text, ' ')) AS toks FROM documents), "
+    "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs, "
+    "CAST(sum(toks) AS BIGINT) AS total_tokens FROM d GROUP BY 1), "
+    "lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2), "
+    "top AS (SELECT source, lang AS top_lang, "
+    "CAST(c AS BIGINT) AS top_lang_n FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc) WHERE rn = 1) "
+    "SELECT per.source, n_docs, n_dup_docs, "
+    "CAST(floor(1000000.0 * n_dup_docs / n_docs) AS BIGINT) AS dup_micro, "
+    "total_tokens, "
+    "CAST(floor(1000000.0 * total_tokens / n_docs) AS BIGINT) AS mean_tokens_micro, "
+    "top_lang, top_lang_n FROM per JOIN top USING (source) ORDER BY 1",
+)
+def docs_source_scorecard(spark, sf_dir):
+    """Per-source data-quality scorecard — the one-page report a
+    curation team reviews before admitting a source into the mix:
+    volume, exact duplicate rate, token mass, mean document length,
+    and the dominant language (deterministic tie-break: count DESC
+    then lang). One scan feeds two grouped aggregates on the tiny
+    source key (a distinct-agg for the dup rate, a (source, lang)
+    rollup ranked per source), joined back broadcast-size. Pairs with
+    `docs_weighted_mixture` (which CONSUMES per-source decisions this
+    report informs) and `docs_source_dedup_stats` (the md5-level
+    drill-down)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dup_docs"),
+        F.sum("toks").alias("total_tokens"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").cast("long").alias("top_lang_n"),
+        )
+    )
+    return (
+        per.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.floor(1000000.0 * F.col("n_dup_docs") / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_micro"),
+            "total_tokens",
+            F.floor(1000000.0 * F.col("total_tokens") / F.col("n_docs"))
+            .cast("long")
+            .alias("mean_tokens_micro"),
+            "top_lang",
+            "top_lang_n",
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
