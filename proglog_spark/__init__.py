@@ -27,15 +27,19 @@ from proglog_spark.errors import (
     ProglogError,
 )
 from proglog_spark.log import LogTable
+from proglog_spark.server import HttpLogServer
 from proglog_spark.session import build_session
+from proglog_spark.sources.datasource import register_proglog_source
 
 __all__ = [
     "Engine",
+    "HttpLogServer",
     "LogTable",
     "OffsetOutOfRangeError",
     "PermissionDeniedError",
     "ProglogError",
     "build_session",
+    "register_proglog_source",
 ]
 
 __version__ = "0.1.0"
