@@ -127,3 +127,43 @@ def test_unknown_path_is_404(served_engine):
         _call(port, "GET", "/health")
     assert e.value.code == 404
     assert "NOT_FOUND" in json.loads(e.value.read())["error"]
+
+
+def test_concurrent_producers_get_dense_offsets(served_engine):
+    """The single-writer lock serializes racing HTTP producers: every
+    append acks a distinct offset range and the final log is dense
+    (the reference's exact-offset assertions under its stream
+    round-trip, server_test.go:224-230, generalized to a race)."""
+    import threading
+
+    engine, port = served_engine
+    pre_hi = engine.highest_offset()
+    start = 0 if pre_hi is None else pre_hi + 1
+    acked: list[tuple[int, int]] = []
+    lock = threading.Lock()
+
+    def produce(tag):
+        st, out = _call(
+            port,
+            "POST",
+            "/",
+            {"records": [{"value": _b64(f"{tag}-{i}")} for i in range(3)]},
+        )
+        assert st == 200
+        with lock:
+            acked.append((out["first_offset"], out["last_offset"]))
+
+    threads = [
+        threading.Thread(target=produce, args=(t,)) for t in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    spans = sorted(acked)
+    # batches are disjoint, contiguous, and jointly dense
+    assert all(last - first == 2 for first, last in spans)
+    flat = [o for first, last in spans for o in range(first, last + 1)]
+    assert sorted(flat) == list(range(start, start + 12))
+    assert engine.highest_offset() == start + 11
