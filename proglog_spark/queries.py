@@ -4917,6 +4917,45 @@ def docs_source_scorecard(spark, sf_dir):
     )
 
 
+_LATERAL_SQL = (
+    "SELECT n.n_name, t.c_name, "
+    "CAST(floor(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents "
+    "FROM {nation} n, LATERAL ("
+    "SELECT c_name, c_acctbal FROM {customer} c "
+    "WHERE c.c_nationkey = n.n_nationkey "
+    "ORDER BY c_acctbal DESC, c_name LIMIT 2) t "
+    "ORDER BY n.n_name, acctbal_cents DESC, t.c_name"
+)
+
+
+@register(
+    "tpch_lateral_top_customers",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+)
+def tpch_lateral_top_customers(spark, sf_dir):
+    """Correlated LATERAL join — the last join flavor in the
+    inventory: for each nation, its top-2 customers by account
+    balance via a per-row correlated subquery with ORDER BY + LIMIT.
+    Identical SQL text through spark.sql and DuckDB. Catalyst
+    decorrelates the lateral into a window-rank over a hash join
+    (not a nested loop per nation) — the same physical shape as the
+    explicit `events_user_topk` formulation, which remains the
+    recommended spelling; this entry pins that the SQL-level LATERAL
+    construct is available and optimizes correctly. Deterministic
+    tie-break: balance DESC then customer name."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lateral_nation_src"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lateral_customer_src"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(
+            nation="lateral_nation_src", customer="lateral_customer_src"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
