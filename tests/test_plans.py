@@ -392,3 +392,14 @@ def test_pagerank_result_is_lineage_truncated(spark, sf_dir):
     rank = e.select(F.col("event_type").alias("node")).distinct()
     step = tr.join(F.broadcast(rank), tr["src"] == rank["node"])
     assert "BroadcastHashJoin" in plan_of(step)
+
+
+def test_lateral_topn_decorrelates_to_window_join(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate: window rank
+    over a broadcast hash join, never a per-outer-row nested loop."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_lateral_top_customers"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan and "BroadcastHashJoin" in plan
