@@ -4956,6 +4956,37 @@ def tpch_lateral_top_customers(spark, sf_dir):
     )
 
 
+@register(
+    "events_sql_udf_buckets",
+    "SELECT event_type, CAST(floor(floor(value * 100) / 500) AS BIGINT) "
+    "AS cents_bucket, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_sql_udf_buckets(spark, sf_dir):
+    """SQL-defined function surface (Spark 4 ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``): the bucketing logic is declared ONCE
+    as a catalog-level SQL UDF and reused by name. Unlike Python
+    UDFs, SQL UDFs inline into the plan at analysis time — the
+    executed plan is byte-identical to writing the expression
+    directly (whole-stage codegen, pushdown through it), so shared
+    business logic costs nothing at 100 TB. The oracle spells the
+    same expression inline (DuckDB macros are the equivalent; the
+    driver's oracle runner takes one SELECT, so the twin stays
+    textual)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents_bucket(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(floor(v * 100) / 500) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sql_udf_events_src"
+    )
+    return spark.sql(
+        "SELECT event_type, cents_bucket(value) AS cents_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM sql_udf_events_src GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
