@@ -4987,6 +4987,39 @@ def events_sql_udf_buckets(spark, sf_dir):
     )
 
 
+@register(
+    "docs_sql_tvf_tokens",
+    "SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos "
+    "FROM documents) WHERE doc_id < 5 ORDER BY doc_id, pos",
+)
+def docs_sql_tvf_tokens(spark, sf_dir):
+    """SQL table function surface (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``): a tokenizer declared as a catalog TVF and
+    applied per-row through a correlated LATERAL — the SQL-native
+    row-expansion mechanism, completing the function-surface trio
+    next to the Python UDTF (`docs_udtf_ngrams`, worker-process fan
+    -out) and the inline ``explode`` (`docs_top_terms`, the hot-path
+    spelling). Like scalar SQL UDFs the body inlines at analysis
+    time, so the plan is the same Generate/explode Spark would emit
+    for the direct expression."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tokenize_ws(s STRING) "
+        "RETURNS TABLE(tok STRING, pos INT) RETURN "
+        "SELECT t.col, CAST(t.pos AS INT) FROM "
+        "LATERAL posexplode(split(s, ' ')) AS t(pos, col)"
+    )
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 5
+    ).createOrReplaceTempView("sql_tvf_docs_src")
+    return spark.sql(
+        "SELECT d.doc_id, CAST(t.pos AS BIGINT) AS pos, t.tok "
+        "FROM sql_tvf_docs_src d, LATERAL tokenize_ws(d.text) t "
+        "ORDER BY d.doc_id, pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
