@@ -121,14 +121,22 @@ class Engine:
 
     # -- SQL surface -------------------------------------------------------
 
-    def sql(self, query: str, subject: str = "root") -> DataFrame:
+    def sql(self, query: str, subject: str = "root", args=None) -> DataFrame:
         """Run SQL with the log registered as view ``records`` and the
         metadata catalog as ``servers`` — the ad-hoc analytics entry
-        the reference never had. Gated on consume."""
+        the reference never had. Gated on consume.
+
+        ``args`` binds named (``:k`` with a dict) or positional
+        (``?`` with a list) parameters through Spark's parameterized
+        SQL — values travel as literals in the plan, never by string
+        interpolation, so callers embedding user input stay
+        injection-safe."""
         self.authorizer.authorize(subject, "*", CONSUME)
         self.log.df().createOrReplaceTempView("records")
         self.get_servers().createOrReplaceTempView("servers")
-        return self.spark.sql(query)
+        if args is None:
+            return self.spark.sql(query)
+        return self.spark.sql(query, args=args)
 
     def register_analytics_views(self, sf_dir: str, subject: str = "root") -> list[str]:
         """Register every analytics fixture table (events, documents,

@@ -106,3 +106,31 @@ def test_register_analytics_views_spans_full_catalog(spark, sf_dir, tmp_path):
 
     with _pytest.raises(PermissionDeniedError):
         eng.register_analytics_views(sf_dir, subject="nobody")
+
+
+def test_sql_parameter_binding(spark, tmp_path):
+    """Parameterized engine.sql: named and positional binding carry
+    values as plan literals (injection-safe), equivalent to inlining."""
+    from proglog_spark.engine import Engine
+
+    eng = Engine.create(spark, str(tmp_path / "param_log"), bucket_size=8)
+    eng.produce("root", [f"v{i}" for i in range(10)])
+
+    named = eng.sql(
+        'SELECT count(*) AS n FROM records WHERE offset >= :lo AND offset <= :hi',
+        args={"lo": 2, "hi": 5},
+    ).collect()[0]
+    assert named.n == 4
+
+    positional = eng.sql(
+        "SELECT value FROM records WHERE offset = ? ORDER BY offset",
+        args=[7],
+    ).collect()
+    assert [r.value for r in positional] == ["v7"]
+
+    # a hostile "value" stays a literal, not SQL
+    hostile = eng.sql(
+        "SELECT count(*) AS n FROM records WHERE value = :v",
+        args={"v": "v1' OR '1'='1"},
+    ).collect()[0]
+    assert hostile.n == 0
