@@ -243,6 +243,19 @@ class LogTable:
         n = len(rows)
         if n == 0:
             return (base, base - 1)
+        # In-process fast path: local paths skip the Spark job entirely
+        # and write the same bucket-partitioned parquet via pyarrow
+        # (atomic tmp+rename per file; readers ignore dot-tmp files).
+        # The produce hot path is where the reference's O(1) buffered
+        # append lives — this removes the ~0.3-0.4 s job-scheduling
+        # floor per batch. Any surprise falls back to the Spark write.
+        try:
+            if self._append_native(rows, base):
+                last = base + n - 1
+                self._highest = last
+                return (base, last)
+        except Exception:
+            pass  # fall through to the Spark write path
         schema = "bucket LONG, offset LONG, value STRING, term LONG, type INT"
         if n >= 1000:
             try:
@@ -272,6 +285,82 @@ class LogTable:
         last = base + n - 1
         self._highest = last
         return (base, last)
+
+    def _append_native(self, rows: list[tuple], base: int) -> bool:
+        """Write a driver batch as bucket-partitioned parquet with
+        pyarrow, no Spark job. Returns False when the path is not
+        local (remote stores go through the Spark committer).
+
+        Layout/schema parity with the Spark writer: same bucket dirs,
+        same column types (offset int64, value string, term int64,
+        type int32), snappy compression, footer statistics (the
+        pruning source), ``max_records_per_file`` splitting, and the
+        ``row_group_bytes`` dial approximated in rows. Atomicity: each
+        file lands as ``.native-*.tmp`` and renames into place —
+        readers skip dot-files, so a crash leaves only invisible junk
+        (removed by the next compaction's directory rewrite)."""
+        local = self._local_dir()
+        if local is None:
+            return False
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("offset", pa.int64()),
+                ("value", pa.string()),
+                ("term", pa.int64()),
+                ("type", pa.int32()),
+            ]
+        )
+        n = len(rows)
+        # rows are in offset order (base + i): bucket boundaries are
+        # contiguous slices. Two phases — write every file as a hidden
+        # tmp, THEN rename all into place — so the visibility window
+        # is the rename loop only. A crash mid-rename leaves a clean
+        # contiguous offset prefix (renames happen in offset order);
+        # recovery's next_offset = max(offset)+1 continues densely, the
+        # same per-record-durability contract as the reference's
+        # Log.Append.
+        pending: list[tuple[str, str]] = []
+        i = 0
+        while i < n:
+            off = base + i
+            bucket = off // self.bucket_size
+            bucket_end = min((bucket + 1) * self.bucket_size - base, n)
+            j = i
+            while j < bucket_end:
+                k = min(j + self.max_records_per_file, bucket_end)
+                chunk = rows[j:k]
+                offs = list(range(base + j, base + k))
+                tbl = pa.Table.from_arrays(
+                    [
+                        pa.array(offs, pa.int64()),
+                        pa.array([r[0] for r in chunk], pa.string()),
+                        pa.array([r[1] for r in chunk], pa.int64()),
+                        pa.array([r[2] for r in chunk], pa.int32()),
+                    ],
+                    schema=schema,
+                )
+                bdir = os.path.join(local, f"bucket={bucket}")
+                os.makedirs(bdir, exist_ok=True)
+                name = f"native-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(bdir, f".{name}.tmp")
+                kwargs = {"compression": "snappy"}
+                if self.row_group_bytes:
+                    avg = max(tbl.nbytes // max(len(chunk), 1), 1)
+                    kwargs["row_group_size"] = max(
+                        self.row_group_bytes // avg, 1
+                    )
+                pq.write_table(tbl, tmp, **kwargs)
+                pending.append((tmp, os.path.join(bdir, name)))
+                j = k
+            i = bucket_end
+        for tmp, final in pending:
+            os.replace(tmp, final)
+        return True
 
     # ------------------------------------------------------------------
     # read path (reference: Log.Read O11, Reader O15, ConsumeStream O21)
