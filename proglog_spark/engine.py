@@ -93,6 +93,14 @@ class Engine:
         self.authorizer.authorize(subject, "*", CONSUME)
         return consume_stream(self.log, from_offset)
 
+    def consume_iter(
+        self, subject: str, from_offset: int = 0, **kwargs
+    ):
+        """In-process low-latency tail (the ConsumeStream RPC loop as
+        a Python generator; see LogTable.consume_iter)."""
+        self.authorizer.authorize(subject, "*", CONSUME)
+        return self.log.consume_iter(from_offset, **kwargs)
+
     def tail_follow(
         self,
         subject: str,

@@ -362,6 +362,54 @@ class LogTable:
             os.replace(tmp, final)
         return True
 
+    def consume_iter(
+        self,
+        from_offset: int = 0,
+        poll_interval: float = 0.02,
+        max_batch: int = 10_000,
+        stop=None,
+    ):
+        """In-process ordered tail-follow: a generator yielding
+        ``(offset, value, term, type)`` from ``from_offset``, polling
+        for new data — the direct analog of the reference's
+        ConsumeStream loop (server.go:138-158: read, send, advance,
+        busy-retry on out-of-range), with ``poll_interval`` replacing
+        the busy-wait. Latency is poll_interval + one row-group
+        decode (~tens of ms), vs the micro-batch cycle (~0.6 s) of
+        the Spark streaming path (`streaming/consume.tail_follow`),
+        which remains the choice for checkpointed, multi-consumer,
+        remote-store deployments; THIS is the low-latency in-process
+        consumer. Gap-jumping matches the connector's stream reader:
+        a cursor below the lowest surviving offset (truncation)
+        advances to the first available record. Runs forever until
+        ``stop`` (a ``threading.Event``) is set or the generator is
+        closed. Local paths only (falls back by raising ValueError
+        for remote stores — use the streaming path there)."""
+        import time as _time
+
+        local = self._local_dir()
+        if local is None:
+            raise ValueError(
+                "consume_iter needs a local log path; use "
+                "streaming.consume.tail_follow for remote stores"
+            )
+        from proglog_spark.sources.datasource import (
+            _min_offset_at_least,
+            _scan_rows,
+        )
+
+        cursor = int(from_offset)
+        while stop is None or not stop.is_set():
+            lo = _min_offset_at_least(self.path, cursor)
+            if lo is not None:
+                rows = _scan_rows(self.path, lo, lo + max_batch - 1)
+                if rows:
+                    for r in rows:
+                        yield r
+                    cursor = rows[-1][0] + 1
+                    continue
+            _time.sleep(poll_interval)
+
     # ------------------------------------------------------------------
     # read path (reference: Log.Read O11, Reader O15, ConsumeStream O21)
     # ------------------------------------------------------------------

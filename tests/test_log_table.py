@@ -372,3 +372,56 @@ def test_files_metadata_matches_physical_layout(spark, tmp_path):
     files = log.files().collect()
     assert min(r.min_offset for r in files) == 100
     assert {r.bucket for r in files} == {1, 2}
+
+
+def test_consume_iter_tail_follow(spark, tmp_path):
+    """The in-process ConsumeStream analog: ordered gap-free delivery
+    from a cursor, live pickup of post-subscribe appends (the
+    blocking-tail scenario, server_test.go:247-284), truncation-gap
+    jumping, and tens-of-ms delivery latency."""
+    import threading
+    import time
+
+    from proglog_spark.log import LogTable
+
+    log = LogTable.create(spark, str(tmp_path / "iterlog"), bucket_size=4)
+    log.append([f"r{i}" for i in range(6)])
+
+    got, lat = [], {}
+    stop = threading.Event()
+
+    def consume():
+        for row in log.consume_iter(from_offset=2, stop=stop):
+            got.append(row)
+            lat[row[0]] = time.time()
+            if len(got) >= 7:
+                stop.set()
+
+    t = threading.Thread(target=consume)
+    t.start()
+    deadline = time.time() + 30
+    while len(got) < 4 and time.time() < deadline:
+        time.sleep(0.01)
+    assert [r[0] for r in got] == [2, 3, 4, 5]  # catch-up from cursor
+
+    t0 = time.time()
+    log.append(["late-a", "late-b", "late-c"])
+    while len(got) < 7 and time.time() < deadline:
+        time.sleep(0.01)
+    stop.set()
+    t.join(timeout=10)
+
+    assert [r[0] for r in got] == [2, 3, 4, 5, 6, 7, 8]
+    assert got[-1][1] == "late-c"
+    # delivery of the post-subscribe append within a few poll cycles
+    assert lat[6] - t0 < 2.0
+
+    # cursor below the truncation point jumps to the first survivor
+    log.truncate(4)
+    rows = []
+    stop2 = threading.Event()
+    for row in log.consume_iter(from_offset=0, stop=stop2):
+        rows.append(row)
+        if len(rows) >= 4:
+            stop2.set()
+    assert [r[0] for r in rows] == [5, 6, 7, 8]

@@ -105,6 +105,38 @@ def main():
         q.stop()
     tail_ms = round(sorted(tail_lat_ms)[len(tail_lat_ms) // 2], 1) if tail_lat_ms else None
 
+    # native tail latency: the in-process consume_iter generator
+    # (LogTable.consume_iter — poll_interval + one row-group decode)
+    nat_delivered: dict[int, float] = {}
+    nat_stop = threading.Event()
+
+    def nat_consume():
+        for row in log.consume_iter(
+            from_offset=log.highest_offset() + 1, stop=nat_stop
+        ):
+            with lock:
+                nat_delivered[row[0]] = time.time()
+
+    nt = threading.Thread(target=nat_consume, daemon=True)
+    nt.start()
+    nat_lat_ms = []
+    for i in range(5):
+        target = log.highest_offset() + 1
+        t0 = time.time()
+        log.append([f"ntail{i}"])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with lock:
+                if target in nat_delivered:
+                    nat_lat_ms.append(1000 * (nat_delivered[target] - t0))
+                    break
+            time.sleep(0.002)
+    nat_stop.set()
+    nt.join(timeout=10)
+    nat_ms = (
+        round(sorted(nat_lat_ms)[len(nat_lat_ms) // 2], 1) if nat_lat_ms else None
+    )
+
     print(
         json.dumps(
             {
@@ -113,7 +145,8 @@ def main():
                 "append_batch_ms": round(1000 * append_s / args.batches, 1),
                 "point_reads_per_s": round(args.reads / read_s, 1),
                 "scan_rows_per_s": round(n_scanned / scan_s),
-                "tail_follow_latency_ms": tail_ms,
+                "tail_follow_latency_ms_streaming": tail_ms,
+                "tail_follow_latency_ms_native": nat_ms,
                 "records": n_appended,
                 "payload_bytes": args.payload_bytes,
                 "unit": "mixed",
