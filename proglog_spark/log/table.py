@@ -103,6 +103,9 @@ class LogTable:
         # expensive part — footer parse + row-group statistics — is
         # paid once per bucket version instead of per read
         self._native_ds_cache: dict[tuple, object] = {}
+        # decoded hot-bucket rows (offset array + arrow table), LRU —
+        # the mmap-page-cache analog for µs-class warm point reads
+        self._native_tbl_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -490,31 +493,58 @@ class LogTable:
             if not files:
                 raise OffsetOutOfRangeError(offset)
             key = (bdir, tuple(files))
-            ds = self._native_ds_cache.get(key)
-            if ds is None:
-                # drop superseded versions of this bucket; cap total
-                # cached buckets so a scan over a huge log stays bounded
-                self._native_ds_cache = {
-                    k: v for k, v in self._native_ds_cache.items() if k[0] != bdir
+            # Hot-bucket row cache — the mmap analog: the reference's
+            # per-record reads are µs because the OS keeps hot segment
+            # pages resident (index.go:34 mmap); here the decoded
+            # bucket (offset-sorted arrow table) plays that role, so a
+            # warm point read is a binary search + one row
+            # materialization. Bounded LRU (8 buckets); invalidated
+            # automatically when the bucket's file set changes.
+            cached = self._native_tbl_cache.get(key)
+            if cached is not None:
+                self._native_tbl_cache[key] = self._native_tbl_cache.pop(key)
+            else:
+                ds = self._native_ds_cache.get(key)
+                if ds is None:
+                    # drop superseded versions of this bucket; cap total
+                    # cached buckets so a scan over a huge log stays
+                    # bounded
+                    self._native_ds_cache = {
+                        k: v
+                        for k, v in self._native_ds_cache.items()
+                        if k[0] != bdir
+                    }
+                    if len(self._native_ds_cache) >= 256:
+                        self._native_ds_cache.clear()
+                    ds = pads.dataset(
+                        [os.path.join(bdir, f) for f in files],
+                        format="parquet",
+                    )
+                    self._native_ds_cache[key] = ds
+                full = ds.to_table(columns=_DATA_COLS).sort_by("offset")
+                cached = (full.column("offset").to_numpy(), full)
+                self._native_tbl_cache = {
+                    k: v
+                    for k, v in self._native_tbl_cache.items()
+                    if k[0] != bdir
                 }
-                if len(self._native_ds_cache) >= 256:
-                    self._native_ds_cache.clear()
-                ds = pads.dataset(
-                    [os.path.join(bdir, f) for f in files], format="parquet"
-                )
-                self._native_ds_cache[key] = ds
-            tbl = ds.to_table(
-                columns=_DATA_COLS,
-                filter=pads.field("offset") == offset,
-            )
+                while len(self._native_tbl_cache) >= 8:
+                    self._native_tbl_cache.pop(
+                        next(iter(self._native_tbl_cache))
+                    )
+                self._native_tbl_cache[key] = cached
+            import numpy as _np
+
+            offs, full = cached
+            i = int(_np.searchsorted(offs, offset))
+            if i >= len(offs) or int(offs[i]) != offset:
+                raise OffsetOutOfRangeError(offset)
+            rec = {c: full.column(c)[i].as_py() for c in _DATA_COLS}
         except OffsetOutOfRangeError:
             raise
         except Exception:
             return None  # any pyarrow/layout surprise → Spark path
-        if tbl.num_rows == 0:
-            raise OffsetOutOfRangeError(offset)
-        rec = tbl.to_pylist()[0]
-        return Row(**{c: rec[c] for c in _DATA_COLS})
+        return Row(**rec)
 
     def scan(self, lo: int, hi: int) -> DataFrame:
         """Ordered range scan, offsets in [lo, hi] (L5)."""
