@@ -61,6 +61,21 @@ RECORD_SCHEMA = T.StructType(
 _META_FILE = "_proglog_meta.json"
 _DATA_COLS = ["offset", "value", "term", "type"]
 
+# hot-bucket read cache sizing: buckets larger than this fall back to
+# the filtered (row-group-pruned) read instead of being decoded whole
+_HOT_CACHE_MAX_ROWS_PER_BUCKET = 1 << 18
+_HOT_CACHE_BUCKETS = 8
+
+
+class _PartialNativeAppend(RuntimeError):
+    """A native append failed AFTER making a file prefix visible.
+
+    The visible records form a contiguous dense prefix of the batch
+    (renames happen in offset order), so the log is consistent — but
+    the caller must NOT retry the whole batch (duplicate offsets).
+    Reopen the table and continue from ``highest_offset() + 1``.
+    """
+
 
 class LogTable:
     """Append-only log with dense offsets over bucketed Parquet."""
@@ -170,6 +185,7 @@ class LogTable:
         log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
         log.last_produce_batch = int(meta["last_produce_batch"]) if "last_produce_batch" in meta else None
         log._recover_truncate()
+        log._sweep_native_tmp()
         return log
 
     def reset(self) -> None:
@@ -251,14 +267,15 @@ class LogTable:
         # (atomic tmp+rename per file; readers ignore dot-tmp files).
         # The produce hot path is where the reference's O(1) buffered
         # append lives — this removes the ~0.3-0.4 s job-scheduling
-        # floor per batch. Any surprise falls back to the Spark write.
-        try:
-            if self._append_native(rows, base):
-                last = base + n - 1
-                self._highest = last
-                return (base, last)
-        except Exception:
-            pass  # fall through to the Spark write path
+        # floor per batch. _append_native returns False for any
+        # failure BEFORE visibility (fall back to the Spark write
+        # safely) and raises once any file is renamed live — falling
+        # back after partial visibility would re-append already-
+        # visible offsets and break density.
+        if self._append_native(rows, base):
+            last = base + n - 1
+            self._highest = last
+            return (base, last)
         schema = "bucket LONG, offset LONG, value STRING, term LONG, type INT"
         if n >= 1000:
             try:
@@ -289,6 +306,27 @@ class LogTable:
         self._highest = last
         return (base, last)
 
+    def _sweep_native_tmp(self) -> None:
+        """Remove crash-orphaned ``.native-*.tmp`` files (invisible to
+        readers but occupying disk). Called from open(): the table is
+        single-writer, so at open time no append is in flight and any
+        dot-tmp file is dead weight from an interrupted native append.
+        compact()'s whole-directory rewrite also clears them for
+        buckets it touches; this covers the rest."""
+        local = self._local_dir()
+        if local is None:
+            return
+        for entry in os.listdir(local):
+            if not entry.startswith("bucket="):
+                continue
+            bdir = os.path.join(local, entry)
+            for f in os.listdir(bdir):
+                if f.startswith(".native-") and f.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(bdir, f))
+                    except OSError:
+                        pass
+
     def _append_native(self, rows: list[tuple], base: int) -> bool:
         """Write a driver batch as bucket-partitioned parquet with
         pyarrow, no Spark job. Returns False when the path is not
@@ -305,6 +343,16 @@ class LogTable:
         local = self._local_dir()
         if local is None:
             return False
+        try:
+            return self._append_native_inner(rows, base, local)
+        except _PartialNativeAppend:
+            raise
+        except Exception:
+            return False  # nothing visible yet — Spark path is safe
+
+    def _append_native_inner(
+        self, rows: list[tuple], base: int, local: str
+    ) -> bool:
         import uuid
 
         import pyarrow as pa
@@ -361,8 +409,27 @@ class LogTable:
                 pending.append((tmp, os.path.join(bdir, name)))
                 j = k
             i = bucket_end
-        for tmp, final in pending:
-            os.replace(tmp, final)
+        renamed = 0
+        try:
+            for tmp, final in pending:
+                os.replace(tmp, final)
+                renamed += 1
+        except Exception as e:
+            if renamed == 0:
+                for tmp, _ in pending:
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+                return False  # nothing visible — caller may fall back
+            # a prefix is already live: falling back would duplicate
+            # those offsets. Surface the partial append (the visible
+            # prefix is contiguous and dense; recovery continues from
+            # max(offset), the reference's per-record contract).
+            raise _PartialNativeAppend(
+                f"native append made {renamed}/{len(pending)} files "
+                f"visible before failing: {e}"
+            ) from e
         return True
 
     def consume_iter(
@@ -500,27 +567,30 @@ class LogTable:
             # warm point read is a binary search + one row
             # materialization. Bounded LRU (8 buckets); invalidated
             # automatically when the bucket's file set changes.
+            ds = self._native_ds_cache.get(key)
+            if ds is None:
+                # drop superseded versions of this bucket; cap total
+                # cached buckets so a scan over a huge log stays
+                # bounded
+                self._native_ds_cache = {
+                    k: v
+                    for k, v in self._native_ds_cache.items()
+                    if k[0] != bdir
+                }
+                if len(self._native_ds_cache) >= 256:
+                    self._native_ds_cache.clear()
+                ds = pads.dataset(
+                    [os.path.join(bdir, f) for f in files],
+                    format="parquet",
+                )
+                self._native_ds_cache[key] = ds
             cached = self._native_tbl_cache.get(key)
             if cached is not None:
                 self._native_tbl_cache[key] = self._native_tbl_cache.pop(key)
-            else:
-                ds = self._native_ds_cache.get(key)
-                if ds is None:
-                    # drop superseded versions of this bucket; cap total
-                    # cached buckets so a scan over a huge log stays
-                    # bounded
-                    self._native_ds_cache = {
-                        k: v
-                        for k, v in self._native_ds_cache.items()
-                        if k[0] != bdir
-                    }
-                    if len(self._native_ds_cache) >= 256:
-                        self._native_ds_cache.clear()
-                    ds = pads.dataset(
-                        [os.path.join(bdir, f) for f in files],
-                        format="parquet",
-                    )
-                    self._native_ds_cache[key] = ds
+            elif ds.count_rows() <= _HOT_CACHE_MAX_ROWS_PER_BUCKET:
+                # small enough to pin decoded (memory bound:
+                # _HOT_CACHE_BUCKETS x _HOT_CACHE_MAX_ROWS_PER_BUCKET
+                # rows; count_rows() is footer metadata, no data read)
                 full = ds.to_table(columns=_DATA_COLS).sort_by("offset")
                 cached = (full.column("offset").to_numpy(), full)
                 self._native_tbl_cache = {
@@ -528,18 +598,29 @@ class LogTable:
                     for k, v in self._native_tbl_cache.items()
                     if k[0] != bdir
                 }
-                while len(self._native_tbl_cache) >= 8:
+                while len(self._native_tbl_cache) >= _HOT_CACHE_BUCKETS:
                     self._native_tbl_cache.pop(
                         next(iter(self._native_tbl_cache))
                     )
                 self._native_tbl_cache[key] = cached
-            import numpy as _np
+            if cached is not None:
+                import numpy as _np
 
-            offs, full = cached
-            i = int(_np.searchsorted(offs, offset))
-            if i >= len(offs) or int(offs[i]) != offset:
-                raise OffsetOutOfRangeError(offset)
-            rec = {c: full.column(c)[i].as_py() for c in _DATA_COLS}
+                offs, full = cached
+                i = int(_np.searchsorted(offs, offset))
+                if i >= len(offs) or int(offs[i]) != offset:
+                    raise OffsetOutOfRangeError(offset)
+                rec = {c: full.column(c)[i].as_py() for c in _DATA_COLS}
+            else:
+                # oversized bucket: keep the row-group-pruned filtered
+                # read — decode one group, not the bucket
+                tbl = ds.to_table(
+                    columns=_DATA_COLS,
+                    filter=pads.field("offset") == offset,
+                )
+                if tbl.num_rows == 0:
+                    raise OffsetOutOfRangeError(offset)
+                rec = tbl.to_pylist()[0]
         except OffsetOutOfRangeError:
             raise
         except Exception:

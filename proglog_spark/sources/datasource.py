@@ -60,11 +60,15 @@ def _local(path: str) -> str:
 
 
 def _bucket_dirs(path: str) -> list[tuple[int, str]]:
+    """Bucket dirs in NUMERIC order — lexicographic listing puts
+    bucket=10 before bucket=2, which would make the first-match scan
+    in `_min_offset_at_least` skip lower offsets entirely."""
     root = _local(path)
     out = []
-    for entry in sorted(os.listdir(root)):
+    for entry in os.listdir(root):
         if entry.startswith("bucket="):
             out.append((int(entry.split("=", 1)[1]), os.path.join(root, entry)))
+    out.sort()
     return out
 
 

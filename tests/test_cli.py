@@ -52,16 +52,31 @@ def test_serve_cli_roundtrip(tmp_path):
         text=True,
     )
     try:
+        # read stdout on a helper thread: a bare readline() would block
+        # past the deadline if the subprocess wedges without printing
+        import queue
+        import threading
+
+        lines: queue.Queue = queue.Queue()
+
+        def pump():
+            for line in proc.stdout:
+                lines.put(line)
+
+        threading.Thread(target=pump, daemon=True).start()
         deadline = time.time() + 240
         addr = None
         while time.time() < deadline:
-            line = proc.stdout.readline()
+            try:
+                line = lines.get(timeout=1)
+            except queue.Empty:
+                if proc.poll() is not None:
+                    raise AssertionError("serve process died before binding")
+                continue
             if line.startswith("SERVING "):
                 addr = line.split()[1]
                 break
-            if proc.poll() is not None:
-                raise AssertionError("serve process died before binding")
-        assert addr, "no SERVING line"
+        assert addr, "no SERVING line within deadline"
 
         def call(method, payload=None, q=""):
             req = urllib.request.Request(

@@ -425,3 +425,49 @@ def test_consume_iter_tail_follow(spark, tmp_path):
         if len(rows) >= 4:
             stop2.set()
     assert [r[0] for r in rows] == [5, 6, 7, 8]
+
+
+def test_min_offset_scan_is_numeric_bucket_order(spark, tmp_path):
+    """Regression: bucket dirs must scan in NUMERIC order — a
+    lexicographic listing visits bucket=10 before bucket=2 and the
+    gap-jump would silently skip offsets 8..39."""
+    from proglog_spark.log import LogTable
+    from proglog_spark.sources.datasource import _min_offset_at_least
+
+    log = LogTable.create(spark, str(tmp_path / "numlog"), bucket_size=4)
+    log.append([f"n{i}" for i in range(60)])  # buckets 0..14
+    assert _min_offset_at_least(log.path, 9) == 9
+    assert _min_offset_at_least(log.path, 41) == 41
+
+    import threading
+
+    stop = threading.Event()
+    got = []
+    for row in log.consume_iter(from_offset=9, stop=stop):
+        got.append(row[0])
+        if len(got) >= 5:
+            stop.set()
+            break
+    assert got == [9, 10, 11, 12, 13]
+
+
+def test_open_sweeps_orphaned_native_tmp(spark, tmp_path):
+    """Crash-orphaned .native-*.tmp files are invisible to readers and
+    are reclaimed on the next open()."""
+    import os
+
+    from proglog_spark.log import LogTable
+
+    path = str(tmp_path / "sweeplog")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a", "b", "c"])
+    bdir = os.path.join(path, "bucket=0")
+    orphan = os.path.join(bdir, ".native-deadbeef.parquet.tmp")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+
+    # invisible to reads while present
+    assert log.read(1).value == "b"
+    log2 = LogTable.open(spark, path)
+    assert not os.path.exists(orphan)
+    assert log2.read(2).value == "c"

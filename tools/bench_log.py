@@ -109,10 +109,13 @@ def main():
     # (LogTable.consume_iter — poll_interval + one row-group decode)
     nat_delivered: dict[int, float] = {}
     nat_stop = threading.Event()
+    # capture the cursor BEFORE the thread starts: evaluating
+    # highest_offset() inside the thread races the first append below
+    nat_from = log.highest_offset() + 1
 
     def nat_consume():
         for row in log.consume_iter(
-            from_offset=log.highest_offset() + 1, stop=nat_stop
+            from_offset=nat_from, stop=nat_stop
         ):
             with lock:
                 nat_delivered[row[0]] = time.time()
