@@ -1,0 +1,28 @@
+"""The quickstart example must keep running end-to-end — it is the
+documentation a migrating user executes first."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"),
+)
+
+
+def test_quickstart_tour(spark, sf_dir, tmp_path):
+    import quickstart
+
+    out = quickstart.run(spark, str(tmp_path / "qs"), sf_dir)
+    assert out["append_span"] == (0, 99)
+    assert out["point_read"] == (42, "event-42", 0, 0)
+    assert out["tail_values"] == ["event-97", "event-98", "event-99"]
+    assert out["native_tail"] == [98, 99]
+    assert out["sql_count"] == 51  # offsets 50..100 incl. the engine append
+    assert "PERMISSION_DENIED" in out["acl"]
+    assert out["connector_rows"] == 11  # offsets 90..100
+    assert len(out["scorecard"]) == 3
+    assert sum(n for *_k, n in out["shard_accounting"]) > 0
+    assert out["http_read"] == "event-0"
