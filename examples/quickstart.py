@@ -49,8 +49,11 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
             break
     out["native_tail"] = tail_rows
 
-    # 3 — Engine facade: ACL-gated RPC surface + parameterized SQL
-    engine = Engine.open(spark, f"{workdir}/log")
+    # 3 — Engine facade: ACL-gated RPC surface + parameterized SQL.
+    # Wrap the EXISTING handle: the log is single-writer by contract,
+    # so opening a second writer on a live table is the one pattern
+    # to avoid (a stale highest-offset cache could duplicate offsets).
+    engine = Engine(log)
     engine.produce("root", ["via-engine"])
     out["sql_count"] = engine.sql(
         "SELECT count(*) AS n FROM records WHERE offset >= :lo",
@@ -116,6 +119,7 @@ def main() -> None:
 
     spark = build_session("quickstart", master="local[4]", shuffle_partitions=4)
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+    print(f"workdir: {workdir}")
     try:
         for k, v in run(spark, workdir).items():
             print(f"{k}: {v}")
