@@ -694,6 +694,10 @@ class LogTable:
         """
         if self._highest is not None:
             return self._highest
+        hi = self._highest_native()
+        if hi is not None:
+            self._highest = hi
+            return hi
         buckets = self._buckets()
         if not buckets:
             return None
@@ -951,7 +955,50 @@ class LogTable:
             rows, schema="value STRING, term LONG, type INT"
         )
 
+    def _highest_native(self) -> int | None:
+        """max(offset) from parquet footer statistics only — the
+        metadata-cost truth for local paths (a few ms: list the max
+        bucket dir, read each file's footer max). Returns None when
+        the path is remote or the layout surprises; callers fall back
+        to the Spark aggregation."""
+        local = self._local_dir()
+        if local is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            best_bucket, bdir = -1, None
+            for entry in os.listdir(local):
+                if entry.startswith("bucket="):
+                    b = int(entry.split("=", 1)[1])
+                    if b > best_bucket:
+                        best_bucket, bdir = b, os.path.join(local, entry)
+            if bdir is None:
+                return None
+            hi = None
+            for f in os.listdir(bdir):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                meta = pq.read_metadata(os.path.join(bdir, f))
+                idx = meta.schema.to_arrow_schema().get_field_index("offset")
+                for rg in range(meta.num_row_groups):
+                    col = meta.row_group(rg).column(idx)
+                    stats = col.statistics
+                    if stats is None or not stats.has_min_max:
+                        return None  # stats missing → Spark fallback
+                    hi = stats.max if hi is None else max(hi, stats.max)
+            return int(hi) if hi is not None else None
+        except Exception:
+            return None
+
     def _next_offset(self) -> int:
+        """Next dense offset. On LOCAL paths this re-reads the footer
+        truth on every append (invalidating the in-memory cache), so
+        a second handle on the same directory — out of contract but
+        easy to do accidentally — continues from the real maximum
+        instead of a stale cache and cannot double-assign offsets."""
+        if self._local_dir() is not None:
+            self._highest = None  # footer truth is cheap — never trust cache
         hi = self.highest_offset()
         nxt = self.initial_offset if hi is None else hi + 1
         return max(nxt, self.next_offset_floor)

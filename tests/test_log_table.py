@@ -471,3 +471,22 @@ def test_open_sweeps_orphaned_native_tmp(spark, tmp_path):
     log2 = LogTable.open(spark, path)
     assert not os.path.exists(orphan)
     assert log2.read(2).value == "c"
+
+
+def test_two_handles_never_double_assign_offsets(spark, tmp_path):
+    """Out-of-contract but easy to do accidentally: a second handle on
+    the same local directory must continue from the filesystem truth,
+    not a stale in-memory highest-offset cache."""
+    from proglog_spark.log import LogTable
+
+    path = str(tmp_path / "twolog")
+    a = LogTable.create(spark, path, bucket_size=8)
+    a.append(["a0", "a1"])
+    b = LogTable.open(spark, path)
+    assert b.append(["b0"]) == (2, 2)
+    # the FIRST handle's cache is now stale; its next append must
+    # still see b's record and continue densely
+    assert a.append(["a2"]) == (3, 3)
+    offs = [r.offset for r in a.reader().collect()]
+    assert offs == [0, 1, 2, 3]
+    assert [r.value for r in a.reader().collect()] == ["a0", "a1", "b0", "a2"]
