@@ -468,8 +468,8 @@ def events_inactive_users(spark, sf_dir):
     "WITH base AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), "
     "marked AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER "
     "(PARTITION BY user_id ORDER BY ts_us) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM base), "
-    "sess AS (SELECT user_id, ts_us, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us "
-    "ROWS UNBOUNDED PRECEDING) AS session_id FROM marked) "
+    "sess AS (SELECT user_id, ts_us, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
     "SELECT user_id, session_id, min(ts_us) AS session_start_us, "
     "max(ts_us) AS session_end_us, count(*) AS n_events FROM sess "
     "GROUP BY 1, 2 ORDER BY 1, 2",
@@ -482,7 +482,7 @@ def events_sessionize(spark, sf_dir):
 
 @register(
     "events_json_sum",
-    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, "
+    "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
     "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
 )
 def events_json_sum(spark, sf_dir):
@@ -1006,7 +1006,7 @@ _QUERY_VECS = "(0, 1, 2)"
     "scored AS (SELECT q.query_id, e.vec_id, "
     "list_sum(list_transform(range(1, len(e.embedding) + 1), "
     "i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * "
-    "CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT))) AS qdot "
+    "CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS qdot "
     "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
     "ranked AS (SELECT query_id, vec_id, qdot, row_number() OVER "
     "(PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank FROM scored) "
@@ -1025,7 +1025,7 @@ def emb_dot_topk(spark, sf_dir):
     "emb_norm_stats",
     "WITH n AS (SELECT label, list_sum(list_transform(embedding, "
     "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
-    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qnorm2 FROM embeddings) "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS qnorm2 FROM embeddings) "
     "SELECT label, count(*) AS n_vecs, min(qnorm2) AS min_qnorm2, "
     "max(qnorm2) AS max_qnorm2 FROM n GROUP BY label ORDER BY label",
 )
@@ -2760,7 +2760,7 @@ def events_unpivot_extremes(spark, sf_dir):
     # DuckDB's json table functions aren't loadable from a bare query
     "SELECT regexp_extract(props, '\"([^\"]+)\"', 1) AS prop_key, "
     "count(*) AS n_rows, "
-    "sum(CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT)) AS value_sum "
+    "CAST(sum(CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS value_sum "
     "FROM events GROUP BY 1 ORDER BY 1",
 )
 def events_props_map_explode(spark, sf_dir):
@@ -2787,7 +2787,7 @@ def events_props_map_explode(spark, sf_dir):
 
 @register(
     "events_user_value_percentiles",
-    "WITH t AS (SELECT user_id, sum(CAST(floor(value*100) AS BIGINT)) AS total_cents "
+    "WITH t AS (SELECT user_id, CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS total_cents "
     "FROM events GROUP BY 1) "
     "SELECT user_id, total_cents, "
     "CAST(floor(1000000.0 * (rank() OVER (ORDER BY total_cents, user_id) - 1) "
@@ -3235,7 +3235,7 @@ def events_minute_gapfill(spark, sf_dir):
     "emb_label_centroids",
     "SELECT label, CAST(ord - 1 AS INTEGER) AS dim, "
     "count(*) AS n_vecs, "
-    "sum(CAST(floor(CAST(embedding[ord] AS DOUBLE) * 1000000) AS BIGINT)) "
+    "CAST(sum(CAST(floor(CAST(embedding[ord] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
     "AS sum_micro FROM ("
     "SELECT label, embedding, "
     "unnest(generate_series(1, len(embedding))) AS ord FROM embeddings"
@@ -4310,6 +4310,10 @@ def events_distinct_rollup_streamed(spark, sf_dir):
     q.stop()
     return read_distinct_rollup(
         spark, os.path.join(work, "rollup"), ["event_type"], mode="exact"
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "event_type",
+        "n_distinct",
     ).orderBy("bucket", "event_type")
 
 

@@ -74,6 +74,7 @@ def main():
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            sdtypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -83,9 +84,12 @@ def main():
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            odtypes = {
+                c: str(t) for c, t in zip(rel.columns, rel.types)
+            }
+            orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {str(e)[:200]}")
@@ -95,6 +99,29 @@ def main():
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            # the driver also compares SCHEMA — surface type drift
+            # (Spark INT vs DuckDB BIGINT etc.) locally too. DuckDB
+            # relation types are precise (the DB-API description is
+            # not); arrays compare by element type.
+            norm = {
+                "BIGINT": "bigint", "VARCHAR": "string",
+                "INTEGER": "int", "DOUBLE": "double", "FLOAT": "float",
+                "BOOLEAN": "boolean", "DATE": "date",
+            }
+
+            def dnorm(t: str) -> str:
+                if t.endswith("[]"):
+                    return f"array<{dnorm(t[:-2])}>"
+                return norm.get(t, t.lower())
+
+            drift = {
+                c: (sdtypes.get(c), odtypes[c])
+                for c in ocols
+                if dnorm(odtypes[c]) != sdtypes.get(c)
+            }
+            if drift:
+                problems.append(f"dtypes {drift}")
         if not problems:
             sm, om = rows_multiset(scols, srows), rows_multiset(ocols, orows)
             if sm != om:
