@@ -403,3 +403,18 @@ def test_lateral_topn_decorrelates_to_window_join(spark, sf_dir):
     plan = plan_of(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan and "BroadcastHashJoin" in plan
+
+
+def test_sql_udf_and_tvf_inline_at_analysis_time(spark, sf_dir):
+    """SQL-defined functions must vanish into the plan: no Python
+    evaluation node, no function-call boundary — the scalar UDF
+    compiles to the raw expression, the TVF to a plain Generate."""
+    from proglog_spark.queries import REGISTRY
+
+    scalar = plan_of(REGISTRY["events_sql_udf_buckets"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in scalar and "ArrowEvalPython" not in scalar
+    assert "FLOOR" in scalar.upper()  # the body, visible inline in codegen
+
+    tvf = plan_of(REGISTRY["docs_sql_tvf_tokens"][0](spark, sf_dir))
+    assert "Generate" in tvf
+    assert "BatchEvalPython" not in tvf and "PythonUDTF" not in tvf
