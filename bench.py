@@ -77,16 +77,32 @@ def main() -> None:
         n_rows[name] = len(rows)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "declared_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "rows": sum(n_rows.values()),
+    }
+    # The driver tail-captures stdout with a bounded buffer, so the
+    # LAST line must stay small (<200 bytes).  The per-query map goes
+    # to bench_queries.json next to this script instead of stdout.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "declared_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
-                "rows": sum(n_rows.values()),
+                "queries": {"see": "bench_queries.json"},
             }
         )
     )

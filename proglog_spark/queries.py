@@ -858,14 +858,15 @@ def docs_dedup_keepers(spark, sf_dir):
     keep/drop verdict. A doc is kept iff it belongs to no near-dup
     cluster or is its cluster's canonical representative (min id).
     Exact duplicates are jaccard-1.0 pairs, so one cluster pass covers
-    both exact and near dedup. Broadcast of the (tiny) cluster map
-    against the corpus is the scale shape: verdicts without shuffling
-    the documents."""
+    both exact and near dedup. The cluster map scales with the corpus's
+    duplicate count, so its join strategy is AQE's call — broadcast
+    when tiny (the common case), doc_id-keyed shuffle of (id, rep)
+    pairs (never document text) when not."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
     clusters = dedup.connected_components(pairs)
     return (
-        d.join(F.broadcast(clusters), d.doc_id == clusters.id, "left")
+        d.join(clusters, d.doc_id == clusters.id, "left")
         .select(
             "doc_id",
             (F.col("id").isNull() | (F.col("rep") == F.col("doc_id"))).alias(
@@ -1144,8 +1145,11 @@ def tpch_q1_pricing(spark, sf_dir):
     "ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10",
 )
 def tpch_q3_shipping(spark, sf_dir):
-    """Q3-style: selective dim filter → broadcast-joined fact scan →
-    grouped revenue → global top-10."""
+    """Q3-style: selective dim filter → joined fact scan → grouped
+    revenue → global top-10. No forced broadcast hints: customer
+    scales with SF, so AQE picks broadcast when the filtered side is
+    small and degrades to a shuffle join at 100 TB instead of OOMing
+    the driver."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
@@ -1156,7 +1160,7 @@ def tpch_q3_shipping(spark, sf_dir):
     cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1191,7 +1195,9 @@ def tpch_q3_shipping(spark, sf_dir):
     "GROUP BY 1 ORDER BY 1",
 )
 def tpch_q5_nation_revenue(spark, sf_dir):
-    """Q5-style star join: small dims broadcast, one fact shuffle."""
+    """Q5-style star join: bounded dims (nation, region) carry forced
+    broadcast hints; customer/supplier scale with SF so their join
+    strategy is left to AQE (broadcast when small, shuffle at 100 TB)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1204,9 +1210,9 @@ def tpch_q5_nation_revenue(spark, sf_dir):
     cents = lambda c_: F.floor(F.col(c_) * 100).cast("long")  # noqa: E731
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1358,8 +1364,9 @@ def tpch_q2_top_supplier(spark, sf_dir):
     "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00')",
 )
 def tpch_q14_promo_share(spark, sf_dir):
-    """Q14-style promo revenue share: fact-to-dim join (part
-    broadcasts) + conditional aggregation, ratio in exact fixed-point
+    """Q14-style promo revenue share: fact-to-dim join (strategy left
+    to AQE — part scales with SF) + conditional aggregation, ratio in
+    exact fixed-point
     (integer cents both sides of the division, floored to micro)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1368,7 +1375,7 @@ def tpch_q14_promo_share(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
                 "promo_cents"
@@ -1672,10 +1679,11 @@ def tpch_q13_custdist(spark, sf_dir):
 )
 def tpch_q16_part_suppliers(spark, sf_dir):
     """Q16-style supplier diversity: distinct-count after an anti join
-    (the NOT IN exclusion list) and a broadcast dim join. The
-    exclusion list is small by construction (negative-balance
-    suppliers) → broadcast anti join; part is filtered before the
-    broadcast; the distinct agg shuffles (brand, size, suppkey) only."""
+    (the NOT IN exclusion list) and a dim join. The exclusion list
+    (negative-balance suppliers) and the filtered part side both scale
+    with SF, so join strategy is AQE's call — broadcast at today's
+    sizes, shuffle at 100 TB; the distinct agg shuffles (brand, size,
+    suppkey) only."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#21") & F.col("p_size").isin(1, 14, 23, 45)
@@ -1684,8 +1692,8 @@ def tpch_q16_part_suppliers(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
@@ -1709,8 +1717,8 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
     part's average quantity), decorrelated into an aggregate-then-join.
     The threshold compare is multiplied through (qty*5*cnt < sum) so
     the arithmetic stays integer-exact — no float division crosses
-    engines. Spark side restricts to brand parts FIRST (broadcast
-    semi), so the per-part aggregate runs over the 1/25th slice that
+    engines. Spark side restricts to brand parts FIRST (semi-shaped
+    join, strategy AQE's), so the per-part aggregate runs over the 1/25th slice that
     can ever match — the decorrelation Catalyst can't derive itself."""
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
@@ -1720,7 +1728,7 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
         "l_extendedprice",
         F.floor(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
     )
-    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    li_brand = li.join(p, li.l_partkey == p.p_partkey).drop("p_partkey")
     pa = li_brand.groupBy("l_partkey").agg(
         F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
     )
@@ -1776,7 +1784,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(arm)
         .agg(
             F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
@@ -2061,10 +2069,10 @@ def docs_top_terms(spark, sf_dir):
 )
 def tpch_q7_volume_shipping(spark, sf_dir):
     """Q7-style nation-pair trade volume by ship year. One fact-fact
-    shuffle (lineitem⋈orders on orderkey); every dim broadcast. The
-    disjunctive nation-pair predicate is applied after the broadcast
-    joins, so the orderkey shuffle is the plan's only exchange before
-    the final group-by (reference has zero joins — SURVEY §2.0b)."""
+    shuffle (lineitem⋈orders on orderkey); nation (bounded) keeps a
+    forced broadcast, supplier/customer are AQE's call. The
+    disjunctive nation-pair predicate is applied after the dim joins
+    (reference has zero joins — SURVEY §2.0b)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -2081,8 +2089,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair | rpair)
@@ -2142,8 +2150,8 @@ def tpch_q8_market_share(spark, sf_dir):
     vol = cents("l_extendedprice") * (100 - cents("l_discount"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
@@ -2184,8 +2192,8 @@ def tpch_q9_product_profit(spark, sf_dir):
     """Q9-style product profit by supplier nation × ship year (retail
     price stands in for the missing partsupp supply cost; both sides of
     the subtraction in the same cents·100 scale). The selective p_type
-    filter rides the broadcast of part, so the fact scan never
-    shuffles — dims broadcast, then a group-by exchange."""
+    filter shrinks part 1/25 before its join; nation keeps a forced
+    broadcast (bounded), part/supplier join strategy is AQE's call."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
     s = load_table(spark, sf_dir, "supplier")
@@ -2195,8 +2203,8 @@ def tpch_q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * 100 * F.floor("l_quantity").cast("long")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -2238,7 +2246,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -2256,10 +2264,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
 )
 def tpch_q20_promo_shippers(spark, sf_dir):
     """Q20-style semi-join chain: suppliers that moved > 50 units of
-    PROMO parts in 1996. Part filter broadcasts into the fact scan, the
-    HAVING prunes before the (broadcast) supplier join — the supplier
-    table is joined to an already-aggregated, already-filtered key set,
-    never to raw lineitem."""
+    PROMO parts in 1996. The HAVING prunes before the supplier join —
+    the supplier table is joined to an already-aggregated,
+    already-filtered key set, never to raw lineitem; part/supplier
+    join strategies are AQE's call (both scale with SF)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -2267,13 +2275,13 @@ def tpch_q20_promo_shippers(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     s = load_table(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.floor("l_quantity").cast("long")).alias("shipped_qty"))
         .where(F.col("shipped_qty") > 50)
     )
     return (
-        shipped.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        shipped.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "shipped_qty")
         .orderBy("s_suppkey")
     )
@@ -2318,7 +2326,7 @@ def tpch_q21_last_shipper(spark, sf_dir):
     return (
         flagged.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_orders")
         .orderBy(F.col("n_orders").desc(), "s_name")
     )
@@ -2342,16 +2350,17 @@ def tpch_q21_last_shipper(spark, sf_dir):
 )
 def events_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-seen epoch day,
-    activity counted by day offset. The first-touch aggregate reuses the
-    user_id shuffle; the cohort map is small (≤ #users) and broadcast
-    back onto the fact, so the triangle costs one fact shuffle + one
-    broadcast, not two fact shuffles."""
+    activity counted by day offset. The first-touch aggregate reuses
+    the user_id shuffle; the cohort map has one row per user — it
+    scales with data, so its join back onto the fact is AQE's call
+    (broadcast when small, co-partitioned shuffle on user_id — the key
+    the aggregate already hashed — at 100 TB)."""
     e = load_table(spark, sf_dir, "events")
     day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
     firstday = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     return (
         e.select("user_id", day.alias("day"))
-        .join(F.broadcast(firstday), "user_id")
+        .join(firstday, "user_id")
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
@@ -3170,19 +3179,20 @@ def docs_fuzzy_block_match(spark, sf_dir):
         F.expr("n_chars div 100").alias("sz"),
         F.substring("text", 1, 40).alias("p"),
     )
-    # parallelism must be pinned BEFORE the join: the dim-sized corpus
-    # broadcasts, so the join inherits the probe side's partitioning —
-    # and a single-file scan is ONE partition, serializing ~115k
-    # levenshtein DPs inside one task (measured 4-7 s vs <1 s spread).
-    # Repartitioning 5k tiny rows costs nothing; at 100 TB the probe
-    # side is many files and this becomes a no-op guard.
+    # parallelism must be pinned BEFORE the join: when AQE broadcasts
+    # the small side (the common case at fixture scale) the join
+    # inherits the probe side's partitioning — and a single-file scan
+    # is ONE partition, serializing ~115k levenshtein DPs inside one
+    # task (measured 4-7 s vs <1 s spread). Repartitioning 5k tiny
+    # rows costs nothing; at 100 TB the join shuffles on the block key
+    # and this becomes a no-op guard.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns]).repartition(
         n_part
     )
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     pairs = a.join(
-        F.broadcast(b),
+        b,
         (F.col("a_source") == F.col("b_source"))
         & (F.col("a_sz") == F.col("b_sz"))
         & (F.col("a_doc_id") < F.col("b_doc_id")),
@@ -3415,7 +3425,7 @@ def docs_tfidf_top_terms(spark, sf_dir):
     score = F.expr("tf * 1000000000000 div df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
     return (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf, "term")
         .select(
             "doc_id",
             F.row_number().over(w).cast("long").alias("rank"),
@@ -4341,7 +4351,8 @@ def docs_repeated_span_dedup(spark, sf_dir):
     Within-doc repetition is deliberately excluded
     (`docs_repetition_stats` owns that). One explode feeds both the
     offender set and the probe; the flagged-gram set is tiny (`≈5%
-    of grams here) so the semi join broadcasts. At 100 TB, group on
+    of grams here) so AQE broadcasts the semi join — at scale it
+    co-partitions on the gram key instead. At 100 TB, group on
     the 64-bit gram fingerprint instead of the string — the
     `docs_incremental_dedup` idiom — so the shuffle carries 8-byte
     hashes; fingerprint collisions then over-flag ~2^-64·spans²,
@@ -4364,7 +4375,7 @@ def docs_repeated_span_dedup(spark, sf_dir):
     )
     spans = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
     dups = (
-        g.join(F.broadcast(dup), "gram", "left_semi")
+        g.join(dup, "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
