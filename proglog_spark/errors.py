@@ -41,3 +41,25 @@ class PermissionDeniedError(ProglogError):
         self.object = obj
         self.action = action
         super().__init__("PERMISSION_DENIED")
+
+
+class WriterLockHeldError(ProglogError):
+    """Raised when a mutating LogTable call finds another live process
+    holding the writer lock for the same path.
+
+    Mirrors the reference's single-writer serialization (its per-log
+    mutex, internal/log/log.go:81-82, plus one serving process per log
+    dir) — here enforced *across* processes with a lock file in the
+    log directory, since two independent drivers opening one path
+    would otherwise mint duplicate offsets.
+    """
+
+    def __init__(self, path: str, owner: dict) -> None:
+        self.path = path
+        self.owner = dict(owner)
+        super().__init__(
+            f"WRITER_LOCK_HELD:{path} by pid={owner.get('pid')} "
+            f"host={owner.get('host')} since={owner.get('acquired_at')} — "
+            "call steal_writer_lock() only after confirming that writer "
+            "is gone"
+        )

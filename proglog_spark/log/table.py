@@ -31,9 +31,17 @@ offsets + its mmap index, but provided by the Spark/Parquet stack
 instead of hand-built.
 
 Concurrency contract: exactly one writer per LogTable path (the
-reference holds a per-log mutex, internal/log/log.go:81-82 — same
-invariant, process-scoped here). Readers always see only committed
-files, so reads are read-your-committed-writes.
+reference holds a per-log mutex, internal/log/log.go:81-82). The
+in-process half of that invariant is the caller's (like the
+reference's mutex, one appender thread at a time); the cross-process
+half is ENFORCED: the first mutating call takes an exclusive
+``_proglog_writer.lock`` file in the log dir, a second process's
+mutation raises ``WriterLockHeldError`` until the first releases it
+(``close()``) or the operator explicitly ``steal_writer_lock()``s a
+confirmed-dead owner. A same-host lock whose owner pid no longer
+exists is reclaimed automatically (crash recovery). Readers never
+touch the lock, and always see only committed files, so reads are
+read-your-committed-writes.
 """
 
 from __future__ import annotations
@@ -46,7 +54,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from proglog_spark.errors import OffsetOutOfRangeError
+from proglog_spark.errors import OffsetOutOfRangeError, WriterLockHeldError
 from proglog_spark.log.offsets import assign_dense_offsets
 
 RECORD_SCHEMA = T.StructType(
@@ -59,6 +67,7 @@ RECORD_SCHEMA = T.StructType(
 )
 
 _META_FILE = "_proglog_meta.json"
+_LOCK_FILE = "_proglog_writer.lock"
 _DATA_COLS = ["offset", "value", "term", "type"]
 
 # hot-bucket read cache sizing: buckets larger than this fall back to
@@ -121,6 +130,12 @@ class LogTable:
         # decoded hot-bucket rows (offset array + arrow table), LRU —
         # the mmap-page-cache analog for µs-class warm point reads
         self._native_tbl_cache: dict[tuple, tuple] = {}
+        # cross-process writer lock state: _lock_owned ⇒ this instance
+        # may mutate; _lock_created ⇒ it wrote the lock file and owes
+        # the delete on close() (a same-pid sibling instance borrows
+        # the file without adopting that responsibility)
+        self._lock_owned = False
+        self._lock_created = False
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -190,13 +205,161 @@ class LogTable:
 
     def reset(self) -> None:
         """Drop all data, keep config (reference Log.Reset, log.go:123-128)."""
+        self._acquire_writer_lock()
         fs, p, jvm = self._fs()
         if fs.exists(p):
-            fs.delete(p, True)
+            fs.delete(p, True)  # removes the lock file with the dir
         fs.mkdirs(p)
+        # we still logically own the lock — put the file back
+        self._lock_owned = self._lock_created = False
+        self._acquire_writer_lock()
         self.next_offset_floor = self.initial_offset
         self._write_meta()
         self._highest = None
+
+    # ------------------------------------------------------------------
+    # cross-process writer lock (reference: per-log mutex + one serving
+    # process, internal/log/log.go:81-82; here the mutex's cross-process
+    # half is a create-if-absent lock file in the log dir)
+    # ------------------------------------------------------------------
+
+    def _lock_owner_info(self) -> dict:
+        import socket
+        import time
+
+        return {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "acquired_at": round(time.time(), 3),
+        }
+
+    def _lock_jpath(self):
+        _, _, jvm = self._fs()
+        return jvm.org.apache.hadoop.fs.Path(self.path, _LOCK_FILE)
+
+    def _try_create_lock(self) -> bool:
+        """Atomically create the lock file; False if it already exists."""
+        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
+        local = self._local_dir()
+        if local is not None:
+            try:
+                fd = os.open(
+                    os.path.join(local, _LOCK_FILE),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, payload)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return True
+        fs, _, _ = self._fs()
+        try:
+            stream = fs.create(self._lock_jpath(), False)  # no overwrite
+        except Exception:
+            return False  # FileAlreadyExistsException (via Py4J)
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        return True
+
+    def _read_lock_owner(self) -> dict | None:
+        local = self._local_dir()
+        try:
+            if local is not None:
+                with open(os.path.join(local, _LOCK_FILE), "rb") as fh:
+                    raw = fh.read()
+            else:
+                fs, _, jvm = self._fs()
+                stream = fs.open(self._lock_jpath())
+                try:
+                    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+                finally:
+                    stream.close()
+            return json.loads(raw.decode("utf-8"))
+        except Exception:
+            return None  # missing, mid-write, or corrupt ⇒ caller retries
+
+    def _delete_lock_file(self) -> None:
+        local = self._local_dir()
+        if local is not None:
+            try:
+                os.unlink(os.path.join(local, _LOCK_FILE))
+            except FileNotFoundError:
+                pass
+        else:
+            fs, _, _ = self._fs()
+            fs.delete(self._lock_jpath(), False)
+
+    @staticmethod
+    def _pid_alive(pid) -> bool:
+        try:
+            os.kill(int(pid), 0)
+        except (ProcessLookupError, TypeError, ValueError):
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def _acquire_writer_lock(self, steal: bool = False) -> None:
+        """Take (or validate) the exclusive writer lock for this path.
+
+        Called by every mutating method. Outcomes: created the file
+        (we own + owe the delete); file held by THIS pid (a sibling
+        instance — borrow, same contract as the reference's in-process
+        mutex); same-host owner whose pid is gone (crashed writer —
+        reclaim); anything else raises ``WriterLockHeldError`` unless
+        ``steal`` (operator override for a confirmed-dead remote owner;
+        a fenced lease at the store layer is the hardening for storage
+        without atomic create, e.g. bare S3 without conditional PUT).
+        """
+        if self._lock_owned:
+            return
+        import socket
+
+        me = socket.gethostname()
+        owner: dict = {}
+        for _ in range(3):
+            if self._try_create_lock():
+                self._lock_owned = self._lock_created = True
+                return
+            owner = self._read_lock_owner()
+            if owner is None:
+                continue  # vanished or unreadable between steps — retry
+            if owner.get("host") == me and owner.get("pid") == os.getpid():
+                self._lock_owned = True  # sibling instance, same process
+                return
+            if steal or (
+                owner.get("host") == me and not self._pid_alive(owner.get("pid"))
+            ):
+                self._delete_lock_file()
+                continue
+            raise WriterLockHeldError(self.path, owner)
+        raise WriterLockHeldError(self.path, owner or {})
+
+    def steal_writer_lock(self) -> None:
+        """Forcibly take over the writer lock (operator action: only
+        after confirming the recorded owner process is really gone —
+        two live writers WILL mint duplicate offsets)."""
+        self._acquire_writer_lock(steal=True)
+
+    def close(self) -> None:
+        """Release the writer lock (if this instance created it) and
+        drop in-process caches. Reads need no close; idempotent."""
+        if self._lock_created:
+            self._delete_lock_file()
+        self._lock_owned = self._lock_created = False
+        self._native_ds_cache.clear()
+        self._native_tbl_cache.clear()
+
+    def __enter__(self) -> "LogTable":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # ------------------------------------------------------------------
     # write path (reference: Log.Append O10, segment.Append O6)
@@ -215,6 +378,7 @@ class LogTable:
         becomes visible atomically on parquet commit (the micro-batch
         analog of the reference's flush-before-read, store.go:63).
         """
+        self._acquire_writer_lock()
         base = self._next_offset()
         if not isinstance(records, DataFrame):
             # Driver-side batch fast path: the input's order IS the
@@ -730,6 +894,7 @@ class LogTable:
         directories strictly below the boundary are dropped O(1), and
         only the single boundary bucket is rewritten.
         """
+        self._acquire_writer_lock()
         lowest = int(lowest)
         fs, _, jvm = self._fs()
         boundary = (lowest + 1) // self.bucket_size  # first bucket that may survive
@@ -841,6 +1006,7 @@ class LogTable:
         or wrap the tail in ``streaming.dedup_stream(by='offset')``,
         which exists precisely to absorb at-least-once re-delivery.
         """
+        self._acquire_writer_lock()
         fs, _, jvm = self._fs()
         P = jvm.org.apache.hadoop.fs.Path
         compacted = 0

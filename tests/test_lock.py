@@ -1,0 +1,132 @@
+"""Cross-process single-writer lock (reference: per-log mutex +
+one serving process per log dir, internal/log/log.go:81-82).
+
+The reference never has two processes on one log; under Spark a
+second driver opening the same path is one typo away, so the mutex's
+cross-process half is a create-if-absent lock file. These tests fake
+the "other process" by writing foreign owner JSON into the lock file:
+pid 1 is always alive (the live-writer case), a reaped child pid is
+definitely dead (the crashed-writer case).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+
+import pytest
+
+from proglog_spark.errors import WriterLockHeldError
+from proglog_spark.log.table import _LOCK_FILE, LogTable
+
+
+def _lock_path(path: str) -> str:
+    return os.path.join(path, _LOCK_FILE)
+
+
+def _plant_foreign_lock(path: str, pid: int) -> None:
+    with open(_lock_path(path), "w") as fh:
+        json.dump(
+            {"pid": pid, "host": socket.gethostname(), "acquired_at": 0.0}, fh
+        )
+
+
+def _dead_pid() -> int:
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_second_live_writer_raises(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a", "b"])
+    # simulate another live process holding the lock (pid 1 is init —
+    # always alive, never us)
+    _plant_foreign_lock(path, pid=1)
+    other = LogTable.open(spark, path)
+    with pytest.raises(WriterLockHeldError):
+        other.append(["c"])
+    # mutation paths all gate on the same lock
+    with pytest.raises(WriterLockHeldError):
+        other.truncate(0)
+    with pytest.raises(WriterLockHeldError):
+        other.compact()
+    # reads never need the lock
+    assert other.read(1).value == "b"
+
+
+def test_crashed_writer_lock_is_reclaimed(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    _plant_foreign_lock(path, pid=_dead_pid())
+    reopened = LogTable.open(spark, path)
+    first, last = reopened.append(["b"])  # stale same-host lock reclaimed
+    assert (first, last) == (1, 1)
+    # and the reclaimer now owns the file
+    owner = json.load(open(_lock_path(path)))
+    assert owner["pid"] == os.getpid()
+
+
+def test_steal_override_for_foreign_live_owner(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    _plant_foreign_lock(path, pid=1)
+    other = LogTable.open(spark, path)
+    with pytest.raises(WriterLockHeldError):
+        other.append(["b"])
+    other.steal_writer_lock()
+    assert other.append(["b"]) == (1, 1)
+
+
+def test_sibling_instances_in_one_process_share_the_lock(spark, tmp_path):
+    # the reference's in-process mutex scope: same process may hold
+    # several handles; serialization inside the process is the
+    # caller's contract, the file only fences OTHER processes
+    path = str(tmp_path / "log")
+    a = LogTable.create(spark, path, bucket_size=8)
+    a.append(["x"])
+    b = LogTable.open(spark, path)
+    assert b.append(["y"]) == (1, 1)
+    # only the creator deletes on close; the borrower's close is a no-op
+    b.close()
+    assert os.path.exists(_lock_path(path))
+    a.close()
+    assert not os.path.exists(_lock_path(path))
+
+
+def test_close_releases_and_context_manager(spark, tmp_path):
+    path = str(tmp_path / "log")
+    with LogTable.create(spark, path, bucket_size=8) as log:
+        log.append(["a"])
+        assert os.path.exists(_lock_path(path))
+    assert not os.path.exists(_lock_path(path))
+    # a later process (fresh instance) can now take over cleanly
+    _plant_foreign_lock(path, pid=_dead_pid())  # even over stale debris
+    nxt = LogTable.open(spark, path)
+    assert nxt.append(["b"]) == (1, 1)
+    nxt.close()
+
+
+def test_reset_keeps_ownership(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a", "b", "c"])
+    log.reset()  # deletes the dir (lock included) and re-takes it
+    assert os.path.exists(_lock_path(path))
+    assert json.load(open(_lock_path(path)))["pid"] == os.getpid()
+    assert log.append(["d"]) == (0, 0)
+
+
+def test_lock_file_is_invisible_to_readers(spark, tmp_path):
+    # underscore-prefixed files are ignored by parquet discovery: the
+    # full-scan reader and the files() inventory must not trip on it
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=4)
+    log.append([str(i) for i in range(10)])
+    assert log.reader().count() == 10
+    assert log.count() == 10
