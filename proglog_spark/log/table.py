@@ -74,6 +74,12 @@ _DATA_COLS = ["offset", "value", "term", "type"]
 # the filtered (row-group-pruned) read instead of being decoded whole
 _HOT_CACHE_MAX_ROWS_PER_BUCKET = 1 << 18
 _HOT_CACHE_BUCKETS = 8
+# byte bounds (rows alone under-count large value payloads): buckets
+# above the compressed bound are never decoded whole; a decoded table
+# above the decoded bound answers the read but is not pinned — worst
+# case the cache holds _HOT_CACHE_BUCKETS x 128 MiB decoded
+_HOT_CACHE_MAX_COMPRESSED_BYTES = 1 << 26  # 64 MiB on disk
+_HOT_CACHE_MAX_DECODED_BYTES = 1 << 27  # 128 MiB in memory
 
 
 class _PartialNativeAppend(RuntimeError):
@@ -751,22 +757,27 @@ class LogTable:
             cached = self._native_tbl_cache.get(key)
             if cached is not None:
                 self._native_tbl_cache[key] = self._native_tbl_cache.pop(key)
-            elif ds.count_rows() <= _HOT_CACHE_MAX_ROWS_PER_BUCKET:
-                # small enough to pin decoded (memory bound:
-                # _HOT_CACHE_BUCKETS x _HOT_CACHE_MAX_ROWS_PER_BUCKET
-                # rows; count_rows() is footer metadata, no data read)
+            elif ds.count_rows() <= _HOT_CACHE_MAX_ROWS_PER_BUCKET and (
+                sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
+                <= _HOT_CACHE_MAX_COMPRESSED_BYTES
+            ):
+                # small enough to pin decoded — bounded in rows AND
+                # bytes (count_rows() is footer metadata, getsize is a
+                # stat; neither reads data). Row count alone would let
+                # large `value` payloads pin gigabytes.
                 full = ds.to_table(columns=_DATA_COLS).sort_by("offset")
                 cached = (full.column("offset").to_numpy(), full)
-                self._native_tbl_cache = {
-                    k: v
-                    for k, v in self._native_tbl_cache.items()
-                    if k[0] != bdir
-                }
-                while len(self._native_tbl_cache) >= _HOT_CACHE_BUCKETS:
-                    self._native_tbl_cache.pop(
-                        next(iter(self._native_tbl_cache))
-                    )
-                self._native_tbl_cache[key] = cached
+                if full.nbytes <= _HOT_CACHE_MAX_DECODED_BYTES:
+                    self._native_tbl_cache = {
+                        k: v
+                        for k, v in self._native_tbl_cache.items()
+                        if k[0] != bdir
+                    }
+                    while len(self._native_tbl_cache) >= _HOT_CACHE_BUCKETS:
+                        self._native_tbl_cache.pop(
+                            next(iter(self._native_tbl_cache))
+                        )
+                    self._native_tbl_cache[key] = cached
             if cached is not None:
                 import numpy as _np
 

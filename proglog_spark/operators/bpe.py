@@ -131,7 +131,11 @@ def encode(
     # times. The dict lives in the UDF CLOSURE (not the batch-function
     # body), so it persists across Arrow batches for the worker's
     # lifetime; safe because encoding is a pure function of the frozen
-    # merge list.
+    # merge list. Bounded: past _CACHE_CAP entries new words are
+    # encoded without being inserted (Zipf means the hot head is
+    # already resident by then), so high-cardinality corpora (random
+    # IDs, hashes) cannot grow a worker's dict without limit.
+    _CACHE_CAP = 1 << 20
     cache: dict[str, list[str]] = {}
 
     @F.pandas_udf("array<string>")
@@ -161,7 +165,8 @@ def encode(
                 t = cache.get(word)
                 if t is None:
                     t = enc_word(word)
-                    cache[word] = t
+                    if len(cache) < _CACHE_CAP:
+                        cache[word] = t
                 toks.extend(t)
             out.append(toks)
         return pd.Series(out)

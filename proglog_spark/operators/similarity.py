@@ -195,28 +195,56 @@ def lsh_ann_topk(
     )
 
 
+def ivf_train_sample(
+    corpus: DataFrame,
+    sample_mod: int | None = None,
+    max_train_rows: int = 1 << 18,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The bounded, deterministic driver-side training sample.
+
+    ``sample_mod=None`` (the default) derives the stride from the
+    corpus count so at most ``max_train_rows`` rows are collected no
+    matter how large the corpus — the FAISS train-on-a-sample
+    discipline holds BY DEFAULT, not opt-in. An explicit sample_mod is
+    honored, and the ordered LIMIT backstops both paths (skewed id
+    distributions included), so the collect can never exceed the cap.
+    """
+    if sample_mod is None:
+        n = corpus.count()
+        sample_mod = max(1, -(-n // max_train_rows))  # ceil(n / cap)
+    return (
+        corpus.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_train_rows)
+        .collect()
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 1 << 18,
 ):
     """Deterministic mini k-means for IVF cells (the FAISS recipe:
     train on a bounded sample, driver-side).
 
-    Sample = rows with ``id % sample_mod == 0`` (deterministic, scales
-    by raising sample_mod at larger corpora — the collect stays
-    bounded); init = first n_cells sample vectors by id; ``iters``
-    Lloyd steps in numpy. Vectors are L2-normalized so cell assignment
-    by max dot product == max cosine (spherical k-means).
+    Sample = rows with ``id % sample_mod == 0`` (deterministic), with
+    ``sample_mod`` derived from the corpus count by default so the
+    driver collect is capped at ``max_train_rows`` (≤256k vectors) at
+    ANY corpus size — see :func:`ivf_train_sample`. Init = first
+    n_cells sample vectors by id; ``iters`` Lloyd steps in numpy.
+    Vectors are L2-normalized so cell assignment by max dot product ==
+    max cosine (spherical k-means).
     """
-    rows = (
-        corpus.where(F.col(id_col) % sample_mod == 0)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+    rows = ivf_train_sample(
+        corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
     )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -262,7 +290,7 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -361,7 +389,7 @@ def build_ivf_index(
     corpus: DataFrame,
     path: str,
     n_cells: int = 16,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -437,21 +465,20 @@ def ivf_index_query(
     want neighbors-only filter ``query_id != vec_id``.
     """
     centroids = _load_centroids(spark, path)
-    # persisted: the probe-cell collect below is one action and the
-    # returned join plan is another — without the cache the assignment
-    # UDF (and the query-side scan) would run twice
-    q = (
-        _with_ivf_cells(queries, centroids, n_probe, vec_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            "ivf_cell",
-        )
-        .persist()
+    # the query set is bounded by contract (it broadcasts below), so
+    # materialize the assignments ONCE on the driver and rebuild a
+    # local relation: the assignment UDF runs a single time, the probe
+    # cells fall out of the same rows, and nothing stays pinned in
+    # executor storage after the call (a .persist() here would leak
+    # cached partitions across repeated queries for the session's life)
+    q_plan = _with_ivf_cells(queries, centroids, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "ivf_cell",
     )
-    probe_cells = sorted(
-        {r.ivf_cell for r in q.select("ivf_cell").distinct().collect()}
-    )
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    probe_cells = sorted({r.ivf_cell for r in q_rows})
     cells = spark.read.parquet(f"{path}/cells").where(
         F.col("ivf_cell").isin(probe_cells)
     )

@@ -171,4 +171,11 @@ def log_to_training_text(
         .select("offset", "text")
     )
     gated.write.mode("append").parquet(out_path)
-    return spark.read.parquet(out_path).orderBy("offset")
+    # explicit schema on the read-back: an all-filtered first batch
+    # appends zero data files, and schema inference over an empty dir
+    # raises where a declared schema just returns zero rows
+    return (
+        spark.read.schema("offset BIGINT, text STRING")
+        .parquet(out_path)
+        .orderBy("offset")
+    )

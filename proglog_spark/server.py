@@ -117,6 +117,10 @@ class HttpLogServer:
                     self._reply(403, {"error": str(e)})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"BAD_REQUEST:{e}"})
+                except Exception as e:  # engine/Spark failures → 500,
+                    # never a dropped connection (the reference's gRPC
+                    # edge maps unknown errors to codes.Internal)
+                    self._reply(500, {"error": f"INTERNAL:{e}"})
 
             def do_GET(self):  # noqa: N802
                 try:
@@ -175,6 +179,8 @@ class HttpLogServer:
                     self._reply(403, {"error": str(e)})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"BAD_REQUEST:{e}"})
+                except Exception as e:
+                    self._reply(500, {"error": f"INTERNAL:{e}"})
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None

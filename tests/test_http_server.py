@@ -129,6 +129,31 @@ def test_unknown_path_is_404(served_engine):
     assert "NOT_FOUND" in json.loads(e.value.read())["error"]
 
 
+def test_unexpected_engine_error_is_500_json(served_engine, monkeypatch):
+    """Engine/Spark failures must surface as a JSON 500 (the gRPC
+    codes.Internal analog), never a dropped connection."""
+    engine, port = served_engine
+    monkeypatch.setattr(
+        type(engine),
+        "produce",
+        lambda self, *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(HTTPError) as e:
+        _call(port, "POST", "/", {"record": {"value": _b64("x")}})
+    assert e.value.code == 500
+    assert json.loads(e.value.read())["error"].startswith("INTERNAL:")
+
+    monkeypatch.setattr(
+        type(engine),
+        "consume",
+        lambda self, *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(HTTPError) as e:
+        _call(port, "GET", "/?offset=0")
+    assert e.value.code == 500
+    assert json.loads(e.value.read())["error"].startswith("INTERNAL:")
+
+
 def test_concurrent_producers_get_dense_offsets(served_engine):
     """The single-writer lock serializes racing HTTP producers: every
     append acks a distinct offset range and the final log is dense

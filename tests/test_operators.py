@@ -284,6 +284,35 @@ def test_ivf_is_deterministic(spark, emb):
     assert a == b and len(a) == 5
 
 
+def test_ivf_train_sample_is_capped_by_default(spark):
+    """The driver-side k-means training collect must stay bounded at
+    ANY corpus size without the caller opting in: stride derived from
+    the count, LIMIT backstop for skewed id distributions."""
+    corpus = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    rows = similarity.ivf_train_sample(corpus, max_train_rows=512)
+    assert 0 < len(rows) <= 512
+    # deterministic: same call, same sample
+    again = similarity.ivf_train_sample(corpus, max_train_rows=512)
+    assert [r[0] for r in rows] == [r[0] for r in again]
+    # skewed ids (all ≡ 0 mod anything via multiples) still respect the
+    # cap thanks to the LIMIT backstop
+    skewed = corpus.select(
+        (F.col("vec_id") * 1000).alias("vec_id"), "embedding"
+    )
+    assert len(similarity.ivf_train_sample(skewed, max_train_rows=256)) <= 256
+    # explicit stride still honored when it subsamples enough
+    explicit = similarity.ivf_train_sample(corpus, sample_mod=50)
+    assert len(explicit) == 100
+    # centroids train fine off the capped sample
+    cents = similarity.train_ivf_centroids(
+        corpus, n_cells=4, max_train_rows=512
+    )
+    assert len(cents) == 4
+
+
 def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     """A corpus vector duplicated under a new id (tiny jitter) must be
     recovered as a near-dup pair; unrelated random pairs must not."""

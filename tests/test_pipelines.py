@@ -80,6 +80,22 @@ def test_log_to_training_text(spark, tmp_path):
     assert kept2.count() == 3
 
 
+def test_log_to_training_text_all_gated_first_batch(spark, tmp_path):
+    """A first batch where every record fails the gate appends zero
+    data files; the read-back must return an empty frame (declared
+    schema), not a schema-inference error over an empty directory."""
+    log = LogTable.create(spark, str(tmp_path / "log"), bucket_size=8)
+    log.append(["no", "x y"])  # all below min_tokens=3
+    out = str(tmp_path / "texts")
+    kept = log_to_training_text(spark, log, from_offset=0, out_path=out)
+    assert kept.count() == 0
+    assert kept.columns == ["offset", "text"]
+    # later batches still append into the same directory
+    log.append(["now a passing record"])
+    kept2 = log_to_training_text(spark, log, from_offset=2, out_path=out)
+    assert [r.text for r in kept2.collect()] == ["now a passing record"]
+
+
 def test_curate_and_shard_all_filtered(spark, tmp_path):
     """Thresholds that reject every document yield empty accounting,
     not a schema-inference crash over file-less shard dirs."""
