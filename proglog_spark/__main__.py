@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     serve.add_argument("--port", type=int, default=8080)
     serve.add_argument("--create", action="store_true")
     serve.add_argument("--bucket-size", type=int, default=1 << 20)
+    # mTLS: all three flags ⇒ mutual TLS, CN becomes the ACL subject
+    # (reference cmd wiring of config.SetupTLSConfig, tls.go:18-46)
+    serve.add_argument("--tls-cert", help="server certificate PEM")
+    serve.add_argument("--tls-key", help="server private key PEM")
+    serve.add_argument(
+        "--tls-ca", help="client CA PEM — setting it requires client certs"
+    )
 
     app = sub.add_parser("append", help="append values (one per arg)")
     app.add_argument("--path", required=True)
@@ -67,7 +74,17 @@ def main(argv: list[str] | None = None) -> int:
                 if args.create
                 else Engine.open(spark, args.path)
             )
-            srv = HttpLogServer(engine, host=args.host, port=args.port)
+            tls = None
+            if args.tls_cert or args.tls_key or args.tls_ca:
+                from proglog_spark.tlsconfig import TLSConfig
+
+                tls = TLSConfig(
+                    cert_file=args.tls_cert,
+                    key_file=args.tls_key,
+                    ca_file=args.tls_ca,
+                    server=True,
+                )
+            srv = HttpLogServer(engine, host=args.host, port=args.port, tls=tls)
             host, port = srv.start()
             print(f"SERVING {host}:{port}", flush=True)
             try:

@@ -9,9 +9,11 @@ cluster-metadata catalog, and exposes the full RPC surface —
 produce/consume (batch and streaming), bounds, truncate, metadata,
 plus the analytics surface as registered SQL views.
 
-Identity is passed as a parameter (the reference derives it from the
-mTLS peer cert CN, server.go:162-174 — transport identity is out of
-scope here, SURVEY §2.0 O25); everything after that point matches the
+Identity is passed as a parameter: the network edges derive it before
+calling in — the mTLS peer cert CN when TLS is on (server.go:162-174;
+see ``proglog_spark.tlsconfig`` + ``HttpLogServer(tls=...)`` /
+``GrpcLogServer(tls=...)``), or the dev-mode X-Subject header on
+plaintext servers. Everything after that point matches the
 reference's order: authorize first, then touch the log.
 """
 

@@ -11,11 +11,13 @@ keeps the same semantics and adds the ACL gate
 
 This module is that network edge over the ``Engine`` facade: stdlib
 ``ThreadingHTTPServer`` (no extra dependencies), JSON/base64 wire
-shapes identical to the reference's, ACL enforced per request with
-the subject taken from the ``X-Subject`` header — the stand-in for
-the mTLS peer-cert CN the reference authenticates
-(`server.go:162-174`; transport identity itself is out of scope,
-SURVEY §2.0 O25).
+shapes identical to the reference's, ACL enforced per request. The
+subject comes from the mTLS peer-cert CN when the server is started
+with a mutual-TLS ``TLSConfig`` (the reference's authenticate
+interceptor, `server.go:162-174` + `internal/config/tls.go:18-46` —
+see ``proglog_spark.tlsconfig``); on plaintext servers it falls back
+to the ``X-Subject`` header, the documented DEV-MODE stand-in (the
+header is ignored whenever mutual TLS authenticated the peer).
 
 Routes:
 
@@ -49,16 +51,27 @@ from urllib.parse import parse_qs, urlparse
 
 from proglog_spark.engine import Engine
 from proglog_spark.errors import OffsetOutOfRangeError, PermissionDeniedError
+from proglog_spark.tlsconfig import TLSConfig, build_ssl_context, peer_common_name
 
 DEFAULT_SUBJECT = "root"
 
 
 class HttpLogServer:
-    """Serve an ``Engine`` over HTTP; ``port=0`` binds an ephemeral
-    port (returned by ``start``)."""
+    """Serve an ``Engine`` over HTTP(S); ``port=0`` binds an ephemeral
+    port (returned by ``start``). Pass a server-side ``TLSConfig``
+    with ``ca_file`` set for mutual TLS: the verified client-cert CN
+    becomes the ACL subject for every request."""
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tls: TLSConfig | None = None,
+    ):
         self.engine = engine
+        self.tls = tls
+        self._mutual_tls = bool(tls and tls.ca_file)
         self._lock = threading.Lock()
         outer = self
 
@@ -76,6 +89,12 @@ class HttpLogServer:
                 self.wfile.write(body)
 
             def _subject(self) -> str:
+                if outer._mutual_tls:
+                    # authenticated identity: the handshake-verified
+                    # client cert's CN (server.go:170-171). X-Subject
+                    # carries no authority once mTLS is on.
+                    cn = peer_common_name(self.connection)
+                    return cn if cn is not None else ""
                 return self.headers.get("X-Subject", DEFAULT_SUBJECT)
 
             def _body_json(self) -> dict:
@@ -183,6 +202,11 @@ class HttpLogServer:
                     self._reply(500, {"error": f"INTERNAL:{e}"})
 
         self._server = ThreadingHTTPServer((host, port), Handler)
+        if tls is not None:
+            ctx = build_ssl_context(tls)
+            self._server.socket = ctx.wrap_socket(
+                self._server.socket, server_side=True
+            )
         self._thread: threading.Thread | None = None
 
     def start(self) -> tuple[str, int]:
