@@ -93,6 +93,70 @@ def quantized_dot_topk(
     ).select("query_id", id_col, "qdot", "rank")
 
 
+def quantized_cosine_key(qd: str, na: str, nb: str):
+    """Integer-exact cosine sort key: ``sign(d)·(10^12·d² div (na·nb))``
+    over the floor(x·scale) grid (columns ``qd`` = quantized dot,
+    ``na``/``nb`` = quantized self-dots).
+
+    Monotone in cosine (odd square preserves order; sign handles the
+    negative half) and computed entirely in 128-bit decimal, so Spark
+    and any ANSI engine produce the SAME BIGINT — this is what moves
+    cosine ranking from "float, property-tested" into the
+    hash-compared oracle set (FIXTURES §3.5's escape hatch). Division
+    operands are non-negative, so trunc-vs-floor division semantics
+    cannot diverge. Bounds: |d| ≤ dim·scale² ⇒ d²·10^12 < 10^38
+    (decimal-exact) and the key itself is ≤ 10^12 (cos² ≤ 1 on the
+    grid), comfortably BIGINT.
+    """
+    return F.expr(
+        f"CASE WHEN {qd} < 0 THEN -1 ELSE 1 END * "
+        f"(CAST({qd} AS DECIMAL(38,0)) * {qd} * 1000000000000 div "
+        f"(CAST({na} AS DECIMAL(38,0)) * {nb}))"
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact cosine top-k with a deterministic integer ranking key —
+    (query_id, vec_id, cos2_pico, rank).
+
+    Same physical plan as brute_force_topk (broadcast queries, one
+    corpus pass, per-query top-k on ids+score only); the score is
+    :func:`quantized_cosine_key`, so results hash-match a SQL oracle.
+    Ties inside one pico bucket break on vec_id in every engine.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            quantized_dot(F.col(vec_col), F.col("q_vec"), scale).alias("qd"),
+            quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("na"),
+            quantized_dot(F.col("q_vec"), F.col("q_vec"), scale).alias("nb"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cos2_pico").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "cos2_pico", "rank")
+
+
 def hyperplane_signs(dim: int, planes: int, salt: str = "plane") -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 bits (no RNG state)."""
     out = []
@@ -347,8 +411,16 @@ def embedding_cosine_neardup(
     multi-table LSH self-join — the embedding analog of
     minhash_lsh_pairs. At cosine 0.95 per-bit agreement is ~0.90, so
     8 tables x 8 bits miss with prob (1-0.9^8)^8 ≈ 1%. Bucket-pair
-    candidates are verified exactly; recall property-tested.
+    candidates are verified with INTEGER arithmetic on the
+    floor(x·1000) grid: cos ≥ t ⇔ d > 0 ∧ 10^6·d² ≥ t_milli²·na·nb
+    with t_milli = round(1000·t) — exact in 128-bit decimal, so the
+    verification stage (and with it the emitted pair set, whenever the
+    deterministic md5 bucketing recalls every qualifying pair) is
+    hash-comparable against an all-pairs SQL oracle. Output:
+    (id_a, id_b, cos2_pico) with cos2_pico from
+    :func:`quantized_cosine_key`. Recall itself stays property-tested.
     """
+    t_milli = int(round(threshold * 1000))
     # cached: the narrow bucket table feeds both self-join sides (the
     # bucketing UDF would otherwise run twice over the corpus)
     c = (
@@ -372,9 +444,18 @@ def embedding_cosine_neardup(
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            quantized_dot(F.col("vec_a"), F.col("vec_b")).alias("qd"),
+            quantized_dot(F.col("vec_a"), F.col("vec_a")).alias("na"),
+            quantized_dot(F.col("vec_b"), F.col("vec_b")).alias("nb"),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(
+            (F.col("qd") > 0)
+            & F.expr(
+                "CAST(qd AS DECIMAL(38,0)) * qd * 1000000 >= "
+                f"CAST({t_milli * t_milli} AS DECIMAL(38,0)) * na * nb"
+            )
+        )
+        .select("id_a", "id_b", quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"))
     )
 
 

@@ -1046,16 +1046,41 @@ def emb_norm_stats(spark, sf_dir):
     )
 
 
-@register("emb_cosine_topk", None)  # float ranking → property-tested
+@register(
+    "emb_cosine_topk",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    f"WHERE vec_id IN {_QUERY_VECS}), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS qd, "
+    "list_sum(list_transform(e.embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS na, "
+    "list_sum(list_transform(q.qv, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS nb "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+    "keyed AS (SELECT query_id, vec_id, "
+    "CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+    "(CAST(na AS HUGEINT) * nb)) AS BIGINT) AS cos2_pico FROM scored), "
+    "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed) "
+    "SELECT query_id, vec_id, cos2_pico, rank FROM ranked WHERE rank <= 10 "
+    "ORDER BY query_id, rank",
+)
 def emb_cosine_topk(spark, sf_dir):
-    """Exact cosine top-k (float baseline for ANN; FIXTURES §3.5)."""
+    """Exact cosine top-k, hash-comparable: ranking key is the
+    integer sign(d)·floor(10^12·d²/(na·nb)) on the floor(x·1000) grid
+    (`operators/similarity.quantized_cosine_key`) — monotone in
+    cosine, bit-identical across engines, so the former
+    float-property-tested baseline now sits in the oracle gate. The
+    float brute_force_topk stays as the library's ANN recall
+    baseline (property-tested)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return (
-        similarity.brute_force_topk(e, q, k=10)
-        .select("query_id", "vec_id", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return similarity.quantized_cosine_topk(e, q, k=10).orderBy("query_id", "rank")
 
 
 @register("emb_lsh_ann_topk", None)  # approximate recall → property-tested
@@ -1083,14 +1108,36 @@ def emb_ivf_ann_topk(spark, sf_dir):
     )
 
 
-@register("emb_cosine_neardup", None)  # float threshold + LSH recall → property-tested
+@register(
+    "emb_cosine_neardup",
+    "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+    "n AS (SELECT vec_id, q, "
+    "list_sum(list_transform(q, x -> x * x))::BIGINT AS nn FROM qv), "
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "list_sum(list_transform(range(1, len(a.q) + 1), "
+    "i -> a.q[i] * b.q[i]))::BIGINT AS qd, a.nn AS na, b.nn AS nb "
+    "FROM n a JOIN n b ON a.vec_id < b.vec_id) "
+    "SELECT id_a, id_b, CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+    "(CAST(na AS HUGEINT) * nb)) AS BIGINT) AS cos2_pico FROM pairs "
+    "WHERE qd > 0 AND CAST(qd AS HUGEINT) * qd * 1000000 >= "
+    "CAST(810000 AS HUGEINT) * na * nb ORDER BY id_a, id_b",
+)
 def emb_cosine_neardup(spark, sf_dir):
-    """Near-duplicate embedding pairs (cosine >= 0.9) via multi-table
-    hyperplane-LSH self-join — the embedding analog of docs MinHash."""
+    """Near-duplicate embedding pairs (quantized cosine >= 0.9) via
+    multi-table hyperplane-LSH self-join — the embedding analog of
+    docs MinHash. The verification stage is integer-exact on the
+    floor(x·1000) grid (10^6·d² >= 900²·na·nb), so the emitted pairs
+    hash-match the all-pairs SQL oracle; the md5 bucketing is
+    deterministic, and at the declared parameters (12 tables × 12
+    bits) it recalls every >=0.9 pair in the fixture corpora — LSH
+    recall in general remains property-tested, and a recall miss at a
+    new SF would surface as an oracle diff, which is the point."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         similarity.embedding_cosine_neardup(e, dim=64, threshold=0.9, bits=12, tables=12)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "cos2_pico")
         .orderBy("id_a", "id_b")
     )
 
