@@ -161,6 +161,20 @@ def jaccard_pairs(
     )
 
 
+def minhash_coeffs(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """The fixed (a_i, b_i) universal-hash constants for
+    :func:`minhash_signatures` — exposed so oracle SQL can replay the
+    exact same hash family engine-side (seeded stream, deterministic
+    across runs and processes)."""
+    import random
+
+    rnd = random.Random(42)
+    return [
+        (rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -183,10 +197,7 @@ def minhash_signatures(
     first 32 bits as the base hash; duplicate shingles can't change a
     min, so distinctness is free.
     """
-    import random
-
-    rnd = random.Random(42)
-    coeffs = [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)  # (H,)
     B = np.array([b for _, b in coeffs], dtype=np.uint64)
     M = np.uint64(MERSENNE31)

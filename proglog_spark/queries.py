@@ -757,8 +757,10 @@ def docs_fingerprint(spark, sf_dir):
     return text.with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
-@register(
-    "docs_simhash",
+# full simhash sketch as a reusable oracle CTE chain (ends with a
+# `sh(doc_id, simhash_lo, simhash_hi)` relation) — shared by the
+# sketch query and the hamming near-dup pair query
+_SIMHASH_SQL = (
     "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
     "hashed AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h_lo, "
     "CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS h_hi FROM toks), "
@@ -766,11 +768,17 @@ def docs_fingerprint(spark, sf_dir):
     "CAST(floor(h_hi / pow(2.0, bit)) AS BIGINT) % 2 AS b_hi FROM hashed "
     "CROSS JOIN (SELECT unnest(range(32)) AS bit) b), "
     "votes AS (SELECT doc_id, bit, sum(b_lo*2-1) AS v_lo, sum(b_hi*2-1) AS v_hi "
-    "FROM bits GROUP BY 1, 2) "
-    "SELECT doc_id, "
+    "FROM bits GROUP BY 1, 2), "
+    "sh AS (SELECT doc_id, "
     "CAST(sum(CASE WHEN v_lo > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo, "
     "CAST(sum(CASE WHEN v_hi > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi "
-    "FROM votes GROUP BY doc_id ORDER BY doc_id",
+    "FROM votes GROUP BY doc_id) "
+)
+
+
+@register(
+    "docs_simhash",
+    _SIMHASH_SQL + "SELECT doc_id, simhash_lo, simhash_hi FROM sh ORDER BY doc_id",
 )
 def docs_simhash(spark, sf_dir):
     """64-bit SimHash sketch (two 32-bit words) per document."""
@@ -903,23 +911,79 @@ def docs_median_length(spark, sf_dir):
     )
 
 
-@register("docs_minhash_lsh", None)  # probabilistic recall → rows-only check
+def _minhash_lsh_oracle() -> str:
+    """All-SQL replay of minhash_lsh_pairs: same shingles (3-gram
+    '_'-joins, md5[:8] base hash), the SAME seeded (a,b) universal-
+    hash constants (`dedup.minhash_coeffs`), band candidates via
+    EXACT slice equality (Spark's xxhash64 band key collides iff the
+    4-tuple slices are equal, modulo a ~2^-64 hash collision), then
+    the identical floor(1e6·matches/64) estimate and threshold. The
+    approximation is deterministic, so the approximate operator still
+    sits in the hash-compared oracle set."""
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(64))
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), "
+        "grams AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-3,0)+1), "
+        "i -> concat_ws('_', t[i+1], t[i+2], t[i+3]))) AS g FROM toks), "
+        "hx AS (SELECT DISTINCT doc_id, CAST(('0x'||substr(md5(g),1,8)) AS BIGINT) AS x FROM grams), "
+        f"ab AS (SELECT * FROM (VALUES {vals}) AS c(i, a, b)), "
+        "mins AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m "
+        "FROM hx CROSS JOIN ab GROUP BY 1, 2), "
+        "sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id), "
+        "banded AS (SELECT doc_id, band, list_slice(sig, band*4+1, band*4+4) AS key "
+        "FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS band) bs), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id), "
+        "est AS (SELECT id_a, id_b, CAST((list_sum(list_transform(range(1, 65), "
+        "k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) * 1000000) // 64 AS BIGINT) "
+        "AS est_jaccard_micro FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id "
+        "JOIN sigs sb ON cand.id_b = sb.doc_id) "
+        "SELECT id_a, id_b, est_jaccard_micro FROM est "
+        "WHERE est_jaccard_micro >= 200000 ORDER BY id_a, id_b"
+    )
+
+
+@register("docs_minhash_lsh", _minhash_lsh_oracle())
 def docs_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (the sub-quadratic scale path);
-    recall property-tested against docs_neardup_jaccard."""
+    """MinHash+LSH near-dup candidates (the sub-quadratic scale path).
+    Now oracle-exact, not just recall-property-tested: the banding,
+    the seeded hash family, and the signature estimate are all
+    deterministic, so the SQL oracle replays them bit-for-bit (see
+    `_minhash_lsh_oracle`); recall vs exact Jaccard additionally
+    stays property-tested via docs_minhash_estimate_gate."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
 
 
-@register("docs_simhash_neardup", None)  # float-free but join-order ties → rows-only
+@register(
+    "docs_simhash_neardup",
+    _SIMHASH_SQL
+    + "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.simhash_lo, b.simhash_lo)) + "
+    "bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT) AS hamming "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.simhash_lo, b.simhash_lo)) + "
+    "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3 "
+    "ORDER BY id_a, id_b",
+)
 def docs_simhash_neardup(spark, sf_dir):
     """SimHash Hamming near-dup pairs at the classic 64-bit operating
-    point: radius 3 with 4 x 16-bit blocks — pigeonhole blocking is
-    COMPLETE (blocks >= d+1; all-pairs-exact, property-tested) and
-    16-bit buckets stay nearly collision-free."""
+    point: radius 3 with 4 x 16-bit blocks. Oracle-exact, not just
+    property-tested: pigeonhole blocking is COMPLETE for the declared
+    radius (blocks >= d+1), and exact hamming verification prunes
+    every false bucket collision — so the emitted pair set equals the
+    all-pairs hamming<=3 relation the SQL oracle computes over the
+    shared simhash CTE. Integer-only throughout."""
     d = load_table(spark, sf_dir, "documents")
     sk = dedup.simhash(d)
-    return dedup.hamming_pairs(sk, max_hamming=3, blocks=4).orderBy("id_a", "id_b")
+    return (
+        dedup.hamming_pairs(sk, max_hamming=3, blocks=4)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
