@@ -224,6 +224,33 @@ def extract_pixel_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
+PIXEL_HIST_SCHEMA = "doc_id LONG, hist ARRAY<LONG>"
+
+
+def extract_pixel_histogram(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Integer twin of `extract_pixel_features`: the raw intensity
+    histogram counts (dim buckets over 0..255), UN-normalized — every
+    value is an exact BIGINT, which is what lets the full
+    decode→resize→feature chain sit in the hash-compared oracle gate
+    (the L2-normalized float variant stays for ANN composition)."""
+    assert 256 % dim == 0
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grids = np.stack(pdf["pixels"].to_numpy()).astype(np.int64)
+            buckets = grids // (256 // dim) + dim * np.arange(len(grids))[:, None]
+            hists = np.bincount(buckets.ravel(), minlength=dim * len(grids)).reshape(
+                len(grids), dim
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": list(hists)})
+
+    return df.mapInPandas(hist_batches, schema=PIXEL_HIST_SCHEMA)
+
+
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Arrow-batched metadata extraction over a binary column.
 

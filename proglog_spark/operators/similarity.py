@@ -17,6 +17,10 @@ Hyperplanes are deterministic: component d of plane p is ±1 by a bit
 of md5 — no RNG state, stable across sessions. Signs of ±1-plane dots
 are exact, so *bucketing* is deterministic; top-k *ranking* under
 float cosine is property-tested, not oracle-hashed (FIXTURES.md §3.5).
+The quantized twins (`quantized_cosine_topk`, `quantized_lsh_ann_topk`)
+move both ranking AND candidate selection onto the floor(x·scale)
+integer grid, which puts the exact-cosine and LSH-ANN queries inside
+the hash-compared oracle gate.
 
 Parameter note: the driver's synthetic embeddings are near-random
 (top-10 neighbors at cosine 0.25-0.4 ⇒ per-bit p ≈ 0.58-0.63), which
@@ -257,6 +261,107 @@ def lsh_ann_topk(
     return topk_per_key(
         scored, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k, rank_col="rank"
     )
+
+
+def with_quantized_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 4,
+    tables: int = 8,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """`with_lsh_buckets` on the floor(x·scale) integer grid.
+
+    Same ±1 md5 hyperplanes, but the sign test runs on int64
+    quantized components, so the bucket of every vector is EXACT
+    integer arithmetic — bit-identical in numpy, Spark SQL, and any
+    ANSI engine. This is what lets the approximate ANN query's whole
+    candidate set (not just its scores) be replayed by a SQL oracle.
+    One int64 matmul per Arrow batch, zero shuffle.
+    """
+    from pyspark.sql import types as T
+
+    planes = np.array(hyperplane_signs(dim, bits * tables), dtype=np.int64).T
+    n_bits, n_tables = bits, tables
+    q = float(scale)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        qmat = np.floor(mat * q).astype(np.int64)  # same grid as quantized_dot
+        signs = (qmat @ planes) >= 0  # exact: int64 matmul
+        weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
+        buckets = (signs * weights).reshape(len(mat), n_tables, n_bits).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return df.select(
+        "*", F.posexplode(_buckets(F.col(vec_col))).alias("lsh_table", "lsh_bucket")
+    )
+
+
+def quantized_lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """`lsh_ann_topk` made oracle-exact end-to-end: integer-grid sign
+    bucketing (`with_quantized_lsh_buckets`) picks the candidate set
+    and `quantized_cosine_key` ranks it — every step deterministic
+    BIGINT arithmetic, so an ANSI SQL oracle reproduces the exact
+    approximate answer, candidates and all. Plan shape is identical
+    to the float version: narrow corpus explode, broadcast query
+    buckets, candidate dedup before vectors join back.
+    Output: (query_id, vec_id, cos2_pico, rank).
+    """
+    c = with_quantized_lsh_buckets(
+        corpus.select(id_col, vec_col), dim, bits, tables, vec_col, scale
+    ).select(id_col, "lsh_table", "lsh_bucket")
+    q = with_quantized_lsh_buckets(queries, dim, bits, tables, vec_col, scale).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_table",
+        "lsh_bucket",
+    )
+    cand = (
+        c.join(
+            F.broadcast(q.select("query_id", "lsh_table", "lsh_bucket")),
+            on=["lsh_table", "lsh_bucket"],
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    q_vecs = q.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(q_vecs), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            quantized_dot(F.col(vec_col), F.col("q_vec"), scale).alias("qd"),
+            quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("na"),
+            quantized_dot(F.col("q_vec"), F.col("q_vec"), scale).alias("nb"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cos2_pico").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "cos2_pico", "rank")
 
 
 def ivf_train_sample(

@@ -1020,27 +1020,48 @@ def docs_frame_sample(spark, sf_dir):
     return sample_frames(payload, frame_bytes=64, every_n=2).orderBy("doc_id", "frame_idx")
 
 
-@register("docs_media_pipeline", None)  # fake-decoder pixels → rows-only; unit-tested
+# Oracle replay of the deterministic-fake media pipeline. Valid
+# because the fixture text is pure ASCII (byte == code point, so the
+# UTF-8 payload is addressable with substr): decode = floor-mean of
+# the 64 equal byte slices (empty slice → byte at the slice start),
+# resize 8x8 → 4x4 keeps pixels p ∈ {0,2,4,6}(+row*16 steps), and the
+# feature is the 16-bucket intensity histogram — all integer math.
+_MEDIA_PIPELINE_SQL = (
+    "WITH b AS (SELECT doc_id, length(text) AS n, list_transform("
+    "range(1, length(text) + 1), i -> unicode(substr(text, i, 1))) AS bs FROM documents), "
+    "px AS (SELECT doc_id, p, (p * n) // 64 AS s, ((p + 1) * n) // 64 AS e, n, bs "
+    "FROM b CROSS JOIN (SELECT unnest(range(64)) AS p) pp "
+    "WHERE p IN (0, 2, 4, 6, 16, 18, 20, 22, 32, 34, 36, 38, 48, 50, 52, 54)), "
+    "pix AS (SELECT doc_id, CASE WHEN e = s THEN bs[least(s, n - 1) + 1] "
+    "ELSE list_sum(bs[s + 1:e]) // (e - s) END AS v FROM px), "
+    "hist AS (SELECT doc_id, v // 16 AS bucket, count(*) AS c FROM pix GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(16 AS BIGINT) AS feature_dim, "
+    "CAST(sum(c * c) AS BIGINT) AS hist_norm2 "
+    "FROM hist GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+@register("docs_media_pipeline", _MEDIA_PIPELINE_SQL)
 def docs_media_pipeline(spark, sf_dir):
     """Full media pipeline as ONE chained lineage: decode
     (deterministic fake) → nearest-neighbor resize → pixel-histogram
     features — three Arrow-batched mapInPandas stages, zero joins,
-    zero shuffles (each stage is per-row). Feature L2-norm in
-    fixed-point as the stable projection."""
-    from proglog_spark.multimodal import decode_media, extract_pixel_features, resize_media
+    zero shuffles (each stage is per-row). The feature stage emits
+    integer histogram counts (`extract_pixel_histogram`), so the
+    whole chain hash-matches the SQL oracle; the L2-normalized float
+    feature variant remains for ANN composition (unit-tested)."""
+    from proglog_spark.multimodal import decode_media, extract_pixel_histogram, resize_media
 
     d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     resized = resize_media(decode_media(payload, height=8, width=8), out_h=4, out_w=4)
-    feats = extract_pixel_features(
-        resized.select("doc_id", "pixels"), dim=16
-    )
-    return feats.select(
+    h = extract_pixel_histogram(resized.select("doc_id", "pixels"), dim=16)
+    return h.select(
         "doc_id",
-        F.size("feature").cast("long").alias("feature_dim"),
-        F.floor(
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x) * 1000000
-        ).cast("long").alias("feature_norm2_micro"),
+        F.size("hist").cast("long").alias("feature_dim"),
+        F.aggregate(
+            "hist", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("hist_norm2"),
     ).orderBy("doc_id")
 
 
@@ -1147,16 +1168,57 @@ def emb_cosine_topk(spark, sf_dir):
     return similarity.quantized_cosine_topk(e, q, k=10).orderBy("query_id", "rank")
 
 
-@register("emb_lsh_ann_topk", None)  # approximate recall → property-tested
+def _lsh_ann_oracle() -> str:
+    """All-SQL replay of quantized_lsh_ann_topk: the ±1 md5
+    hyperplanes are inlined as literal lists, sign-bucketing runs on
+    the same floor(x·1000) integer grid, candidates come from exact
+    (table, bucket) equality, and ranking uses the integer
+    quantized-cosine key — so even the *approximation* (which
+    candidates each query sees) is reproduced bit-for-bit."""
+    vals = ", ".join(
+        f"({p}, {list(row)})"
+        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
+        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
+        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        "qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk "
+        f"WHERE vec_id IN {_QUERY_VECS}), "
+        "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM bk JOIN qb "
+        "ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket AND bk.vec_id != qb.query_id), "
+        "sc AS (SELECT c.query_id, c.vec_id, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.vec_id = a.vec_id JOIN qv b ON c.query_id = b.vec_id), "
+        "keyed AS (SELECT query_id, vec_id, CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) AS BIGINT) "
+        "AS cos2_pico FROM sc), "
+        "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed) "
+        "SELECT query_id, vec_id, cos2_pico, rank FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"
+    )
+
+
+@register("emb_lsh_ann_topk", _lsh_ann_oracle())
 def emb_lsh_ann_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN top-k (the 100 TB similarity path)."""
+    """Hyperplane-LSH bucketed ANN top-k (the 100 TB similarity path),
+    oracle-exact end-to-end: integer-grid sign bucketing makes the
+    candidate set deterministic and the quantized-cosine key makes
+    the ranking integer, so the approximate result itself hash-matches
+    the SQL oracle (see `similarity.quantized_lsh_ann_topk`). LSH
+    recall vs the exact top-k stays property-tested."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return (
-        similarity.lsh_ann_topk(e, q, dim=64, k=10, bits=4, tables=8)
-        .select("query_id", "vec_id", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return similarity.quantized_lsh_ann_topk(
+        e, q, dim=64, k=10, bits=4, tables=8
+    ).orderBy("query_id", "rank")
 
 
 @register("emb_ivf_ann_topk", None)  # approximate recall → property-tested

