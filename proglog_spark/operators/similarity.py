@@ -364,6 +364,68 @@ def quantized_lsh_ann_topk(
     ).select("query_id", id_col, "cos2_pico", "rank")
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold_milli: int = 350,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style embedding-level dedup: (vec_id, cell, kept).
+
+    The production recipe (Abbas et al., SemDeDup) clusters the
+    corpus, then removes near-identical pairs WITHIN each cluster —
+    the cluster bound turns the all-pairs O(n²) into Σ|cell|², which
+    is what survives 100 TB. Here the cell is a deterministic
+    quantized-hyperplane bucket (2^bits cells, zero training pass) so
+    the whole operator is integer-exact and oracle-replayable; a real
+    deployment can swap in IVF/k-means cells (`ivf_assign`) at the
+    cost of leaving the oracle gate.
+
+    Keep rule: a vector is dropped iff some LOWER-id vector in the
+    same cell has quantized cosine >= threshold_milli/1000 with it —
+    deterministic, order-free, and exactly the "keep one
+    representative per ε-ball" policy. One shuffle on the cell key;
+    within-cell pairs carry vectors once each.
+    """
+    b = with_quantized_lsh_buckets(
+        corpus.select(id_col, vec_col), dim, bits=bits, tables=1, vec_col=vec_col, scale=scale
+    ).select(F.col(id_col).alias("id"), F.col("lsh_bucket").alias("cell"), F.col(vec_col).alias("vec"))
+    a = b.select(F.col("id").alias("id_a"), "cell", F.col("vec").alias("vec_a"))
+    c = b.select(F.col("id").alias("id_b"), "cell", F.col("vec").alias("vec_b"))
+    t2 = threshold_milli * threshold_milli
+    drops = (
+        a.join(c, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            quantized_dot(F.col("vec_a"), F.col("vec_b"), scale).alias("qd"),
+            quantized_dot(F.col("vec_a"), F.col("vec_a"), scale).alias("na"),
+            quantized_dot(F.col("vec_b"), F.col("vec_b"), scale).alias("nb"),
+        )
+        .where(
+            (F.col("qd") > 0)
+            & F.expr(
+                "CAST(qd AS DECIMAL(38,0)) * qd * 1000000 >= "
+                f"CAST({t2} AS DECIMAL(38,0)) * na * nb"
+            )
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        b.join(drops, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_train_sample(
     corpus: DataFrame,
     sample_mod: int | None = None,

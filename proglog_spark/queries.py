@@ -1268,6 +1268,51 @@ def emb_cosine_neardup(spark, sf_dir):
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    """SQL replay of similarity.semantic_dedup at bits=8, θ=0.35:
+    8-plane quantized sign cells, within-cell quantized-cosine pairs,
+    drop the higher id of every qualifying pair."""
+    vals = ", ".join(
+        f"({p}, {list(row)})" for p, row in enumerate(similarity.hyperplane_signs(64, 8))
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
+        "THEN 1 << pidx ELSE 0 END) AS BIGINT) AS cell FROM qv CROSS JOIN pl "
+        "GROUP BY vec_id), "
+        "nn AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x))::BIGINT AS n2 "
+        "FROM qv), "
+        "pairs AS (SELECT b.vec_id AS id_b, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "a.n2 AS na, b.n2 AS nb "
+        "FROM bk ka JOIN nn a ON ka.vec_id = a.vec_id "
+        "JOIN bk kb ON ka.cell = kb.cell JOIN nn b ON kb.vec_id = b.vec_id "
+        "WHERE a.vec_id < b.vec_id), "
+        "drops AS (SELECT DISTINCT id_b FROM pairs WHERE qd > 0 AND "
+        "CAST(qd AS HUGEINT) * qd * 1000000 >= CAST(122500 AS HUGEINT) * na * nb) "
+        "SELECT bk.vec_id, bk.cell, (d.id_b IS NULL) AS kept "
+        "FROM bk LEFT JOIN drops d ON bk.vec_id = d.id_b ORDER BY vec_id"
+    )
+
+
+@register("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding corpus:
+    deterministic 256-cell quantized-LSH clustering bounds the
+    quadratic, within-cell pairs above quantized cosine 0.35 drop
+    their higher id. Integer-exact end to end, so the kept/dropped
+    partition hash-matches the SQL oracle (`similarity.semantic_dedup`;
+    swap cells for IVF k-means in production at the cost of the
+    oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, dim=64, threshold_milli=350, bits=8).orderBy(
+        "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish join/agg workloads (bench headliners; integer-cents outputs)
 # ---------------------------------------------------------------------------

@@ -281,6 +281,29 @@ def test_quantized_lsh_ann_matches_float_candidates(spark, emb):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_semantic_dedup_drops_planted_duplicate(spark, emb):
+    """A planted exact duplicate (same vector, higher id) must land in
+    the same LSH cell and be dropped; its lower-id original and the
+    rest of the corpus stay kept unless they too have a close lower-id
+    neighbor. Total rows == corpus rows (partition, not filter)."""
+    rows = emb.limit(20).collect()
+    base = emb.limit(20).select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") == rows[0].vec_id).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dup)
+    out = similarity.semantic_dedup(corpus, dim=64, threshold_milli=350, bits=8).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 21
+    planted = by_id[10_000 + rows[0].vec_id]
+    original = by_id[rows[0].vec_id]
+    assert planted.cell == original.cell
+    assert not planted.kept
+    assert original.kept or any(
+        r.vec_id < original.vec_id and r.cell == original.cell for r in out
+    )
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, emb):
     """IVF with n_probe=4 of 16 cells must recover a healthy fraction
     of the true top-10 (the fixture corpus is near-random — the hard
