@@ -481,6 +481,108 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_sessionize_streamed",
+    "WITH base AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), "
+    "marked AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER "
+    "(PARTITION BY user_id ORDER BY ts_us) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM base), "
+    "sess AS (SELECT user_id, ts_us, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
+    "SELECT user_id, min(ts_us) AS session_start_us, "
+    "max(ts_us) AS session_end_us, count(*) AS n_events FROM sess "
+    "GROUP BY user_id, session_id ORDER BY user_id, session_start_us",
+)
+def events_sessionize_streamed(spark, sf_dir):
+    """Session windows through the REAL stateful streaming engine:
+    `streaming_sessionize` (applyInPandasWithState, event-time
+    timeouts) runs over the fixture as a Structured Streaming query;
+    two sentinel batches push the watermark past every fixture
+    session's end+gap so each session is emitted exactly once, then
+    the emitted set must hash-match the batch lag+cumsum oracle —
+    the stateful-operator convergence contract, oracle-enforced
+    (the third streamed-inside-the-gate entry, next to A1 tumbling
+    and the distinct rollup)."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from proglog_spark.streaming import streaming_sessionize
+
+    # fixture stream straight off the fixture file (no copy): same
+    # ns→µs normalization as the A1 streamed twin
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    fixture = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        fixture = fixture.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        fixture = fixture.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    fixture = fixture.select("user_id", "ts")
+
+    # two sentinel events far past the fixture horizon close every
+    # fixture session: the FIRST rides along in batch 1 (so batch 1
+    # already carries the advanced watermark), the second lands in
+    # batch 2 where every fixture user's event-time timeout fires —
+    # exactly two stateful micro-batches total
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        base = datetime.datetime.fromtimestamp(max_ts / 1e9, datetime.timezone.utc)
+    else:
+        base = max_ts
+    sentinel = 999_999_999
+    sentinel_dir = tempfile.mkdtemp(prefix="sess_sentinel_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+
+    def _write_sentinel(days: int) -> None:
+        spark.createDataFrame(
+            [(sentinel, base + datetime.timedelta(days=days))],
+            "user_id long, ts timestamp",
+        ).write.mode("append").parquet(sentinel_dir)
+
+    _write_sentinel(30)
+    sentinels = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        sentinel_dir
+    )
+    stream = fixture.select(F.col("user_id").cast("long"), "ts").unionByName(sentinels)
+
+    name = "sessionize_streamed_" + next(tempfile._get_candidate_names())
+    # a stateful query pins its partitioning at start; the state key
+    # domain is users (~thousands at fixture scale), so a narrow state
+    # width avoids paying 32 store commits per micro-batch — set for
+    # this query only, restore after start (a real deployment sizes
+    # this to the key domain)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        q.processAllAvailable()
+        _write_sentinel(60)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") != sentinel)
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
     "events_json_sum",
     "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
     "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
