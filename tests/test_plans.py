@@ -88,6 +88,49 @@ def test_lsh_ann_join_is_broadcast_not_smj(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_quantized_lsh_ann_join_is_broadcast_not_smj(spark, sf_dir):
+    """The integer-grid ANN twin keeps the float path's plan shape:
+    broadcast bucket join against the tiny query side, no sort-merge
+    anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.quantized_lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") == 0), dim=64, k=5
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_shuffles_on_cell_only(spark, sf_dir):
+    """SemDeDup cells: the within-cell self-join must hash-partition
+    on the cell key — the cluster bound is the scale contract, so no
+    cartesian/nested-loop join over the corpus may appear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity.semantic_dedup(emb, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join must be KEYED on the cell (AQE may satisfy it by
+    # broadcast at fixture scale or by hashpartitioning at real scale;
+    # both are the bounded shape — an unkeyed join is not)
+    assert "hashpartitioning(cell" in plan or "HashJoin [cell" in plan
+
+
+def test_media_pipeline_is_shuffle_free(spark, sf_dir):
+    """decode → resize → histogram is three chained mapInPandas
+    stages: per-row work only, ZERO Exchange in the whole lineage."""
+    from proglog_spark.multimodal import (
+        decode_media,
+        extract_pixel_histogram,
+        resize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    resized = resize_media(decode_media(payload, height=8, width=8), out_h=4, out_w=4)
+    plan = plan_of(extract_pixel_histogram(resized.select("doc_id", "pixels")))
+    assert "Exchange" not in plan
+
+
 def test_scan_range_prunes_with_filter(spark, sf_dir):
     """L5 range scan: BETWEEN bounds push to the scan, mirroring
     segment-range routing (log.go:99-104)."""
