@@ -34,6 +34,42 @@ SESSION_SCHEMA = "user_id LONG, session_start_us LONG, session_end_us LONG, n_ev
 _STATE_SCHEMA = "starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>"
 
 
+def batch_sessions(ts_us_sorted, gap_us: int) -> list[list[int]]:
+    """Vectorized gap-sessionization of one batch's SORTED event times:
+    [[start_us, end_us, n_events], ...]. Gap connectivity is
+    transitive, so pre-merging a batch's own events into sessions
+    before the interval merge cannot change the final result — it
+    only shrinks the Python merge loop from O(events) to O(sessions).
+    Pure function, property-tested against arbitrary batch splits."""
+    import numpy as np
+
+    if not len(ts_us_sorted):
+        return []
+    brk = np.flatnonzero(np.diff(ts_us_sorted) > gap_us) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(ts_us_sorted)]))
+    return [
+        [int(ts_us_sorted[s]), int(ts_us_sorted[e - 1]), int(e - s)]
+        for s, e in zip(starts, ends)
+    ]
+
+
+def merge_session_pieces(pieces: list[list[int]], gap_us: int) -> list[list[int]]:
+    """Interval-merge session pieces (sorted by start inside): pieces
+    within the gap — including overlapping or contained ones — fuse,
+    summing event counts. The state function's core; pure so the
+    split-invariance property (any partition of events into batches
+    converges to the batch twin) is testable without an engine."""
+    merged: list[list[int]] = []
+    for start, end, n in sorted(pieces):
+        if merged and start - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], end)
+            merged[-1][2] += n
+        else:
+            merged.append([start, end, n])
+    return merged
+
+
 def streaming_sessionize(
     stream: DataFrame,
     user_col: str = "user_id",
@@ -71,22 +107,20 @@ def streaming_sessionize(
         )  # [[start, end, n], ...]
 
         if state.hasTimedOut:
-            new_events = []
+            new_pieces = []
         else:
-            ts_us = pd.concat([pdf["ts"] for pdf in pdf_iter]).astype("int64") // 1000
-            new_events = [[int(t), int(t), 1] for t in ts_us.sort_values()]
+            import numpy as np
 
-        # interval merge: existing sessions + new events, by start time;
-        # adjacent pieces within the gap coalesce (late events can land
-        # between, before, or inside open sessions — all handled here)
-        pieces = sorted(old + new_events)
-        merged: list[list[int]] = []
-        for start, end, n in pieces:
-            if merged and start - merged[-1][1] <= gap_us:
-                merged[-1][1] = max(merged[-1][1], end)
-                merged[-1][2] += n
-            else:
-                merged.append([start, end, n])
+            ts_us = np.sort(
+                pd.concat([pdf["ts"] for pdf in pdf_iter]).astype("int64").to_numpy()
+                // 1000
+            )
+            new_pieces = batch_sessions(ts_us, gap_us)
+
+        # interval merge: existing sessions + new batch sessions (late
+        # events can land between, before, or inside open sessions —
+        # all handled by the merge)
+        merged = merge_session_pieces(old + new_pieces, gap_us)
 
         # emit everything the watermark has sealed (no admissible event
         # can be within gap of it); keep the rest in state

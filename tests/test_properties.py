@@ -36,6 +36,37 @@ def py_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**7), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_sessionize_merge_is_split_invariant(batches, gap_us):
+    """The streaming sessionizer's state algebra: folding ANY
+    partition of events into micro-batches (any order, any grouping,
+    duplicates allowed) through batch_sessions + merge_session_pieces
+    must equal one-shot sessionization of the full multiset — the
+    invariant that makes out-of-order and late arrivals exact. Pure
+    functions, no engine needed (the engine-level twin is
+    test_streaming_sessionize_matches_batch)."""
+    import numpy as np
+
+    from proglog_spark.streaming.sessions import batch_sessions, merge_session_pieces
+
+    state: list[list[int]] = []
+    for batch in batches:
+        pieces = batch_sessions(np.sort(np.array(batch, dtype=np.int64)), gap_us)
+        state = merge_session_pieces(state + pieces, gap_us)
+
+    all_ts = np.sort(np.concatenate([np.array(b, dtype=np.int64) for b in batches]))
+    want = batch_sessions(all_ts, gap_us)
+    assert state == want
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs_strategy)
 def test_jaccard_pairs_exact_vs_python(spark, texts):
