@@ -108,8 +108,13 @@ class GrpcLogServer:
         def produce_stream(request_iterator, context):
             try:
                 for request in request_iterator:
+                    # compute under the lock, yield OUTSIDE it: the
+                    # generator suspends at yield while grpc writes the
+                    # response, and a client that stops reading must
+                    # not wedge every other RPC behind the driver lock
                     with self._lock:
-                        yield self._svc.produce(subject(context), request)
+                        resp = self._svc.produce(subject(context), request)
+                    yield resp
             except RpcError as e:
                 abort(context, e)
 

@@ -68,6 +68,18 @@ def _emit_len_field(out: bytearray, field_no: int, data: bytes) -> None:
         out += data
 
 
+def _emit_msg_field(out: bytearray, field_no: int, data: bytes) -> None:
+    """Submessage field: proto3 gives MESSAGE fields explicit
+    presence, so a set-but-all-defaults submessage must emit a
+    zero-length LEN record (`12 00`) — omitting it would read back as
+    field-unset in a protoc-generated stub (nil Record in Go) even
+    though the sender had a real record of defaults (e.g. the
+    legitimate empty value at offset 0)."""
+    out += _tag(field_no, _LEN)
+    out += encode_varint(len(data))
+    out += data
+
+
 def _skip(buf: bytes, pos: int, wire_type: int) -> int:
     """Skip an unknown field (forward compatibility, per spec)."""
     if wire_type == _VARINT:
@@ -151,7 +163,7 @@ class ProduceRequest:
 
     def encode(self) -> bytes:
         out = bytearray()
-        _emit_len_field(out, 1, self.record.encode())
+        _emit_msg_field(out, 1, self.record.encode())
         return bytes(out)
 
     @classmethod
@@ -211,7 +223,7 @@ class ConsumeResponse:
 
     def encode(self) -> bytes:
         out = bytearray()
-        _emit_len_field(out, 2, self.record.encode())
+        _emit_msg_field(out, 2, self.record.encode())
         return bytes(out)
 
     @classmethod

@@ -136,6 +136,9 @@ class LogTable:
         # decoded hot-bucket rows (offset array + arrow table), LRU —
         # the mmap-page-cache analog for µs-class warm point reads
         self._native_tbl_cache: dict[tuple, tuple] = {}
+        # buckets whose DECODED size exceeded the pin budget: skip the
+        # full-bucket decode on later reads (take the filtered path)
+        self._no_pin_keys: set[tuple] = set()
         # cross-process writer lock state: _lock_owned ⇒ this instance
         # may mutate; _lock_created ⇒ it wrote the lock file and owes
         # the delete on close() (a same-pid sibling instance borrows
@@ -210,15 +213,26 @@ class LogTable:
         return log
 
     def reset(self) -> None:
-        """Drop all data, keep config (reference Log.Reset, log.go:123-128)."""
+        """Drop all data, keep config (reference Log.Reset, log.go:123-128).
+
+        Deletes the directory's CONTENTS but never the writer lock
+        file, so ownership is held continuously across the reset —
+        deleting the whole dir would open a window for another process
+        to take a fresh lock mid-reset, and recreating the file would
+        leave a borrowed (same-pid sibling) lock owned twice, letting
+        the sibling's close() delete it out from under us.
+        """
         self._acquire_writer_lock()
         fs, p, jvm = self._fs()
         if fs.exists(p):
-            fs.delete(p, True)  # removes the lock file with the dir
-        fs.mkdirs(p)
-        # we still logically own the lock — put the file back
-        self._lock_owned = self._lock_created = False
-        self._acquire_writer_lock()
+            for st in fs.listStatus(p):
+                child = st.getPath()
+                if child.getName() != _LOCK_FILE:
+                    fs.delete(child, True)
+        else:
+            fs.mkdirs(p)
+            self._lock_owned = self._lock_created = False
+            self._acquire_writer_lock()
         self.next_offset_floor = self.initial_offset
         self._write_meta()
         self._highest = None
@@ -264,8 +278,15 @@ class LogTable:
         fs, _, _ = self._fs()
         try:
             stream = fs.create(self._lock_jpath(), False)  # no overwrite
-        except Exception:
-            return False  # FileAlreadyExistsException (via Py4J)
+        except Exception as e:
+            # only CONTENTION means "held": permission/transient-IO
+            # failures must surface as themselves, not masquerade as a
+            # held lock (which would point the operator at
+            # steal_writer_lock for a lock that doesn't exist)
+            msg = str(getattr(e, "java_exception", None) or e)
+            if "AlreadyExists" in msg or "already exists" in msg.lower():
+                return False
+            raise
         try:
             stream.write(bytearray(payload))
         finally:
@@ -360,6 +381,7 @@ class LogTable:
         self._lock_owned = self._lock_created = False
         self._native_ds_cache.clear()
         self._native_tbl_cache.clear()
+        self._no_pin_keys.clear()
 
     def __enter__(self) -> "LogTable":
         return self
@@ -757,8 +779,10 @@ class LogTable:
             cached = self._native_tbl_cache.get(key)
             if cached is not None:
                 self._native_tbl_cache[key] = self._native_tbl_cache.pop(key)
-            elif ds.count_rows() <= _HOT_CACHE_MAX_ROWS_PER_BUCKET and (
-                sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
+            elif (
+                key not in self._no_pin_keys
+                and ds.count_rows() <= _HOT_CACHE_MAX_ROWS_PER_BUCKET
+                and sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
                 <= _HOT_CACHE_MAX_COMPRESSED_BYTES
             ):
                 # small enough to pin decoded — bounded in rows AND
@@ -767,7 +791,19 @@ class LogTable:
                 # large `value` payloads pin gigabytes.
                 full = ds.to_table(columns=_DATA_COLS).sort_by("offset")
                 cached = (full.column("offset").to_numpy(), full)
-                if full.nbytes <= _HOT_CACHE_MAX_DECODED_BYTES:
+                if full.nbytes > _HOT_CACHE_MAX_DECODED_BYTES:
+                    # decoded form exceeds the pin budget: remember the
+                    # verdict so later reads of this bucket take the
+                    # row-group-filtered path instead of re-decoding
+                    # the whole bucket on every miss (this call still
+                    # uses the decode it already paid for)
+                    if len(self._no_pin_keys) >= 64:
+                        self._no_pin_keys.clear()
+                    self._no_pin_keys = {
+                        k for k in self._no_pin_keys if k[0] != bdir
+                    }
+                    self._no_pin_keys.add(key)
+                else:
                     self._native_tbl_cache = {
                         k: v
                         for k, v in self._native_tbl_cache.items()

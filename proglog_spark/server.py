@@ -204,8 +204,14 @@ class HttpLogServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         if tls is not None:
             ctx = build_ssl_context(tls)
+            # do_handshake_on_connect=False: accept() must return
+            # immediately so the handshake runs lazily on first read
+            # INSIDE the per-connection handler thread — with the
+            # default, a client that connects and sends nothing blocks
+            # the single accept loop forever (trivial DoS), and even
+            # benign handshakes serialize connection setup
             self._server.socket = ctx.wrap_socket(
-                self._server.socket, server_side=True
+                self._server.socket, server_side=True, do_handshake_on_connect=False
             )
         self._thread: threading.Thread | None = None
 

@@ -57,6 +57,11 @@ def build_ssl_context(cfg: TLSConfig) -> ssl.SSLContext:
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
     if cfg.ca_file:
         ctx.load_verify_locations(cfg.ca_file)
+    else:
+        # the reference leaves RootCAs nil → Go falls back to system
+        # roots; mirror that (an empty trust store with CERT_REQUIRED
+        # would fail EVERY handshake)
+        ctx.load_default_certs()
     if cfg.server_address:
         ctx.check_hostname = True
     else:

@@ -49,6 +49,17 @@ def test_proto3_defaults_are_absent_on_the_wire():
     assert wire.Record.decode(b"") == wire.Record()
 
 
+def test_message_fields_keep_explicit_presence():
+    # proto3 scalars drop defaults, but MESSAGE fields have explicit
+    # presence: a set-but-all-defaults record must emit a zero-length
+    # LEN field, or a protoc stub reads it back as nil/unset (e.g. the
+    # legitimate empty value stored at offset 0)
+    assert wire.ProduceRequest(record=wire.Record()).encode() == b"\x0a\x00"
+    assert wire.ConsumeResponse(record=wire.Record()).encode() == b"\x12\x00"
+    rt = wire.ConsumeResponse.decode(b"\x12\x00")
+    assert rt.record == wire.Record()
+
+
 def test_record_full_roundtrip_and_wide_varints():
     r = wire.Record(value=b"\x00\xff" * 10, offset=(1 << 56) + 7, term=300, type=4)
     assert wire.Record.decode(r.encode()) == r

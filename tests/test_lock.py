@@ -116,10 +116,31 @@ def test_reset_keeps_ownership(spark, tmp_path):
     path = str(tmp_path / "log")
     log = LogTable.create(spark, path, bucket_size=8)
     log.append(["a", "b", "c"])
-    log.reset()  # deletes the dir (lock included) and re-takes it
+    before = os.stat(_lock_path(path)).st_ino
+    log.reset()  # clears contents but must hold the lock throughout
     assert os.path.exists(_lock_path(path))
+    # the SAME lock file survives (never deleted+recreated: a delete
+    # would open a takeover window mid-reset, and a recreate would
+    # double-own a borrowed sibling lock)
+    assert os.stat(_lock_path(path)).st_ino == before
     assert json.load(open(_lock_path(path)))["pid"] == os.getpid()
     assert log.append(["d"]) == (0, 0)
+
+
+def test_reset_by_borrowing_sibling_does_not_hijack_the_delete(spark, tmp_path):
+    # creator instance owns the delete; a sibling that borrowed the
+    # lock and then reset() must NOT become a second "creator" — after
+    # the creator closes, the sibling's close must not delete a lock
+    # it never created (two live writers otherwise)
+    path = str(tmp_path / "log")
+    creator = LogTable.create(spark, path, bucket_size=8)
+    creator.append(["a"])
+    sibling = LogTable.open(spark, path)
+    sibling.reset()
+    assert sibling._lock_created is False
+    creator.close()  # creator still owes (and performs) the delete
+    assert not os.path.exists(_lock_path(path))
+    sibling.close()  # must be a no-op, not a crash
 
 
 def test_lock_file_is_invisible_to_readers(spark, tmp_path):

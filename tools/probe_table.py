@@ -41,14 +41,12 @@ def main() -> None:
     for name, r in shown:
         print(f"| {name} | {r['base_s']} | {r[xk]} | {r['ratio']} |")
     if args.top and len(ordered) > args.top:
-        rest = ordered[args.top :]
-        mx = max(r["ratio"] for _, r in rest)
         import statistics
 
-        med = statistics.median(r["ratio"] for _, r in rest)
+        rest = [(r["ratio"] or 0) for _, r in ordered[args.top :]]
         print(
-            f"\n(+{len(rest)} more queries, ratio median {med}, max {mx} — "
-            "all sub-linear)"
+            f"\n(+{len(rest)} more queries, ratio median "
+            f"{statistics.median(rest)}, max {max(rest)})"
         )
 
 
