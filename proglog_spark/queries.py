@@ -263,6 +263,38 @@ def events_hourly_counts(spark, sf_dir):
     )
 
 
+def _stream_events(spark, sf_dir):
+    """File-source stream over the events fixture with the same ts
+    normalization as sources.tables.load_table. Robust to both fixture
+    layouts: the driver's single FILE `events.parquet` (streamed via a
+    pathGlobFilter on the sf dir, since the file source wants a
+    directory) and a DIRECTORY `events.parquet/` as the scale-probe
+    replicas write (where the glob would match no files and silently
+    stream nothing)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        # same ns→µs normalization as sources.tables.load_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Spark >= 4.1 native nanos read: NTZ → session-TZ(UTC) timestamp
+        # (withWatermark requires TIMESTAMP, not TIMESTAMP_NTZ)
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
+
+
 @register(
     "events_hourly_counts_streamed",
     "SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, event_type, "
@@ -273,30 +305,11 @@ def events_hourly_counts_streamed(spark, sf_dir):
     runs as a real Structured Streaming query (availableNow trigger,
     memory sink) over the same fixture and must hash-match the same
     batch oracle — the convergence contract, oracle-enforced."""
-    import os
     import tempfile
-
-    from pyspark.sql import types as T
 
     from proglog_spark.streaming.windows import streaming_tumbling_counts
 
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # the fixture is a single FILE; the streaming file source wants a
-    # directory, so stream the sf dir filtered to this one file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        # same ns→µs normalization as sources.tables.load_table
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        # Spark >= 4.1 native nanos read: NTZ → session-TZ(UTC) timestamp
-        # (withWatermark requires TIMESTAMP, not TIMESTAMP_NTZ)
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    agg = streaming_tumbling_counts(stream, "ts", 3600, ["event_type"])
+    agg = streaming_tumbling_counts(_stream_events(spark, sf_dir), "ts", 3600, ["event_type"])
     name = "hourly_streamed_" + next(tempfile._get_candidate_names())
     q = (
         agg.writeStream.outputMode("complete")
@@ -513,16 +526,7 @@ def events_sessionize_streamed(spark, sf_dir):
     # ns→µs normalization as the A1 streamed twin
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    fixture = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        fixture = fixture.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        fixture = fixture.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    fixture = fixture.select("user_id", "ts")
+    fixture = _stream_events(spark, sf_dir).select("user_id", "ts")
 
     # two sentinel events far past the fixture horizon close every
     # fixture session: the FIRST rides along in batch 1 (so batch 1
@@ -4604,24 +4608,12 @@ def events_distinct_rollup_streamed(spark, sf_dir):
     import os
     import tempfile
 
-    from pyspark.sql import types as T
-
     from proglog_spark.streaming.distinct import (
         continuous_distinct_rollup,
         read_distinct_rollup,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    stream = _stream_events(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="distinct_rollup_")
     q = continuous_distinct_rollup(
         stream,
