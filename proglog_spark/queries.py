@@ -3526,9 +3526,16 @@ def docs_fuzzy_block_match(spark, sf_dir):
         .select(
             F.col("a_doc_id").alias("id_a"),
             F.col("b_doc_id").alias("id_b"),
-            F.levenshtein("a_p", "b_p").cast("bigint").alias("prefix_dist"),
+            # thresholded levenshtein (banded DP): per-pair cost drops
+            # from O(len²) to O(k·len), and pairs past the threshold
+            # return -1 — the surviving set and its distances are
+            # identical to the unbounded form, so the oracle is
+            # unchanged. This is the per-pair half of the scale story;
+            # block-size growth is the user's blocking-key dial (see
+            # docstring).
+            F.levenshtein("a_p", "b_p", threshold=12).cast("bigint").alias("prefix_dist"),
         )
-        .where(F.col("prefix_dist") <= 12)
+        .where((F.col("prefix_dist") >= 0) & (F.col("prefix_dist") <= 12))
         .orderBy("id_a", "id_b")
     )
 
