@@ -368,10 +368,11 @@ def semantic_dedup(
     corpus: DataFrame,
     dim: int,
     threshold_milli: int = 350,
-    bits: int = 8,
+    bits: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """SemDeDup-style embedding-level dedup: (vec_id, cell, kept).
 
@@ -389,7 +390,21 @@ def semantic_dedup(
     deterministic, order-free, and exactly the "keep one
     representative per ε-ball" policy. One shuffle on the cell key;
     within-cell pairs carry vectors once each.
+
+    ``bits=None`` auto-sizes the cell count to the corpus so the
+    within-cell quadratic stays BOUNDED as data grows (the fixed-cell
+    failure mode: 10x corpus in the same 2^bits cells is 100x pairs).
+    One metadata-cheap count() picks bits ≈ log2(n / target_cell_rows)
+    — at any scale each cell holds ~target_cell_rows vectors and total
+    pair work stays ~n·target_cell_rows, i.e. linear in the corpus.
+    The oracle-checked query pins bits=8 (the SQL replay inlines the
+    planes); auto mode is the production dial.
     """
+    if bits is None:
+        import math
+
+        n = corpus.count()
+        bits = max(4, min(24, math.ceil(math.log2(max(n, 1) / target_cell_rows + 1))))
     b = with_quantized_lsh_buckets(
         corpus.select(id_col, vec_col), dim, bits=bits, tables=1, vec_col=vec_col, scale=scale
     ).select(F.col(id_col).alias("id"), F.col("lsh_bucket").alias("cell"), F.col(vec_col).alias("vec"))

@@ -304,6 +304,25 @@ def test_semantic_dedup_drops_planted_duplicate(spark, emb):
     )
 
 
+def test_semantic_dedup_auto_bits_bounds_cells(spark, emb):
+    """bits=None derives the cell count from the corpus size so cells
+    hold ~target_cell_rows vectors at ANY scale: for the 6k-vector
+    fixture at target 64 the widest cell must stay well under the
+    fixed-bits-8 worst case, and the output is still a full partition
+    of the corpus."""
+    out = similarity.semantic_dedup(
+        emb, dim=64, bits=None, target_cell_rows=64
+    )
+    total = emb.count()
+    rows = out.collect()
+    assert len(rows) == total
+    from collections import Counter
+
+    widest = max(Counter(r.cell for r in rows).values())
+    # auto-sized cells: ~64 expected; allow generous skew headroom
+    assert widest < 16 * 64
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, emb):
     """IVF with n_probe=4 of 16 cells must recover a healthy fraction
     of the true top-10 (the fixture corpus is near-random — the hard
