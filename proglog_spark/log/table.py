@@ -126,6 +126,9 @@ class LogTable:
         self._highest: int | None = None  # cache; single-writer makes this safe
         # produce_stream idempotence marker (replayed micro-batches skip)
         self.last_produce_batch: int | None = None
+        # checkpoint identity that wrote last_produce_batch (None on
+        # metas written before the marker was checkpoint-scoped)
+        self.last_produce_marker: str | None = None
         # native point-read dataset cache, keyed by (bucket dir, its
         # committed file set): a fresh listdir per read keeps the key
         # honest (parquet files are immutable once committed, so a
@@ -208,6 +211,7 @@ class LogTable:
         log.row_group_bytes = int(rgb) if rgb else None
         log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
         log.last_produce_batch = int(meta["last_produce_batch"]) if "last_produce_batch" in meta else None
+        log.last_produce_marker = meta.get("last_produce_marker")
         log._recover_truncate()
         log._sweep_native_tmp()
         return log
@@ -1315,8 +1319,35 @@ class LogTable:
         }
         if self.last_produce_batch is not None:
             meta["last_produce_batch"] = self.last_produce_batch
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(self.path, _META_FILE), True)
+            if self.last_produce_marker is not None:
+                meta["last_produce_marker"] = self.last_produce_marker
+        payload = json.dumps(meta).encode("utf-8")
+        local = self._local_dir()
+        if local is not None:
+            # tmp + atomic replace: produce_stream rewrites the meta
+            # once per micro-batch, and a crash mid-write must never
+            # leave truncated JSON (an unopenable log) — same dance as
+            # tail_follow's cursor (consume.py)
+            tmp = os.path.join(local, f".{_META_FILE}.tmp.{os.getpid()}")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(local, _META_FILE))
+            return
+        # remote: write a tmp then rename over (delete-first: Hadoop
+        # rename does not overwrite on all stores); the tmp is fully
+        # written before the old file is touched, so the window
+        # narrows from "any time during write" to the rename pair
+        dst = jvm.org.apache.hadoop.fs.Path(self.path, _META_FILE)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(
+            self.path, f".{_META_FILE}.tmp.{os.getpid()}"
+        )
+        out = fs.create(tmp_p, True)
         try:
-            out.write(bytearray(json.dumps(meta).encode("utf-8")))
+            out.write(bytearray(payload))
         finally:
             out.close()
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        fs.rename(tmp_p, dst)

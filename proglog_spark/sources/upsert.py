@@ -76,9 +76,17 @@ class KeyedTable:
 
     # -- merge ----------------------------------------------------------
 
-    def merge(self, updates: DataFrame) -> int:
+    def merge(self, updates: DataFrame, order_col: str | None = None) -> int:
         """Upsert: rows in ``updates`` replace same-key rows and insert
         new keys. Returns the number of buckets rewritten.
+
+        ``order_col``: when given, replacement is ORDERED — the stored
+        row survives unless the incoming row's order_col is higher
+        (max_by over stored ∪ incoming per key). Without it a late
+        change arriving in a later micro-batch would blindly overwrite
+        newer table data with stale data; CDC callers must pass their
+        sequence column unless the feed guarantees global per-key
+        order.
 
         Atomicity is PER BUCKET (like the reference's segment-granular
         truncate, internal/log/log.go:155-171): a crash mid-swap leaves
@@ -114,10 +122,25 @@ class KeyedTable:
                 self.spark.read.option("basePath", self.path)
                 .parquet(*[f"{self.path}/{BUCKET_COL}={b}" for b in existing])
             )
-            survivors = base.join(
-                F.broadcast(up.select(self.key_col)), self.key_col, "left_anti"
-            )
-            merged = survivors.select(up.columns).unionByName(up)
+            if order_col is None:
+                survivors = base.join(
+                    F.broadcast(up.select(self.key_col)), self.key_col, "left_anti"
+                )
+                merged = survivors.select(up.columns).unionByName(up)
+            else:
+                # ordered replacement: per key keep the max-order row
+                # across stored ∪ incoming (a replayed batch ties with
+                # identical rows — idempotent either way)
+                allr = base.select(up.columns).unionByName(up)
+                others = [c for c in up.columns if c != self.key_col]
+                merged = (
+                    allr.groupBy(self.key_col)
+                    .agg(F.max_by(F.struct(*others), F.col(order_col)).alias("_row"))
+                    .select(
+                        self.key_col,
+                        *[F.col(f"_row.{c}").alias(c) for c in others],
+                    )
+                )
         else:
             merged = up
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(new_root)

@@ -101,7 +101,11 @@ def streaming_trailing_anomaly(
                 }
             )
 
-        keep = all_tm > all_tm[-1] - window_us
+        # >= : the window lower bound is INCLUSIVE (searchsorted
+        # side='left' admits equality, matching RANGE PRECEDING), so a
+        # boundary entry must survive the trim — a later peer event at
+        # exactly newest+window would otherwise miss it vs the batch twin
+        keep = all_tm >= all_tm[-1] - window_us
         state.update((all_tm[keep].tolist(), all_vm[keep].tolist()))
 
     from pyspark.sql.streaming.state import GroupStateTimeout

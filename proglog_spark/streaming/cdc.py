@@ -58,7 +58,14 @@ def apply_cdc_stream(
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         if not batch.isEmpty():
-            table.merge(latest_per_key(batch, table.key_col, order_col))
+            # order_col flows into the merge too: within-batch
+            # latest-per-key alone can't stop a LATE change arriving in
+            # a later micro-batch from overwriting newer table data —
+            # the merge compares the sequence against the stored row
+            table.merge(
+                latest_per_key(batch, table.key_col, order_col),
+                order_col=order_col,
+            )
 
     return (
         stream.writeStream.foreachBatch(_apply)

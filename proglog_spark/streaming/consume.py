@@ -124,8 +124,26 @@ def tail_follow(
             lo = state["cursor"]
             hi_chunk = min(hi, lo + int(chunk_records) - 1)
             rows = log.scan(lo, hi_chunk).collect()
+            # deliver only the DENSE PREFIX: offsets are dense by
+            # construction, so a shorter-than-expected scan means some
+            # file in the range is not yet visible (non-atomic
+            # multi-file commit seen out of order). Advancing the
+            # cursor past an invisible file would skip its records
+            # forever; stop at the first gap and let the next trigger
+            # retry — at-least-once, never lossy.
+            n_dense = 0
+            for r in rows:
+                if r.offset != lo + n_dense:
+                    break
+                n_dense += 1
+            rows = rows[:n_dense]
             if rows:
                 on_batch(rows)
+            if n_dense < hi_chunk - lo + 1:
+                if n_dense:
+                    state["cursor"] = lo + n_dense
+                    _persist_cursor(state["cursor"])
+                return
             state["cursor"] = hi_chunk + 1
             _persist_cursor(state["cursor"])
 

@@ -50,12 +50,16 @@ def dedup_stream(
     elif by == "content":
         keyed = stream.withColumn(
             "content_key",
+            # NULL-safe identity: concat_ws SKIPS nulls, which would
+            # collide records whose nulls sit in different positions
+            # (('a',1,NULL) vs ('a',NULL,1)) — encode each field with
+            # an explicit null sentinel so position is preserved
             F.md5(
                 F.concat_ws(
                     "\x1f",
-                    F.col("value"),
-                    F.col("term").cast("string"),
-                    F.col("type").cast("string"),
+                    F.coalesce(F.col("value"), F.lit("\x00<null>")),
+                    F.coalesce(F.col("term").cast("string"), F.lit("\x00<null>")),
+                    F.coalesce(F.col("type").cast("string"), F.lit("\x00<null>")),
                 )
             ),
         )

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 
 def _bucketize(df: DataFrame, time_col: str, bucket_seconds: int) -> DataFrame:
-    return df.withColumn(
+    # null event times are dropped, matching the watermarked-window
+    # twin (rollup.py): a NULL bucket would land in the hive default
+    # partition where isin(buckets) can never re-select it, so the
+    # dynamic overwrite would silently replace accumulated state with
+    # batch-only structures
+    return df.where(F.col(time_col).isNotNull()).withColumn(
         "bucket",
         (F.unix_timestamp(F.col(time_col)) / bucket_seconds).cast("long"),
     )

@@ -158,4 +158,9 @@ def enrich_stream(
         raise ValueError("dim must be a static DataFrame")
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"stream-static join supports inner/left, got {how}")
-    return stream.join(F.broadcast(dim), on, how)
+    # no forced broadcast hint: the dim side GROWS with real
+    # deployments (user profiles at fleet scale), and a forced hint
+    # overrides Spark's size check — the same OOM shape the batch
+    # queries dropped in the r2 hint audit. AQE/autoBroadcastJoin
+    # picks broadcast automatically whenever the dim is actually small.
+    return stream.join(dim, on, how)

@@ -42,13 +42,32 @@ def produce_stream(
     shuffle per batch); without it offsets follow partition order —
     fine for a produce firehose, required when deriving a log whose
     order must track an upstream key (see ``streaming/derive.py``).
+
+    The replay marker is scoped to the CHECKPOINT identity (batch ids
+    restart from 0 for every new checkpoint): a fresh produce_stream
+    into a log that previously absorbed N batches from a different
+    checkpoint must not have its first N+1 batches silently skipped.
+    A marker written by an older version (no checkpoint scope) is
+    honored as matching, preserving replay safety for existing logs.
     """
+    import hashlib
+    import os
+
+    marker_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:16]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if log.last_produce_batch is not None and batch_id <= log.last_produce_batch:
+        same_query = log.last_produce_marker in (None, marker_id)
+        if (
+            same_query
+            and log.last_produce_batch is not None
+            and batch_id <= log.last_produce_batch
+        ):
             return  # checkpoint replay of an already-applied batch
         base, last = log.append(batch_df, order_by=order_by)
         log.last_produce_batch = int(batch_id)
+        log.last_produce_marker = marker_id
         log._write_meta()
         if on_ack is not None and last >= base:
             on_ack(batch_id, base, last)

@@ -82,8 +82,16 @@ def streaming_sessionize(
     end + gap)."""
     gap_us = gap_seconds * 1_000_000
 
+    # ts_us is computed JVM-side with unix_micros: pandas receives
+    # timestamp columns converted to the SESSION time zone and
+    # tz-naive, so a Python-side .astype('int64') would be shifted by
+    # the zone offset while getCurrentWatermarkMs() stays true epoch —
+    # sealing sessions hours late and shifting emitted bounds under
+    # any non-UTC session (the same contract anomaly.py follows)
     events = stream.select(
-        F.col(user_col).cast("long").alias("user_id"), F.col(ts_col).alias("ts")
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
     ).withWatermark("ts", watermark)
 
     def _timeout_ms(end_us: int) -> int:
@@ -112,8 +120,7 @@ def streaming_sessionize(
             import numpy as np
 
             ts_us = np.sort(
-                pd.concat([pdf["ts"] for pdf in pdf_iter]).astype("int64").to_numpy()
-                // 1000
+                pd.concat([pdf["ts_us"] for pdf in pdf_iter]).to_numpy(dtype="int64")
             )
             new_pieces = batch_sessions(ts_us, gap_us)
 

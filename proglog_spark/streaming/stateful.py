@@ -94,9 +94,13 @@ def inactivity_alerts(
     once the watermark passes ``last_event + gap_seconds``.
 
     Output: ``k`` (the key), ``last_seen_ms``, ``deadline_ms`` —
-    epoch millis (the timer API's native granularity)."""
+    epoch millis (the timer API's native granularity). The key is
+    cast to LONG explicitly (the declared output schema is ``k long``;
+    without the cast a string key would pass groupBy and only crash
+    at the FIRST expired timer, killing a long-running query at an
+    arbitrary later time)."""
     prepared = stream.withWatermark(time_col, watermark).select(
-        F.col(key_col).alias("k"),
+        F.col(key_col).cast("long").alias("k"),
         F.unix_millis(F.col(time_col).cast("timestamp")).alias("_ts_ms"),
     )
     return prepared.groupBy("k").transformWithStateInPandas(

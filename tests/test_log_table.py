@@ -194,8 +194,14 @@ def test_truncate_crash_recovery(spark, tmp_path):
 
 
 def test_produce_stream_replay_is_noop(spark, tmp_path):
-    """A micro-batch replayed after the data commit (simulated by
-    resetting last_produce_batch bookkeeping) must not double-append."""
+    """The replay marker is scoped to the CHECKPOINT identity: a batch
+    replayed by the SAME checkpoint (crash between the data commit and
+    the streaming-checkpoint commit, simulated by deleting the commit
+    marker) is a no-op, while a NEW query with a fresh checkpoint —
+    whose batch ids restart from 0 — must append, not be silently
+    swallowed as a 'replay'."""
+    import os
+
     from proglog_spark.streaming import produce_stream
 
     src_dir = tmp_path / "replay_src"
@@ -211,19 +217,37 @@ def test_produce_stream_replay_is_noop(spark, tmp_path):
         q.stop()
     assert log.count() == 2 and log.last_produce_batch == 0
 
-    # new query, FRESH checkpoint -> Spark re-delivers batch 0; the
-    # log-side marker must make the replay a no-op
+    # crash simulation: the data commit landed but the streaming
+    # checkpoint's commit marker did not — restart with the SAME
+    # checkpoint re-delivers batch 0, and the log-side marker must
+    # make that replay a no-op
+    os.remove(str(tmp_path / "ck1" / "commits" / "0"))
+    crc = tmp_path / "ck1" / "commits" / ".0.crc"
+    if crc.exists():  # hadoop local-fs checksum sidecar
+        os.remove(str(crc))
+    source_r = spark.readStream.schema("value STRING").parquet(str(src_dir))
+    qr = produce_stream(source_r, log, checkpoint_dir=str(tmp_path / "ck1"))
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+    assert log.count() == 2  # replay absorbed, no duplicates
+
+    # a genuinely NEW query (fresh checkpoint, batch ids restart at 0)
+    # on the same log must append — cross-checkpoint skipping would be
+    # silent data loss for a new source
     source2 = spark.readStream.schema("value STRING").parquet(str(src_dir))
     q2 = produce_stream(source2, log, checkpoint_dir=str(tmp_path / "ck2"))
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
-    assert log.count() == 2  # no duplicates
+    assert log.count() == 4
 
-    # and the marker survives reopen
+    # and the marker bookkeeping survives reopen
     re_log = LogTable.open(spark, str(tmp_path / "log_replay"))
     assert re_log.last_produce_batch == 0
+    assert re_log.last_produce_marker is not None
 
 
 def test_compact_collapses_small_files_preserving_data(spark, tmp_path):

@@ -39,6 +39,25 @@ def test_merge_replaces_and_inserts(spark, tmp_path):
     assert _content(t2) == want
 
 
+def test_ordered_merge_keeps_newer_stored_row(spark, tmp_path):
+    """merge(order_col=...) compares the CDC sequence against the
+    stored row: a LATE change (lower seq arriving in a later batch)
+    must not overwrite newer table data, while a genuinely newer
+    change still replaces and new keys still insert."""
+    path = str(tmp_path / "kt_ord")
+    base = spark.createDataFrame(
+        [(1, "new", 7), (2, "x", 3)], "doc_id LONG, val STRING, seq LONG"
+    )
+    t = KeyedTable.create(spark, path, base, "doc_id", n_buckets=4)
+    late = spark.createDataFrame(
+        [(1, "stale", 5), (2, "y", 4), (3, "z", 1)],
+        "doc_id LONG, val STRING, seq LONG",
+    )
+    t.merge(late, order_col="seq")
+    got = {(r.doc_id, r.val, r.seq) for r in t.df().select("doc_id", "val", "seq").collect()}
+    assert got == {(1, "new", 7), (2, "y", 4), (3, "z", 1)}
+
+
 def test_merge_leaves_untouched_buckets_alone(spark, tmp_path):
     path = str(tmp_path / "kt")
     t = KeyedTable.create(spark, path, _mk_base(spark), "doc_id", n_buckets=8)
