@@ -122,10 +122,15 @@ def _min_offset_at_least(path: str, lo: int):
         files = _bucket_files(bdir)
         if not files:
             continue
+        # arrow-side min over the filtered offset column — never a
+        # Python list (a tail-follow poll would otherwise convert up
+        # to bucket_size offsets per micro-batch just to take a min)
+        import pyarrow.compute as pc
+
         ds = pads.dataset(files, format="parquet")
         tbl = ds.to_table(columns=["offset"], filter=pads.field("offset") >= lo)
         if tbl.num_rows:
-            return min(tbl.column("offset").to_pylist())
+            return pc.min(tbl.column("offset")).as_py()
     return None
 
 

@@ -119,5 +119,19 @@ def read_table(
     if corrupt_col is not None:
         if mode == "FAILFAST":
             raise ValueError("corrupt_col requires mode='PERMISSIVE'")
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        # Spark only POPULATES columnNameOfCorruptRecord when the field
+        # exists in the user schema — without it the option is a silent
+        # no-op and malformed rows read as all-NULL; append it here so
+        # the quarantine column always materializes
+        from pyspark.sql import types as T
+
+        st = (
+            T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        if corrupt_col not in st.fieldNames():
+            st = st.add(corrupt_col, T.StringType())
+        r = r.schema(st)
         r = r.option("columnNameOfCorruptRecord", corrupt_col)
     return r.load(path)

@@ -69,9 +69,18 @@ def write_training_shards(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     out = df.withColumn(SHARD_COL, assign_shard(key_col, n_shards, salt))
-    out = out.repartition(n_shards, SHARD_COL)
+    # repartitionByRange over the dense 0..n-1 shard ids: hash
+    # repartition would collide distinct shard ids into one task
+    # (pmod(hash(id), n) is not identity) leaving other tasks empty —
+    # range partitioning gives ~one shard per task at full parallelism
+    out = out.repartitionByRange(n_shards, SHARD_COL)
     if order_by:
-        out = out.sortWithinPartitions(*order_by)
+        # SHARD_COL must LEAD the sort: the dynamic-partition writer
+        # requires output ordered by the partition column and would
+        # insert its own sort-by-shard over ours (losing the training
+        # order whenever that sort spills, and paying a second sort);
+        # with the prefix satisfied the writer reuses this ordering
+        out = out.sortWithinPartitions(SHARD_COL, *order_by)
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))

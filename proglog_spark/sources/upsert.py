@@ -102,6 +102,23 @@ class KeyedTable:
         updates (update batches are broadcast-sized in CDC practice),
         then unioned and written partitioned-by-bucket in one job.
         """
+        # a retry after a mid-swap failure must first restore any
+        # moved-aside bucket — otherwise the existing-check would see
+        # it missing, rebuild it from the updates alone, and the
+        # unconditional aside-delete below would destroy the only copy
+        # of its survivors
+        self.recover()
+        if order_col is None:
+            # one row per key is the table invariant; without an order
+            # column "latest" is undefined, so keep one arbitrary row
+            # per key (pass order_col for defined semantics)
+            updates = updates.dropDuplicates([self.key_col])
+        else:
+            # a CDC row with no sequence is malformed — dropping it
+            # here also keeps max_by total below (max_by SKIPS null
+            # ordering values; an all-null group would otherwise
+            # collapse to a NULL row and silently delete the key)
+            updates = updates.where(F.col(order_col).isNotNull())
         up = updates.withColumn(
             BUCKET_COL, _bucket_expr(self.key_col, self.n_buckets)
         )
@@ -133,9 +150,18 @@ class KeyedTable:
                 # identical rows — idempotent either way)
                 allr = base.select(up.columns).unionByName(up)
                 others = [c for c in up.columns if c != self.key_col]
+                # the ordering key is TOTAL over nulls (max_by skips
+                # null ordering values — a stored row with a null
+                # order, e.g. from a pre-CDC insert, must survive when
+                # it is the key's only row, and lose to any sequenced
+                # change): (isNotNull, value) struct ordering
+                ord_key = F.struct(
+                    F.col(order_col).isNotNull().cast("int").alias("has"),
+                    F.col(order_col).alias("v"),
+                )
                 merged = (
                     allr.groupBy(self.key_col)
-                    .agg(F.max_by(F.struct(*others), F.col(order_col)).alias("_row"))
+                    .agg(F.max_by(F.struct(*others), ord_key).alias("_row"))
                     .select(
                         self.key_col,
                         *[F.col(f"_row.{c}").alias(c) for c in others],
@@ -153,9 +179,20 @@ class KeyedTable:
             old = P(f"{self.path}/.merge-old-{b}")
             if not fs.exists(new):
                 continue  # all updates for b were dropped upstream
-            if fs.exists(live):
-                fs.rename(live, old)
-            fs.rename(new, live)
+            # Hadoop rename returns FALSE on many failures instead of
+            # raising; an unchecked false here would skip the swap,
+            # discard the merged bucket with new_root, and still
+            # report success — every rename must be verified
+            if fs.exists(live) and not fs.rename(live, old):
+                raise IOError(
+                    f"merge swap failed: cannot move bucket {b} aside "
+                    f"({live} -> {old}); run recover() and retry"
+                )
+            if not fs.rename(new, live):
+                raise IOError(
+                    f"merge swap failed: cannot install merged bucket {b} "
+                    f"({new} -> {live}); run recover() and retry"
+                )
             fs.delete(old, True)
         fs.delete(P(new_root), True)
         return len(touched)

@@ -45,17 +45,24 @@ def test_ordered_merge_keeps_newer_stored_row(spark, tmp_path):
     must not overwrite newer table data, while a genuinely newer
     change still replaces and new keys still insert."""
     path = str(tmp_path / "kt_ord")
+    # n_buckets=1: every key shares the touched bucket, so key 4's
+    # stored row (NULL seq — a pre-CDC insert) rides through the
+    # rewrite untouched and must SURVIVE (max_by skips null ordering
+    # values; without a null-total ordering key it would collapse to
+    # a NULL row and silently delete the key)
     base = spark.createDataFrame(
-        [(1, "new", 7), (2, "x", 3)], "doc_id LONG, val STRING, seq LONG"
+        [(1, "new", 7), (2, "x", 3), (4, "keep", None)],
+        "doc_id LONG, val STRING, seq LONG",
     )
-    t = KeyedTable.create(spark, path, base, "doc_id", n_buckets=4)
+    t = KeyedTable.create(spark, path, base, "doc_id", n_buckets=1)
     late = spark.createDataFrame(
-        [(1, "stale", 5), (2, "y", 4), (3, "z", 1)],
+        [(1, "stale", 5), (2, "y", 4), (3, "z", 1), (5, "malformed", None)],
         "doc_id LONG, val STRING, seq LONG",
     )
     t.merge(late, order_col="seq")
     got = {(r.doc_id, r.val, r.seq) for r in t.df().select("doc_id", "val", "seq").collect()}
-    assert got == {(1, "new", 7), (2, "y", 4), (3, "z", 1)}
+    # malformed incoming (NULL seq) is dropped; null-seq STORED row kept
+    assert got == {(1, "new", 7), (2, "y", 4), (3, "z", 1), (4, "keep", None)}
 
 
 def test_merge_leaves_untouched_buckets_alone(spark, tmp_path):
