@@ -1253,9 +1253,10 @@ def emb_norm_stats(spark, sf_dir):
     "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))::BIGINT AS nb "
     "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
     "keyed AS (SELECT query_id, vec_id, "
-    "CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "CAST(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE "
+    "(CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
     "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
-    "(CAST(na AS HUGEINT) * nb)) AS BIGINT) AS cos2_pico FROM scored), "
+    "(CAST(na AS HUGEINT) * nb)) END AS BIGINT) AS cos2_pico FROM scored), "
     "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
     "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed) "
     "SELECT query_id, vec_id, cos2_pico, rank FROM ranked WHERE rank <= 10 "
@@ -1302,8 +1303,9 @@ def _lsh_ann_oracle() -> str:
         "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
         "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
         "FROM cand c JOIN qv a ON c.vec_id = a.vec_id JOIN qv b ON c.query_id = b.vec_id), "
-        "keyed AS (SELECT query_id, vec_id, CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
-        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) AS BIGINT) "
+        "keyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE "
+        "(CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) END AS BIGINT) "
         "AS cos2_pico FROM sc), "
         "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
         "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed) "
@@ -1376,43 +1378,57 @@ def emb_cosine_neardup(spark, sf_dir):
 
 def _semantic_dedup_oracle() -> str:
     """SQL replay of similarity.semantic_dedup at bits=8, θ=0.35:
-    8-plane quantized sign cells, within-cell quantized-cosine pairs,
-    drop the higher id of every qualifying pair."""
+    exact-duplicate collapse (min id per distinct vector), 8-plane
+    quantized sign cells over the representatives, within-cell
+    quantized-cosine edges, recursive-CTE connected components, keep
+    each component's minimum id."""
     vals = ", ".join(
         f"({p}, {list(row)})" for p, row in enumerate(similarity.hyperplane_signs(64, 8))
     )
     return (
-        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "WITH RECURSIVE "
+        "qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        "reps AS (SELECT embedding, min(vec_id) AS rid FROM embeddings GROUP BY embedding), "
+        "rq AS (SELECT r.rid, qv.q FROM reps r JOIN qv ON qv.vec_id = r.rid), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
-        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN "
+        "bk AS (SELECT rid, CAST(sum(CASE WHEN "
         "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
-        "THEN 1 << pidx ELSE 0 END) AS BIGINT) AS cell FROM qv CROSS JOIN pl "
-        "GROUP BY vec_id), "
-        "nn AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x))::BIGINT AS n2 "
-        "FROM qv), "
-        "pairs AS (SELECT b.vec_id AS id_b, "
-        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
-        "a.n2 AS na, b.n2 AS nb "
-        "FROM bk ka JOIN nn a ON ka.vec_id = a.vec_id "
-        "JOIN bk kb ON ka.cell = kb.cell JOIN nn b ON kb.vec_id = b.vec_id "
-        "WHERE a.vec_id < b.vec_id), "
-        "drops AS (SELECT DISTINCT id_b FROM pairs WHERE qd > 0 AND "
-        "CAST(qd AS HUGEINT) * qd * 1000000 >= CAST(122500 AS HUGEINT) * na * nb) "
-        "SELECT bk.vec_id, bk.cell, (d.id_b IS NULL) AS kept "
-        "FROM bk LEFT JOIN drops d ON bk.vec_id = d.id_b ORDER BY vec_id"
+        "THEN 1 << pidx ELSE 0 END) AS BIGINT) AS cell FROM rq CROSS JOIN pl "
+        "GROUP BY rid), "
+        "nn AS (SELECT rid, q, list_sum(list_transform(q, x -> x * x))::BIGINT AS n2 "
+        "FROM rq), "
+        "pairs AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+        "list_sum(list_transform(range(1, 65), i -> qa.q[i] * qb.q[i]))::BIGINT AS qd, "
+        "qa.n2 AS na, qb.n2 AS nb "
+        "FROM bk a JOIN bk b ON a.cell = b.cell AND a.rid < b.rid "
+        "JOIN nn qa ON qa.rid = a.rid JOIN nn qb ON qb.rid = b.rid), "
+        "good AS (SELECT id_a, id_b FROM pairs WHERE qd > 0 AND "
+        "CAST(qd AS HUGEINT) * qd * 1000000 >= CAST(122500 AS HUGEINT) * na * nb), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM good "
+        "UNION SELECT id_b, id_a FROM good), "
+        "reach(id, r) AS (SELECT src, src FROM edges "
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id), "
+        "m AS (SELECT e.vec_id, r.rid, bk.cell FROM embeddings e "
+        "JOIN reps r ON e.embedding = r.embedding JOIN bk ON bk.rid = r.rid) "
+        "SELECT m.vec_id, m.cell, "
+        "(m.vec_id = m.rid AND (c.root IS NULL OR c.root = m.rid)) AS kept "
+        "FROM m LEFT JOIN comp c ON c.id = m.rid ORDER BY vec_id"
     )
 
 
 @register("emb_semantic_dedup", _semantic_dedup_oracle())
 def emb_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embedding corpus:
-    deterministic 256-cell quantized-LSH clustering bounds the
-    quadratic, within-cell pairs above quantized cosine 0.35 drop
-    their higher id. Integer-exact end to end, so the kept/dropped
-    partition hash-matches the SQL oracle (`similarity.semantic_dedup`;
-    swap cells for IVF k-means in production at the cost of the
-    oracle)."""
+    exact duplicates collapse to their min id first, deterministic
+    256-cell quantized-LSH clustering bounds the quadratic over the
+    DISTINCT vectors, and within-cell similarity edges (quantized
+    cosine ≥ 0.35) resolve to connected components that each keep one
+    representative (the minimum id). Integer-exact end to end, so the
+    kept/dropped partition hash-matches the recursive-CTE SQL oracle
+    (`similarity.semantic_dedup`; swap cells for IVF k-means in
+    production at the cost of the oracle)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, dim=64, threshold_milli=350, bits=8).orderBy(
         "vec_id"

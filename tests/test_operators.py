@@ -304,6 +304,38 @@ def test_semantic_dedup_drops_planted_duplicate(spark, emb):
     )
 
 
+def test_quantized_cosine_survives_zero_vector(spark, emb):
+    """A degenerate all-zero embedding (missing-embedding row) must
+    rank last with key 0 — not kill the whole query with
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    base = emb.limit(10).select("vec_id", "embedding")
+    zero = base.limit(1).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0).alias("embedding"),
+    )
+    corpus = base.unionByName(zero)
+    qs = corpus.where(F.col("vec_id") == base.collect()[0].vec_id)
+    rows = similarity.quantized_cosine_topk(corpus, qs, k=20).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[20_000 + base.collect()[0].vec_id].cos2_pico == 0
+
+
+def test_semantic_dedup_components_keep_min_per_chain(spark, emb):
+    """Component semantics: exact duplicates collapse to the min id,
+    and a connected similarity chain keeps exactly ONE representative
+    (its minimum id) — the same policy as docs_dedup_keepers."""
+    rows = emb.limit(5).collect()
+    base = emb.limit(5).select("vec_id", "embedding")
+    dups = base.select((F.col("vec_id") + 30_000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(dups)
+    out = {r.vec_id: r for r in similarity.semantic_dedup(corpus, dim=64).collect()}
+    assert len(out) == 10
+    for r in rows:
+        assert out[r.vec_id].kept  # min id of its exact-dup pair
+        assert not out[30_000 + r.vec_id].kept  # the copy is dropped
+        assert out[r.vec_id].cell == out[30_000 + r.vec_id].cell
+
+
 def test_semantic_dedup_auto_bits_bounds_cells(spark, emb):
     """bits=None derives the cell count from the corpus size so cells
     hold ~target_cell_rows vectors at ANY scale: for the 6k-vector

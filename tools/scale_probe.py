@@ -105,6 +105,22 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
                         " ",
                     ),
                 )
+            if t == "embeddings" and r > 0:
+                # circular-shift each vector by r positions: preserves
+                # norms and all WITHIN-replica pairwise dots exactly
+                # (same geometry per replica) while decorrelating
+                # replicas — verbatim copies would hand the near-dup
+                # family Kx exact duplicates per vector, turning the
+                # scale probe into a duplication stress test
+                rot = r % 64
+                if rot:
+                    part = part.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", rot + 1, 64 - rot),
+                            F.slice("embedding", 1, rot),
+                        ),
+                    )
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
