@@ -438,9 +438,10 @@ def semantic_dedup(
     ``bits=None`` auto-sizes the cell count to the corpus: one
     metadata-cheap count() picks bits ~ log2(n / target_cell_rows), so
     each cell holds ~target_cell_rows distinct vectors at any scale
-    (measured: 200k vectors at 100x run ~35x faster than the fixed
-    8-bit grid). The oracle-checked query pins bits=8 (the SQL replay
-    inlines the planes); auto mode is the production dial.
+    (measured on the 100x replica, 200k vectors: 42.8 s auto-sized vs
+    210+ s on the fixed 8-bit grid; 2.5 s at 1x — sub-linear). The
+    oracle-checked query pins bits=8 (the SQL replay inlines the
+    planes); auto mode is the production dial.
     """
     from proglog_spark.operators.dedup import connected_components
 
