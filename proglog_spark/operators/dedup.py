@@ -39,7 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from proglog_spark.operators.text import token_hash32
 from proglog_spark.sources.tables import fan_out
 
 MERSENNE31 = 2147483647
@@ -204,9 +203,12 @@ def minhash_signatures(
 
     @F.pandas_udf("array<long>")
     def _sigs(texts: pd.Series) -> pd.Series:
+        # NULL text propagates as a NULL signature (the JVM-side
+        # operators' behavior) instead of crashing the Arrow batch
+        null_mask = [t is None for t in texts]
         gram_lists = []
         for text in texts:
-            toks = text.split(" ")
+            toks = ("" if text is None else text).split(" ")
             gram_lists.append(
                 ["_".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
             )
@@ -225,7 +227,9 @@ def minhash_signatures(
         hashed = (h[:, None] * A + B) % M  # (total_grams, H) — fits u64: < 2^63
         starts = np.cumsum(counts) - counts
         mins = np.minimum.reduceat(hashed, starts, axis=0).astype(np.int64)
-        return pd.Series(list(mins))
+        return pd.Series(
+            [None if isnull else sig for isnull, sig in zip(null_mask, mins)]
+        )
 
     return fan_out(df).select(
         F.col(id_col).alias("id"), _sigs(F.col(text_col)).alias("sig")
@@ -249,7 +253,10 @@ def minhash_lsh_pairs(
     this is the 100 TB path, with ``jaccard_pairs`` as its exact
     verifier at test scale.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # explicit raise (assert strips under python -O and would
+        # silently band only a prefix of the signature)
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     # narrow band table: (id, band, band_hash) only — the 64-element
@@ -318,7 +325,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     @F.pandas_udf("struct<simhash_lo: long, simhash_hi: long>")
     def _simhash(texts: pd.Series) -> pd.DataFrame:
-        tok_lists = [t.split(" ") for t in texts]
+        # NULL text -> NULL sketch words, not an Arrow-batch crash
+        null_mask = np.array([t is None for t in texts])
+        tok_lists = [("" if t is None else t).split(" ") for t in texts]
         counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
         digests = b"".join(
             hashlib.md5(tok.encode("utf-8")).digest()
@@ -337,7 +346,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         starts = np.cumsum(counts) - counts  # every doc has >=1 token
         sums = np.add.reduceat(votes, starts, axis=0)  # (ndoc, 2, 32)
         words = ((sums > 0) * weights).sum(axis=2)  # (ndoc, 2)
-        return pd.DataFrame({"simhash_lo": words[:, 0], "simhash_hi": words[:, 1]})
+        return pd.DataFrame(
+            {
+                "simhash_lo": pd.Series(words[:, 0]).astype("Int64").mask(null_mask),
+                "simhash_hi": pd.Series(words[:, 1]).astype("Int64").mask(null_mask),
+            }
+        )
 
     return fan_out(df).select(
         F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("s")
@@ -362,8 +376,10 @@ def hamming_pairs(
     cached so the sketch UDF runs once per call (session-scoped,
     LRU-evicted under pressure).
     """
-    assert blocks >= max_hamming + 1, "completeness needs blocks >= max_hamming+1"
-    assert 64 % blocks == 0 and 32 % (64 // blocks) == 0, "blocks must split the words"
+    if blocks < max_hamming + 1:
+        raise ValueError("completeness needs blocks >= max_hamming+1")
+    if 64 % blocks != 0 or 32 % (64 // blocks) != 0:
+        raise ValueError("blocks must split the 32-bit words evenly")
     bits_per = 64 // blocks
     mask = (1 << bits_per) - 1
     per_word = 32 // bits_per
@@ -445,8 +461,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the documented capacity unit is PAIRS; `edges` is the
+    # symmetrized union (2x the pairs), so halve it for the check and
+    # walk only one direction on the driver (union(a,b) covers both)
     n_edges = edges.count()  # cheap: checkpointed
-    if n_edges <= driver_threshold:
+    if n_edges // 2 <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -455,7 +474,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in edges.collect():
+        for row in edges.where(F.col("src") < F.col("dst")).collect():
             a, b = int(row.src), int(row.dst)
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -552,6 +571,8 @@ def dedup_keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
     hash-shuffle dedup; no driver-side state.
     """
     keys = key if isinstance(key, (list, tuple)) else [key]
+    if "_rn" in df.columns:
+        raise ValueError("column '_rn' already exists on the input")
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

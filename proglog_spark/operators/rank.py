@@ -7,41 +7,25 @@ row numbers over a corpus). The naive Spark formulation —
 ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY — collapses
 ALL rows into one partition: fine at sf0.1, dead at 100 TB.
 
-This operator computes the identical result scalably:
-
-1. ``repartitionByRange`` on the order key — Spark samples the key
-   distribution and assigns contiguous, sorted, roughly equal key
-   ranges to P partitions (the same machinery a distributed ORDER BY
-   uses);
-2. ``sortWithinPartitions`` — each partition sorts locally, in
-   parallel;
-3. one tiny job counts rows per partition (P longs to the driver —
-   metadata, not data);
-4. each partition numbers its own rows with an Arrow-batched
-   cumulative counter added to the partition's global offset — a
-   narrow ``mapInPandas`` pass: no second shuffle, no per-row
-   JVM→Python cost.
-
-Total cost is one range shuffle plus one count job — the same shape
-as Spark's own distributed ORDER BY — but it yields dense global
-ranks with every partition working in parallel. The input is
-persisted (MEMORY_AND_DISK) between the count job and the numbering
-pass so both observe the same physical partitioning; callers that
-run many downstream jobs over the ranked result may also persist
-that result and ``unpersist()`` the input.
+A global rank IS the inclusive running total of a literal-1 size
+column, so this module is a thin layer over the shared two-phase
+core in `operators/packing` (range-partition + local sort, one
+metadata-sized per-partition stat job, one Arrow-batched offset
+pass — the same shape as Spark's own distributed ORDER BY, with the
+pinned intermediate held as an RDD-level localCheckpoint the
+ContextCleaner frees on GC rather than a leaked cache entry).
 """
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from proglog_spark.operators.packing import _running_total
 
 __all__ = ["with_global_rank", "with_global_ntile"]
 
-_PID = "_gr_pid"
+_ONE = "_gr_one"
 
 
 def with_global_rank(
@@ -52,50 +36,17 @@ def with_global_rank(
 ) -> tuple[DataFrame, int]:
     """Dense 1-based global row number over ``ORDER BY order_cols``.
 
-    Returns ``(ranked_df, total_rows)``. Ranks are exact and dense;
-    ties are broken by the caller including a unique column in
-    ``order_cols`` (same contract as a deterministic ORDER BY).
+    Returns ``(ranked_df, total_rows)``. Ranks are exact and dense
+    (the running count of ones); ties are broken by the caller
+    including a unique column in ``order_cols`` (same contract as a
+    deterministic ORDER BY).
     """
-    spark = df.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(p, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn(_PID, F.spark_partition_id())
+    if _ONE in df.columns:
+        raise ValueError(f"column {_ONE!r} already exists on the input")
+    ranked, total = _running_total(
+        df.withColumn(_ONE, F.lit(1)), order_cols, _ONE, rank_col, num_partitions
     )
-    # Pin the physical partitioning: the count job below and the
-    # numbering pass must see identical partition contents.
-    ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r[_PID]: r["n"] for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    total = acc
-
-    out_schema = T.StructType(
-        [f for f in ranged.schema.fields if f.name != _PID]
-        + [T.StructField(rank_col, T.LongType(), False)]
-    )
-    out_cols = [f.name for f in out_schema.fields]
-
-    def number(batches):
-        # Called once per partition; batches arrive in sorted order.
-        base = None
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf[_PID].iloc[0])]
-            pdf = pdf.drop(columns=[_PID])
-            pdf[rank_col] = np.arange(base + seen + 1, base + seen + n + 1, dtype=np.int64)
-            seen += n
-            yield pdf[out_cols]
-
-    return ranged.mapInPandas(number, out_schema), total
+    return ranked.drop(_ONE), total
 
 
 def with_global_ntile(
@@ -112,7 +63,11 @@ def with_global_ntile(
     from the scalable global rank, so no engine-side window over a
     single partition is ever created.
     """
-    ranked, total = with_global_rank(df, order_cols, rank_col="_gr_rank", num_partitions=num_partitions)
+    if "_gr_rank" in df.columns:
+        raise ValueError("column '_gr_rank' already exists on the input")
+    ranked, total = with_global_rank(
+        df, order_cols, rank_col="_gr_rank", num_partitions=num_partitions
+    )
     q, r = divmod(total, n)
     cut = r * (q + 1)
     # Integer `div` keeps the arithmetic exact at any scale (no

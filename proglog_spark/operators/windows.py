@@ -44,7 +44,12 @@ def sliding_counts(
     standard Spark trick ``window(ts, w, s)`` uses internally) so the
     output bucket is a plain BIGINT start-second, oracle-comparable.
     """
-    assert width_seconds % slide_seconds == 0
+    if width_seconds % slide_seconds != 0:
+        # explicit raise, not assert: python -O would strip the check
+        # and silently emit windows that miss events
+        raise ValueError(
+            f"width ({width_seconds}s) must be a multiple of slide ({slide_seconds}s)"
+        )
     n = width_seconds // slide_seconds
     epoch = F.col(ts_col).cast("long")
     last_start = F.floor(epoch / slide_seconds) * slide_seconds

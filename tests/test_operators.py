@@ -28,6 +28,21 @@ def emb(spark, sf_dir):
 # ---------------------------------------------------------------- dedup ----
 
 
+def test_sketches_propagate_null_text(spark):
+    """NULL text must yield NULL signature/sketch rows (the JVM
+    operators' behavior), not crash the Arrow batch."""
+    from proglog_spark.operators.dedup import minhash_signatures, simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {r.id: r.sig for r in minhash_signatures(df).collect()}
+    assert sigs[2] is None and sigs[1] == sigs[3] and len(sigs[1]) == 64
+    sk = {r.id: (r.simhash_lo, r.simhash_hi) for r in simhash(df).collect()}
+    assert sk[2] == (None, None) and sk[1] == sk[3]
+
+
 def test_minhash_lsh_recall_of_high_jaccard_pairs(docs):
     """Every pair with true Jaccard >= 0.5 must be found by LSH
     (16 bands x 4 rows: P[miss at j=0.5] = (1-0.5^4)^16 ≈ 0.35 per
