@@ -67,6 +67,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, sizes, digests = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # null payload: no frames (like empty)
                 data = bytes(payload)
                 n_frames = max((len(data) + frame_bytes - 1) // frame_bytes, 0)
                 for k in range(0, n_frames, every_n):
@@ -109,7 +111,11 @@ def decode_media(
             # all docs' slices in ONE reduceat (empty payloads -> one 0
             # byte; empty slices of short payloads fall back to the byte
             # at the slice start, matching the per-doc nearest-rank rule)
-            raw = [bytes(p) if len(p) else b"\x00" for p in pdf["payload"]]
+            null_mask = np.array([p is None for p in pdf["payload"]])
+            raw = [
+                b"\x00" if p is None or not len(p) else bytes(p)
+                for p in pdf["payload"]
+            ]
             lens = np.array([len(r) for r in raw], dtype=np.int64)
             data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.float64)
             doc_starts = np.cumsum(lens) - lens
@@ -120,13 +126,19 @@ def decode_media(
             empty = np.diff(np.append(starts, len(data))) == 0
             means = np.where(empty, data[np.minimum(starts, len(data) - 1)], sums / counts)
             pixels = means.astype(np.int64).reshape(len(raw), n_px)
+            dims = pd.Series(np.full(len(raw), height)).astype("Int32").mask(null_mask)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "height": height,
-                    "width": width,
-                    "channels": 1,
-                    "pixels": list(pixels),
+                    # null payload -> all-NULL decode row (propagate,
+                    # don't crash the Arrow worker on len(None))
+                    "height": dims,
+                    "width": pd.Series(np.full(len(raw), width)).astype("Int32").mask(null_mask),
+                    "channels": pd.Series(np.full(len(raw), 1)).astype("Int32").mask(null_mask),
+                    "pixels": [
+                        None if isnull else px
+                        for isnull, px in zip(null_mask, pixels)
+                    ],
                 }
             )
 
@@ -145,11 +157,13 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            null_mask = pdf["pixels"].isna().to_numpy()
             # one fancy-index per (h, w) geometry group, not per row
             out = np.empty((len(pdf), out_h * out_w), dtype=np.int64)
-            hw = pdf[["height", "width"]].to_numpy()
-            for h, w in {tuple(x) for x in hw}:
-                mask = (hw[:, 0] == h) & (hw[:, 1] == w)
+            hw = pdf[["height", "width"]].to_numpy(dtype="float64")
+            for h, w in {tuple(x) for x in hw[~null_mask]}:
+                h, w = int(h), int(w)
+                mask = (hw[:, 0] == h) & (hw[:, 1] == w) & ~null_mask
                 grids = np.stack(pdf["pixels"][mask].to_numpy()).reshape(-1, h, w)
                 rows = (np.arange(out_h) * h) // out_h
                 cols_ = (np.arange(out_w) * w) // out_w
@@ -157,10 +171,13 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "height": out_h,
-                    "width": out_w,
+                    "height": pd.Series(np.full(len(pdf), out_h)).astype("Int32").mask(null_mask),
+                    "width": pd.Series(np.full(len(pdf), out_w)).astype("Int32").mask(null_mask),
                     "channels": pdf["channels"],
-                    "pixels": list(out),
+                    "pixels": [
+                        None if isnull else px
+                        for isnull, px in zip(null_mask, out)
+                    ],
                 }
             )
 
@@ -187,7 +204,8 @@ def extract_features(
         for pdf in batches:
             if not len(pdf):
                 continue
-            raw = [bytes(p) for p in pdf["payload"]]
+            null_mask = np.array([p is None for p in pdf["payload"]])
+            raw = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             lens = np.array([len(r) for r in raw], dtype=np.int64)
             data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
             doc_idx = np.repeat(np.arange(len(raw)), lens)
@@ -195,33 +213,41 @@ def extract_features(
                 data // (256 // dim) + doc_idx * dim, minlength=dim * len(raw)
             ).reshape(len(raw), dim).astype(np.float64)
             norms = np.maximum(np.linalg.norm(hists, axis=1, keepdims=True), 1e-300)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": list(hists / norms)})
+            normed = hists / norms
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # null payload -> NULL feature (propagate, not crash)
+                    "feature": [
+                        None if isnull else f
+                        for isnull, f in zip(null_mask, normed)
+                    ],
+                }
+            )
 
     return cols.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
 def extract_pixel_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Intensity-histogram feature over decoded/resized pixel grids
-    (dim buckets over 0..255, L2-normalized) — the chained-stage
-    feature extractor: decode → resize → features with no join, one
-    UDF lineage. Real numpy on fake or real pixels alike."""
-    assert 256 % dim == 0
-
-    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            grids = np.stack(pdf["pixels"].to_numpy()).astype(np.int64)  # (nb, npx)
-            buckets = grids // (256 // dim) + dim * np.arange(len(grids))[:, None]
-            hists = np.bincount(buckets.ravel(), minlength=dim * len(grids)).reshape(
-                len(grids), dim
-            ).astype(np.float64)
-            norms = np.maximum(np.linalg.norm(hists, axis=1, keepdims=True), 1e-300)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": list(hists / norms)})
-
-    return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+    (dim buckets over 0..255, L2-normalized): the float twin of
+    `extract_pixel_histogram`, implemented ON TOP of it — the bucket
+    math lives once (the oracle gate relies on the integer/float twin
+    relationship), and the normalization is plain JVM-side column
+    arithmetic, so no second Python stage runs at all. NULL pixels
+    propagate as a NULL feature."""
+    h = extract_pixel_histogram(df, dim)
+    norm = F.sqrt(
+        F.aggregate(
+            "hist", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return h.select(
+        "doc_id",
+        F.transform(
+            "hist", lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-300))
+        ).alias("feature"),
+    )
 
 
 PIXEL_HIST_SCHEMA = "doc_id LONG, hist ARRAY<LONG>"
@@ -232,7 +258,8 @@ def extract_pixel_histogram(df: DataFrame, dim: int = 16) -> DataFrame:
     histogram counts (dim buckets over 0..255), UN-normalized — every
     value is an exact BIGINT, which is what lets the full
     decode→resize→feature chain sit in the hash-compared oracle gate
-    (the L2-normalized float variant stays for ANN composition)."""
+    (the L2-normalized float variant is built on top of this). NULL
+    pixel rows propagate as NULL histograms."""
     assert 256 % dim == 0
 
     def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -241,12 +268,27 @@ def extract_pixel_histogram(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            grids = np.stack(pdf["pixels"].to_numpy()).astype(np.int64)
+            null_mask = pdf["pixels"].isna().to_numpy()
+            fill = pdf["pixels"][~null_mask]
+            n_px = len(fill.iloc[0]) if len(fill) else 1
+            safe = [
+                np.zeros(n_px, dtype=np.int64) if isnull else np.asarray(px)
+                for isnull, px in zip(null_mask, pdf["pixels"])
+            ]
+            grids = np.stack(safe).astype(np.int64)
             buckets = grids // (256 // dim) + dim * np.arange(len(grids))[:, None]
             hists = np.bincount(buckets.ravel(), minlength=dim * len(grids)).reshape(
                 len(grids), dim
             )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": list(hists)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hist": [
+                        None if isnull else h
+                        for isnull, h in zip(null_mask, hists)
+                    ],
+                }
+            )
 
     return df.mapInPandas(hist_batches, schema=PIXEL_HIST_SCHEMA)
 
@@ -268,8 +310,13 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "header_hex": payloads.map(lambda b: bytes(b[:4]).hex().upper()),
+                    # null payload -> NULL metadata (propagate, not crash)
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
+                    "header_hex": payloads.map(
+                        lambda b: None if b is None else bytes(b[:4]).hex().upper()
+                    ),
                 }
             )
 

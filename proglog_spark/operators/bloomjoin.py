@@ -106,6 +106,12 @@ def bloom_probe(
     nodes per query — seconds of driver time at m=2^18 — while a
     broadcast keeps the plan O(k) nodes regardless of bitmap size.
     Same shipping strategy Catalyst uses for its own runtime filters."""
+    reserved = {"_bloom", *(f"_bh{i}" for i in range(num_hashes))}
+    clash = reserved & set(df.columns)
+    if clash:
+        # '_bloom' would be AMBIGUOUS after the cross join; '_bh*'
+        # would be silently replaced then dropped — fail fast
+        raise ValueError(f"columns {sorted(clash)} already exist on the input")
     spark = df.sparkSession
     bloom_rel = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
     out = df.crossJoin(F.broadcast(bloom_rel))

@@ -46,24 +46,26 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _apply_merge(a: str, b: str):
+def merge_pair(s: list, a: str, b: str) -> list:
+    """One left-to-right, non-overlapping (a, b) -> a+b merge pass —
+    THE core BPE step, shared by training and encoding so the two
+    cannot drift (train/encode agreement is the tokenizer contract)."""
     merged = a + b
+    i, res = 0, []
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
 
+
+def _apply_merge(a: str, b: str):
     @F.pandas_udf("array<string>")
     def fn(syms: pd.Series) -> pd.Series:
-        out = []
-        for s in syms:
-            s = list(s)
-            i, res = 0, []
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            out.append(res)
-        return pd.Series(out)
+        return pd.Series([merge_pair(list(s), a, b) for s in syms])
 
     return fn
 
@@ -91,7 +93,11 @@ def train_bpe(
     merges: list[tuple[str, str]] = []
     for it in range(num_merges):
         pairs = (
-            vocab.select(
+            # fully-merged words (one symbol left) contribute no pairs;
+            # without the filter sequence(1, 0) yields the DESCENDING
+            # [1, 0] and element_at(syms, 0) aborts the job under ANSI
+            vocab.where(F.size("syms") >= 2)
+            .select(
                 "n",
                 F.explode(
                     F.expr(
@@ -145,15 +151,7 @@ def encode(
             for a, b in merge_list:
                 if len(s) < 2:
                     break
-                i, res = 0, []
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                        res.append(a + b)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                s = res
+                s = merge_pair(s, a, b)
             return s
 
         out = []
@@ -171,7 +169,14 @@ def encode(
             out.append(toks)
         return pd.Series(out)
 
-    toks = df.select(id_col, F.split(text_col, " ").alias("w"), enc(text_col).alias("t"))
+    toks = df.select(
+        id_col,
+        # count only the words the encoder iterates (split emits empty
+        # strings for doubled/leading spaces; enc skips them) so the
+        # n_tokens >= n_words invariant holds on any whitespace shape
+        F.filter(F.split(text_col, " "), lambda w: w != "").alias("w"),
+        enc(text_col).alias("t"),
+    )
     return toks.select(
         id_col,
         F.size("w").cast("long").alias("n_words"),

@@ -51,6 +51,11 @@ def salted_join(
             f"salted_join does not support how={how!r}: unmatched small-side "
             f"rows would appear once per salt bucket (allowed: inner/left/semi/anti)"
         )
+    if "_salt" in large.columns or "_salt" in small.columns:
+        # withColumn would silently REPLACE a caller's '_salt' (and the
+        # final drop would remove it), breaking the row-identical
+        # contract — fail fast instead
+        raise ValueError("column '_salt' already exists on an input")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_factor))
     l_salted = large.withColumn("_salt", salt.cast("int"))
     s_salted = small.withColumn(

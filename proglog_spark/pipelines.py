@@ -24,6 +24,7 @@ are library calls, observability rides `plans/observe.py` if wanted.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,20 +64,20 @@ def curate_and_shard(
         )
         .select(*docs.columns)
     )
-    # one materialization feeds all three split writes — without the
-    # persist each write re-executes the dedup shuffle + gate + split
-    # lineage (three actions, no shuffle reuse across them)
+    # one materialization feeds the write and the accounting — and the
+    # write itself is ONE job partitioned by (split, shard), not a
+    # per-split loop (which would pay a full shard shuffle + sort per
+    # split for the identical split=<s>/shard=<k>/ layout)
     labeled = train_split(gated, "doc_id").persist()
     try:
-        for split in ("train", "valid", "test"):
-            part = labeled.where(F.col("split") == split).drop("split")
-            write_training_shards(
-                part,
-                f"{out_path}/split={split}",
-                n_shards,
-                key_col="doc_id",
-                order_by=["doc_id"],
-            )
+        write_training_shards(
+            labeled,
+            out_path,
+            n_shards,
+            key_col="doc_id",
+            order_by=["doc_id"],
+            extra_partition_cols=["split"],
+        )
         # accounting from the (persisted) labeled frame with the SAME
         # deterministic shard function the writer used — no read-back,
         # so an all-filtered split yields zero rows instead of a
@@ -135,17 +136,25 @@ def media_pipeline(
             key_col="content_md5",
             order_by=["path"],
         )
+        # accounting from the in-memory frame with the writer's own
+        # shard function — no read-back, so an EMPTY landing zone (or
+        # a glob matching nothing) returns zero rows instead of a
+        # schema-inference error over a file-less output dir
+        from proglog_spark.sources.shards import assign_shard
+
+        acct = (
+            enriched.withColumn("shard", assign_shard("content_md5", n_shards))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("length").cast("long").alias("total_bytes"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)
+        )
     finally:
         deduped.unpersist()
-    out = spark.read.parquet(out_path)
-    return (
-        out.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("length").cast("long").alias("total_bytes"),
-        )
-        .orderBy("shard")
-    )
+    return acct
 
 
 def log_to_training_text(
@@ -170,7 +179,19 @@ def log_to_training_text(
         .where(F.col("n_tokens") >= min_tokens)
         .select("offset", "text")
     )
-    gated.write.mode("append").parquet(out_path)
+    # idempotent by OFFSET: a retry (orchestrator re-run, overlapping
+    # from_offset) must not append duplicate rows to the curated
+    # corpus — anti-join against what the output already holds
+    try:
+        existing = (
+            spark.read.schema("offset BIGINT, text STRING")
+            .parquet(out_path)
+            .select("offset")
+        )
+        fresh = gated.join(existing, "offset", "left_anti")
+    except AnalysisException:  # first run: output does not exist yet
+        fresh = gated
+    fresh.write.mode("append").parquet(out_path)
     # explicit schema on the read-back: an all-filtered first batch
     # appends zero data files, and schema inference over an empty dir
     # raises where a declared schema just returns zero rows

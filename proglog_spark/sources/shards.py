@@ -57,6 +57,8 @@ def write_training_shards(
     order_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     salt: str = "shard",
+    extra_partition_cols: list[str] | None = None,
+    num_write_partitions: int | None = None,
 ) -> None:
     """Export ``df`` as ``n_shards`` hive directories ``shard=K/``.
 
@@ -65,26 +67,36 @@ def write_training_shards(
     that owns it. ``order_by`` sorts within the shard (training
     order); ``max_records_per_file`` bounds individual file sizes
     inside a shard without changing the shard count.
+
+    ``extra_partition_cols``: hive partition columns written AHEAD of
+    the shard (``.../split=train/shard=3/``) in the SAME single write
+    — a caller looping over split values would pay one full shuffle +
+    sort per split for the identical layout.
+    ``num_write_partitions`` sizes that combined shuffle (default
+    n_shards, or n_shards x 4 when extra columns multiply the
+    directory count).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    extra = list(extra_partition_cols or [])
     out = df.withColumn(SHARD_COL, assign_shard(key_col, n_shards, salt))
     # repartitionByRange over the dense 0..n-1 shard ids: hash
     # repartition would collide distinct shard ids into one task
     # (pmod(hash(id), n) is not identity) leaving other tasks empty —
     # range partitioning gives ~one shard per task at full parallelism
-    out = out.repartitionByRange(n_shards, SHARD_COL)
+    p = num_write_partitions or (n_shards * 4 if extra else n_shards)
+    out = out.repartitionByRange(p, *extra, SHARD_COL)
     if order_by:
-        # SHARD_COL must LEAD the sort: the dynamic-partition writer
-        # requires output ordered by the partition column and would
-        # insert its own sort-by-shard over ours (losing the training
+        # the partition columns must LEAD the sort: the
+        # dynamic-partition writer requires output ordered by them and
+        # would insert its own sort over ours (losing the training
         # order whenever that sort spills, and paying a second sort);
         # with the prefix satisfied the writer reuses this ordering
-        out = out.sortWithinPartitions(SHARD_COL, *order_by)
+        out = out.sortWithinPartitions(*extra, SHARD_COL, *order_by)
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
-    w.partitionBy(SHARD_COL).parquet(path)
+    w.partitionBy(*extra, SHARD_COL).parquet(path)
 
 
 def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:

@@ -98,3 +98,38 @@ def test_features_compose_with_similarity(payloads):
 def test_decode_stub_is_honest():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_media_stages_propagate_null_payload(spark):
+    """Every media stage must null-propagate (meta/decode/features) or
+    skip (frames) a NULL payload instead of crashing the Arrow worker
+    on len(None)/bytes(None)."""
+    from proglog_spark.multimodal import (
+        decode_media,
+        extract_features,
+        extract_media_meta,
+        extract_pixel_features,
+        extract_pixel_histogram,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world, a real payload")), (2, None)],
+        "doc_id LONG, payload BINARY",
+    )
+    meta = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    assert meta[2].n_bytes is None and meta[2].header_hex is None
+    assert meta[1].n_bytes == 27
+    assert sample_frames(df).where("doc_id = 2").count() == 0
+    dec = decode_media(df, 8, 8)
+    rows = {r.doc_id: r for r in dec.collect()}
+    assert rows[2].pixels is None and rows[2].height is None
+    res = resize_media(dec, 4, 4)
+    hist = {r.doc_id: r.hist for r in extract_pixel_histogram(res.select("doc_id", "pixels")).collect()}
+    assert hist[2] is None and sum(hist[1]) == 16
+    feats = {r.doc_id: r.feature for r in extract_pixel_features(res.select("doc_id", "pixels")).collect()}
+    assert feats[2] is None
+    assert abs(sum(x * x for x in feats[1]) - 1.0) < 1e-9
+    bf = {r.doc_id: r.feature for r in extract_features(df).collect()}
+    assert bf[2] is None and bf[1] is not None

@@ -1000,6 +1000,22 @@ def test_cogroup_aligned_stats_matches_join_formulation(spark, sf_dir):
         assert ga == want_at.get(k, 0)
 
 
+def test_bpe_training_survives_fully_merged_word(spark):
+    """A frequent single-char word collapses to ONE symbol after its
+    first merge; later iterations must skip it (pairless) instead of
+    evaluating sequence(1,0) -> element_at(syms, 0) and aborting."""
+    from proglog_spark.operators.bpe import encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "a a a a b c") for i in range(4)], "doc_id LONG, text STRING"
+    )
+    merges = train_bpe(df, num_merges=6, min_pair_count=2)
+    assert ("a", "</w>") in merges
+    out = {r.doc_id: r for r in encode(df, merges).collect()}
+    assert out[0].n_words == 6
+    assert out[0].n_tokens >= out[0].n_words  # fully merged words = 1 token
+
+
 def test_bpe_training_matches_python_reference(spark, sf_dir):
     """Distributed BPE (corpus reduced to the weighted word-frequency
     table, then vocabulary-sized merge iterations) must reproduce the

@@ -74,10 +74,19 @@ def test_log_to_training_text(spark, tmp_path):
     # the 1-token record fails the gate
     assert vals == ["the quick brown fox", "a longer record with words"]
 
-    # incremental consume: only the tail lands on the second call
+    # IDEMPOTENT: a retry (same from_offset) must not duplicate rows
+    again = log_to_training_text(spark, log, from_offset=0, out_path=out)
+    assert [r.text for r in again.collect()] == vals
+    # and an overlapping later slice appends only the new offsets
+    log.append(["fresh words arriving now"])
+    more = log_to_training_text(spark, log, from_offset=0, out_path=out)
+    assert [r.text for r in more.collect()] == vals + ["fresh words arriving now"]
+
+    # incremental consume: only the new tail record (offset 4) joins
+    # the three already-curated rows (offsets 0, 2, 3)
     log.append(["another tail record arrives"])
-    kept2 = log_to_training_text(spark, log, from_offset=3, out_path=out)
-    assert kept2.count() == 3
+    kept2 = log_to_training_text(spark, log, from_offset=4, out_path=out)
+    assert kept2.count() == 4
 
 
 def test_log_to_training_text_all_gated_first_batch(spark, tmp_path):
