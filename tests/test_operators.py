@@ -135,7 +135,7 @@ def test_hamming_pairs_complete_vs_brute_force(spark, docs):
             .collect()
         }
         assert got == want, f"incomplete at d={d}, blocks={blocks}"
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         dedup.hamming_pairs(sk, max_hamming=7, blocks=4)  # blocks < d+1 rejected
 
 
