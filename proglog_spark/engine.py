@@ -114,10 +114,14 @@ class Engine:
         self.authorizer.authorize(subject, "*", CONSUME)
         return tail_follow(self.log, from_offset, on_batch, checkpoint_dir)
 
-    def lowest_offset(self) -> int | None:
+    def lowest_offset(self, subject: str = "root") -> int | None:
+        """Log extent metadata — consume-gated: a subject the ACL
+        denies reads to must not learn offsets either."""
+        self.authorizer.authorize(subject, "*", CONSUME)
         return self.log.lowest_offset()
 
-    def highest_offset(self) -> int | None:
+    def highest_offset(self, subject: str = "root") -> int | None:
+        self.authorizer.authorize(subject, "*", CONSUME)
         return self.log.highest_offset()
 
     def truncate(self, subject: str, lowest: int) -> None:
@@ -125,8 +129,10 @@ class Engine:
         self.authorizer.authorize(subject, "*", PRODUCE)
         self.log.truncate(lowest)
 
-    def get_servers(self) -> DataFrame:
-        """Cluster metadata (O22)."""
+    def get_servers(self, subject: str = "root") -> DataFrame:
+        """Cluster metadata (O22) — consume-gated like the log extent
+        (topology must not leak to subjects the ACL denies)."""
+        self.authorizer.authorize(subject, "*", CONSUME)
         return servers_df(self.spark, self._servers)
 
     # -- SQL surface -------------------------------------------------------

@@ -94,7 +94,7 @@ class LogService:
 
     def get_servers(self, subject: str, request: bytes) -> bytes:
         wire.GetServersRequest.decode(request)  # validate framing
-        rows = self.engine.get_servers().collect()
+        rows = self.engine.get_servers(subject).collect()
         return wire.GetServersResponse(
             servers=[
                 wire.Server(

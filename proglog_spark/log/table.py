@@ -82,6 +82,18 @@ _HOT_CACHE_MAX_COMPRESSED_BYTES = 1 << 26  # 64 MiB on disk
 _HOT_CACHE_MAX_DECODED_BYTES = 1 << 27  # 128 MiB in memory
 
 
+def _committed_parquet_files(bdir: str) -> list[str]:
+    """Sorted committed data files in one bucket dir — THE definition
+    of 'committed' for every native reader (underscore/dot-prefixed
+    markers and tmp files are not data; sources/datasource.py keeps a
+    mirrored copy for executor-side use)."""
+    return sorted(
+        f
+        for f in os.listdir(bdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
 class _PartialNativeAppend(RuntimeError):
     """A native append failed AFTER making a file prefix visible.
 
@@ -183,6 +195,25 @@ class LogTable:
                     f"{existing.initial_offset}; requested ({bucket_size}, "
                     f"{initial_offset}) — open() it or choose a new path"
                 )
+            # the write-tuning knobs must not be silently discarded
+            # either (docstring contract): raise when the caller
+            # EXPRESSED a non-default value that differs from the
+            # stored config (a caller passing the defaults is simply
+            # reopening and inherits the stored tuning)
+            if (
+                max_records_per_file != 1 << 22
+                and int(max_records_per_file) != existing.max_records_per_file
+            ) or (
+                row_group_bytes is not None
+                and int(row_group_bytes) != (existing.row_group_bytes or 0)
+            ):
+                raise ValueError(
+                    f"LogTable at {path} exists with max_records_per_file="
+                    f"{existing.max_records_per_file}, row_group_bytes="
+                    f"{existing.row_group_bytes}; requested "
+                    f"({max_records_per_file}, {row_group_bytes}) — open() "
+                    "inherits the stored tuning"
+                )
             return existing
         fs.mkdirs(p)
         log._write_meta()
@@ -212,8 +243,14 @@ class LogTable:
         log.next_offset_floor = int(meta.get("next_offset_floor", log.initial_offset))
         log.last_produce_batch = int(meta["last_produce_batch"]) if "last_produce_batch" in meta else None
         log.last_produce_marker = meta.get("last_produce_marker")
-        log._recover_truncate()
-        log._sweep_native_tmp()
+        # recovery MUTATES (finishes interrupted bucket swaps, sweeps
+        # native tmp files) — running it while a LIVE writer holds the
+        # lock would yank that writer's in-flight renames out from
+        # under it; the live owner runs its own recovery, so a reader
+        # opening alongside one simply skips it
+        if not log._lock_owner_is_live():
+            log._recover_truncate()
+            log._sweep_native_tmp()
         return log
 
     def reset(self) -> None:
@@ -335,6 +372,65 @@ class LogTable:
             return True  # exists, owned by someone else
         return True
 
+    def _reclaim_lock(self, expect_owner: dict) -> bool:
+        """Atomically replace a STALE lock file with ours; False means
+        another process won (caller re-enters the acquire loop and will
+        see the fresh owner).
+
+        The naive delete-then-create is racy: two processes can both
+        diagnose staleness, one recreates the lock, and the other's
+        queued delete removes the NEW lock — two live writers. On a
+        local path the reclaim critical section is guarded by flock on
+        the stale file's inode, with the owner RE-READ by path inside
+        it (a competitor that opened before our replace blocks on the
+        old inode; one that opens after reads our fresh owner and backs
+        off). Remote stores have no flock — there the reclaim falls
+        back to delete-then-create with the narrow race documented
+        (production hardening is a lease service / conditional PUT).
+        """
+        local = self._local_dir()
+        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
+        if local is not None:
+            import fcntl
+
+            lock_path = os.path.join(local, _LOCK_FILE)
+            try:
+                fd = os.open(lock_path, os.O_RDWR)
+            except FileNotFoundError:
+                return False  # vanished underneath us: retry the loop
+            try:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    return False  # another reclaimer holds the section
+                if self._read_lock_owner() != expect_owner:
+                    return False  # someone already replaced it
+                tmp = lock_path + f".reclaim.{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, lock_path)
+                return True
+            finally:
+                os.close(fd)
+        self._delete_lock_file()
+        return False  # fall through to the create loop
+
+    def _lock_owner_is_live(self) -> bool:
+        """True iff the lock file names an owner this process must not
+        disturb: any foreign-host owner, or a same-host owner whose pid
+        is alive and is not us."""
+        import socket
+
+        owner = self._read_lock_owner()
+        if owner is None:
+            return False
+        if owner.get("host") != socket.gethostname():
+            return True  # cannot probe liveness across hosts: assume live
+        pid = owner.get("pid")
+        return pid != os.getpid() and self._pid_alive(pid)
+
     def _acquire_writer_lock(self, steal: bool = False) -> None:
         """Take (or validate) the exclusive writer lock for this path.
 
@@ -366,8 +462,10 @@ class LogTable:
             if steal or (
                 owner.get("host") == me and not self._pid_alive(owner.get("pid"))
             ):
-                self._delete_lock_file()
-                continue
+                if self._reclaim_lock(owner):
+                    self._lock_owned = self._lock_created = True
+                    return
+                continue  # lost the reclaim race: loop re-reads the owner
             raise WriterLockHeldError(self.path, owner)
         raise WriterLockHeldError(self.path, owner or {})
 
@@ -748,11 +846,7 @@ class LogTable:
                 raise OffsetOutOfRangeError(offset)
             # committed part files only (no _SUCCESS/_committed markers,
             # no dot-temp files)
-            files = sorted(
-                f
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
+            files = _committed_parquet_files(bdir)
             if not files:
                 raise OffsetOutOfRangeError(offset)
             key = (bdir, tuple(files))
@@ -888,17 +982,57 @@ class LogTable:
     # ------------------------------------------------------------------
 
     def lowest_offset(self) -> int | None:
-        """min(offset), None when empty (stats-only scan of first bucket)."""
-        buckets = self._buckets()
-        if not buckets:
+        """min(offset), None when empty — native footer fast path
+        first (symmetric with highest_offset; /bounds calls this per
+        request and must not pay a Spark job on local paths), then a
+        stats-pruned Spark scan walking buckets ascending (a
+        truncate-emptied boundary bucket must not shadow later ones)."""
+        lo = self._lowest_native()
+        if lo is not None:
+            return lo
+        for b in sorted(self._buckets()):
+            row = (
+                self.df()
+                .where(F.col("bucket") == b)
+                .agg(F.min("offset").alias("m"))
+                .collect()[0]
+            )
+            if row["m"] is not None:
+                return int(row["m"])
+        return None
+
+    def _lowest_native(self) -> int | None:
+        """min(offset) from parquet footer statistics only (the
+        _highest_native mirror): walk bucket dirs ASCENDING, return
+        the min stat of the first bucket holding rows. None = remote
+        path / missing stats / empty — callers fall back to Spark."""
+        local = self._local_dir()
+        if local is None:
             return None
-        row = (
-            self.df()
-            .where(F.col("bucket") == min(buckets))
-            .agg(F.min("offset").alias("m"))
-            .collect()[0]
-        )
-        return None if row["m"] is None else int(row["m"])
+        try:
+            import pyarrow.parquet as pq
+
+            buckets = sorted(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(local)
+                if e.startswith("bucket=")
+            )
+            for b in buckets:
+                bdir = os.path.join(local, f"bucket={b}")
+                lo = None
+                for f in _committed_parquet_files(bdir):
+                    meta = pq.read_metadata(os.path.join(bdir, f))
+                    idx = meta.schema.to_arrow_schema().get_field_index("offset")
+                    for rg in range(meta.num_row_groups):
+                        stats = meta.row_group(rg).column(idx).statistics
+                        if stats is None or not stats.has_min_max:
+                            return None  # stats missing -> Spark fallback
+                        lo = stats.min if lo is None else min(lo, stats.min)
+                if lo is not None:
+                    return int(lo)  # first non-empty bucket wins
+            return None
+        except Exception:
+            return None
 
     def highest_offset(self) -> int | None:
         """max(offset), None when empty.
@@ -994,9 +1128,23 @@ class LogTable:
         )
         # drop Spark's _SUCCESS marker; only data files move into place
         fs.delete(P(f"{self.path}/.truncate-new-{bucket}/_SUCCESS"), False)
-        fs.rename(bucket_dir, old_dir)  # (2) atomic: live bucket aside
-        fs.rename(new_dir, bucket_dir)  # (3) atomic: survivors live
-        fs.delete(old_dir, True)  # (4)
+        # Hadoop rename signals failure by returning FALSE (leftover
+        # aside dir, permissions, concurrent interference) — every
+        # step must be CHECKED or a failed swap would report success
+        # while the meta advances past records still on disk
+        if fs.exists(old_dir) and not fs.delete(old_dir, True):
+            raise IOError(
+                f"bucket rewrite: cannot clear stale aside {old_dir} — "
+                "run recovery (reopen the log) and retry"
+            )
+        if not fs.rename(bucket_dir, old_dir):  # (2) atomic: live aside
+            raise IOError(f"bucket rewrite: cannot move {bucket_dir} aside")
+        if not fs.rename(new_dir, bucket_dir):  # (3) atomic: survivors live
+            raise IOError(
+                f"bucket rewrite: cannot install survivors into {bucket_dir} "
+                "— reopen the log to recover"
+            )
+        fs.delete(old_dir, True)  # (4) best-effort; recovery clears leftovers
 
     def _recover_truncate(self) -> None:
         """Finish or roll back a truncate interrupted between steps
@@ -1193,9 +1341,7 @@ class LogTable:
             if bdir is None:
                 return None
             hi = None
-            for f in os.listdir(bdir):
-                if not f.endswith(".parquet") or f.startswith(("_", ".")):
-                    continue
+            for f in _committed_parquet_files(bdir):
                 meta = pq.read_metadata(os.path.join(bdir, f))
                 idx = meta.schema.to_arrow_schema().get_field_index("offset")
                 for rg in range(meta.num_row_groups):
@@ -1259,9 +1405,7 @@ class LogTable:
             rows = []
             for b in self._buckets():
                 bdir = os.path.join(local, f"bucket={b}")
-                for fn in sorted(os.listdir(bdir)):
-                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-                        continue
+                for fn in _committed_parquet_files(bdir):
                     fp = os.path.join(bdir, fn)
                     md = pq.ParquetFile(fp).metadata
                     off_idx = next(
@@ -1275,8 +1419,16 @@ class LogTable:
                         mins.append(st.min)
                         maxs.append(st.max)
                     rows.append(
-                        (b, fn, md.num_rows, min(mins), max(maxs),
-                         os.path.getsize(fp))
+                        (
+                            b,
+                            fn,
+                            md.num_rows,
+                            # a truncate-emptied boundary bucket leaves a
+                            # schema-only part file: 0 row groups, no stats
+                            min(mins) if mins else None,
+                            max(maxs) if maxs else None,
+                            os.path.getsize(fp),
+                        )
                     )
             return self.spark.createDataFrame(rows, schema)
         from pyspark.sql import functions as _F

@@ -105,6 +105,13 @@ class HttpLogServer:
 
             def do_POST(self):  # noqa: N802
                 try:
+                    if urlparse(self.path).path not in ("/", "/produce"):
+                        # only the produce routes accept POST: without
+                        # the check a POST to /bounds or a health probe
+                        # with a JSON body would be APPENDED to an
+                        # append-only log
+                        self._reply(404, {"error": "NOT_FOUND"})
+                        return
                     req = self._body_json()
                     # the engine stores value as STRING (FIXTURES §1.1:
                     # oracle-hash friendliness); the wire stays base64
@@ -146,16 +153,19 @@ class HttpLogServer:
                     url = urlparse(self.path)
                     if url.path == "/servers":
                         with outer._lock:
-                            rows = outer.engine.get_servers().collect()
+                            rows = outer.engine.get_servers(
+                                self._subject()
+                            ).collect()
                         self._reply(
                             200,
                             {"servers": [r.asDict() for r in rows]},
                         )
                         return
                     if url.path == "/bounds":
+                        sub = self._subject()
                         with outer._lock:
-                            lo = outer.engine.lowest_offset()
-                            hi = outer.engine.highest_offset()
+                            lo = outer.engine.lowest_offset(sub)
+                            hi = outer.engine.highest_offset(sub)
                         count = 0 if hi is None else hi - (lo or 0) + 1
                         self._reply(
                             200,

@@ -192,3 +192,27 @@ def test_concurrent_producers_get_dense_offsets(served_engine):
     flat = [o for first, last in spans for o in range(first, last + 1)]
     assert sorted(flat) == list(range(start, start + 12))
     assert engine.highest_offset() == start + 11
+
+
+def test_metadata_routes_are_acl_gated(served_engine):
+    """A subject the ACL denies reads to must not learn the log extent
+    or the topology: /bounds and /servers answer 403, matching the
+    module's 'ACL enforced per request' contract."""
+    _, port = served_engine
+    for path in ("/bounds", "/servers"):
+        with pytest.raises(HTTPError) as e:
+            _call(port, "GET", path, subject="nobody")
+        assert e.value.code == 403, path
+
+
+def test_post_to_non_produce_route_is_404(served_engine):
+    """POST is only a produce on the produce routes: a health probe or
+    client posting to /bounds must get 404, not append a record to the
+    append-only log."""
+    _, port = served_engine
+    _, before = _call(port, "GET", "/bounds")
+    with pytest.raises(HTTPError) as e:
+        _call(port, "POST", "/bounds", {"record": {"value": _b64("junk")}})
+    assert e.value.code == 404
+    _, after = _call(port, "GET", "/bounds")
+    assert after["count"] == before["count"]
