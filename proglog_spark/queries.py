@@ -3220,19 +3220,69 @@ def events_halves_full_outer(spark, sf_dir):
     )
 
 
-@register("emb_pca_power", None)
+_PCA_POWER_SQL = (
+    # exact replay of quantized_gram + integer_power_iteration: the
+    # Gram is an order-independent INTEGER sum, the 400 power steps
+    # run in a recursive CTE with the same trunc-toward-zero rescale
+    # (matmul in BIGINT — valid through the fixture scales the oracle
+    # runs at; the rescale multiply and the Rayleigh pair in HUGEINT),
+    # and the eigenvalue estimate is the exact integer division of the
+    # Rayleigh pair — bit-identical to the Spark/driver trajectory
+    "WITH RECURSIVE "
+    "qv AS (SELECT list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+    "g AS (SELECT i.i AS i, j.j AS j, CAST(sum(q[i.i + 1] * q[j.j + 1]) AS BIGINT) AS s "
+    "FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i) i "
+    "CROSS JOIN (SELECT unnest(range(64)) AS j) j GROUP BY 1, 2), "
+    "gl AS (SELECT i, list(s ORDER BY j) AS row FROM g GROUP BY i), "
+    "gm AS (SELECT list(row ORDER BY i) AS m FROM gl), "
+    "it(k, v) AS ("
+    "SELECT 0, list_transform(range(64), x -> CAST(1 AS BIGINT)) "
+    "UNION ALL "
+    "SELECT k + 1, list_transform("
+    "[list_transform(gm.m, row -> CAST(list_sum(list_transform(range(1, 65), "
+    "t -> row[t] * it.v[t])) AS BIGINT))], "
+    "w -> list_transform(w, x -> CAST(CASE WHEN x < 0 THEN -1 ELSE 1 END * "
+    "((CAST(abs(x) AS HUGEINT) * 1000000) // "
+    "list_max(list_transform(w, y -> abs(y)))) AS BIGINT)))[1] "
+    "FROM it, gm WHERE k < 400), "
+    "fin AS (SELECT v FROM it WHERE k = 400), "
+    "ray AS (SELECT list_sum(list_transform(range(1, 65), "
+    "i -> CAST(fin.v[i] AS HUGEINT) * list_sum(list_transform(range(1, 65), "
+    "t -> CAST(gm.m[i][t] AS HUGEINT) * fin.v[t])))) AS num, "
+    "list_sum(list_transform(fin.v, x -> CAST(x AS HUGEINT) * x)) AS den "
+    "FROM fin, gm) "
+    "SELECT d.d AS dim, fin.v[d.d + 1] AS v_micro, "
+    "CAST(ray.num // ray.den AS BIGINT) AS eigenvalue_est "
+    "FROM fin, ray, (SELECT unnest(range(64)) AS d) d ORDER BY dim"
+)
+
+
+@register("emb_pca_power", _PCA_POWER_SQL)
 def emb_pca_power(spark, sf_dir):
-    """Iterative distributed PCA over the embedding table
-    (operators/linalg.py): d×d Gram via per-batch numpy partials (the
-    treeAggregate pattern — O(d²) to the driver regardless of row
-    count), then power-iteration eigensolve driver-side. Rows-only
-    checked: float partial-sum reassociation makes exact hashing
-    unsound (SURVEY §2.1 non-hashed set); tests/test_operators.py pins
-    it against numpy's dense eigendecomposition."""
+    """Iterative distributed PCA over the embedding table — now
+    oracle-EXACT: the d×d Gram is an integer sum on the floor(x·1000)
+    grid (integer addition is associative, so the distributed partial
+    aggregation is order-independent — the float Gram's reassociation
+    was the reason this sat rows-only), and the 400-step power
+    iteration rescales on a 10^6 integer grid with truncation, so the
+    whole eigensolve trajectory replays bit-for-bit in a recursive-CTE
+    SQL oracle. Converged even on the fixture's near-random spectrum
+    (|cos| = 1.0 vs numpy's dense eigensolve, eigen-gap 1.017 — the
+    worst case; the oracle replay is the expensive half at ~25 s).
+    Output: the dominant eigenvector on a ±10^6 grid plus the exact
+    integer Rayleigh eigenvalue estimate. The float `pca_summary`
+    (arbitrary k, deflation) remains the library surface,
+    property-tested against numpy."""
     from proglog_spark.operators import linalg
 
     e = load_table(spark, sf_dir, "embeddings")
-    return linalg.pca_summary(e, "embedding", k=2)
+    G = linalg.quantized_gram(e, "embedding", dim=64)
+    v, num, den = linalg.integer_power_iteration(G)
+    return spark.createDataFrame(
+        [(i, v[i], num // den) for i in range(64)],
+        "dim LONG, v_micro LONG, eigenvalue_est LONG",
+    ).orderBy("dim")
 
 
 # deterministic PII augmentation shared by the Spark query and the

@@ -739,6 +739,26 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert got[1]["redacted"] == "ips <IP> and <IP>, call <PHONE>"
 
 
+def test_integer_power_iteration_tracks_float_eigensolve(spark, emb):
+    """The integer-exact trajectory must converge to the same dominant
+    direction as numpy's dense eigendecomposition of the float Gram
+    (|cosine| > 0.999 after 8 integer steps on the fixture), and the
+    Rayleigh pair must approximate the top eigenvalue of the QUANTIZED
+    Gram."""
+    import numpy as np
+
+    from proglog_spark.operators import linalg
+
+    G = linalg.quantized_gram(emb, "embedding", dim=64)
+    v, num, den = linalg.integer_power_iteration(G)
+    vec = np.array(v, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(G.astype(np.float64))
+    top = evecs[:, -1]
+    cos = abs(vec @ top) / (np.linalg.norm(vec) * np.linalg.norm(top))
+    assert cos > 0.9999, cos
+    assert abs(num / den - evals[-1]) / evals[-1] < 1e-6
+
+
 def test_pca_power_matches_numpy(spark, emb):
     """Distributed Gram + power iteration must agree with numpy's dense
     eigendecomposition on the same data (eigenvalue to 1e-6 relative,
