@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = _session(args.cpus)
     try:
         from proglog_spark.engine import Engine
+        from proglog_spark.errors import ProglogError
         from proglog_spark.log import LogTable
 
         if args.cmd == "serve":
@@ -118,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
             count = 0 if hi is None else hi - (lo or 0) + 1
             print(f"lowest={lo} highest={hi} count={count}")
         return 0
+    except ProglogError as e:
+        # the scripting contract: the CANONICAL one-line error string
+        # (OFFSET_OUT_OF_RANGE:<k>, PERMISSION_DENIED, ...) on stderr
+        # with exit code 2 — not a Python traceback a caller has to
+        # grep through (errors.py exists to provide these forms)
+        print(e.canonical(), file=sys.stderr)
+        return 2
     finally:
         spark.stop()
 

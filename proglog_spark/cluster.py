@@ -34,7 +34,10 @@ def servers_df(spark: SparkSession, servers=None) -> DataFrame:
     # table must never schedule an RDD job (parallelize runs a real
     # task) nor pay the Python→Arrow createDataFrame conversion
     def q(s: str) -> str:
-        return "'" + str(s).replace("'", "''") + "'"
+        # escape backslashes FIRST: Spark's default string-literal
+        # parsing processes backslash escapes, so a trailing backslash
+        # would swallow the closing quote and break the VALUES SQL
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     values = ", ".join(
         f"({q(i)}, {q(a)}, {'true' if l else 'false'})" for i, a, l in rows

@@ -31,8 +31,15 @@ HASH_SPACE = 1_000_000
 
 def hash_bucket(key_col, salt: str = "") -> "F.Column":
     """Uniform bucket in [0, 1e6) from the row key — micro-fraction
-    space, matching the repo's fixed-point ratio convention."""
-    return token_hash32(key_col.cast("string"), salt) % HASH_SPACE
+    space, matching the repo's fixed-point ratio convention.
+
+    NULL keys hash via an explicit sentinel, so every operator in this
+    family treats them the SAME deterministic way (a bare hash of NULL
+    is NULL, which would make hash_sample silently DROP null-key rows
+    at any rate while train_split routed them to 'test' — three
+    inconsistent behaviors across advertised join-consistent ops)."""
+    keyed = F.coalesce(key_col.cast("string"), F.lit("\x00<null>"))
+    return token_hash32(keyed, salt) % HASH_SPACE
 
 
 def hash_sample(
@@ -51,7 +58,7 @@ def train_split(
     key_col: str,
     train_micro: int = 800_000,
     valid_micro: int = 900_000,
-    salt: str = "s",
+    salt: str = "split",
 ) -> DataFrame:
     """Assign every row a deterministic train/valid/test split label.
 
@@ -60,6 +67,11 @@ def train_split(
     repartitioning/compaction, and join-consistent across tables keyed
     by the same id — the properties a dataset split must have before a
     training run depends on it. Pure projection: no shuffle, no RNG.
+
+    The default salt is DISTINCT from hash_sample's ("split" vs "s"):
+    with a shared salt, any sample at rate <= train_micro would consist
+    exclusively of 'train' rows — composing the two operators with
+    defaults silently emptied the valid/test splits.
     """
     b = hash_bucket(F.col(key_col), salt)
     return df.withColumn(

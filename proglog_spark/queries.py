@@ -3057,7 +3057,8 @@ def docs_contamination(spark, sf_dir):
     "SELECT source, CASE WHEN b < 800000 THEN 'train' "
     "WHEN b < 900000 THEN 'valid' ELSE 'test' END AS split, "
     "count(*) AS n_docs FROM "
-    f"(SELECT source, {_HASH_BUCKET_SQL} AS b FROM documents) "
+    "(SELECT source, CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), "
+    "1, 8) AS BIGINT) % 1000000 AS b FROM documents) "
     "GROUP BY 1, 2 ORDER BY 1, 2",
 )
 def docs_train_split(spark, sf_dir):
@@ -3899,7 +3900,7 @@ def docs_weighted_mixture(spark, sf_dir):
     "AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)), "
     "lab AS (SELECT source, n_chars, CASE WHEN h < 800000 THEN 'train' "
     "WHEN h < 900000 THEN 'valid' ELSE 'test' END AS split FROM "
-    "(SELECT *, CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), "
+    "(SELECT *, CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), "
     "1, 8) AS BIGINT) % 1000000 AS h FROM final)) "
     "SELECT split, source, count(*) AS n_docs, "
     "CAST(sum(n_chars) AS BIGINT) AS total_chars "

@@ -37,9 +37,15 @@ def build_session(
     spark-submit so the cluster manager decides.
     """
     builder = SparkSession.builder.appName(app_name)
+    env_master = os.environ.get("SPARK_MASTER_URL")
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER_URL"):
+    elif env_master:
+        # the env var's VALUE is the master URL — pass it through
+        # (merely skipping the local default would crash getOrCreate
+        # with 'A master URL must be set' outside spark-submit)
+        builder = builder.master(env_master)
+    else:
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
 
     conf = {
@@ -72,7 +78,14 @@ def build_session(
         # (reference internal/log/segment.go:81-83 IsMaxed analog).
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.compression.codec": "snappy",
-        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+        # normalize common truthy/falsy spellings: Spark's boolean
+        # conf parser rejects "1"/"yes" with an exception at startup
+        "spark.ui.enabled": (
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "false").strip().lower()
+            in ("1", "true", "yes", "on")
+            else "false"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -64,9 +64,9 @@ def read_binary_files(
         r = r.option("recursiveFileLookup", "true")
     df = r.load(path)
     if with_name:
-        df = df.withColumn(
-            "name", F.element_at(F.split(F.col("path"), "/"), -1)
-        )
+        # substring_index: one expression, no per-row segment array,
+        # and the separator is a literal (split's is a REGEX)
+        df = df.withColumn("name", F.substring_index(F.col("path"), "/", -1))
     return df
 
 

@@ -63,13 +63,36 @@ def build_ssl_context(cfg: TLSConfig) -> ssl.SSLContext:
         # would fail EVERY handshake)
         ctx.load_default_certs()
     if cfg.server_address:
+        # the VALUE is enforced by wrap_client_socket (ssl pins the
+        # expected name per-connection, not per-context): wrapping a
+        # raw socket without it would verify against whatever name the
+        # transport dialed, not the configured one
         ctx.check_hostname = True
     else:
+        # CN-identity mode (the reference's mutual-TLS-between-known-
+        # peers shape): the chain is still CA-verified, but no hostname
+        # is pinned — set server_address to also pin the server's name
         ctx.check_hostname = False
     ctx.verify_mode = ssl.CERT_REQUIRED
     if cfg.cert_file and cfg.key_file:
         ctx.load_cert_chain(cfg.cert_file, cfg.key_file)
     return ctx
+
+
+def wrap_client_socket(cfg: TLSConfig, sock, server_hostname: str | None = None):
+    """Client-side TLS wrap that ENFORCES ``cfg.server_address``.
+
+    ssl pins the expected server name per connection (the
+    ``server_hostname`` argument), not per context — a raw
+    ``ctx.wrap_socket(sock)`` with ``server_address`` configured would
+    either raise (check_hostname needs a name) or, via a
+    transport-supplied name, verify against whatever host was dialed
+    instead of the configured one (Go's ServerName semantics,
+    tls.go:33-35). ``server_hostname`` overrides per call when one
+    config talks to several addresses."""
+    ctx = build_ssl_context(cfg)
+    name = server_hostname or cfg.server_address
+    return ctx.wrap_socket(sock, server_hostname=name)
 
 
 def peer_common_name(sock) -> str | None:

@@ -38,6 +38,12 @@ def test_append_read_bounds_cli(tmp_path):
     out = _run_cli(["bounds", "--path", path])
     assert out.stdout.strip().splitlines()[-1] == "lowest=0 highest=2 count=3"
 
+    # the scripting error contract: canonical one-line string on
+    # stderr + exit 2, not a traceback (api/v1/error.go analog)
+    out = _run_cli(["read", "--path", path, "999"])
+    assert out.returncode == 2
+    assert out.stderr.strip().splitlines()[-1] == "OFFSET_OUT_OF_RANGE:999"
+
 
 def test_serve_cli_roundtrip(tmp_path):
     path = str(tmp_path / "servelog")
