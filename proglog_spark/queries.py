@@ -2804,22 +2804,37 @@ def events_daily_active(spark, sf_dir):
 )
 def events_pareto_users(spark, sf_dir):
     """Pareto concentration: top-20 users by event count with their
-    cumulative share (floored micro). The running sum only ever runs
-    over the per-user aggregate (|users| rows, not |events|), and the
-    global total rides a 1-row broadcast — the only full-data shuffle
-    is the initial user_id aggregate."""
+    cumulative share (floored micro). Scale shape: the output contract
+    is only the top-20 prefix, so the limit runs FIRST (Spark's
+    TakeOrderedAndProject — per-partition top-20, driver merge of 20*P
+    rows) and the running sum is a 20x20 broadcast triangular
+    self-join over the pinned 20-row result — no PARTITION-BY-less
+    window ever touches the |users|-sized aggregate. The global total
+    is count(*) of events (== sum of per-user counts), a 1-row
+    broadcast. The only full-data work is one scan + one user_id
+    partial-agg shuffle."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    tot = per_user.agg(F.sum("n_events").cast("long").alias("total"))
-    w = (
-        Window.orderBy(F.col("n_events").desc(), "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # sum(per-user counts) == count(*) over events: one scan-side agg,
+    # no second groupBy shuffle for the denominator
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    top = (
+        per_user.orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+        .localCheckpoint(eager=True)  # pin: both self-join sides read 20 rows
+    )
+    a, b = top.alias("a"), top.alias("b")
+    precedes = (F.col("b.n_events") > F.col("a.n_events")) | (
+        (F.col("b.n_events") == F.col("a.n_events"))
+        & (F.col("b.user_id") <= F.col("a.user_id"))
+    )
+    cum = (
+        a.join(F.broadcast(b), precedes)
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.n_events").alias("n_events"))
+        .agg(F.sum(F.col("b.n_events")).cast("long").alias("cum"))
     )
     return (
-        per_user.select(
-            "user_id", "n_events", F.sum("n_events").over(w).cast("long").alias("cum")
-        )
-        .join(F.broadcast(tot))
+        cum.join(F.broadcast(tot))
         .select(
             "user_id",
             "n_events",
@@ -3147,26 +3162,34 @@ def events_props_map_explode(spark, sf_dir):
 )
 def events_user_value_percentiles(spark, sf_dir):
     """percent_rank / cume_dist window flavor over per-user totals —
-    micro fixed-point so the rational outputs hash identically. The
-    global-order window runs over the AGGREGATED per-user rows (one row
-    per user), not events: at scale this is the same pre-aggregate-
-    then-rank shape as events_decile_value; for very large user counts
-    swap the final window for operators/rank.global_rank."""
+    micro fixed-point so the rational outputs hash identically. Scale
+    shape: the ordering key (total_cents, user_id) is UNIQUE per row,
+    so rank() == row_number() == the dense global rank and
+    cume_dist == rank/n — both derived from operators/rank.py's
+    range-partitioned two-phase global rank instead of a
+    PARTITION-BY-less window (which would serialize every user through
+    one task at 100 TB). Float formulas mirror the oracle's operator
+    order exactly: (1e6 * (r-1)) / (n-1) and 1e6 * (r/n)."""
+    from proglog_spark.operators import rank as rank_ops
+
     e = load_table(spark, sf_dir, "events")
     # per-row integer cents, then exact integer sum — float sums are
     # order-dependent and banned from the hashed set (FIXTURES §3)
     t = e.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents")
     )
-    w = Window.orderBy("total_cents", "user_id")
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-    return t.select(
+    ranked, n = rank_ops.with_global_rank(
+        t, ["total_cents", "user_id"], rank_col="_r"
+    )
+    return ranked.select(
         "user_id",
         "total_cents",
-        F.floor(1000000.0 * (F.rank().over(w) - 1) / (n - 1))
+        F.floor((F.lit(1000000.0) * (F.col("_r") - 1)) / F.lit(n - 1))
         .cast("long")
         .alias("pct_rank_micro"),
-        F.floor(1000000.0 * F.cume_dist().over(w)).cast("long").alias("cume_micro"),
+        F.floor(F.lit(1000000.0) * (F.col("_r") / F.lit(n)))
+        .cast("long")
+        .alias("cume_micro"),
     ).orderBy("user_id")
 
 

@@ -464,3 +464,30 @@ def test_sql_udf_and_tvf_inline_at_analysis_time(spark, sf_dir):
     tvf = plan_of(REGISTRY["docs_sql_tvf_tokens"][0](spark, sf_dir))
     assert "Generate" in tvf
     assert "BatchEvalPython" not in tvf and "PythonUDTF" not in tvf
+
+
+def test_pareto_users_has_no_global_window(spark, sf_dir):
+    """events_pareto_users: the top-20 prefix must come from
+    TakeOrdered + a 20x20 broadcast triangular join — a
+    PARTITION-BY-less WindowExec over all users would serialize the
+    per-user aggregate through one task at scale."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_pareto_users"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_user_percentiles_use_two_phase_rank_not_window(spark, sf_dir):
+    """events_user_value_percentiles: rank/cume_dist must derive from
+    the range-partitioned two-phase global rank (Arrow cumsum pass),
+    never a global-ORDER-BY window over the full user population."""
+    from proglog_spark.queries import REGISTRY
+
+    df = REGISTRY["events_user_value_percentiles"][0](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    # the two-phase core's visible fingerprints: a range exchange was
+    # materialized into the pinned scan, and the Arrow offset pass runs
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
