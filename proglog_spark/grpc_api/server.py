@@ -102,8 +102,11 @@ class GrpcLogServer:
                 abort(context, e)
 
         def get_servers(request: bytes, context) -> bytes:
-            with self._lock:
-                return self._svc.get_servers(subject(context), request)
+            try:
+                with self._lock:
+                    return self._svc.get_servers(subject(context), request)
+            except RpcError as e:
+                abort(context, e)
 
         def produce_stream(request_iterator, context):
             try:

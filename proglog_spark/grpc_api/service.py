@@ -94,7 +94,13 @@ class LogService:
 
     def get_servers(self, subject: str, request: bytes) -> bytes:
         wire.GetServersRequest.decode(request)  # validate framing
-        rows = self.engine.get_servers(subject).collect()
+        try:
+            rows = self.engine.get_servers(subject).collect()
+        except PermissionDeniedError as e:
+            # consume-gated like Consume itself (server.go:138-143's
+            # authorize-first contract): denial is PERMISSION_DENIED
+            # code 7, not a transport-level UNKNOWN
+            raise _map_error(e)
         return wire.GetServersResponse(
             servers=[
                 wire.Server(

@@ -109,13 +109,16 @@ def quantized_cosine_key(qd: str, na: str, nb: str):
     hash-compared oracle set (FIXTURES §3.5's escape hatch). Division
     operands are non-negative, so trunc-vs-floor division semantics
     cannot diverge. Bounds: |d| ≤ dim·scale² ⇒ d²·10^12 < 10^38
-    (decimal-exact) and the key itself is ≤ 10^12 (cos² ≤ 1 on the
-    grid), comfortably BIGINT. A vector whose components all quantize
-    to zero has no defined cosine — its key is 0 (last place), NOT a
-    DIVIDE_BY_ZERO under Spark 4's default ANSI mode.
+    (decimal-exact) and the real-key range is [-10^12, 10^12] (cos² ≤ 1
+    on the grid), comfortably BIGINT. A vector whose components all
+    quantize to zero has no defined cosine — its key is the sentinel
+    -(10^12)-1, strictly below every real key, so undefined-cosine rows
+    rank LAST (below even perfectly anti-correlated pairs) and never
+    hit DIVIDE_BY_ZERO under Spark 4's default ANSI mode. The oracle
+    SQL replays in queries.py inline the same sentinel.
     """
     return F.expr(
-        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(-1000000000001 AS BIGINT) ELSE "
         f"CAST(CASE WHEN {qd} < 0 THEN -1 ELSE 1 END * "
         f"(CAST({qd} AS DECIMAL(38,0)) * {qd} * 1000000000000 div "
         f"(CAST({na} AS DECIMAL(38,0)) * {nb})) AS BIGINT) END"
@@ -466,9 +469,12 @@ def semantic_dedup(
             F.col(vec_col).alias("vec"),
             quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("n2"),
         )
-        # cached: feeds both self-join sides and the output mapping --
-        # without it the bucketing UDF and the corpus scan run 3x
-        .cache()
+        # pinned: feeds both self-join sides and the output mapping --
+        # without it the bucketing UDF and the corpus scan run 3x. An
+        # eager RDD-level localCheckpoint (not .cache()) so the
+        # ContextCleaner frees the blocks when the result is GC'd
+        # instead of leaking one CacheManager entry per call
+        .localCheckpoint(eager=True)
     )
     a = b.select(F.col("id").alias("id_a"), "cell", F.col("vec").alias("vec_a"), F.col("n2").alias("na"))
     c = b.select(F.col("id").alias("id_b"), "cell", F.col("vec").alias("vec_b"), F.col("n2").alias("nb"))

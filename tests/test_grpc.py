@@ -207,6 +207,15 @@ def test_get_servers_wire_roundtrip(svc):
     assert all(s.id and s.rpc_addr for s in resp.servers)
 
 
+def test_get_servers_denied_is_permission_denied(svc):
+    """GetServers is consume-gated; denial must surface the same
+    PERMISSION_DENIED (code 7) RpcError as produce/consume — never an
+    unmapped engine exception (which grpcio would report as UNKNOWN)."""
+    with pytest.raises(RpcError) as e:
+        svc.get_servers("nobody", wire.GetServersRequest().encode())
+    assert e.value.code == CODE_PERMISSION_DENIED
+
+
 def test_non_utf8_value_is_invalid_argument(svc):
     with pytest.raises(RpcError) as e:
         _produce(svc, b"\xff\xfe")

@@ -321,8 +321,9 @@ def test_semantic_dedup_drops_planted_duplicate(spark, emb):
 
 def test_quantized_cosine_survives_zero_vector(spark, emb):
     """A degenerate all-zero embedding (missing-embedding row) must
-    rank last with key 0 — not kill the whole query with
-    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    rank last with the sentinel key -(10^12)-1 (strictly below every
+    real key, including anti-correlated pairs) — not kill the whole
+    query with DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
     base = emb.limit(10).select("vec_id", "embedding")
     zero = base.limit(1).select(
         (F.col("vec_id") + 20_000).alias("vec_id"),
@@ -332,7 +333,11 @@ def test_quantized_cosine_survives_zero_vector(spark, emb):
     qs = corpus.where(F.col("vec_id") == base.collect()[0].vec_id)
     rows = similarity.quantized_cosine_topk(corpus, qs, k=20).collect()
     by_id = {r.vec_id: r for r in rows}
-    assert by_id[20_000 + base.collect()[0].vec_id].cos2_pico == 0
+    zero_key = by_id[20_000 + base.collect()[0].vec_id].cos2_pico
+    assert zero_key == -1_000_000_000_001
+    assert zero_key < min(
+        r.cos2_pico for r in rows if r.vec_id != 20_000 + base.collect()[0].vec_id
+    )
 
 
 def test_semantic_dedup_components_keep_min_per_chain(spark, emb):
