@@ -25,6 +25,8 @@ from proglog_spark.errors import (
     OffsetOutOfRangeError,
     PermissionDeniedError,
     ProglogError,
+    WriterLockHeldError,
+    WriterLockLostError,
 )
 from proglog_spark.log import LogTable
 from proglog_spark.server import HttpLogServer
@@ -38,6 +40,8 @@ __all__ = [
     "OffsetOutOfRangeError",
     "PermissionDeniedError",
     "ProglogError",
+    "WriterLockHeldError",
+    "WriterLockLostError",
     "build_session",
     "register_proglog_source",
 ]

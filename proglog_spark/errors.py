@@ -63,3 +63,25 @@ class WriterLockHeldError(ProglogError):
             "call steal_writer_lock() only after confirming that writer "
             "is gone"
         )
+
+
+class WriterLockLostError(WriterLockHeldError):
+    """Raised when a writer that previously held the lock discovers —
+    at its next mutating call — that its lease expired and another
+    process took over (the fencing half of the lease protocol, the
+    analog of a deposed Raft leader discovering a higher term,
+    internal/log/distributed.go:99-131).
+
+    The instance's writes must stop immediately: the new owner may
+    already have minted offsets. Re-open the log to resume as a reader,
+    or re-acquire once the new owner is gone.
+    """
+
+    def __init__(self, path: str, owner: dict) -> None:
+        super().__init__(path, owner)
+        # overwrite the HELD message with the fencing-specific one
+        self.args = (
+            f"WRITER_LOCK_LOST:{path} — lease expired and the lock is "
+            f"now held by pid={owner.get('pid')} host={owner.get('host')} "
+            f"since={owner.get('acquired_at')}; this writer is fenced",
+        )

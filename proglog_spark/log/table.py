@@ -54,7 +54,11 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from proglog_spark.errors import OffsetOutOfRangeError, WriterLockHeldError
+from proglog_spark.errors import (
+    OffsetOutOfRangeError,
+    WriterLockHeldError,
+    WriterLockLostError,
+)
 from proglog_spark.log.offsets import assign_dense_offsets
 
 RECORD_SCHEMA = T.StructType(
@@ -160,6 +164,16 @@ class LogTable:
         # the file without adopting that responsibility)
         self._lock_owned = False
         self._lock_created = False
+        # lease protocol (automatic failover, the Raft-election analog
+        # of internal/log/distributed.go:99-162): the lock file carries
+        # lease_expires_at; a live writer renews at half-life on its
+        # mutating calls, and any process may reclaim an EXPIRED lease
+        # without operator intervention. _lease_deadline caches our
+        # last-written expiry so the unexpired fast path costs zero IO.
+        import uuid
+
+        self._lock_token = uuid.uuid4().hex
+        self._lease_deadline = 0.0
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -284,15 +298,52 @@ class LogTable:
     # half is a create-if-absent lock file in the log dir)
     # ------------------------------------------------------------------
 
+    # writer-lease duration: how long a silent (crashed or partitioned)
+    # writer's lock survives before any other process may reclaim it.
+    # Renewal happens at half-life, so clock skew across hosts must be
+    # well under lease_seconds/2 for the fencing guarantee to hold.
+    # Override per instance (tests use sub-second leases).
+    lease_seconds: float = 60.0
+
     def _lock_owner_info(self) -> dict:
         import socket
         import time
 
+        now = time.time()
         return {
             "pid": os.getpid(),
             "host": socket.gethostname(),
-            "acquired_at": round(time.time(), 3),
+            "acquired_at": round(now, 3),
+            "token": self._lock_token,
+            "lease_seconds": self.lease_seconds,
+            "lease_expires_at": round(now + self.lease_seconds, 3),
         }
+
+    def _owner_is_self(self, owner: dict) -> bool:
+        """This process (any LogTable instance in it) wrote the lock.
+        Token matches this instance; host+pid matches a same-process
+        sibling (which cannot race us across processes)."""
+        import socket
+
+        if owner.get("token") == self._lock_token:
+            return True
+        return (
+            owner.get("host") == socket.gethostname()
+            and owner.get("pid") == os.getpid()
+        )
+
+    @staticmethod
+    def _owner_lease_expired(owner: dict) -> bool:
+        """True iff the lock file carries a lease that has lapsed.
+        Legacy lock files without lease fields never expire (the
+        pre-lease manual-steal contract applies to them)."""
+        import time
+
+        exp = owner.get("lease_expires_at")
+        try:
+            return exp is not None and float(exp) < time.time()
+        except (TypeError, ValueError):
+            return False
 
     def _lock_jpath(self):
         _, _, jvm = self._fs()
@@ -388,34 +439,57 @@ class LogTable:
         back to delete-then-create with the narrow race documented
         (production hardening is a lease service / conditional PUT).
         """
-        local = self._local_dir()
-        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
-        if local is not None:
-            import fcntl
-
-            lock_path = os.path.join(local, _LOCK_FILE)
-            try:
-                fd = os.open(lock_path, os.O_RDWR)
-            except FileNotFoundError:
-                return False  # vanished underneath us: retry the loop
-            try:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                except OSError:
-                    return False  # another reclaimer holds the section
-                if self._read_lock_owner() != expect_owner:
-                    return False  # someone already replaced it
-                tmp = lock_path + f".reclaim.{os.getpid()}"
-                with open(tmp, "wb") as fh:
-                    fh.write(payload)
-                    fh.flush()
-                    os.fsync(fh.fileno())
-                os.replace(tmp, lock_path)
-                return True
-            finally:
-                os.close(fd)
+        if self._local_dir() is not None:
+            return self._cas_lock_local(expect_owner)
         self._delete_lock_file()
         return False  # fall through to the create loop
+
+    def _cas_lock_local(self, expect_owner: dict) -> bool:
+        """flock-guarded compare-and-swap of the local lock file: write
+        a fresh self._lock_owner_info() iff the current content still
+        equals ``expect_owner``. Shared by stale-lock reclaim and
+        live-lease renewal."""
+        import fcntl
+
+        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
+        lock_path = os.path.join(self._local_dir(), _LOCK_FILE)
+        try:
+            fd = os.open(lock_path, os.O_RDWR)
+        except FileNotFoundError:
+            return False  # vanished underneath us: retry the loop
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # another reclaimer holds the section
+            if self._read_lock_owner() != expect_owner:
+                return False  # someone already replaced it
+            tmp = lock_path + f".reclaim.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, lock_path)
+            return True
+        finally:
+            os.close(fd)
+
+    def _renew_lock(self, expect_owner: dict) -> bool:
+        """Extend our own lease. Local: the same flock'd CAS as reclaim
+        (a concurrent expired-lease reclaimer loses or wins atomically).
+        Remote: overwrite-create — no delete window, and the caller
+        verified ownership immediately before (conditional-PUT stores
+        would make this a true CAS)."""
+        if self._local_dir() is not None:
+            return self._cas_lock_local(expect_owner)
+        fs, _, _ = self._fs()
+        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
+        stream = fs.create(self._lock_jpath(), True)  # overwrite
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        return True
 
     def _lock_owner_is_live(self) -> bool:
         """True iff the lock file names an owner this process must not
@@ -427,7 +501,9 @@ class LogTable:
         if owner is None:
             return False
         if owner.get("host") != socket.gethostname():
-            return True  # cannot probe liveness across hosts: assume live
+            # cannot probe a foreign pid — the LEASE is the liveness
+            # signal: unexpired (or legacy lease-less) ⇒ assume live
+            return not self._owner_lease_expired(owner)
         pid = owner.get("pid")
         return pid != os.getpid() and self._pid_alive(pid)
 
@@ -437,37 +513,105 @@ class LogTable:
         Called by every mutating method. Outcomes: created the file
         (we own + owe the delete); file held by THIS pid (a sibling
         instance — borrow, same contract as the reference's in-process
-        mutex); same-host owner whose pid is gone (crashed writer —
-        reclaim); anything else raises ``WriterLockHeldError`` unless
-        ``steal`` (operator override for a confirmed-dead remote owner;
-        a fenced lease at the store layer is the hardening for storage
-        without atomic create, e.g. bare S3 without conditional PUT).
+        mutex); same-host owner whose pid is gone, or any owner whose
+        LEASE has expired (the automatic-failover path — the analog of
+        winning the Raft election after the old leader's heartbeats
+        stop, internal/log/distributed.go:99-162) — reclaim; anything
+        else raises ``WriterLockHeldError`` unless ``steal`` (operator
+        override for legacy lease-less locks or a confirmed-dead owner
+        whose lease hasn't lapsed yet).
+
+        While owned, each call re-validates the lease at half-life and
+        renews it; a writer that slept past its own expiry and finds a
+        new owner is FENCED (``WriterLockLostError``) before it can
+        mint a duplicate offset.
         """
         if self._lock_owned:
+            self._verify_or_renew_lease()
             return
         import socket
+        import time
 
         me = socket.gethostname()
         owner: dict = {}
         for _ in range(3):
             if self._try_create_lock():
                 self._lock_owned = self._lock_created = True
+                self._lease_deadline = time.time() + self.lease_seconds
                 return
             owner = self._read_lock_owner()
             if owner is None:
                 continue  # vanished or unreadable between steps — retry
             if owner.get("host") == me and owner.get("pid") == os.getpid():
                 self._lock_owned = True  # sibling instance, same process
+                # inherit the sibling's recorded expiry so our first
+                # mutating call re-validates no later than it would
+                try:
+                    self._lease_deadline = float(
+                        owner.get("lease_expires_at")
+                        or time.time() + self.lease_seconds
+                    )
+                except (TypeError, ValueError):
+                    self._lease_deadline = time.time() + self.lease_seconds
                 return
-            if steal or (
-                owner.get("host") == me and not self._pid_alive(owner.get("pid"))
-            ):
+            # a live same-host pid is ground truth even if its lease
+            # lapsed (an idle writer renews at its next write and is
+            # fenced if it lost) — never reclaim under a live local pid
+            same_host_dead = owner.get("host") == me and not self._pid_alive(
+                owner.get("pid")
+            )
+            expired = self._owner_lease_expired(owner) and not (
+                owner.get("host") == me and self._pid_alive(owner.get("pid"))
+            )
+            if steal or same_host_dead or expired:
                 if self._reclaim_lock(owner):
                     self._lock_owned = self._lock_created = True
+                    self._lease_deadline = time.time() + self.lease_seconds
                     return
                 continue  # lost the reclaim race: loop re-reads the owner
             raise WriterLockHeldError(self.path, owner)
         raise WriterLockHeldError(self.path, owner or {})
+
+    def _verify_or_renew_lease(self) -> None:
+        """Owned-path lease upkeep, called from every mutating method.
+
+        Costs zero IO while the last-written lease is inside its first
+        half-life (no other process may legally reclaim an unexpired
+        lease, so no takeover is possible before then). Past half-life:
+        re-read the owner; if it is still us, CAS-extend the lease; if
+        a new owner appears — our lease lapsed while idle and another
+        process reclaimed — drop ownership and raise
+        ``WriterLockLostError`` (fencing)."""
+        import time
+
+        if time.time() < self._lease_deadline - self.lease_seconds / 2:
+            return
+        owner = self._read_lock_owner()
+        if owner is not None and not self._owner_is_self(owner):
+            self._lock_owned = self._lock_created = False
+            raise WriterLockLostError(self.path, owner)
+        if owner is None:
+            # lock file vanished (manual cleanup / lost dir): reassert
+            if self._try_create_lock():
+                self._lock_created = True
+                self._lease_deadline = time.time() + self.lease_seconds
+                return
+            owner = self._read_lock_owner()
+            if owner is not None and self._owner_is_self(owner):
+                self._lease_deadline = time.time() + self.lease_seconds
+                return
+            self._lock_owned = self._lock_created = False
+            raise WriterLockLostError(self.path, owner or {})
+        if self._renew_lock(owner):
+            self._lease_deadline = time.time() + self.lease_seconds
+            return
+        owner = self._read_lock_owner()
+        if owner is not None and self._owner_is_self(owner):
+            # a same-process sibling renewed concurrently — still ours
+            self._lease_deadline = time.time() + self.lease_seconds
+            return
+        self._lock_owned = self._lock_created = False
+        raise WriterLockLostError(self.path, owner or {})
 
     def steal_writer_lock(self) -> None:
         """Forcibly take over the writer lock (operator action: only
@@ -479,7 +623,12 @@ class LogTable:
         """Release the writer lock (if this instance created it) and
         drop in-process caches. Reads need no close; idempotent."""
         if self._lock_created:
-            self._delete_lock_file()
+            # only delete if the file is still OURS — after a lease
+            # expiry + takeover, deleting would remove the NEW owner's
+            # lock (a fenced writer must leave the lock alone)
+            owner = self._read_lock_owner()
+            if owner is None or self._owner_is_self(owner):
+                self._delete_lock_file()
         self._lock_owned = self._lock_created = False
         self._native_ds_cache.clear()
         self._native_tbl_cache.clear()

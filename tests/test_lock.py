@@ -151,3 +151,126 @@ def test_lock_file_is_invisible_to_readers(spark, tmp_path):
     log.append([str(i) for i in range(10)])
     assert log.reader().count() == 10
     assert log.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# lease-based automatic failover (the Raft-election analog,
+# internal/log/distributed.go:99-162): an expired lease is reclaimable
+# by ANY process with no operator action; a writer that outlives its
+# own lease is fenced at its next mutating call.
+# ---------------------------------------------------------------------------
+
+
+def _plant_lease_lock(path: str, host: str, expires_in: float, pid: int = 1) -> None:
+    import time
+
+    now = time.time()
+    with open(_lock_path(path), "w") as fh:
+        json.dump(
+            {
+                "pid": pid,
+                "host": host,
+                "acquired_at": now,
+                "token": "someone-else",
+                "lease_seconds": 0.5,
+                "lease_expires_at": now + expires_in,
+            },
+            fh,
+        )
+
+
+def test_expired_foreign_lease_is_reclaimed_automatically(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    log.close()
+    _plant_lease_lock(path, host="some-dead-remote-host", expires_in=-5.0)
+    other = LogTable.open(spark, path)
+    # no steal_writer_lock() needed: the lapsed lease IS the death cert
+    assert other.append(["b"]) == (1, 1)
+    owner = json.load(open(_lock_path(path)))
+    assert owner["pid"] == os.getpid()
+    other.close()
+
+
+def test_unexpired_foreign_lease_blocks(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    log.close()
+    _plant_lease_lock(path, host="some-live-remote-host", expires_in=3600.0)
+    other = LogTable.open(spark, path)
+    with pytest.raises(WriterLockHeldError):
+        other.append(["b"])
+
+
+def test_legacy_leaseless_foreign_lock_still_requires_steal(spark, tmp_path):
+    # lock files written before the lease protocol never expire: the
+    # manual steal_writer_lock() contract continues to apply to them
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    log.close()
+    with open(_lock_path(path), "w") as fh:
+        json.dump({"pid": 1, "host": "some-remote-host", "acquired_at": 0.0}, fh)
+    other = LogTable.open(spark, path)
+    with pytest.raises(WriterLockHeldError):
+        other.append(["b"])
+    other.steal_writer_lock()
+    assert other.append(["b"]) == (1, 1)
+    other.close()
+
+
+def test_live_writer_renews_lease_at_half_life(spark, tmp_path):
+    import time
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.lease_seconds = 1.0
+    log.append(["a"])
+    first_expiry = json.load(open(_lock_path(path)))["lease_expires_at"]
+    time.sleep(0.6)  # past half-life, before expiry
+    log.append(["b"])  # must renew, not merely succeed
+    second_expiry = json.load(open(_lock_path(path)))["lease_expires_at"]
+    assert second_expiry > first_expiry
+    log.close()
+
+
+def test_writer_never_expires_while_actively_renewing(spark, tmp_path):
+    import time
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.lease_seconds = 0.8
+    log.append(["0"])
+    # keep writing for several lease lifetimes: the half-life renewals
+    # must keep the lease continuously valid (a second opener always
+    # sees an unexpired foreign... same-pid lock here, so instead pin
+    # that the recorded expiry never falls behind the wall clock)
+    for i in range(1, 7):
+        time.sleep(0.3)
+        log.append([str(i)])
+        owner = json.load(open(_lock_path(path)))
+        assert owner["lease_expires_at"] > time.time()
+    log.close()
+
+
+def test_fenced_writer_raises_lock_lost_and_leaves_lock_alone(spark, tmp_path):
+    import time
+
+    from proglog_spark.errors import WriterLockLostError
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.lease_seconds = 0.5
+    log.append(["a"])
+    time.sleep(0.6)  # our lease lapses while idle
+    # a remote process legally reclaimed the expired lease meanwhile
+    _plant_lease_lock(path, host="new-owner-host", expires_in=3600.0)
+    with pytest.raises(WriterLockLostError):
+        log.append(["b"])
+    # fenced: ownership dropped, and close() must NOT delete the new
+    # owner's lock file
+    log.close()
+    owner = json.load(open(_lock_path(path)))
+    assert owner["host"] == "new-owner-host"
