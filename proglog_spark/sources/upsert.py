@@ -35,6 +35,14 @@ def _bucket_expr(key_col: str, n_buckets: int):
 class KeyedTable:
     """Hash-bucketed keyed parquet table with partial-rewrite merge."""
 
+    # Largest update batch (rows) whose key set is broadcast for the
+    # survivors anti-join. CDC batches are far below this; an unusually
+    # large merge (backfill, re-crawl) must NOT force a multi-GB
+    # broadcast to every executor, so above the limit the hint is
+    # dropped and the join shuffles (AQE may still choose broadcast if
+    # the byte size permits). Override per instance for testing.
+    broadcast_row_limit: int = 1_000_000
+
     def __init__(self, spark: SparkSession, path: str, key_col: str, n_buckets: int):
         self.spark = spark
         self.path = path
@@ -75,6 +83,18 @@ class KeyedTable:
         return self.spark.read.option("basePath", self.path).parquet(self.path)
 
     # -- merge ----------------------------------------------------------
+
+    def _anti_join_keys(self, up: DataFrame, n_updates: int) -> DataFrame:
+        """The update batch's key set for the survivors anti-join —
+        broadcast-hinted only while the batch is small enough that
+        shipping the key set to every executor is cheaper than
+        shuffling the (partition-pruned) stored buckets. Above the
+        limit the hint is dropped: the join shuffles, and AQE remains
+        free to re-pick broadcast from measured byte sizes."""
+        keys = up.select(self.key_col)
+        if n_updates <= self.broadcast_row_limit:
+            keys = F.broadcast(keys)
+        return keys
 
     def merge(self, updates: DataFrame, order_col: str | None = None) -> int:
         """Upsert: rows in ``updates`` replace same-key rows and insert
@@ -122,9 +142,11 @@ class KeyedTable:
         up = updates.withColumn(
             BUCKET_COL, _bucket_expr(self.key_col, self.n_buckets)
         )
-        touched = sorted(
-            r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect()
-        )
+        # one job yields both the touched-bucket list AND the batch row
+        # count (which gates the anti-join broadcast below)
+        bucket_counts = up.groupBy(BUCKET_COL).count().collect()
+        touched = sorted(r[BUCKET_COL] for r in bucket_counts)
+        n_updates = sum(r["count"] for r in bucket_counts)
         if not touched:
             return 0
         fs, _, jvm = self._fs()
@@ -140,9 +162,8 @@ class KeyedTable:
                 .parquet(*[f"{self.path}/{BUCKET_COL}={b}" for b in existing])
             )
             if order_col is None:
-                survivors = base.join(
-                    F.broadcast(up.select(self.key_col)), self.key_col, "left_anti"
-                )
+                keys = self._anti_join_keys(up, n_updates)
+                survivors = base.join(keys, self.key_col, "left_anti")
                 merged = survivors.select(up.columns).unionByName(up)
             else:
                 # ordered replacement: per key keep the max-order row

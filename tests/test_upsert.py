@@ -125,3 +125,26 @@ def test_recover_restores_aside_bucket(spark, tmp_path):
     assert _content(t2) == want
     # stale aside dirs with a live bucket are dropped
     assert not any(d.startswith(".merge-old") for d in os.listdir(path))
+
+def test_large_batch_merge_drops_broadcast_hint(spark, tmp_path):
+    """Above broadcast_row_limit the survivors anti-join must not force
+    a broadcast of the update key set (a backfill-sized batch would
+    ship GBs to every executor); below/at the limit the hint stays."""
+    path = str(tmp_path / "kt")
+    t = KeyedTable.create(spark, path, _mk_base(spark, 50), "doc_id", 4)
+    t.broadcast_row_limit = 4
+    updates = spark.createDataFrame(
+        [(i, f"v1-{i}") for i in (1, 2, 3, 60, 61)], "doc_id LONG, val STRING"
+    )
+    up = updates.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    )
+    hinted = t._anti_join_keys(up, n_updates=4)._jdf.queryExecution()
+    plain = t._anti_join_keys(up, n_updates=5)._jdf.queryExecution()
+    assert "broadcast" in hinted.logical().toString().lower()
+    assert "broadcast" not in plain.logical().toString().lower()
+    # the over-limit merge itself stays correct end-to-end
+    t.merge(updates)
+    want = {(i, f"v0-{i}") for i in range(50) if i not in (1, 2, 3)}
+    want |= {(i, f"v1-{i}") for i in (1, 2, 3, 60, 61)}
+    assert _content(t) == want
