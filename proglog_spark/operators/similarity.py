@@ -659,6 +659,193 @@ def ivf_ann_topk(
     )
 
 
+# sorts strictly below every real IVF assignment key (|key| <= scale *
+# dim * scale^2 = 6.4e10 at the defaults) — cells with an all-zero
+# centroid attract nothing
+_IVF_ZERO_CELL_KEY = -(1 << 60)
+
+
+def _quantized_cell_keys(qm: np.ndarray, cents: np.ndarray, scale: int) -> np.ndarray:
+    """Integer-exact IVF assignment keys: key[v, c] =
+    sign(d)·(d²·scale div nc) with d = qm[v]·cents[c], nc = |cents[c]|².
+
+    Monotone in cosine(v, c) for fixed v (the query norm is constant
+    across cells, so cos² ∝ d²/nc; the sign restores order on the
+    negative half), and every intermediate fits int64: with |q|,|c| ≤
+    scale per component, d ≤ dim·scale² and d²·scale < 2^63 for
+    dim·scale² ≤ 9.5e7 (dim ≤ 95 at scale 1000 — asserted by callers).
+    Zero-norm centroids get the :data:`_IVF_ZERO_CELL_KEY` sentinel.
+    Shared verbatim by training, corpus assignment, and query probing
+    so the three stages cannot drift — and replayed term-for-term by
+    the SQL oracle (queries.py::_ivf_ann_oracle).
+    """
+    D = qm @ cents.T  # (rows, cells) int64, exact
+    nc = (cents.astype(np.int64) ** 2).sum(axis=1)  # (cells,)
+    sign = np.where(D < 0, -1, 1)
+    num = D.astype(np.int64) ** 2 * scale
+    keys = sign * (num // np.where(nc == 0, 1, nc)[None, :])
+    return np.where(nc[None, :] == 0, _IVF_ZERO_CELL_KEY, keys)
+
+
+def quantized_ivf_train(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    max_train_rows: int = 1 << 18,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> np.ndarray:
+    """Integer-exact spherical k-means for IVF cells — the
+    oracle-replayable twin of :func:`train_ivf_centroids`.
+
+    Same FAISS discipline (train driver-side on the deterministic
+    bounded sample, :func:`ivf_train_sample`), but every step is int64
+    arithmetic on the floor(x·scale) grid so an ANSI SQL engine
+    reproduces the exact centroid trajectory:
+
+    - init: the first ``n_cells`` sample vectors by id (already on the
+      grid);
+    - assignment: argmax of :func:`_quantized_cell_keys`, ties to the
+      LOWEST cell index (numpy first-max == SQL list_position);
+    - update: exact integer member sum, rescaled to the ±scale grid by
+      sign(s)·(|s|·scale div max|s|) (the power-iteration rescale,
+      operators/linalg.py); an empty cell keeps its previous centroid,
+      an all-zero sum keeps the zero vector.
+
+    Returns the (n_cells, dim) int64 centroid matrix.
+    """
+    rows = ivf_train_sample(
+        corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
+    )
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dim = mat.shape[1]
+    assert (dim * scale * scale) ** 2 * scale < 2**63, (
+        "assignment keys would overflow int64 — lower scale or dim"
+    )
+    qm = np.floor(mat * scale).astype(np.int64)
+    cents = qm[:n_cells].copy()
+    for _ in range(iters):
+        assign = _quantized_cell_keys(qm, cents, scale).argmax(axis=1)
+        nxt = cents.copy()
+        for c in range(n_cells):
+            members = qm[assign == c]
+            if not len(members):
+                continue  # empty cell: carry the previous centroid
+            s = members.sum(axis=0)  # exact: |s| <= scale * sample cap
+            m = np.abs(s).max()
+            nxt[c] = s if m == 0 else np.where(s < 0, -1, 1) * ((np.abs(s) * scale) // m)
+        cents = nxt
+    return cents
+
+
+def with_quantized_ivf_cells(
+    df: DataFrame,
+    centroids,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Append (ivf_cell): each row's ``n_probe`` best cells by the
+    integer assignment key (key desc, cell index asc — stable argsort,
+    bit-identical to the oracle's ROW_NUMBER ordering). One
+    Arrow-batched int64 matmul per batch against the tiny
+    closure-shipped centroid matrix; corpus rows use n_probe=1 (each
+    vector lives in exactly one cell), queries probe several.
+    """
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.int64)
+    kp, sc = n_probe, scale
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        qm = np.floor(mat * sc).astype(np.int64)
+        keys = _quantized_cell_keys(qm, C, sc)
+        top = np.argsort(-keys, axis=1, kind="stable")[:, :kp]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return df.select("*", F.explode(_cells(F.col(vec_col))).alias("ivf_cell"))
+
+
+def quantized_ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    iters: int = 3,
+    n_probe: int = 4,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """:func:`ivf_ann_topk` made oracle-exact end-to-end: integer
+    k-means training (:func:`quantized_ivf_train`), integer cell
+    assignment/probing, and :func:`quantized_cosine_key` ranking — the
+    full approximate answer (candidate sets included) replays in ANSI
+    SQL. Plan shape matches quantized_lsh_ann_topk: narrow (id, cell)
+    corpus projection, broadcast query probes, candidates scored after
+    a single vector join-back, per-query top-k on ids+key only.
+    Output: (query_id, vec_id, cos2_pico, rank).
+    """
+    cents = quantized_ivf_train(
+        corpus, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    c = with_quantized_ivf_cells(
+        corpus.select(id_col, vec_col), cents, 1, vec_col, scale
+    ).select(id_col, "ivf_cell")
+    q = with_quantized_ivf_cells(queries, cents, n_probe, vec_col, scale).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "ivf_cell"
+    )
+    # corpus rows live in exactly one cell and query probes are
+    # distinct, so (query_id, id) candidate pairs are already unique —
+    # no dedup stage needed (unlike the multi-table LSH join)
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "ivf_cell")), on="ivf_cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    q_vecs = q.select("query_id", "q_vec").dropDuplicates(["query_id"]).select(
+        "query_id",
+        "q_vec",
+        quantized_dot(F.col("q_vec"), F.col("q_vec"), scale).alias("nb"),
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                id_col,
+                vec_col,
+                quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("na"),
+            ),
+            on=id_col,
+        )
+        .join(F.broadcast(q_vecs), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            quantized_dot(F.col(vec_col), F.col("q_vec"), scale).alias("qd"),
+            "na",
+            "nb",
+        )
+        .select(
+            "query_id",
+            id_col,
+            quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("cos2_pico").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "cos2_pico", "rank")
+
+
 def embedding_cosine_neardup(
     df: DataFrame,
     dim: int,

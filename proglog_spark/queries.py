@@ -1331,17 +1331,105 @@ def emb_lsh_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@register("emb_ivf_ann_topk", None)  # approximate recall → property-tested
+def _ivf_key_sql(qref: str, cref: str) -> str:
+    """The integer IVF assignment key (similarity._quantized_cell_keys)
+    as a SQL expression over two BIGINT-list refs: sign(d)·(d²·1000 div
+    nc), sentinel -(2^60) for a zero-norm centroid. All BIGINT (d ≤
+    64·10⁶ ⇒ d²·1000 < 2^63)."""
+    d = f"list_sum(list_transform(range(1, 65), t -> {qref}[t] * {cref}[t]))"
+    nc = f"list_sum(list_transform({cref}, x -> x * x))"
+    return (
+        f"CASE WHEN {nc} = 0 THEN CAST(-1152921504606846976 AS BIGINT) ELSE "
+        f"CAST((CASE WHEN {d} < 0 THEN -1 ELSE 1 END) * "
+        f"((CAST({d} AS BIGINT) * {d} * 1000) // {nc}) AS BIGINT) END"
+    )
+
+
+def _ivf_ann_oracle(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> str:
+    """All-SQL replay of similarity.quantized_ivf_ann_topk — including
+    the TRAINING: the bounded deterministic sample (id % sm = 0,
+    ordered LIMIT 2^18, sm = ceil(n/2^18)), first-16-by-id init, and
+    each unrolled Lloyd step (argmax assignment via list_position ==
+    numpy first-max tie-break; exact integer member sums rescaled to
+    the ±1000 grid; empty cells carry the previous centroid). Corpus
+    assignment, query probing (key desc, cell asc) and the final
+    quantized-cosine ranking then replay exactly as in the LSH oracle —
+    the approximate answer, training trajectory and all, is
+    hash-compared."""
+    parts = [
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
+        "md AS (SELECT GREATEST(1, (count(*) + 262143) // 262144) AS sm FROM embeddings)",
+        "samp AS (SELECT vec_id, q FROM qv, md WHERE vec_id % sm = 0 "
+        "ORDER BY vec_id LIMIT 262144)",
+        "it0 AS (SELECT list(q ORDER BY vec_id) AS cents FROM "
+        f"(SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT {n_cells}))",
+    ]
+    for i in range(1, iters + 1):
+        p = f"it{i - 1}"
+        parts += [
+            f"a{i} AS (SELECT vec_id, q, list_position(ks, list_max(ks)) - 1 AS cell "
+            f"FROM (SELECT s.vec_id, s.q, list_transform(p.cents, "
+            f"c -> {_ivf_key_sql('s.q', 'c')}) AS ks FROM samp s, {p} p) z)",
+            f"g{i} AS (SELECT cell, t.t AS t, CAST(sum(q[t.t]) AS BIGINT) AS sv "
+            f"FROM a{i}, (SELECT unnest(range(1, 65)) AS t) t GROUP BY 1, 2)",
+            f"gl{i} AS (SELECT cell, list(sv ORDER BY t) AS s FROM g{i} GROUP BY cell)",
+            f"rs{i} AS (SELECT cell, CASE WHEN list_max(list_transform(s, x -> abs(x))) = 0 "
+            f"THEN s ELSE list_transform(s, x -> CAST((CASE WHEN x < 0 THEN -1 ELSE 1 END) * "
+            f"((abs(x) * 1000) // list_max(list_transform(s, y -> abs(y)))) AS BIGINT)) END "
+            f"AS cv FROM gl{i})",
+            f"it{i} AS (SELECT list(coalesce(r.cv, p.cents[c.cell + 1]) ORDER BY c.cell) "
+            f"AS cents FROM (SELECT unnest(range({n_cells})) AS cell) c "
+            f"CROSS JOIN {p} p LEFT JOIN rs{i} r ON r.cell = c.cell)",
+        ]
+    fin = f"it{iters}"
+    parts += [
+        "ac AS (SELECT vec_id, list_position(ks, list_max(ks)) - 1 AS cell "
+        "FROM (SELECT v.vec_id, list_transform(p.cents, "
+        f"c -> {_ivf_key_sql('v.q', 'c')}) AS ks FROM qv v, {fin} p) z)",
+        "qk AS (SELECT v.vec_id AS query_id, c.cell, "
+        f"{_ivf_key_sql('v.q', 'p.cents[c.cell + 1]')} AS ck "
+        f"FROM qv v, {fin} p, (SELECT unnest(range({n_cells})) AS cell) c "
+        f"WHERE v.vec_id IN {_QUERY_VECS})",
+        "qp AS (SELECT query_id, cell FROM (SELECT query_id, cell, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY ck DESC, cell) AS pr FROM qk) z "
+        f"WHERE pr <= {n_probe})",
+        "cand AS (SELECT qp.query_id, ac.vec_id FROM ac JOIN qp "
+        "ON ac.cell = qp.cell AND ac.vec_id != qp.query_id)",
+        "sc AS (SELECT c.query_id, c.vec_id, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.vec_id = a.vec_id JOIN qv b ON c.query_id = b.vec_id)",
+        "keyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
+        "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) "
+        "END AS BIGINT) AS cos2_pico FROM sc)",
+        "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed)",
+    ]
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, cos2_pico, rank FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"
+    )
+
+
+@register("emb_ivf_ann_topk", _ivf_ann_oracle())
 def emb_ivf_ann_topk(spark, sf_dir):
-    """IVF-cell ANN top-k (trained-partition scale path; n_probe/n_cells
-    of the corpus scored per query)."""
+    """IVF-cell ANN top-k (trained-partition scale path; ~n_probe/
+    n_cells of the corpus scored per query) — oracle-exact end-to-end
+    including the k-means TRAINING: integer Lloyd steps on the
+    floor(x·1000) grid over the bounded deterministic sample replay in
+    unrolled SQL CTEs (the emb_pca_power recipe applied to the last
+    rows-only query), so the approximate result hash-matches. IVF
+    recall vs exact top-k stays property-tested; the float
+    `ivf_ann_topk` remains the library's production surface."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return (
-        similarity.ivf_ann_topk(e, q, dim=64, k=10, n_cells=16, n_probe=4)
-        .select("query_id", "vec_id", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return similarity.quantized_ivf_ann_topk(
+        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4
+    ).orderBy("query_id", "rank")
 
 
 @register(

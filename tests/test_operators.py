@@ -430,6 +430,55 @@ def test_ivf_train_sample_is_capped_by_default(spark):
     assert len(cents) == 4
 
 
+def test_quantized_ivf_recall_vs_exact(spark, emb):
+    """The oracle-exact IVF twin must match the float tier's recall
+    bound on the near-random fixture (the hard regime)."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_cosine_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_ivf_ann_topk(
+            emb, qs, dim=64, k=10, n_cells=16, iters=3, n_probe=4
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"quantized IVF recall too low: {recall}"
+
+
+def test_quantized_ivf_train_integer_grid_and_determinism(spark, emb):
+    """Training is int64 on the ±scale grid and bit-stable across runs
+    (no RNG, first-max ties) — the property the SQL oracle relies on."""
+    import numpy as np
+
+    a = similarity.quantized_ivf_train(emb, n_cells=8, iters=3)
+    b = similarity.quantized_ivf_train(emb, n_cells=8, iters=3)
+    assert a.dtype == np.int64 and a.shape == (8, 64)
+    assert (a == b).all()
+    assert int(np.abs(a).max()) <= 1000
+
+
+def test_quantized_ivf_handles_zero_vector(spark):
+    """A zero corpus vector has no defined cosine: it must flow through
+    assignment (key 0 for every cell ⇒ cell 0 by tie-break) and rank
+    with the sentinel key, never raise."""
+    base = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(1, 40)]
+    corpus = spark.createDataFrame(
+        [(0, [0.0] * 4)] + base, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    qs = corpus.where(F.col("vec_id") == 1)
+    out = similarity.quantized_ivf_ann_topk(
+        corpus, qs, dim=4, k=40, n_cells=4, iters=2, n_probe=4
+    ).collect()
+    zero_rows = [r for r in out if r.vec_id == 0]
+    assert all(r.cos2_pico == -1000000000001 for r in zero_rows)
+    # sentinel rows rank below every real-cosine candidate
+    if zero_rows:
+        assert zero_rows[0].rank == max(r.rank for r in out)
+
+
 def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     """A corpus vector duplicated under a new id (tiny jitter) must be
     recovered as a near-dup pair; unrelated random pairs must not."""
@@ -1093,10 +1142,32 @@ def test_bpe_training_matches_python_reference(spark, sf_dir):
             vocab[w] = res
     assert merges == ref
 
+    # the 2-jobs-total driver variant must emit the SAME sequence (its
+    # incremental heap+index loop vs this test's full recount per step)
+    assert bpe.train_bpe_driver(d, num_merges=8) == ref
+
     enc = bpe.encode(d.limit(20), merges).collect()
     for r in enc:
         assert r.n_tokens >= r.n_words  # every word ends with a </w> token
         assert 0 < len(r.token_prefix) <= 12
+
+
+def test_bpe_driver_deep_parity_and_word_cap(spark, sf_dir):
+    """Deep merge sequences (past the easy head, into tie-heavy tail
+    counts) stay identical between the distributed loop and the
+    driver's incremental loop; the bounded-collect cap truncates
+    deterministically by (count desc, word)."""
+    from proglog_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    deep = 40
+    assert bpe.train_bpe_driver(d, num_merges=deep) == bpe.train_bpe(
+        d, num_merges=deep
+    )
+    # cap: training on the top-N word table is still deterministic
+    a = bpe.train_bpe_driver(d, num_merges=10, max_train_words=50)
+    b = bpe.train_bpe_driver(d, num_merges=10, max_train_words=50)
+    assert a == b and len(a) <= 10
 
 
 def test_ivf_index_build_query_append(spark, emb, tmp_path):
