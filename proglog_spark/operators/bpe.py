@@ -121,6 +121,111 @@ def train_bpe(
     return merges
 
 
+def train_bpe_driver(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_pair_count: int = 2,
+    max_train_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Large-vocabulary BPE training: ONE Spark reduction, zero jobs
+    per merge.
+
+    :func:`train_bpe` runs two vocabulary-sized Spark jobs per merge —
+    fine at 20 merges, a driver-side scheduling bottleneck at a 50k
+    vocabulary (~100k jobs). But BPE statistics are a pure function of
+    the (distinct word, count) table, which the corpus pass already
+    reduces to; this variant collects that table (bounded and
+    deterministic: top ``max_train_words`` by count desc, word — the
+    same train-on-a-bounded-sample discipline as
+    ``similarity.ivf_train_sample``, and how production tokenizers
+    train) and runs the classic incremental merge loop in memory:
+    a lazy max-heap over pair counts plus a pair→word inverted index,
+    so each merge touches only the words containing its pair. Total
+    Spark jobs: 2 (aggregate + collect) at ANY vocabulary size.
+
+    Identical merge sequence to :func:`train_bpe` (count desc, then
+    pair-lexicographic tie-break — the heap key is (-count, a, b))
+    whenever the corpus has ≤ ``max_train_words`` distinct words;
+    above the cap the tail of the Zipf distribution is excluded from
+    the statistics, which is the standard trade. Use the distributed
+    loop when exact full-table statistics matter more than job count.
+    """
+    rows = (
+        word_freq_table(df, text_col)
+        .orderBy(F.col("n").desc(), "word")
+        .limit(max_train_words)
+        .collect()
+    )
+    words = [list(r["word"]) + [END] for r in rows]
+    counts = [int(r["n"]) for r in rows]
+    return _merge_loop_inmemory(words, counts, num_merges, min_pair_count)
+
+
+def _merge_loop_inmemory(
+    words: list[list[str]],
+    counts: list[int],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Sequential BPE over weighted symbol sequences with incremental
+    pair-count maintenance: per merge, only the words in the merged
+    pair's inverted-index bucket are rewritten and only their pair
+    counts adjusted. Heap entries go stale when counts change; a
+    popped entry is validated against the live count and re-pushed if
+    stale (lazy deletion), so ordering stays exact."""
+    import collections
+    import heapq
+
+    pair_counts: dict[tuple[str, str], int] = collections.Counter()
+    index: dict[tuple[str, str], set[int]] = collections.defaultdict(set)
+    for wi, s in enumerate(words):
+        n = counts[wi]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += n
+            index[p].add(wi)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while heap and len(merges) < num_merges:
+        nc, a, b = heapq.heappop(heap)
+        cur = pair_counts.get((a, b), 0)
+        if -nc != cur:  # stale entry: re-enter at the live count
+            if cur > 0:
+                heapq.heappush(heap, (-cur, a, b))
+            continue
+        if cur < min_pair_count:
+            break
+        merges.append((a, b))
+        changed: set[tuple[str, str]] = set()
+        for wi in index.pop((a, b), ()):  # only words holding the pair
+            s = words[wi]
+            new = merge_pair(s, a, b)
+            if new == s:
+                continue  # stale index entry (pair merged away earlier)
+            n = counts[wi]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                left = pair_counts[p] - n
+                if left > 0:
+                    pair_counts[p] = left
+                    changed.add(p)
+                else:
+                    pair_counts.pop(p, None)
+                    changed.discard(p)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                index[p].add(wi)
+                changed.add(p)
+            words[wi] = new
+        for p in changed:
+            heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
 def encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
