@@ -166,14 +166,22 @@ class LogTable:
         self._lock_created = False
         # lease protocol (automatic failover, the Raft-election analog
         # of internal/log/distributed.go:99-162): the lock file carries
-        # lease_expires_at; a live writer renews at half-life on its
-        # mutating calls, and any process may reclaim an EXPIRED lease
-        # without operator intervention. _lease_deadline caches our
-        # last-written expiry so the unexpired fast path costs zero IO.
+        # lease_expires_at; a daemon heartbeat renews it at half-life
+        # for as long as the lock is held, and any process may reclaim
+        # an EXPIRED lease without operator intervention. _lease_deadline
+        # caches our last-written expiry so the unexpired fast path in
+        # mutating calls costs zero IO; _fenced_owner records a takeover
+        # the heartbeat discovered so the next mutating call raises
+        # before touching data.
+        import threading
         import uuid
 
         self._lock_token = uuid.uuid4().hex
         self._lease_deadline = 0.0
+        self._lease_mutex = threading.Lock()
+        self._fenced_owner: dict | None = None
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
 
     # ------------------------------------------------------------------
     # lifecycle (reference: log.go NewLog/setup/Reset/Remove, O16/O17)
@@ -298,11 +306,15 @@ class LogTable:
     # half is a create-if-absent lock file in the log dir)
     # ------------------------------------------------------------------
 
-    # writer-lease duration: how long a silent (crashed or partitioned)
-    # writer's lock survives before any other process may reclaim it.
-    # Renewal happens at half-life, so clock skew across hosts must be
-    # well under lease_seconds/2 for the fencing guarantee to hold.
-    # Override per instance (tests use sub-second leases).
+    # writer-lease duration: how long a SILENT writer's lock survives
+    # before any other process may reclaim it. A live writer is never
+    # silent — a daemon heartbeat renews at half-life for the whole
+    # time the lock is held (including DURING long Spark jobs, so a
+    # multi-minute append cannot be reclaimed out from under a live
+    # writer). Size it for the worst-case PROCESS PAUSE (GC/VM freeze)
+    # plus cross-host clock skew — both must stay well under
+    # lease_seconds/2 — never for job duration. Override per instance
+    # (tests use sub-second leases).
     lease_seconds: float = 60.0
 
     def _lock_owner_info(self) -> dict:
@@ -474,22 +486,149 @@ class LogTable:
         finally:
             os.close(fd)
 
-    def _renew_lock(self, expect_owner: dict) -> bool:
-        """Extend our own lease. Local: the same flock'd CAS as reclaim
-        (a concurrent expired-lease reclaimer loses or wins atomically).
-        Remote: overwrite-create — no delete window, and the caller
-        verified ownership immediately before (conditional-PUT stores
-        would make this a true CAS)."""
-        if self._local_dir() is not None:
-            return self._cas_lock_local(expect_owner)
-        fs, _, _ = self._fs()
-        payload = json.dumps(self._lock_owner_info()).encode("utf-8")
-        stream = fs.create(self._lock_jpath(), True)  # overwrite
-        try:
-            stream.write(bytearray(payload))
-        finally:
-            stream.close()
-        return True
+    def _renew_owned_lease(self) -> bool:
+        """One renewal attempt for a lease this instance believes it
+        owns; shared by the heartbeat and the mutating-call check.
+        True ⇒ _lease_deadline advanced (we confirmed ownership in the
+        store). False ⇒ FENCED: a foreign owner was observed, or
+        ownership could not be re-confirmed while our lease may have
+        lapsed — _fenced_owner is set and the owned flags are dropped,
+        so the next mutating call raises before minting an offset.
+
+        Local stores: flock'd CAS. A failed CAS is NOT trusted on a
+        re-read alone (the racing reclaimer may hold the flock with its
+        replace still in flight — a read here can show stale self-owned
+        content); instead the attempt loops: each pass either CASes
+        successfully, observes the foreign owner (fence), or adopts a
+        same-process sibling's FRESH renewal. Ambiguity after the
+        retries ⇒ fence (never assume).
+
+        Remote stores (no CAS primitive): renewal is overwrite-create,
+        sound only while our current lease is UNEXPIRED (no LEGAL
+        reclaimer can exist inside a live lease, and the half-life
+        heartbeat keeps a healthy writer inside it). If our own lease
+        has already lapsed — process pause, beat missed — a legal
+        reclaimer may be mid-takeover, and an overwrite could clobber
+        its lock; the writer fences instead. (A conditional-PUT store
+        would upgrade this to the local CAS semantics.)
+        """
+        import time
+
+        with self._lease_mutex:
+            if not (self._lock_owned and self._fenced_owner is None):
+                return False
+            if self._local_dir() is not None:
+                for _ in range(40):
+                    if not self._lock_owned:
+                        return False  # released concurrently (close())
+                    owner = self._read_lock_owner()
+                    if owner is None:
+                        # vanished (manual cleanup): reassert ownership
+                        if self._try_create_lock():
+                            self._lock_created = True  # we now owe the delete
+                            self._lease_deadline = time.time() + self.lease_seconds
+                            return True
+                        continue
+                    if not self._owner_is_self(owner):
+                        return self._fence(owner)
+                    if self._cas_lock_local(owner):
+                        self._lease_deadline = time.time() + self.lease_seconds
+                        return True
+                    # CAS lost: reclaimer mid-swap or sibling renewal —
+                    # adopt a sibling's FRESH lease, otherwise re-loop
+                    fresh = self._read_lock_owner()
+                    if (
+                        fresh is not None
+                        and self._owner_is_self(fresh)
+                        and not self._owner_lease_expired(fresh)
+                        and fresh != owner
+                    ):
+                        try:
+                            self._lease_deadline = float(fresh["lease_expires_at"])
+                            return True
+                        except (KeyError, TypeError, ValueError):
+                            pass
+                    time.sleep(0.015)
+                return self._fence(self._read_lock_owner() or {})
+            # remote store
+            owner = self._read_lock_owner()
+            if owner is None:
+                # vanished (manual cleanup): reassert ownership
+                if self._try_create_lock():
+                    self._lock_created = True
+                    self._lease_deadline = time.time() + self.lease_seconds
+                    return True
+                owner = self._read_lock_owner()
+            if owner is None or not self._owner_is_self(owner):
+                return self._fence(owner or {})
+            if time.time() >= self._lease_deadline:
+                # our lease lapsed: a legal reclaimer may be mid-takeover
+                # and overwrite-create would clobber its lock — fence
+                # unless a same-process sibling already renewed
+                if not self._owner_lease_expired(owner):
+                    try:
+                        self._lease_deadline = float(owner["lease_expires_at"])
+                        return True
+                    except (KeyError, TypeError, ValueError):
+                        pass
+                return self._fence(owner)
+            fs, _, _ = self._fs()
+            payload = json.dumps(self._lock_owner_info()).encode("utf-8")
+            stream = fs.create(self._lock_jpath(), True)  # overwrite
+            try:
+                stream.write(bytearray(payload))
+            finally:
+                stream.close()
+            self._lease_deadline = time.time() + self.lease_seconds
+            return True
+
+    def _fence(self, owner: dict) -> bool:
+        """Record a discovered takeover: drop ownership so no further
+        write can run, remember the observed owner for the error, and
+        stop the heartbeat. Caller holds _lease_mutex."""
+        self._fenced_owner = owner
+        self._lock_owned = self._lock_created = False
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        return False
+
+    # ------------------------------------------------------------------
+    # lease heartbeat: renews at half-life for as long as the lock is
+    # held, so long-running mutating calls (a multi-minute append job)
+    # can never be legally reclaimed mid-flight. The thread is a
+    # daemon, started on acquisition and stopped by close()/fencing.
+    # ------------------------------------------------------------------
+
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        if self._hb_thread is not None and self._hb_thread.is_alive():
+            return
+        stop = threading.Event()
+        interval = max(self.lease_seconds / 2.0, 0.05)
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                if not self._lock_owned or self._fenced_owner is not None:
+                    return
+                try:
+                    if not self._renew_owned_lease():
+                        return  # fenced: state recorded for next call
+                except Exception:
+                    # transient store error: the lease has half a life
+                    # of slack — retry at the next beat
+                    continue
+
+        self._hb_stop = stop
+        self._hb_thread = threading.Thread(
+            target=_beat, name=f"proglog-lease-{id(self):x}", daemon=True
+        )
+        self._hb_thread.start()
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        self._hb_thread = None
 
     def _lock_owner_is_live(self) -> bool:
         """True iff the lock file names an owner this process must not
@@ -521,14 +660,23 @@ class LogTable:
         override for legacy lease-less locks or a confirmed-dead owner
         whose lease hasn't lapsed yet).
 
-        While owned, each call re-validates the lease at half-life and
-        renews it; a writer that slept past its own expiry and finds a
-        new owner is FENCED (``WriterLockLostError``) before it can
-        mint a duplicate offset.
+        While owned, a daemon heartbeat renews the lease at half-life —
+        including during long-running jobs — and every mutating call
+        re-checks it at entry; a writer whose lease lapsed (process
+        pause past lease_seconds) and was superseded is FENCED
+        (``WriterLockLostError``) before it can mint a duplicate
+        offset.
         """
         if self._lock_owned:
             self._verify_or_renew_lease()
             return
+        if self._fenced_owner is not None and not steal:
+            # first call after a fencing: report the takeover once (the
+            # informative error), then clear — subsequent calls follow
+            # the normal acquire contract (blocked by a live new owner,
+            # able to reclaim a dead/expired one)
+            fenced, self._fenced_owner = self._fenced_owner, None
+            raise WriterLockLostError(self.path, fenced)
         import socket
         import time
 
@@ -537,13 +685,16 @@ class LogTable:
         for _ in range(3):
             if self._try_create_lock():
                 self._lock_owned = self._lock_created = True
+                self._fenced_owner = None  # a past fencing is history
                 self._lease_deadline = time.time() + self.lease_seconds
+                self._start_heartbeat()
                 return
             owner = self._read_lock_owner()
             if owner is None:
                 continue  # vanished or unreadable between steps — retry
             if owner.get("host") == me and owner.get("pid") == os.getpid():
                 self._lock_owned = True  # sibling instance, same process
+                self._fenced_owner = None
                 # inherit the sibling's recorded expiry so our first
                 # mutating call re-validates no later than it would
                 try:
@@ -566,52 +717,32 @@ class LogTable:
             if steal or same_host_dead or expired:
                 if self._reclaim_lock(owner):
                     self._lock_owned = self._lock_created = True
+                    self._fenced_owner = None
                     self._lease_deadline = time.time() + self.lease_seconds
+                    self._start_heartbeat()
                     return
                 continue  # lost the reclaim race: loop re-reads the owner
             raise WriterLockHeldError(self.path, owner)
         raise WriterLockHeldError(self.path, owner or {})
 
     def _verify_or_renew_lease(self) -> None:
-        """Owned-path lease upkeep, called from every mutating method.
+        """Owned-path lease check at every mutating call's entry.
 
-        Costs zero IO while the last-written lease is inside its first
-        half-life (no other process may legally reclaim an unexpired
-        lease, so no takeover is possible before then). Past half-life:
-        re-read the owner; if it is still us, CAS-extend the lease; if
-        a new owner appears — our lease lapsed while idle and another
-        process reclaimed — drop ownership and raise
-        ``WriterLockLostError`` (fencing)."""
+        Raises ``WriterLockLostError`` if the heartbeat (or this check)
+        discovered a takeover. Costs zero IO while the recorded lease is
+        inside its first half-life — the heartbeat normally keeps it
+        there, so this almost always takes the fast path; past
+        half-life (a paused process, a heartbeat that hasn't fired
+        yet on a sub-second test lease) it runs one renewal attempt
+        inline and fences on failure."""
         import time
 
+        if self._fenced_owner is not None:
+            raise WriterLockLostError(self.path, self._fenced_owner)
         if time.time() < self._lease_deadline - self.lease_seconds / 2:
             return
-        owner = self._read_lock_owner()
-        if owner is not None and not self._owner_is_self(owner):
-            self._lock_owned = self._lock_created = False
-            raise WriterLockLostError(self.path, owner)
-        if owner is None:
-            # lock file vanished (manual cleanup / lost dir): reassert
-            if self._try_create_lock():
-                self._lock_created = True
-                self._lease_deadline = time.time() + self.lease_seconds
-                return
-            owner = self._read_lock_owner()
-            if owner is not None and self._owner_is_self(owner):
-                self._lease_deadline = time.time() + self.lease_seconds
-                return
-            self._lock_owned = self._lock_created = False
-            raise WriterLockLostError(self.path, owner or {})
-        if self._renew_lock(owner):
-            self._lease_deadline = time.time() + self.lease_seconds
-            return
-        owner = self._read_lock_owner()
-        if owner is not None and self._owner_is_self(owner):
-            # a same-process sibling renewed concurrently — still ours
-            self._lease_deadline = time.time() + self.lease_seconds
-            return
-        self._lock_owned = self._lock_created = False
-        raise WriterLockLostError(self.path, owner or {})
+        if not self._renew_owned_lease():
+            raise WriterLockLostError(self.path, self._fenced_owner or {})
 
     def steal_writer_lock(self) -> None:
         """Forcibly take over the writer lock (operator action: only
@@ -622,14 +753,23 @@ class LogTable:
     def close(self) -> None:
         """Release the writer lock (if this instance created it) and
         drop in-process caches. Reads need no close; idempotent."""
-        if self._lock_created:
-            # only delete if the file is still OURS — after a lease
-            # expiry + takeover, deleting would remove the NEW owner's
-            # lock (a fenced writer must leave the lock alone)
-            owner = self._read_lock_owner()
-            if owner is None or self._owner_is_self(owner):
-                self._delete_lock_file()
-        self._lock_owned = self._lock_created = False
+        self._stop_heartbeat()
+        # the mutex excludes an in-flight heartbeat renewal: without it
+        # a beat that lost its CAS could re-create the lock file right
+        # after the delete below (zombie lock)
+        with self._lease_mutex:
+            created, self._lock_owned, self._lock_created = (
+                self._lock_created,
+                False,
+                False,
+            )
+            if created:
+                # only delete if the file is still OURS — after a lease
+                # expiry + takeover, deleting would remove the NEW
+                # owner's lock (a fenced writer must leave it alone)
+                owner = self._read_lock_owner()
+                if owner is None or self._owner_is_self(owner):
+                    self._delete_lock_file()
         self._native_ds_cache.clear()
         self._native_tbl_cache.clear()
         self._no_pin_keys.clear()

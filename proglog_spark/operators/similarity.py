@@ -473,7 +473,12 @@ def semantic_dedup(
         # without it the bucketing UDF and the corpus scan run 3x. An
         # eager RDD-level localCheckpoint (not .cache()) so the
         # ContextCleaner frees the blocks when the result is GC'd
-        # instead of leaking one CacheManager entry per call
+        # instead of leaking one CacheManager entry per call. Known
+        # trade: localCheckpoint truncates lineage, so losing an
+        # executor that holds these blocks (spot reclaim, dynamic
+        # deallocation) fails the query instead of recomputing — on
+        # clusters where that matters, set a checkpoint dir and swap
+        # for df.checkpoint(), keeping both the leak fix and recompute
         .localCheckpoint(eager=True)
     )
     a = b.select(F.col("id").alias("id_a"), "cell", F.col("vec").alias("vec_a"), F.col("n2").alias("na"))

@@ -5555,9 +5555,15 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
     "docs_quality", "docs_simhash", "docs_simhash_neardup",
     "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
-    "emb_cosine_neardup", "emb_cosine_topk", "emb_dot_topk",
-    "emb_exact_dup", "emb_ivf_ann_topk", "emb_lsh_ann_topk",
+    "emb_cosine_neardup", "emb_dot_topk",
+    "emb_exact_dup",
     "emb_norm_stats", "emb_semantic_dedup", "events_approx_distinct",
+    # NOT listed (evicted r3): emb_ivf_ann_topk (r2 artifact checked the
+    # float rows-only version; the integer-k-means oracle is new),
+    # emb_cosine_topk and emb_lsh_ann_topk (their zero-norm sentinel
+    # changed after the r2 artifact) — a query whose implementation or
+    # oracle changes after its last driver check must rotate BACK into
+    # the driver window
     "events_asof_order", "events_attribution_window", "events_extremes",
     "events_hourly_counts", "events_hourly_counts_streamed",
     "events_inactive_users", "events_json_sum", "events_running_count",

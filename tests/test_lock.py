@@ -256,6 +256,8 @@ def test_writer_never_expires_while_actively_renewing(spark, tmp_path):
 
 
 def test_fenced_writer_raises_lock_lost_and_leaves_lock_alone(spark, tmp_path):
+    """A takeover observed by the HEARTBEAT fences the writer before
+    its next mutating call, and close() leaves the new owner's lock."""
     import time
 
     from proglog_spark.errors import WriterLockLostError
@@ -264,9 +266,12 @@ def test_fenced_writer_raises_lock_lost_and_leaves_lock_alone(spark, tmp_path):
     log = LogTable.create(spark, path, bucket_size=8)
     log.lease_seconds = 0.5
     log.append(["a"])
-    time.sleep(0.6)  # our lease lapses while idle
-    # a remote process legally reclaimed the expired lease meanwhile
+    # another process took the lock (e.g. a steal while this host was
+    # paused); the half-life heartbeat must observe it within a beat
     _plant_lease_lock(path, host="new-owner-host", expires_in=3600.0)
+    deadline = time.time() + 5.0
+    while log._fenced_owner is None and time.time() < deadline:
+        time.sleep(0.05)
     with pytest.raises(WriterLockLostError):
         log.append(["b"])
     # fenced: ownership dropped, and close() must NOT delete the new
@@ -274,3 +279,46 @@ def test_fenced_writer_raises_lock_lost_and_leaves_lock_alone(spark, tmp_path):
     log.close()
     owner = json.load(open(_lock_path(path)))
     assert owner["host"] == "new-owner-host"
+
+
+def test_inline_fence_when_heartbeat_missed(spark, tmp_path):
+    """The mutating-call entry check fences on its own when the
+    heartbeat never got the chance (simulated process pause: heartbeat
+    stopped, recorded lease forced past expiry, lock superseded)."""
+    from proglog_spark.errors import WriterLockLostError
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.lease_seconds = 0.5
+    log.append(["a"])
+    log._stop_heartbeat()  # the "pause": no renewals from here on
+    log._lease_deadline = 0.0
+    _plant_lease_lock(path, host="new-owner-host", expires_in=3600.0)
+    with pytest.raises(WriterLockLostError):
+        log.append(["b"])
+    log.close()
+    assert json.load(open(_lock_path(path)))["host"] == "new-owner-host"
+
+
+def test_heartbeat_keeps_idle_writer_alive_through_long_jobs(spark, tmp_path):
+    """The lease must renew DURING long gaps between mutating calls
+    (the long-Spark-job case): after several lease lifetimes of
+    silence the on-disk lease is still unexpired and a contender is
+    still refused."""
+    import time
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.lease_seconds = 0.5
+    log.append(["a"])
+    time.sleep(1.8)  # > 3 lease lifetimes with no mutating calls
+    owner = json.load(open(_lock_path(path)))
+    assert owner["lease_expires_at"] > time.time()
+    other = LogTable.open(spark, path)
+    other._lock_token = "contender"  # distinct instance, same process:
+    # force the foreign-owner view by faking another pid/host is not
+    # possible in-process, so assert via the reclaim predicate instead:
+    assert not LogTable._owner_lease_expired(owner)
+    # and the original writer can still write (not fenced)
+    assert log.append(["b"])[1] == 1
+    log.close()
