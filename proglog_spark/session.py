@@ -91,4 +91,19 @@ def build_session(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
+    # Python workers must be able to import proglog_spark: mapInPandas/
+    # pandas_udf closures reference module-level helpers, which pickle
+    # BY REFERENCE — the worker re-imports the module. When the driver
+    # imported the package from somewhere outside the workers' default
+    # sys.path (an external script adding the repo to sys.path), the
+    # import dies worker-side with ModuleNotFoundError. Prepending the
+    # package's parent dir to PYTHONPATH fixes local-mode workers
+    # (spawned from this process's env); on a real cluster, ship the
+    # package with --py-files / spark.submit.pyFiles as usual.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + current if current else "")
+        )
     return builder.getOrCreate()

@@ -133,3 +133,206 @@ def test_media_stages_propagate_null_payload(spark):
     assert abs(sum(x * x for x in feats[1]) - 1.0) < 1e-9
     bf = {r.doc_id: r.feature for r in extract_features(df).collect()}
     assert bf[2] is None and bf[1] is not None
+
+# ---------------------------------------------------------------------------
+# REAL decoders (library-free formats): uncompressed BMP, binary
+# PGM/PPM, WAV PCM — exact pixel/sample values against hand-built
+# fixtures, plus the never-crash contract for everything else.
+# ---------------------------------------------------------------------------
+
+
+def _bmp24(pixels_rgb, bottom_up=True):
+    """Minimal 24-bit BI_RGB BMP from an (h, w, 3) uint8 array."""
+    import struct
+
+    h, w, _ = pixels_rgb.shape
+    row_size = ((24 * w + 31) // 32) * 4
+    raster = bytearray()
+    rows = pixels_rgb[::-1] if bottom_up else pixels_rgb
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_size - len(line))
+        raster += line
+    pix_off = 14 + 40
+    total = pix_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", total, 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return bytes(header + dib + raster)
+
+
+def _bmp8(pixels_idx, palette_rgb, bottom_up=True):
+    """Minimal 8-bit palettized BMP from an (h, w) index array."""
+    import struct
+
+    h, w = pixels_idx.shape
+    row_size = ((8 * w + 31) // 32) * 4
+    raster = bytearray()
+    rows = pixels_idx[::-1] if bottom_up else pixels_idx
+    for row in rows:
+        raster += bytes(int(v) for v in row) + b"\x00" * (row_size - w)
+    pal = bytearray()
+    for i in range(256):
+        r, g, b = palette_rgb[i] if i < len(palette_rgb) else (0, 0, 0)
+        pal += bytes((b, g, r, 0))
+    pix_off = 14 + 40 + len(pal)
+    total = pix_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", total, 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 8, 0,
+        len(raster), 2835, 2835, 256, 0,
+    )
+    return bytes(header + dib + pal + raster)
+
+
+def _wav(samples, rate=8000, channels=1, width=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 1:
+            wf.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        else:
+            wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _luma(r, g, b):
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def test_decode_images_bmp24_exact(spark):
+    from proglog_spark.multimodal import decode_images
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(3, 5, 3)).astype(np.uint8)  # w=5: row padding
+    df = spark.createDataFrame([(1, _bmp24(img))], "doc_id LONG, payload BINARY")
+    row = decode_images(df).collect()[0]
+    assert (row.format, row.height, row.width, row.channels) == ("bmp", 3, 5, 3)
+    want = _luma(
+        img[..., 0].astype(int), img[..., 1].astype(int), img[..., 2].astype(int)
+    ).reshape(-1)
+    assert list(row.pixels) == [int(v) for v in want]
+
+
+def test_decode_images_bmp8_palette_and_topdown(spark):
+    from proglog_spark.multimodal import decode_images
+
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    palette = [(255, 0, 0), (0, 255, 0), (10, 20, 30)]
+    want = [_luma(*palette[i]) for i in idx.reshape(-1)]
+    df = spark.createDataFrame(
+        [
+            (1, _bmp8(idx, palette, bottom_up=True)),
+            (2, _bmp8(idx, palette, bottom_up=False)),  # top-down (negative h)
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    for r in rows.values():
+        assert (r.format, r.height, r.width, r.channels) == ("bmp", 2, 2, 1)
+        assert list(r.pixels) == want  # identical grid either row order
+
+
+def test_decode_images_pnm_with_comments(spark):
+    from proglog_spark.multimodal import decode_images
+
+    pgm = b"P5 # a comment\n2 2\n255\n" + bytes([0, 100, 200, 255])
+    ppm = b"P6\n2 1 255\n" + bytes([255, 0, 0, 0, 0, 255])
+    df = spark.createDataFrame(
+        [(1, pgm), (2, ppm)], "doc_id LONG, payload BINARY"
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    assert list(rows[1].pixels) == [0, 100, 200, 255]
+    assert rows[1].channels == 1
+    assert list(rows[2].pixels) == [_luma(255, 0, 0), _luma(0, 0, 255)]
+    assert (rows[2].height, rows[2].width, rows[2].channels) == (1, 2, 3)
+
+
+def test_decode_images_never_crashes(spark):
+    from proglog_spark.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [
+            (1, b"\xff\xd8\xff\xe0 jpeg-ish"),     # compressed: tagged, NULL
+            (2, b"BM" + b"\x00" * 20),             # truncated bmp: corrupt
+            (3, b"P5 2 2 255 "),                   # truncated pnm raster
+            (4, None),                              # NULL payload
+            (5, b"whatever"),                       # unknown magic
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    assert rows[1].format == "jpeg" and rows[1].pixels is None
+    assert rows[2].format == "corrupt:bmp" and rows[2].pixels is None
+    assert rows[3].format == "corrupt:pnm" and rows[3].pixels is None
+    assert rows[4].format is None and rows[4].pixels is None
+    assert rows[5].format == "unknown" and rows[5].pixels is None
+
+
+def test_decoded_bmp_composes_with_resize_and_histogram(spark):
+    """Real decoded pixels must flow through the downstream stages the
+    fake decoder feeds (same grid contract)."""
+    from proglog_spark.multimodal import (
+        decode_images,
+        extract_pixel_histogram,
+        resize_media,
+    )
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame([(1, _bmp24(img))], "doc_id LONG, payload BINARY")
+    grid = decode_images(df).select("doc_id", "height", "width", "channels", "pixels")
+    small = resize_media(grid, 2, 2)
+    hist = extract_pixel_histogram(small, dim=16).collect()[0]
+    lum = _luma(200, 200, 200)
+    want = [0] * 16
+    want[lum // 16] = 4
+    assert list(hist.hist) == want
+
+
+def test_decode_audio_pcm16_and_pcm8_exact(spark):
+    from proglog_spark.multimodal import decode_audio
+
+    s16 = [0, 1000, -1000, 32767, -32768, 5]
+    s8 = [0, 10, -10, 127, -128]
+    df = spark.createDataFrame(
+        [
+            (1, _wav(s16, rate=16000, channels=2, width=2)),
+            (2, _wav(s8, rate=8000, channels=1, width=1)),
+            (3, b"\xff\xfb mp3ish"),
+            (4, None),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_audio(df, prefix=8).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.sample_rate, r1.n_channels) == ("wav", 16000, 2)
+    assert r1.n_samples == 3  # 6 interleaved samples / 2 channels
+    assert r1.energy == sum(v * v for v in s16)
+    assert list(r1.sample_prefix) == s16[:8]
+    r2 = rows[2]
+    assert (r2.format, r2.sample_rate, r2.n_channels) == ("wav", 8000, 1)
+    assert r2.energy == sum(v * v for v in s8)
+    assert list(r2.sample_prefix) == s8
+    assert rows[3].format == "mp3" and rows[3].energy is None
+    assert rows[4].format is None and rows[4].energy is None
+
+
+def test_decode_audio_corrupt_wav_is_tagged(spark):
+    from proglog_spark.multimodal import decode_audio
+
+    good = _wav([1, 2, 3])
+    df = spark.createDataFrame(
+        [(1, good[:20]), (2, good[:12] + b"\x00" * 8)],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_audio(df).collect()}
+    assert all(r.format == "corrupt:wav" and r.energy is None for r in rows.values())
