@@ -173,3 +173,67 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(FNV_MOD),
     )
     return df.withColumn("fingerprint", fp)
+
+
+def lm_transition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the integer-exact
+    analog of CCNet-style perplexity filtering for training-data
+    curation: (id, n_bigrams, mean_transition_micro,
+    n_singleton_bigrams).
+
+    The model IS the corpus: c2(w1,w2) = corpus count of the bigram,
+    c1(w1) = count of transitions leaving w1 (Σ_w2 c2), and the
+    transition probability is the exact integer p_micro =
+    (c2·10⁶) div c1. A document's score is the k-weighted mean of its
+    bigrams' p_micro (fluent, repetitive text scores high; incoherent
+    token soup scores low); n_singleton_bigrams counts transitions
+    seen nowhere else in the corpus (a strong junk/garble signal).
+    Every value is BIGINT (c2·10⁶ stays under 2⁶³ through ~10¹² corpus
+    bigrams), so the full train-and-score pipeline hash-matches a SQL
+    oracle.
+
+    Plan shape at 100 TB: one explode (no shuffle) → partial-agg
+    shuffle on (id, w1, w2); the model derives from that table by two
+    further reductions on (w1, w2) and (w1) — each carries distinct
+    bigrams, not occurrences — and scoring is one shuffle join back on
+    (w1, w2) (AQE skew-join splits the stopword-pair hotspots). Docs
+    with fewer than two words have no transitions and no output row.
+    """
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("ws"),
+    ).where(F.size("ws") >= 2)  # sequence(1, 0) is DESCENDING — guard
+    db = (
+        w.select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("_id", "p.w1", "p.w2")
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bg = db.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    ug = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = bg.join(ug, "w1").select(
+        "w1", "w2", "c2", F.expr("(c2 * 1000000) div c1").alias("p_micro")
+    )
+    return (
+        db.join(model, ["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr("sum(k * p_micro) div sum(k)").alias("mean_transition_micro"),
+            F.sum(F.when(F.col("c2") == 1, F.col("k")).otherwise(F.lit(0))).alias(
+                "n_singleton_bigrams"
+            ),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

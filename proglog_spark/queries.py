@@ -787,6 +787,37 @@ def docs_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "docs_lm_transition_score",
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w "
+    "WHERE len(ws) >= 2), "
+    "db AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, "
+    "CAST(count(*) AS BIGINT) AS k FROM ix GROUP BY 1, 2, 3), "
+    "bg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM db GROUP BY 1, 2), "
+    "ug AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1), "
+    "m AS (SELECT bg.w1, bg.w2, c2, (c2 * 1000000) // c1 AS p_micro "
+    "FROM bg JOIN ug ON bg.w1 = ug.w1) "
+    "SELECT db.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(k * p_micro) // sum(k) AS BIGINT) AS mean_transition_micro, "
+    "CAST(sum(CASE WHEN c2 = 1 THEN k ELSE 0 END) AS BIGINT) "
+    "AS n_singleton_bigrams "
+    "FROM db JOIN m ON db.w1 = m.w1 AND db.w2 = m.w2 "
+    "GROUP BY 1 ORDER BY doc_id",
+)
+def docs_lm_transition_score(spark, sf_dir):
+    """Bigram language-model quality scoring (text.lm_transition_scores)
+    — the CCNet-perplexity-filter analog, trained on the corpus itself
+    and integer-exact end to end (p = c2·10⁶ div c1 on BIGINTs), so
+    TRAINING and scoring both sit inside the hash gate. High mean
+    transition probability = fluent/repetitive text; singleton
+    transitions flag garble. One explode + three reductions + one
+    model join-back; AQE skew-join covers stopword-pair hotspots."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.lm_transition_scores(d).orderBy("doc_id")
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
@@ -1819,6 +1850,92 @@ def tpch_q14_promo_share(spark, sf_dir):
         .alias("promo_share_micro"),
         "promo_cents",
         "total_cents",
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'BRAND#3' AND p_type NOT LIKE 'PROMO%' "
+    "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) "
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+    "WHERE s_name LIKE '%#21%') "
+    "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size "
+    "LIMIT 20",
+)
+def tpch_q16_supplier_variety(spark, sf_dir):
+    """Q16-style supplier variety (partsupp stands in as the lineitem
+    part↔supplier pairing in this reduced schema): NOT-IN excluded
+    suppliers become a null-safe LEFT ANTI join (the excluded set
+    scales with SF, so no broadcast hint — AQE decides), dim predicates
+    push into the part scan, and COUNT(DISTINCT) shuffles only
+    (brand, type, size, suppkey) pairs."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "BRAND#3")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").contains("#21"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excluded, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_idle_balance",
+    "WITH avg_bal AS (SELECT CAST(floor(avg(c_acctbal * 100)) AS BIGINT) "
+    "AS ab FROM customer WHERE c_acctbal > 0.0), "
+    "idle AS (SELECT c_custkey, c_nationkey, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents "
+    "FROM customer, avg_bal "
+    "WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > ab "
+    "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')) "
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+    "CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents "
+    "FROM idle GROUP BY 1 ORDER BY 1",
+)
+def tpch_q22_idle_balance(spark, sf_dir):
+    """Q22-style global-market analysis: a 1-row scalar aggregate
+    (average positive balance, broadcast) gates the customer scan, and
+    'no recent order' is a LEFT ANTI join against the date-filtered
+    orders scan — the scalar-subquery + anti-join shape (every fixture
+    customer has SOME order, so the window is what makes the idle set
+    non-empty). Money compared in integer cents (the average itself
+    floored to cents) so the filter and sums are engine-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.floor(F.avg(F.col("c_acctbal") * 100)).cast("long").alias("ab")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.select("c_custkey", "c_nationkey", bal_cents.alias("bal_cents"))
+        .join(F.broadcast(avg_bal))  # 1-row scalar: always broadcast
+        .where(F.col("bal_cents") > F.col("ab"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
     )
 
 
