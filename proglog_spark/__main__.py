@@ -126,6 +126,16 @@ def main(argv: list[str] | None = None) -> int:
         # grep through (errors.py exists to provide these forms)
         print(e.canonical(), file=sys.stderr)
         return 2
+    except FileNotFoundError as e:
+        # common misuse #1: --path names a log that doesn't exist —
+        # same one-line contract, not a multi-screen traceback
+        print(f"NOT_FOUND:{e.filename or e}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        # common misuse #2: inconsistent flags (e.g. --tls-ca without
+        # --tls-cert/--tls-key raises ValueError from build_ssl_context)
+        print(f"INVALID_ARGUMENT:{e}", file=sys.stderr)
+        return 2
     finally:
         spark.stop()
 

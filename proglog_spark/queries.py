@@ -295,6 +295,27 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
+def _sink_name(prefix: str) -> str:
+    """Unique memory-sink name (uuid, not CPython's private
+    tempfile._get_candidate_names)."""
+    import uuid
+
+    return f"{prefix}_{uuid.uuid4().hex[:12]}"
+
+
+def _drain_memory_sink(spark, name: str) -> DataFrame:
+    """Materialize a finished streaming query's memory-sink table into
+    a standalone DataFrame and DROP the sink's temp view: without the
+    drop, every invocation of a streamed query leaks one in-memory
+    table (holding its full aggregated result) into the session for
+    its lifetime. Sink contents are bounded aggregates, so the driver
+    hop is small; the returned frame has the sink's exact schema."""
+    t = spark.table(name)
+    rows, schema = t.collect(), t.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "events_hourly_counts_streamed",
     "SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, event_type, "
@@ -305,12 +326,10 @@ def events_hourly_counts_streamed(spark, sf_dir):
     runs as a real Structured Streaming query (availableNow trigger,
     memory sink) over the same fixture and must hash-match the same
     batch oracle — the convergence contract, oracle-enforced."""
-    import tempfile
-
     from proglog_spark.streaming.windows import streaming_tumbling_counts
 
     agg = streaming_tumbling_counts(_stream_events(spark, sf_dir), "ts", 3600, ["event_type"])
-    name = "hourly_streamed_" + next(tempfile._get_candidate_names())
+    name = _sink_name("hourly_streamed")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -319,7 +338,7 @@ def events_hourly_counts_streamed(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("bucket", "event_type")
+    return _drain_memory_sink(spark, name).orderBy("bucket", "event_type")
 
 
 @register(
@@ -554,7 +573,7 @@ def events_sessionize_streamed(spark, sf_dir):
     )
     stream = fixture.select(F.col("user_id").cast("long"), "ts").unionByName(sentinels)
 
-    name = "sessionize_streamed_" + next(tempfile._get_candidate_names())
+    name = _sink_name("sessionize_streamed")
     # a stateful query pins its partitioning at start; the state key
     # domain is users (~thousands at fixture scale), so a narrow state
     # width avoids paying 32 store commits per micro-batch — set for
@@ -581,10 +600,16 @@ def events_sessionize_streamed(spark, sf_dir):
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.table(name)
-        .where(F.col("user_id") != sentinel)
-        .orderBy("user_id", "session_start_us")
+    out = _drain_memory_sink(spark, name)
+    # the stopped query's checkpoint and the sentinel input dir are
+    # single-use — drop them so repeated invocations don't accumulate
+    # temp dirs for the process lifetime
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
+    return out.where(F.col("user_id") != sentinel).orderBy(
+        "user_id", "session_start_us"
     )
 
 
@@ -1890,52 +1915,6 @@ def tpch_q16_supplier_variety(spark, sf_dir):
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(20)
-    )
-
-
-@register(
-    "tpch_q22_idle_balance",
-    "WITH avg_bal AS (SELECT CAST(floor(avg(c_acctbal * 100)) AS BIGINT) "
-    "AS ab FROM customer WHERE c_acctbal > 0.0), "
-    "idle AS (SELECT c_custkey, c_nationkey, "
-    "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents "
-    "FROM customer, avg_bal "
-    "WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > ab "
-    "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
-    "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')) "
-    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
-    "CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents "
-    "FROM idle GROUP BY 1 ORDER BY 1",
-)
-def tpch_q22_idle_balance(spark, sf_dir):
-    """Q22-style global-market analysis: a 1-row scalar aggregate
-    (average positive balance, broadcast) gates the customer scan, and
-    'no recent order' is a LEFT ANTI join against the date-filtered
-    orders scan — the scalar-subquery + anti-join shape (every fixture
-    customer has SOME order, so the window is what makes the idle set
-    non-empty). Money compared in integer cents (the average itself
-    floored to cents) so the filter and sums are engine-exact."""
-    c = load_table(spark, sf_dir, "customer")
-    bal_cents = F.floor(F.col("c_acctbal") * 100).cast("long")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.floor(F.avg(F.col("c_acctbal") * 100)).cast("long").alias("ab")
-    )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return (
-        c.select("c_custkey", "c_nationkey", bal_cents.alias("bal_cents"))
-        .join(F.broadcast(avg_bal))  # 1-row scalar: always broadcast
-        .where(F.col("bal_cents") > F.col("ab"))
-        .join(o, "c_custkey", "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal_cents").alias("total_bal_cents"),
-        )
-        .orderBy("c_nationkey")
     )
 
 
@@ -3944,6 +3923,32 @@ def docs_pack_sequences(spark, sf_dir):
     )
 
 
+def _alpha_tokens(d: DataFrame, with_pos: bool = False) -> DataFrame:
+    """Alpha-split lowercase token stream shared by the learned-vocab
+    queries: (doc_id[, pos], term)."""
+    if with_pos:
+        t = d.select(
+            "doc_id", F.posexplode(F.split("text", "[^A-Za-z]+")).alias("pos", "t")
+        )
+    else:
+        t = d.select("doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
+    cols = ["doc_id", "pos"] if with_pos else ["doc_id"]
+    return t.where(F.col("t") != "").select(*cols, F.lower("t").alias("term"))
+
+
+def _vocab_top1000(toks: DataFrame) -> DataFrame:
+    """Top-1000 corpus vocabulary with dense ids by (count desc, term):
+    TakeOrdered (no global vocabulary sort — driver-scale by
+    construction), id assignment a window over the already-LIMITed
+    1000 rows. One definition shared by docs_tokenize_ids and
+    docs_rarity_filter so the two queries' vocabularies cannot drift
+    (same tie-break, same OOV boundary)."""
+    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = vc.orderBy(F.col("c").desc(), "term").limit(1000)
+    wv = Window.orderBy(F.col("c").desc(), "term")
+    return top.select("term", (F.row_number().over(wv) - 1).cast("long").alias("id"))
+
+
 @register(
     "docs_tokenize_ids",
     "WITH tok AS (SELECT doc_id, i AS pos, lower(arr[i]) AS term FROM "
@@ -3976,17 +3981,8 @@ def docs_tokenize_ids(spark, sf_dir):
     in-vocab tokens in document order (array output, hash-compared
     order-sensitively)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.posexplode(F.split("text", "[^A-Za-z]+")).alias("pos", "t"))
-        .where(F.col("t") != "")
-        .select("doc_id", "pos", F.lower("t").alias("term"))
-    )
-    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    top = vc.orderBy(F.col("c").desc(), "term").limit(1000)
-    wv = Window.orderBy(F.col("c").desc(), "term")
-    vocab = top.select(
-        "term", (F.row_number().over(wv) - 1).cast("long").alias("id")
-    )
+    toks = _alpha_tokens(d, with_pos=True)
+    vocab = _vocab_top1000(toks)
     j = toks.join(F.broadcast(vocab), "term", "left")
     base = j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -4200,7 +4196,7 @@ def docs_curation_pipeline(spark, sf_dir):
 
 @register(
     "docs_incremental_dedup",
-    "WITH cut AS (SELECT CAST(max(doc_id) * 8 / 10 AS BIGINT) AS c "
+    "WITH cut AS (SELECT max(doc_id) * 8 // 10 AS c "
     "FROM documents), "
     "d AS (SELECT doc_id, "
     "md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h "
@@ -4227,7 +4223,10 @@ def docs_incremental_dedup(spark, sf_dir):
     (`internal/log/replicator.go:43-87`) is exactly the bug this
     operator catches."""
     d = load_table(spark, sf_dir, "documents")
-    cut = d.agg((F.max("doc_id") * 8 / 10).cast("long").alias("c"))
+    # integer 80% cut: float /10 would TRUNCATE in Spark's cast but
+    # ROUND in DuckDB's CAST(double AS BIGINT) — divergent whenever
+    # max(doc_id) mod 5 is 1 or 2; `div` is exact in both engines
+    cut = d.agg(F.expr("max(doc_id) * 8 div 10").alias("c"))
     fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
     hashed = d.join(F.broadcast(cut)).select(
         "doc_id", fp.alias("h"), "c"
@@ -4934,13 +4933,21 @@ def events_distinct_rollup_streamed(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
-    return read_distinct_rollup(
+    t = read_distinct_rollup(
         spark, os.path.join(work, "rollup"), ["event_type"], mode="exact"
     ).select(
         F.col("bucket").cast("long").alias("bucket"),
         "event_type",
         "n_distinct",
-    ).orderBy("bucket", "event_type")
+    )
+    # materialize the (bounded) rollup answer so the single-use work
+    # dir — rollup table + checkpoint — can be deleted immediately
+    # instead of leaking one tree per invocation
+    import shutil
+
+    rows, schema = t.collect(), t.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("bucket", "event_type")
 
 
 @register(
@@ -5243,15 +5250,8 @@ def docs_rarity_filter(spark, sf_dir):
     into a map-side left join; one token-explode scan, one partial-agg
     shuffle on doc_id."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("t"))
-        .where(F.col("t") != "")
-        .select("doc_id", F.lower("t").alias("term"))
-    )
-    vc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    top = vc.orderBy(F.col("c").desc(), "term").limit(1000)
-    wv = Window.orderBy(F.col("c").desc(), "term")
-    vocab = top.select("term", (F.row_number().over(wv) - 1).cast("long").alias("id"))
+    toks = _alpha_tokens(d)
+    vocab = _vocab_top1000(toks)
     j = toks.join(F.broadcast(vocab), "term", "left").select(
         "doc_id", F.coalesce(F.col("id"), F.lit(1000)).alias("r")
     )

@@ -44,6 +44,13 @@ def test_append_read_bounds_cli(tmp_path):
     assert out.returncode == 2
     assert out.stderr.strip().splitlines()[-1] == "OFFSET_OUT_OF_RANGE:999"
 
+    # same contract for builtin misuse errors: a missing --path is a
+    # one-line NOT_FOUND + exit 2, never a traceback
+    out = _run_cli(["read", "--path", str(tmp_path / "nope"), "0"])
+    assert out.returncode == 2
+    last = out.stderr.strip().splitlines()[-1]
+    assert last.startswith("NOT_FOUND:") and "Traceback" not in out.stderr
+
 
 def test_serve_cli_roundtrip(tmp_path):
     path = str(tmp_path / "servelog")
