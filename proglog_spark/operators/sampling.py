@@ -127,3 +127,15 @@ def mixture_sample(df, key_col: str, rate_micro, salt: str = "mix"):
     mixture is a metadata change plus one filter scan — no shuffle,
     no RNG, reproducible across runs and cluster sizes."""
     return df.where(hash_bucket(F.col(key_col), salt) < rate_micro)
+
+
+def epoch_shuffle_key(key_col, epoch: int, salt: str = "shuffle") -> "F.Column":
+    """Deterministic per-epoch shuffle key for training-order
+    randomization: hash(key, epoch) — every epoch is an independent
+    pseudorandom permutation of the corpus, reproducible across runs
+    and stable under repartitioning (the property an interrupted
+    training run needs to resume mid-epoch at the right position).
+    Order by (this key, row key) for a total order; pure projection,
+    no RNG state. NULL keys use the family's shared sentinel."""
+    keyed = F.coalesce(key_col.cast("string"), F.lit("\x00<null>"))
+    return token_hash32(keyed, f"{salt}:{epoch}:")

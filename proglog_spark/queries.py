@@ -747,6 +747,50 @@ def docs_hash_sample(spark, sf_dir):
 
 
 @register(
+    "docs_epoch_shuffle",
+    "SELECT epoch, doc_id, CAST(row_number() OVER (PARTITION BY epoch "
+    "ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank FROM ("
+    "SELECT e.epoch, doc_id, CAST('0x' || substr(md5('shuffle:' || "
+    "CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) AS h FROM documents, "
+    "(SELECT unnest(range(2)) AS epoch) e) "
+    "ORDER BY epoch, shuffle_rank",
+)
+def docs_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order (sampling.
+    epoch_shuffle_key): each epoch is an independent hash permutation
+    of the corpus — reproducible across runs and repartitionings, so a
+    resumed training job continues mid-epoch at the exact position.
+    The global order materializes through operators/rank.py's
+    two-phase rank (range-partitioned running count), NEVER a
+    single-partition window — the shape that survives a billion-row
+    epoch."""
+    from proglog_spark.operators import rank as rank_ops
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = None
+    for epoch in (0, 1):
+        part = d.select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            "doc_id",
+            sampling.epoch_shuffle_key(F.col("doc_id"), epoch).alias("h"),
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    # ONE two-phase rank over (epoch, h, id): epochs sort first, so the
+    # per-epoch rank is the global rank minus a constant offset — half
+    # the rank passes of ranking each epoch separately
+    ranked, total = rank_ops.with_global_rank(
+        keyed, ["epoch", "h", "doc_id"], rank_col="_gr"
+    )
+    per_epoch = total // 2
+    return ranked.select(
+        "epoch",
+        "doc_id",
+        (F.col("_gr") - F.col("epoch") * F.lit(per_epoch)).alias("shuffle_rank"),
+    ).orderBy("epoch", "shuffle_rank")
+
+
+@register(
     "docs_stratified_sample",
     "SELECT doc_id, lang, sample_rank FROM ("
     "SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
