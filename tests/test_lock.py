@@ -322,3 +322,69 @@ def test_heartbeat_keeps_idle_writer_alive_through_long_jobs(spark, tmp_path):
     # and the original writer can still write (not fenced)
     assert log.append(["b"])[1] == 1
     log.close()
+
+
+_CONTENTION_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[1])
+from proglog_spark.errors import WriterLockHeldError, WriterLockLostError
+from proglog_spark.log.table import LogTable
+
+log_dir, counter_path, n_rounds = sys.argv[2], sys.argv[3], int(sys.argv[4])
+t = LogTable(None, log_dir, 8, 0, 1 << 22)  # lock paths never touch spark
+t.lease_seconds = 2.0
+done = 0
+while done < n_rounds:
+    try:
+        t._acquire_writer_lock()
+    except (WriterLockHeldError, WriterLockLostError):
+        time.sleep(0.002)
+        continue
+    try:
+        # critical section: a lost-update here means two owners
+        with open(counter_path) as fh:
+            v = int(fh.read())
+        time.sleep(0.003)
+        with open(counter_path, "w") as fh:
+            fh.write(str(v + 1))
+        done += 1
+    finally:
+        t.close()
+print(done)
+"""
+
+
+def test_multiprocess_contention_single_owner(tmp_path):
+    """REAL cross-process mutual exclusion (not planted lock files):
+    N processes fight over one log dir's writer lock and each performs
+    an unprotected read-sleep-increment inside the critical section.
+    Any window where two processes both believe they own the lock
+    loses an update; the final counter must equal the exact total of
+    completed acquisitions."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "contended")
+    os.makedirs(log_dir)
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    n_procs, n_rounds = 4, 12
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CONTENTION_WORKER, repo, log_dir, counter, str(n_rounds)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-2000:]
+        assert out.strip() == str(n_rounds), (out, err[-500:])
+    with open(counter) as fh:
+        assert int(fh.read()) == n_procs * n_rounds
+    # the last closer deleted the lock file
+    assert not os.path.exists(_lock_path(log_dir))
