@@ -25,11 +25,20 @@ CANONICAL_SERVERS = [
 SERVERS_SCHEMA = "id STRING, rpc_addr STRING, is_leader BOOLEAN"
 
 
-def servers_df(spark: SparkSession, servers=None) -> DataFrame:
+def validate_servers(servers) -> list:
+    """The proto contract check (exactly one leader,
+    api/v1/log.proto:44-48) as a standalone step so composition roots
+    can reject a bad catalog ONCE at construction instead of every
+    request surfacing it as a per-call error."""
     rows = list(servers) if servers is not None else CANONICAL_SERVERS
     leaders = sum(1 for r in rows if r[2])
     if leaders != 1:
         raise ValueError(f"exactly one leader required, got {leaders}")
+    return rows
+
+
+def servers_df(spark: SparkSession, servers=None) -> DataFrame:
+    rows = validate_servers(servers)
     # inline VALUES → LocalRelation, entirely JVM-side: a catalog-sized
     # table must never schedule an RDD job (parallelize runs a real
     # task) nor pay the Python→Arrow createDataFrame conversion

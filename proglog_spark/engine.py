@@ -25,7 +25,7 @@ import pyspark.sql.streaming as S
 from pyspark.sql import DataFrame, Row, SparkSession
 
 from proglog_spark.acl import CONSUME, DEFAULT_POLICY, PRODUCE, Authorizer
-from proglog_spark.cluster import CANONICAL_SERVERS, servers_df
+from proglog_spark.cluster import servers_df, validate_servers
 from proglog_spark.log import LogTable
 from proglog_spark.streaming.consume import consume_stream, tail_follow
 
@@ -46,7 +46,9 @@ class Engine:
         self.log = log
         self.spark = log.spark
         self.authorizer = Authorizer(policy)
-        self._servers = list(servers) if servers is not None else CANONICAL_SERVERS
+        # reject a bad catalog HERE (construction) — otherwise every
+        # GET /servers surfaces the config bug as a per-request error
+        self._servers = validate_servers(servers)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -149,7 +151,11 @@ class Engine:
         injection-safe."""
         self.authorizer.authorize(subject, "*", CONSUME)
         self.log.df().createOrReplaceTempView("records")
-        self.get_servers().createOrReplaceTempView("servers")
+        # the CALLER's consume check above already covers the metadata
+        # view — going through get_servers() would re-authorize as its
+        # default 'root' subject and spuriously deny authorized callers
+        # under policies with no root grant
+        servers_df(self.spark, self._servers).createOrReplaceTempView("servers")
         if args is None:
             return self.spark.sql(query)
         return self.spark.sql(query, args=args)

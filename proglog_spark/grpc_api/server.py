@@ -8,9 +8,11 @@ ImportError where grpcio is absent (the rest of the package — codec +
 service semantics — stays fully usable and tested).
 
 Identity: with mutual TLS the subject is the verified client cert CN
-(server.go:170-171) via grpc's auth_context; on plaintext servers it
+(server.go:170-171) via grpc's auth_context; on PLAINTEXT servers it
 falls back to ``x-subject`` metadata then "root" — the same dev-mode
-stand-in as the HTTP edge.
+stand-in as the HTTP edge. On server-auth-only TLS the peer is
+unauthenticated and the metadata carries no authority: the subject is
+the empty string, denied unless the policy grants it.
 
 One divergence, documented: the reference emits the literal status
 code 404 for out-of-range reads (api/v1/error.go:15). grpc-python can
@@ -76,6 +78,12 @@ class GrpcLogServer:
             if self._mutual_tls:
                 cn = context.auth_context().get("x509_common_name")
                 return cn[0].decode("utf-8") if cn else ""
+            if tls is not None:
+                # server-auth-only TLS: encrypted but unauthenticated —
+                # dev-mode metadata must not carry authority on a TLS
+                # endpoint (mirrors server.py's HTTP rule): subject is
+                # empty, denied unless the policy grants "".
+                return ""
             md = dict(context.invocation_metadata())
             return md.get("x-subject", DEFAULT_SUBJECT)
 

@@ -31,7 +31,9 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int | None = Non
     ``treeAggregate`` without leaving the DataFrame API.
     """
     if dim is None:
-        first = df.select(vec_col).first()
+        # first NON-NULL row: a leading NULL vector must not break
+        # inference (NULLs are skipped by the sum below)
+        first = df.select(vec_col).where(df[vec_col].isNotNull()).first()
         if first is None:
             raise ValueError("gram_matrix on empty DataFrame")
         dim = len(first[0])
@@ -41,8 +43,11 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int | None = Non
         acc = np.zeros((d, d), dtype=np.float64)
         n = 0
         for pdf in batches:
+            # NULL vectors are skipped, matching the SQL/explode
+            # formulations (their sums drop NULLs); without the filter
+            # np.asarray(None) raises an opaque TypeError in the worker
             m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None]
             )
             if len(m):
                 acc += m.T @ m
@@ -105,6 +110,10 @@ def pca_summary(
     spark = df.sparkSession
     _n, gram = gram_matrix(df, vec_col)
     total_var = float(np.trace(gram))
+    if total_var == 0.0:
+        # all-zero corpus: variance shares are undefined — raise the
+        # same clear error class as empty input, not ZeroDivisionError
+        raise ValueError("pca_summary on zero-variance corpus")
     comps = top_components(gram, k)
     values = ", ".join(
         f"({i}, {int(np.floor(1e6 * lam / total_var))}, "
@@ -147,9 +156,13 @@ def grouped_vector_sums(
     schema = f"{key_col} {key_type}, n_vecs LONG, sums {out_type}"
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf[vec_col].to_numpy())
+        # float64 BEFORE either branch: ARRAY<FLOAT> columns arrive as
+        # float32 and the micro=False declared ARRAY<DOUBLE> output
+        # would otherwise accumulate at float32 precision (diverging
+        # from the explode path, which casts per element)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         if micro:
-            mat = np.floor(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+            mat = np.floor(mat * 1_000_000).astype(np.int64)
         sums = mat.sum(axis=0)
         return pd.DataFrame(
             {
@@ -163,7 +176,7 @@ def grouped_vector_sums(
 
 
 def quantized_gram(
-    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = 1000
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None, scale: int = 1000
 ) -> np.ndarray:
     """EXACT integer Gram on the floor(x·scale) grid: (d, d) int64.
 
@@ -175,6 +188,11 @@ def quantized_gram(
     rows-only checked). Bounds: |q| ≤ scale·max|x|; a 2e3-magnitude
     grid over millions of rows stays far inside int64.
     """
+    if dim is None:  # same first-row inference as gram_matrix
+        first = df.select(vec_col).where(df[vec_col].isNotNull()).first()
+        if first is None:
+            raise ValueError("quantized_gram on empty DataFrame")
+        dim = len(first[0])
     d = dim
 
     def partials(batches):
@@ -182,7 +200,7 @@ def quantized_gram(
         n = 0
         for pdf in batches:
             m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None]
             )
             if len(m):
                 q = np.floor(m * float(scale)).astype(np.int64)

@@ -15,9 +15,12 @@ shapes identical to the reference's, ACL enforced per request. The
 subject comes from the mTLS peer-cert CN when the server is started
 with a mutual-TLS ``TLSConfig`` (the reference's authenticate
 interceptor, `server.go:162-174` + `internal/config/tls.go:18-46` —
-see ``proglog_spark.tlsconfig``); on plaintext servers it falls back
-to the ``X-Subject`` header, the documented DEV-MODE stand-in (the
-header is ignored whenever mutual TLS authenticated the peer).
+see ``proglog_spark.tlsconfig``); on PLAINTEXT servers it falls back
+to the ``X-Subject`` header, the documented DEV-MODE stand-in. On a
+TLS server the header never carries authority: with mutual TLS the
+verified cert CN wins, and with server-auth-only TLS (no ``ca_file``)
+the peer is unauthenticated, so the subject is the empty string — the
+ACL denies it unless the policy explicitly grants ``""``.
 
 Routes:
 
@@ -95,6 +98,16 @@ class HttpLogServer:
                     # carries no authority once mTLS is on.
                     cn = peer_common_name(self.connection)
                     return cn if cn is not None else ""
+                if outer.tls is not None:
+                    # server-auth-only TLS: encrypted but the peer is
+                    # UNAUTHENTICATED — the dev-mode header must not
+                    # carry authority on a TLS endpoint the operator
+                    # believes is authenticated, and defaulting to
+                    # root would be worse. Reference behavior: the
+                    # subject comes only from a verified client cert,
+                    # empty otherwise (server.go:162-174) — so the
+                    # ACL denies unless the policy grants "".
+                    return ""
                 return self.headers.get("X-Subject", DEFAULT_SUBJECT)
 
             def _body_json(self) -> dict:
@@ -141,7 +154,10 @@ class HttpLogServer:
                         self._reply(200, {"offset": first})
                 except PermissionDeniedError as e:
                     self._reply(403, {"error": str(e)})
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                    # TypeError covers well-formed JSON of the wrong
+                    # SHAPE (array body, non-string value) — a client
+                    # error, not a 500
                     self._reply(400, {"error": f"BAD_REQUEST:{e}"})
                 except Exception as e:  # engine/Spark failures → 500,
                     # never a dropped connection (the reference's gRPC
@@ -206,7 +222,10 @@ class HttpLogServer:
                     self._reply(404, {"error": str(e)})
                 except PermissionDeniedError as e:
                     self._reply(403, {"error": str(e)})
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                    # TypeError covers well-formed JSON of the wrong
+                    # SHAPE (array body, non-string value) — a client
+                    # error, not a 500
                     self._reply(400, {"error": f"BAD_REQUEST:{e}"})
                 except Exception as e:
                     self._reply(500, {"error": f"INTERNAL:{e}"})

@@ -134,3 +134,18 @@ def test_sql_parameter_binding(spark, tmp_path):
         args={"v": "v1' OR '1'='1"},
     ).collect()[0]
     assert hostile.n == 0
+
+def test_sql_respects_caller_subject_without_root_grant(spark, tmp_path):
+    """engine.sql must authorize THE CALLER only: under a policy with
+    no 'root' grant, an authorized subject's SQL still runs (the
+    servers view registration must not re-authorize as root)."""
+    from proglog_spark.engine import Engine
+
+    path = str(tmp_path / "aclsql")
+    engine = Engine.create(
+        spark, path, bucket_size=8, policy=[("alice", "*", "consume")]
+    )
+    out = engine.sql(
+        "SELECT count(*) AS n FROM servers", subject="alice"
+    ).collect()
+    assert out[0].n == 3

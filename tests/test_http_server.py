@@ -216,3 +216,13 @@ def test_post_to_non_produce_route_is_404(served_engine):
     assert e.value.code == 404
     _, after = _call(port, "GET", "/bounds")
     assert after["count"] == before["count"]
+
+def test_wrong_shape_json_is_400_not_500(served_engine):
+    """Well-formed JSON of the wrong SHAPE (array body, non-string
+    value) is a client error: 400 BAD_REQUEST, never 500 INTERNAL."""
+    _engine, port = served_engine
+    for payload in ([1, 2, 3], {"record": {"value": 5}}):
+        with pytest.raises(HTTPError) as e:
+            _call(port, "POST", "/", payload)
+        assert e.value.code == 400
+        assert json.loads(e.value.read())["error"].startswith("BAD_REQUEST")

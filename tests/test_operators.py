@@ -1224,3 +1224,43 @@ def test_ivf_index_build_query_append(spark, emb, tmp_path):
     got2 = similarity.ivf_index_query(spark, path, new, k=3, n_probe=4)
     top = min(got2.collect(), key=lambda r: r.rank)
     assert top.vec_id == 100000 and top.query_id == 100000
+
+
+def test_linalg_degenerate_inputs(spark, emb):
+    """Review-pinned edge behaviors: NULL vectors are SKIPPED by both
+    gram paths (matching the SQL/explode formulations), quantized_gram
+    infers dim from the first non-null row, an all-zero corpus raises
+    a clear ValueError from pca_summary, and grouped_vector_sums'
+    float branch accumulates in float64 even over ARRAY<FLOAT>."""
+    import numpy as np
+
+    from proglog_spark.operators import linalg
+
+    with_null = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    n, g = linalg.gram_matrix(with_null)
+    assert n == 2 and g.shape == (2, 2)
+    q = linalg.quantized_gram(with_null)  # dim inferred as 2
+    assert q.shape == (2, 2)
+    assert q[0][0] == 1000 * 1000 + 3000 * 3000
+
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="zero-variance"):
+        linalg.pca_summary(zeros)
+
+    # float32 input column: the double output must be float64-exact
+    floats = spark.createDataFrame(
+        [(i % 2, [0.5, 0.25]) for i in range(8)],
+        "label INT, embedding ARRAY<FLOAT>",
+    )
+    rows = {
+        r["label"]: r.sums
+        for r in linalg.grouped_vector_sums(
+            floats, "label", "embedding", micro=False
+        ).collect()
+    }
+    assert rows[0] == [2.0, 1.0] and rows[1] == [2.0, 1.0]

@@ -198,3 +198,35 @@ def test_client_without_cert_fails_handshake(tls_server):
 def test_server_context_requires_cert_pair():
     with pytest.raises(ValueError):
         build_ssl_context(TLSConfig(server=True))
+
+def test_server_auth_only_tls_gives_header_no_authority(spark, tmp_path_factory, certs):
+    """Server-auth-only TLS (no ca_file ⇒ client unauthenticated):
+    the dev-mode X-Subject header must carry NO authority — the
+    subject is empty and the default policy denies it. Only plaintext
+    servers honor the header."""
+    path = str(tmp_path_factory.mktemp("tlsnoca") / "log")
+    engine = Engine.create(spark, path, bucket_size=8)
+    srv = HttpLogServer(
+        engine,
+        tls=TLSConfig(
+            cert_file=certs["127.0.0.1"],
+            key_file=certs["127.0.0.1-key"],
+            server=True,  # no ca_file: encrypt, don't authenticate
+        ),
+    )
+    host, port = srv.start()
+    try:
+        # client verifies the server but presents no cert
+        ctx = _client_ctx(certs, None)
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{port}/", method="POST"
+        )
+        req.add_header("Content-Type", "application/json")
+        req.add_header("X-Subject", "root")  # must be ignored
+        data = json.dumps({"record": {"value": _b64("x")}}).encode()
+        with pytest.raises(HTTPError) as e:
+            urllib.request.urlopen(req, data=data, timeout=30, context=ctx)
+        assert e.value.code == 403
+        assert json.loads(e.value.read())["error"] == "PERMISSION_DENIED"
+    finally:
+        srv.stop()
