@@ -14,6 +14,7 @@ from proglog_spark.streaming.joins import (
 )
 from proglog_spark.streaming.produce import produce_stream
 from proglog_spark.streaming.rollup import continuous_rollup, read_rollup
+from proglog_spark.streaming.asof import streaming_asof_join
 from proglog_spark.streaming.sessions import streaming_sessionize
 from proglog_spark.streaming.stateful import inactivity_alerts
 from proglog_spark.streaming.windows import streaming_tumbling_counts
@@ -33,6 +34,7 @@ __all__ = [
     "read_rollup",
     "streaming_attribution_join",
     "streaming_outer_attribution_join",
+    "streaming_asof_join",
     "streaming_sessionize",
     "streaming_trailing_anomaly",
     "streaming_tumbling_counts",

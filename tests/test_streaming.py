@@ -1015,3 +1015,142 @@ def test_stream_stream_full_outer_reconciliation(spark, tmp_path):
     assert rows.count((2, None)) == 1  # unmatched left, exactly once
     assert rows.count((None, 22)) == 1  # unmatched right, exactly once
     assert (1, 11) in rows
+
+
+def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-stream as-of join must emit, for every fixture
+    event, exactly the batch asof_join's match (latest order
+    at-or-before, max-orderkey ties) once sentinels seal the anchors."""
+    from proglog_spark.operators import joins
+    from proglog_spark.streaming.asof import streaming_asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    a_dir, c_dir = tmp_path / "anchors", tmp_path / "cands"
+    events.write.parquet(str(a_dir))
+    orders.write.parquet(str(c_dir))
+
+    a_stream = spark.readStream.schema(events.schema).parquet(str(a_dir))
+    c_stream = spark.readStream.schema(orders.schema).parquet(str(c_dir))
+    joined = streaming_asof_join(
+        a_stream.withColumnRenamed("user_id", "k"),
+        c_stream.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+        tie_break="o_orderkey",
+        value_cols=["o_totalprice"],
+        watermark="1 minute",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_streamed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        # sentinel CANDIDATES (produce no output rows) advance the
+        # watermark past every anchor; second batch fires the timers
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        for days in (30, 60):
+            spark.createDataFrame(
+                [
+                    (
+                        999_999_999,
+                        max_ts + __import__("datetime").timedelta(days=days),
+                        0,
+                        0.0,
+                    )
+                ],
+                "k long, o_orderdate timestamp, o_orderkey long, o_totalprice double",
+            ).write.mode("append").parquet(str(c_dir))
+            _drain(q)
+        got = {
+            (r.left_id, r.right_tie, r.o_totalprice)
+            for r in spark.table("asof_streamed").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.event_id, r.asof_orderkey, r.asof_totalprice)
+        for r in joins.asof_join(
+            events.withColumnRenamed("user_id", "o_custkey"),
+            orders.select(
+                "o_custkey",
+                "o_orderdate",
+                F.col("o_orderkey").alias("asof_orderkey"),
+                F.col("o_totalprice").alias("asof_totalprice"),
+            ),
+            on="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            tie_break="asof_orderkey",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_asof_late_candidate_ties_and_nulls(spark, tmp_path):
+    """Ordering edge cases: a candidate arriving in a LATER batch but
+    before a pending anchor's time must be its match; equal-time
+    candidates break on max tie; exact time equality IS admitted; an
+    anchor with no preceding candidate emits NULLs."""
+    import datetime as dt
+
+    from proglog_spark.streaming.asof import streaming_asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    a_dir, c_dir = tmp_path / "a", tmp_path / "c"
+
+    def wa(rows):
+        spark.createDataFrame(rows, "k long, lid long, ts timestamp").write.mode(
+            "append"
+        ).parquet(str(a_dir))
+
+    def wc(rows):
+        spark.createDataFrame(
+            rows, "k long, ts timestamp, tie long, val double"
+        ).write.mode("append").parquet(str(c_dir))
+
+    # batch 1: anchors at 12:00 (k=1) and 12:00 (k=2, never matched);
+    # candidates for k=1: two at 11:00 (ties 5 and 7) and one at 12:00
+    # (tie 3, exact match — should win over both)
+    wa([(1, 100, t0), (2, 200, t0)])
+    wc([(1, t0 - dt.timedelta(hours=1), 5, 0.5), (1, t0 - dt.timedelta(hours=1), 7, 0.7)])
+    a_stream = spark.readStream.schema("k long, lid long, ts timestamp").parquet(str(a_dir))
+    c_stream = spark.readStream.schema(
+        "k long, ts timestamp, tie long, val double"
+    ).parquet(str(c_dir))
+    joined = streaming_asof_join(
+        a_stream, c_stream, on="k", left_time="ts", right_time="ts",
+        left_id="lid", tie_break="tie", value_cols=["val"], watermark="6 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_edges")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _drain(q)
+        # batch 2 (still inside the 6h watermark): the exact-time
+        # candidate arrives AFTER the anchor did — must still win
+        wc([(1, t0, 3, 0.3)])
+        _drain(q)
+        for days in (30, 60):  # sentinels seal the anchors
+            wc([(9, t0 + dt.timedelta(days=days), 0, 0.0)])
+            _drain(q)
+        got = {
+            r.left_id: (r.right_tie, r.val)
+            for r in spark.table("asof_edges").collect()
+        }
+    finally:
+        q.stop()
+    assert got[100] == (3, 0.3)  # exact-time match beats earlier ties
+    assert got[200] == (None, None)  # no candidate for k=2
