@@ -92,19 +92,30 @@ def _decode_bmp(data: bytes):
     if w <= 0 or height <= 0:
         raise ValueError("BMP with non-positive dimensions")
     row_size = ((bpp * w + 31) // 32) * 4  # rows pad to 4 bytes
+    n_pal = 0
+    if bpp == 8:
+        # biClrUsed (offset 46): palettes are OFTEN shorter than 256
+        # entries; 0 means "full size for this depth"
+        n_pal = int.from_bytes(data[46:50], "little") or 256
+        if not (0 < n_pal <= 256):
+            raise ValueError("BMP palette size out of range")
+    pal_off = 14 + dib
+    # a pixel offset that overlaps the headers/palette would decode
+    # header bytes as raster and report a clean row — reject it
+    if pix_off < pal_off + n_pal * 4:
+        raise ValueError("BMP pixel offset overlaps headers/palette")
     if len(data) < pix_off + row_size * height:
         raise ValueError("BMP raster truncated")
     rows = np.frombuffer(
         data, np.uint8, count=row_size * height, offset=pix_off
     ).reshape(height, row_size)
     if bpp == 8:
-        pal_off = 14 + dib
-        pal = np.frombuffer(data, np.uint8, count=256 * 4, offset=pal_off) \
-            if len(data) >= pal_off + 256 * 4 else None
-        if pal is None:
-            raise ValueError("8-bit BMP without a full 256-entry palette")
-        pal = pal.reshape(256, 4).astype(np.int64)  # B, G, R, reserved
-        lut = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
+        if len(data) < pal_off + n_pal * 4:
+            raise ValueError("BMP palette truncated")
+        pal = np.frombuffer(data, np.uint8, count=n_pal * 4, offset=pal_off)
+        pal = pal.reshape(n_pal, 4).astype(np.int64)  # B, G, R, reserved
+        lut = np.zeros(256, dtype=np.int64)  # out-of-palette indices → 0
+        lut[:n_pal] = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
         px = lut[rows[:, :w].astype(np.int64)]
         channels = 1
     else:
@@ -145,12 +156,22 @@ def _decode_pnm(data: bytes):
     w, h, maxval = fields
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         raise ValueError("PNM dimensions/maxval out of range")
-    pos += 1  # exactly one whitespace byte separates header and raster
+    # exactly one whitespace byte separates header and raster; a
+    # missing separator would mis-frame every pixel by one byte and
+    # still report a clean decode — reject instead
+    if pos >= len(data) or not data[pos : pos + 1].isspace():
+        raise ValueError("PNM header/raster separator missing")
+    pos += 1
     ch = 1 if magic == b"P5" else 3
     need = w * h * ch
     if len(data) < pos + need:
         raise ValueError("PNM raster truncated")
     raster = np.frombuffer(data, np.uint8, count=need, offset=pos).astype(np.int64)
+    if maxval != 255:
+        # the PNM contract makes maxval full-white: rescale to the
+        # 0..255 output grid (integer, engine-portable) so a maxval=15
+        # white image doesn't read as near-black downstream
+        raster = (raster * 255) // maxval
     if ch == 1:
         px = raster
     else:
@@ -183,6 +204,8 @@ def decode_images(
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "format", "height", "width", "channels", "pixels")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -204,7 +227,10 @@ def decode_images(
                 out["height"].append(h)
                 out["width"].append(w)
                 out["channels"].append(ch)
-                out["pixels"].append(None if px is None else [int(v) for v in px])
+                # Arrow accepts numpy arrays for ARRAY<INT> directly —
+                # per-pixel Python int boxing would dominate decode
+                # cost on megapixel images
+                out["pixels"].append(None if px is None else px.astype(np.int32))
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
@@ -265,10 +291,17 @@ def decode_audio(
                         try:
                             with wave.open(io.BytesIO(data)) as wf:
                                 width = wf.getsampwidth()
+                                n_frames = wf.getnframes()
+                                raw = wf.readframes(n_frames)
                                 if width not in (1, 2):
                                     fmt = "unsupported:wav"
+                                elif len(raw) != n_frames * wf.getnchannels() * width:
+                                    # data chunk shorter than its header
+                                    # claims: energy over the decoded
+                                    # half with a clean tag would be a
+                                    # silently inconsistent row
+                                    fmt = "corrupt:wav"
                                 else:
-                                    raw = wf.readframes(wf.getnframes())
                                     if width == 1:  # unsigned, centered at 128
                                         s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
                                     else:
@@ -276,7 +309,7 @@ def decode_audio(
                                     vals = (
                                         wf.getframerate(),
                                         wf.getnchannels(),
-                                        wf.getnframes(),
+                                        n_frames,
                                         int((s * s).sum()),
                                         [int(v) for v in s[:prefix]],
                                     )
@@ -386,8 +419,9 @@ def decode_media(
             bounds = doc_starts[:, None] + (np.arange(n_px) * lens[:, None]) // n_px
             starts = bounds.ravel()
             sums = np.add.reduceat(data, starts)
-            counts = np.maximum(np.diff(np.append(starts, len(data))), 1)
-            empty = np.diff(np.append(starts, len(data))) == 0
+            seg = np.diff(np.append(starts, len(data)))
+            counts = np.maximum(seg, 1)
+            empty = seg == 0
             means = np.where(empty, data[np.minimum(starts, len(data) - 1)], sums / counts)
             pixels = means.astype(np.int64).reshape(len(raw), n_px)
             dims = pd.Series(np.full(len(raw), height)).astype("Int32").mask(null_mask)
@@ -533,16 +567,20 @@ def extract_pixel_histogram(df: DataFrame, dim: int = 16) -> DataFrame:
             if not len(pdf):
                 continue
             null_mask = pdf["pixels"].isna().to_numpy()
-            fill = pdf["pixels"][~null_mask]
-            n_px = len(fill.iloc[0]) if len(fill) else 1
+            # grids may have DIFFERENT sizes within one batch (e.g.
+            # decode_images over a mixed-geometry corpus): concatenate
+            # with per-row segment ids instead of np.stack, which
+            # requires uniform shapes and would kill the task
             safe = [
-                np.zeros(n_px, dtype=np.int64) if isnull else np.asarray(px)
+                np.empty(0, dtype=np.int64) if isnull else np.asarray(px, dtype=np.int64)
                 for isnull, px in zip(null_mask, pdf["pixels"])
             ]
-            grids = np.stack(safe).astype(np.int64)
-            buckets = grids // (256 // dim) + dim * np.arange(len(grids))[:, None]
-            hists = np.bincount(buckets.ravel(), minlength=dim * len(grids)).reshape(
-                len(grids), dim
+            lens = np.array([len(a) for a in safe], dtype=np.int64)
+            flat = np.concatenate(safe) if safe else np.empty(0, dtype=np.int64)
+            idx = np.repeat(np.arange(len(safe)), lens)
+            buckets = flat // (256 // dim) + dim * idx
+            hists = np.bincount(buckets, minlength=dim * len(safe)).reshape(
+                len(safe), dim
             )
             yield pd.DataFrame(
                 {

@@ -19,9 +19,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-# One file per ~64 MB input split at scale; local tests override via env.
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# One file per ~64 MB input split at scale; local tests override via
+# env. Read at build_session() CALL time, not import time — a test
+# that sets SPARK_GRAFT_CPUS after importing the package (monkeypatch,
+# late os.environ assignment) must still be honored.
+
+
+def _env_shuffle_partitions() -> str:
+    return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+
+def _env_cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def build_session(
@@ -46,12 +55,14 @@ def build_session(
         # with 'A master URL must be set' outside spark-submit)
         builder = builder.master(env_master)
     else:
-        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+        builder = builder.master(f"local[{_env_cpus()}]")
 
     conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(
-            shuffle_partitions if shuffle_partitions is not None else DEFAULT_SHUFFLE_PARTITIONS
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else _env_shuffle_partitions()
         ),
         # Driver fixtures store events.ts as parquet TIMESTAMP(NANOS);
         # Spark cannot represent nanos — read as long, convert at source.

@@ -336,3 +336,79 @@ def test_decode_audio_corrupt_wav_is_tagged(spark):
     )
     rows = {r.doc_id: r for r in decode_audio(df).collect()}
     assert all(r.format == "corrupt:wav" and r.energy is None for r in rows.values())
+
+
+def test_decode_images_small_palette_and_bad_offsets(spark):
+    """Review-pinned BMP/PNM edges: biClrUsed < 256 palettes decode
+    (not corrupt-tagged), a pixel offset overlapping the headers is
+    rejected as corrupt, a PNM without the single separator byte is
+    rejected, and low-maxval PNM samples rescale to the 0..255 grid."""
+    import struct
+
+    from proglog_spark.multimodal import decode_images
+
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    # hand-build a 16-color BMP: palette of 2 used entries, biClrUsed=2
+    h, w = 2, 2
+    row_size = ((8 * w + 31) // 32) * 4
+    raster = b"".join(bytes(r) + b"\x00" * (row_size - w) for r in idx[::-1])
+    pal = bytes((255, 255, 255, 0)) + bytes((0, 0, 0, 0))  # white, black (BGR0)
+    pix_off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 0, 0, 2, 0)
+    small_pal_bmp = hdr + dib + pal + raster
+
+    bad_off = bytearray(small_pal_bmp)
+    bad_off[10:14] = (0).to_bytes(4, "little")  # pix_off inside headers
+
+    pgm_lowmax = b"P5\n2 1\n15\n" + bytes([15, 0])  # white, black at maxval 15
+    pgm_nosep = b"P5\n2 1\n255" + bytes([7, 9])  # missing separator byte
+
+    df = spark.createDataFrame(
+        [
+            (1, small_pal_bmp),
+            (2, bytes(bad_off)),
+            (3, pgm_lowmax),
+            (4, pgm_nosep),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    assert rows[1].format == "bmp" and list(rows[1].pixels) == [255, 0, 0, 255]
+    assert rows[2].format == "corrupt:bmp" and rows[2].pixels is None
+    assert rows[3].format == "pnm" and list(rows[3].pixels) == [255, 0]
+    assert rows[4].format == "corrupt:pnm" and rows[4].pixels is None
+
+
+def test_decode_audio_truncated_data_chunk_is_corrupt(spark):
+    """A WAV whose header claims more frames than the data chunk holds
+    must be tagged corrupt, not reported clean with half the energy."""
+    from proglog_spark.multimodal import decode_audio
+
+    good = _wav([1, 2, 3, 4, 5, 6, 7, 8])
+    cut = good[:-6]  # drop 3 samples' bytes, header untouched
+    df = spark.createDataFrame([(1, cut)], "doc_id LONG, payload BINARY")
+    r = decode_audio(df).collect()[0]
+    assert r.format == "corrupt:wav" and r.energy is None
+
+
+def test_pixel_histogram_handles_mixed_grid_sizes(spark):
+    """decode_images emits per-image geometries; the histogram stage
+    must not assume uniform grid sizes within a batch."""
+    from proglog_spark.multimodal import extract_pixel_histogram
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, 2, 1, [0, 0, 16, 255]),
+            (2, 1, 2, 1, [32, 33]),
+            (3, None, None, None, None),
+        ],
+        "doc_id LONG, height INT, width INT, channels INT, pixels ARRAY<INT>",
+    )
+    rows = {r.doc_id: r.hist for r in extract_pixel_histogram(df, dim=16).collect()}
+    want1 = [0] * 16
+    want1[0], want1[1], want1[15] = 2, 1, 1
+    want2 = [0] * 16
+    want2[2] = 2
+    assert list(rows[1]) == want1 and list(rows[2]) == want2
+    assert rows[3] is None
