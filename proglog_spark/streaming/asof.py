@@ -100,106 +100,7 @@ def streaming_asof_join(
     )
 
     def asof_fn(key, pdf_iter, state: GroupState):
-        (k,) = key
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        if state.exists:
-            st = state.get
-            c_ts = np.asarray(st[0], dtype=np.int64)
-            c_tie = np.asarray(st[1], dtype=np.int64)
-            c_vals = [np.asarray(x, dtype=np.float64) for x in st[2 : 2 + n_vals]]
-            a_ts = np.asarray(st[2 + n_vals], dtype=np.int64)
-            a_id = np.asarray(st[3 + n_vals], dtype=np.int64)
-        else:
-            c_ts = c_tie = a_ts = a_id = np.empty(0, dtype=np.int64)
-            c_vals = [np.empty(0, dtype=np.float64) for _ in range(n_vals)]
-
-        # vectorized ingest: bulk-split each Arrow batch by side, then
-        # ONE lexsort of the merged candidate arrays per invocation
-        # (a per-row insort was the wall at 100k-event scale)
-        new_c = False
-        if not state.hasTimedOut:
-            for pdf in pdf_iter:
-                cmask = (pdf["side"].to_numpy() == 1)
-                ts = pdf["ts_us"].to_numpy(dtype="int64")
-                if cmask.any():
-                    c_ts = np.concatenate([c_ts, ts[cmask]])
-                    c_tie = np.concatenate(
-                        [c_tie, pdf["tie"].to_numpy()[cmask].astype(np.int64)]
-                    )
-                    for i in range(n_vals):
-                        c_vals[i] = np.concatenate(
-                            [
-                                c_vals[i],
-                                pdf[f"v{i}"].to_numpy()[cmask].astype(np.float64),
-                            ]
-                        )
-                    new_c = True
-                amask = ~cmask
-                if amask.any():
-                    a_ts = np.concatenate([a_ts, ts[amask]])
-                    a_id = np.concatenate(
-                        [a_id, pdf["lid"].to_numpy()[amask].astype(np.int64)]
-                    )
-        if new_c and len(c_ts) > 1:
-            order = np.lexsort((c_tie, c_ts))  # by (ts, tie)
-            c_ts, c_tie = c_ts[order], c_tie[order]
-            c_vals = [v[order] for v in c_vals]
-
-        # seal: watermark strictly past the anchor admits no further
-        # candidate at-or-before it (such a row would be late-dropped)
-        done_m = a_ts < wm_us
-
-        out = None
-        if done_m.any():
-            d_ts, d_id = a_ts[done_m], a_id[done_m]
-            cols = {
-                "key": np.full(len(d_ts), k, dtype=np.int64),
-                "left_id": d_id,
-                "left_ts_us": d_ts,
-            }
-            if len(c_ts):
-                # rightmost candidate with ts <= anchor ts: 'right'
-                # lands past every equal-ts candidate, and (ts, tie)
-                # ordering makes index-1 the max-tie one — the batch
-                # twin's tie rule
-                idx = np.searchsorted(c_ts, d_ts, side="right")
-                has = idx > 0
-                j = np.maximum(idx - 1, 0)
-                cols["right_ts_us"] = pd.Series(c_ts[j]).astype("Int64").mask(~has)
-                cols["right_tie"] = pd.Series(c_tie[j]).astype("Int64").mask(~has)
-                for i, v in enumerate(vals):
-                    cols[v] = pd.Series(c_vals[i][j]).mask(~has)
-            else:  # this key never saw a candidate: all NULL matches
-                n = len(d_ts)
-                cols["right_ts_us"] = pd.Series([None] * n, dtype="Int64")
-                cols["right_tie"] = pd.Series([None] * n, dtype="Int64")
-                for v in vals:
-                    cols[v] = pd.Series([None] * n, dtype="float64")
-            out = pd.DataFrame(cols)
-
-        # prune candidates: among those sealed by the watermark only
-        # the max (ts, tie) row remains reachable by any future anchor
-        cut = int(np.searchsorted(c_ts, wm_us, side="right"))
-        if cut > 1:
-            c_ts, c_tie = c_ts[cut - 1 :], c_tie[cut - 1 :]
-            c_vals = [v[cut - 1 :] for v in c_vals]
-        a_ts, a_id = a_ts[~done_m], a_id[~done_m]
-
-        if len(a_ts) or len(c_ts):
-            state.update(
-                tuple(
-                    [c_ts.tolist(), c_tie.tolist()]
-                    + [v.tolist() for v in c_vals]
-                    + [a_ts.tolist(), a_id.tolist()]
-                )
-            )
-            if len(a_ts):
-                # wake exactly when the oldest pending anchor seals
-                state.setTimeoutTimestamp(int(a_ts.min()) // 1000 + 1)
-        else:
-            state.remove()
-        if out is not None:
-            yield out
+        yield from _asof_step(key, pdf_iter, state, vals)
 
     return tagged.groupBy("key").applyInPandasWithState(
         asof_fn,
@@ -208,3 +109,112 @@ def streaming_asof_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _asof_step(key, pdf_iter, state: GroupState, vals: list[str]):
+    """One state-machine transition of the as-of join for one key —
+    module-level (not a closure) so the hypothesis model test can
+    drive it against a fake GroupState with arbitrary batch splits
+    and watermark schedules, no engine required. Yields at most one
+    output frame of sealed-anchor matches."""
+    n_vals = len(vals)
+    (k,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        st = state.get
+        c_ts = np.asarray(st[0], dtype=np.int64)
+        c_tie = np.asarray(st[1], dtype=np.int64)
+        c_vals = [np.asarray(x, dtype=np.float64) for x in st[2 : 2 + n_vals]]
+        a_ts = np.asarray(st[2 + n_vals], dtype=np.int64)
+        a_id = np.asarray(st[3 + n_vals], dtype=np.int64)
+    else:
+        c_ts = c_tie = a_ts = a_id = np.empty(0, dtype=np.int64)
+        c_vals = [np.empty(0, dtype=np.float64) for _ in range(n_vals)]
+
+    # vectorized ingest: bulk-split each Arrow batch by side, then
+    # ONE lexsort of the merged candidate arrays per invocation
+    # (a per-row insort was the wall at 100k-event scale)
+    new_c = False
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            cmask = (pdf["side"].to_numpy() == 1)
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            if cmask.any():
+                c_ts = np.concatenate([c_ts, ts[cmask]])
+                c_tie = np.concatenate(
+                    [c_tie, pdf["tie"].to_numpy()[cmask].astype(np.int64)]
+                )
+                for i in range(n_vals):
+                    c_vals[i] = np.concatenate(
+                        [
+                            c_vals[i],
+                            pdf[f"v{i}"].to_numpy()[cmask].astype(np.float64),
+                        ]
+                    )
+                new_c = True
+            amask = ~cmask
+            if amask.any():
+                a_ts = np.concatenate([a_ts, ts[amask]])
+                a_id = np.concatenate(
+                    [a_id, pdf["lid"].to_numpy()[amask].astype(np.int64)]
+                )
+    if new_c and len(c_ts) > 1:
+        order = np.lexsort((c_tie, c_ts))  # by (ts, tie)
+        c_ts, c_tie = c_ts[order], c_tie[order]
+        c_vals = [v[order] for v in c_vals]
+
+    # seal: watermark strictly past the anchor admits no further
+    # candidate at-or-before it (such a row would be late-dropped)
+    done_m = a_ts < wm_us
+
+    out = None
+    if done_m.any():
+        d_ts, d_id = a_ts[done_m], a_id[done_m]
+        cols = {
+            "key": np.full(len(d_ts), k, dtype=np.int64),
+            "left_id": d_id,
+            "left_ts_us": d_ts,
+        }
+        if len(c_ts):
+            # rightmost candidate with ts <= anchor ts: 'right'
+            # lands past every equal-ts candidate, and (ts, tie)
+            # ordering makes index-1 the max-tie one — the batch
+            # twin's tie rule
+            idx = np.searchsorted(c_ts, d_ts, side="right")
+            has = idx > 0
+            j = np.maximum(idx - 1, 0)
+            cols["right_ts_us"] = pd.Series(c_ts[j]).astype("Int64").mask(~has)
+            cols["right_tie"] = pd.Series(c_tie[j]).astype("Int64").mask(~has)
+            for i, v in enumerate(vals):
+                cols[v] = pd.Series(c_vals[i][j]).mask(~has)
+        else:  # this key never saw a candidate: all NULL matches
+            n = len(d_ts)
+            cols["right_ts_us"] = pd.Series([None] * n, dtype="Int64")
+            cols["right_tie"] = pd.Series([None] * n, dtype="Int64")
+            for v in vals:
+                cols[v] = pd.Series([None] * n, dtype="float64")
+        out = pd.DataFrame(cols)
+
+    # prune candidates: among those sealed by the watermark only
+    # the max (ts, tie) row remains reachable by any future anchor
+    cut = int(np.searchsorted(c_ts, wm_us, side="right"))
+    if cut > 1:
+        c_ts, c_tie = c_ts[cut - 1 :], c_tie[cut - 1 :]
+        c_vals = [v[cut - 1 :] for v in c_vals]
+    a_ts, a_id = a_ts[~done_m], a_id[~done_m]
+
+    if len(a_ts) or len(c_ts):
+        state.update(
+            tuple(
+                [c_ts.tolist(), c_tie.tolist()]
+                + [v.tolist() for v in c_vals]
+                + [a_ts.tolist(), a_id.tolist()]
+            )
+        )
+        if len(a_ts):
+            # wake exactly when the oldest pending anchor seals
+            state.setTimeoutTimestamp(int(a_ts.min()) // 1000 + 1)
+    else:
+        state.remove()
+    if out is not None:
+        yield out

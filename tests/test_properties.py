@@ -478,3 +478,157 @@ def test_shard_assignment_properties(spark, keys, n_shards):
             ).collect()
         }
         assert alt != a  # a different salt moves at least one key
+
+
+# ---------------------------------------------------------------------------
+# streaming as-of join: state-machine model test. Drives _asof_step
+# directly (fake GroupState, no engine) through arbitrary row
+# sequences, arbitrary batch splits, and the Spark watermark schedule
+# (wm = max event time seen - delay, updated between batches; rows
+# older than the wm at arrival are dropped; timers fire for dataless
+# keys whose timeout passed). Emitted matches must equal a pure
+# merge_asof over the ADMITTED rows — every admitted anchor exactly
+# once, matched to its max-(ts, tie) admitted candidate at-or-before.
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    def __init__(self, wm_ms: int, timed_out: bool, value):
+        self._v = value
+        self._wm = wm_ms
+        self.hasTimedOut = timed_out
+        self.timeout_ms: int | None = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.sampled_from(("a", "c")),                # side
+        st.integers(min_value=0, max_value=20),     # ts (seconds)
+        st.integers(min_value=0, max_value=5),      # tie / anchor id salt
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=_asof_rows,
+    splits=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=6),
+    delay_s=st.integers(min_value=0, max_value=8),
+)
+def test_streaming_asof_state_machine_matches_merge_asof(rows, splits, delay_s):
+    import pandas as pd
+
+    from proglog_spark.streaming.asof import _asof_step
+
+    VALS = ["val"]
+    US = 1_000_000
+
+    # assign unique anchor ids; candidate value derived from tie
+    seq = []
+    for i, (k, side, ts, tie) in enumerate(rows):
+        seq.append((k, side, ts * US, tie, i))
+
+    # split into batches
+    batches, i = [], 0
+    for sz in splits:
+        if i >= len(seq):
+            break
+        batches.append(seq[i : i + sz])
+        i += sz
+    if i < len(seq):
+        batches.append(seq[i:])
+    batches.append([])  # final flush batches under an advanced wm
+    batches.append([])
+
+    states: dict[int, _FakeGroupState] = {}
+    stored: dict[int, tuple] = {}
+    wm_ms = 0
+    max_seen_ms = 0
+    admitted_a, admitted_c = [], []
+    emitted = []
+
+    for bi, batch in enumerate(batches):
+        if bi == len(batches) - 2:
+            # the sentinel analog: push the watermark past everything
+            max_seen_ms = max(max_seen_ms, 100 * US // 1000 + delay_s * 1000 + 1000)
+            wm_ms = max_seen_ms - delay_s * 1000
+        # admission filter: rows older than the current wm are dropped
+        live_rows = [r for r in batch if r[2] >= wm_ms * 1000]
+        by_key: dict[int, list] = {}
+        for r in live_rows:
+            by_key.setdefault(r[0], []).append(r)
+            if r[1] == "a":
+                admitted_a.append(r)
+            else:
+                admitted_c.append(r)
+        # keys with data: normal invocation; keys without data whose
+        # timer passed: timed-out invocation
+        invoke = set(by_key)
+        for k, stv in stored.items():
+            t = states[k].timeout_ms if k in states else None
+            if k not in invoke and stv is not None and t is not None and t < wm_ms:
+                invoke.add(k)
+        for k in sorted(invoke):
+            krows = by_key.get(k, [])
+            pdf = pd.DataFrame(
+                {
+                    "side": [0 if r[1] == "a" else 1 for r in krows],
+                    "ts_us": [r[2] for r in krows],
+                    "tie": [r[3] if r[1] == "c" else None for r in krows],
+                    "lid": [r[4] if r[1] == "a" else None for r in krows],
+                    "v0": [float(r[3]) if r[1] == "c" else None for r in krows],
+                }
+            )
+            st_obj = _FakeGroupState(wm_ms, not krows, stored.get(k))
+            for out in _asof_step((k,), [pdf] if krows else [], st_obj, VALS):
+                emitted.extend(out.to_dict("records"))
+            stored[k] = st_obj._v
+            states[k] = st_obj
+        # Spark updates the watermark BETWEEN batches from the max
+        # event time seen so far
+        if live_rows:
+            max_seen_ms = max(max_seen_ms, max(r[2] for r in live_rows) // 1000)
+        wm_ms = max(wm_ms, max_seen_ms - delay_s * 1000)
+
+    # pure-python merge_asof oracle over the admitted rows
+    want = {}
+    for k, _s, ats, _tie, lid in admitted_a:
+        best = None
+        for ck, _cs, cts, ctie, _i in admitted_c:
+            if ck == k and cts <= ats:
+                cand = (cts, ctie)
+                if best is None or cand > best:
+                    best = cand
+        want[lid] = best
+
+    got = {}
+    for r in emitted:
+        assert r["left_id"] not in got, "anchor emitted twice"
+        got[r["left_id"]] = (
+            None if r["right_tie"] is None or pd.isna(r["right_tie"])
+            else (int(r["right_ts_us"]), int(r["right_tie"]))
+        )
+    assert got == want
