@@ -160,6 +160,85 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 500000,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment near-dup pairs (Broder containment).
+
+    C(A→B) = |A ∩ B| / |A| — how much of document A's shingle set is
+    covered by B. Unlike Jaccard resemblance, containment is
+    *asymmetric*: it catches sub/superset relationships that Jaccard
+    misses entirely (a page quoted inside a 100× longer page has
+    Jaccard ≈ 0.01 but containment ≈ 1.0). That is the signal a
+    training-data pipeline needs to drop boilerplate-wrapped copies
+    and quote-expansions the resemblance tier keeps.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, containment_micro) for
+    DIRECTED pairs id_a != id_b with
+    floor(1e6 · |A∩B| / |A|) >= threshold_micro.
+
+    Plan shape: same complete inverted-index blocking as
+    :func:`jaccard_pairs` — any pair with containment > 0 shares a
+    shingle, so an equi-join on xxhash64(shingle) generates every
+    candidate exactly once per common shingle, and one aggregation
+    verifies. The join emits each UNDIRECTED pair once (id_a < id_b);
+    both directed rows derive from that single aggregate, so the
+    asymmetry costs a union of the verified (tiny) pair list, not a
+    second self-join. Stop-shingle capping and AQE skew-split govern
+    hot shingles exactly as in the Jaccard tier; MinHash containment
+    estimation (|A∩B| ≈ jaccard-from-signatures rescaled by n_a) is
+    the documented sub-quadratic path when even blocked candidate
+    generation is too wide.
+    """
+    ss = shingle_sets(df, id_col, text_col, n).cache()
+    sh = ss.select("id", "n_sh", F.explode("sh_arr").alias("sh_str")).select(
+        "id", "n_sh", F.xxhash64("sh_str").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh_c"))
+        sh = sh.drop("n_sh").join(sizes, "id").withColumnRenamed("n_sh_c", "n_sh")
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .cache()
+    )
+    directed = common.unionByName(
+        common.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            F.col("n_b").alias("n_a"),
+            F.col("n_a").alias("n_b"),
+            "n_common",
+        )
+    )
+    return (
+        directed.withColumn(
+            "containment_micro",
+            F.floor(F.lit(1000000.0) * F.col("n_common") / F.col("n_a")).cast(
+                "long"
+            ),
+        )
+        .where(F.col("containment_micro") >= threshold_micro)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment_micro")
+    )
+
+
 def minhash_coeffs(num_hashes: int = 64) -> list[tuple[int, int]]:
     """The fixed (a_i, b_i) universal-hash constants for
     :func:`minhash_signatures` — exposed so oracle SQL can replay the

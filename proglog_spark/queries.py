@@ -1126,6 +1126,32 @@ def docs_neardup_jaccard(spark, sf_dir):
 
 
 @register(
+    "docs_containment_dedup",
+    f"WITH sh AS ({_JACCARD_SHINGLES_SQL}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common, "
+    "CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b, "
+    "CAST(floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / len(a.sh)) "
+    "AS BIGINT) AS containment_micro "
+    "FROM sh a JOIN sh b ON a.doc_id != b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / len(a.sh)) "
+    ">= 500000 ORDER BY id_a, id_b",
+)
+def docs_containment_dedup(spark, sf_dir):
+    """Asymmetric containment near-dup (dedup.containment_pairs):
+    C(A→B) = |A∩B|/|A| catches sub/superset documents — a quote or
+    boilerplate-wrapped copy has Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1. Directed pairs at C ≥ 0.5 vs an all-pairs
+    oracle; same complete inverted-shingle blocking as the Jaccard
+    tier, with both directions derived from ONE undirected
+    verification aggregate (no second self-join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold_micro=500000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "docs_dedup_clusters",
     f"WITH RECURSIVE sh AS ({_JACCARD_SHINGLES_SQL}), "
     "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "

@@ -43,6 +43,28 @@ def test_sketches_propagate_null_text(spark):
     assert sk[2] == (None, None) and sk[1] == sk[3]
 
 
+def test_containment_pairs_asymmetric_subset(spark):
+    """A short doc whose token run appears verbatim inside a longer doc
+    must yield containment(short→long) = 1.0 while the reverse
+    direction (and unrelated docs) stay below threshold — the
+    asymmetry Jaccard resemblance cannot express."""
+    sub = "alpha beta gamma delta epsilon"
+    sup = "zeta eta theta iota kappa " + sub + " lambda mu nu xi omicron pi"
+    df = spark.createDataFrame(
+        [(1, sub), (2, sup), (3, "totally different words in this one here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dedup.containment_pairs(df, threshold_micro=500000).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.containment_micro == 1000000 and r.n_common == r.n_a
+    assert (2, 1) not in rows, "superset direction must be below 0.5"
+    assert not any(3 in p for p in rows)
+
+
 def test_minhash_lsh_recall_of_high_jaccard_pairs(docs):
     """Every pair with true Jaccard >= 0.5 must be found by LSH
     (16 bands x 4 rows: P[miss at j=0.5] = (1-0.5^4)^16 ≈ 0.35 per
