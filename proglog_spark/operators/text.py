@@ -237,3 +237,104 @@ def lm_transition_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def lm_interpolated_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram LM scoring, integer-exact:
+    (id, n_trigrams, mean_interp_micro, n_singleton_trigrams).
+
+    The smoothing the bigram tier (:func:`lm_transition_scores`) lacks:
+    p(w3 | w1 w2) = 0.5·p3 + 0.3·p2 + 0.2·p1 with
+    p3 = c3(w1w2w3)/c2(w1w2), p2 = c2(w2w3)/c1(w2), p1 = c1(w3)/N —
+    all counts trained on the corpus itself, each term the exact
+    integer (c·10⁶) div ctx and the mixture
+    (5·p3 + 3·p2 + 2·p1) div 10, so train-and-score hash-matches a SQL
+    oracle end to end. Every context count is ≥ 1 by construction (a
+    trigram's prefix bigram occurs in the bigram stream; its middle
+    and last words occur in the unigram stream), so no division
+    guards are needed. Docs with < 3 words emit no row.
+
+    Plan shape at 100 TB: three explode→partial-agg reductions build
+    the count tables (each shuffles distinct n-grams, not
+    occurrences); the model assembles with three n-gram-keyed shuffle
+    joins plus a 1-row broadcast total; scoring is one join back on
+    the trigram key. AQE skew-split covers stopword-trigram hotspots.
+    """
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("ws"),
+    )
+    u = w.select(F.explode("ws").alias("t"))
+    uni = u.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    big = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    dt = (
+        w.where(F.size("ws") >= 3)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2, "
+                    "element_at(ws, i + 2) AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select("_id", "p.w1", "p.w2", "p.w3")
+        .groupBy("_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tri = dt.groupBy("w1", "w2", "w3").agg(F.sum("k").alias("c3"))
+    bp = big.select("w1", "w2", F.col("c2").alias("c2p"))
+    bs = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2s")
+    )
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1m"))
+    u3 = uni.select(F.col("t").alias("w3"), F.col("c1").alias("c1l"))
+    model = (
+        tri.join(bp, ["w1", "w2"])
+        .join(bs, ["w2", "w3"])
+        .join(u2, "w2")
+        .join(u3, "w3")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            F.expr("(c3 * 1000000) div c2p").alias("p3"),
+            F.expr("(c2s * 1000000) div c1m").alias("p2"),
+            F.expr("(c1l * 1000000) div n").alias("p1"),
+        )
+    )
+    return (
+        dt.join(model, ["w1", "w2", "w3"])
+        .groupBy("_id")
+        .agg(
+            F.sum("k").alias("n_trigrams"),
+            F.expr(
+                "sum(k * ((5 * p3 + 3 * p2 + 2 * p1) div 10)) div sum(k)"
+            ).alias("mean_interp_micro"),
+            F.sum(F.when(F.col("c3") == 1, F.col("k")).otherwise(F.lit(0))).alias(
+                "n_singleton_trigrams"
+            ),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

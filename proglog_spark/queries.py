@@ -986,6 +986,52 @@ def docs_lm_transition_score(spark, sf_dir):
     return text.lm_transition_scores(d).orderBy("doc_id")
 
 
+@register(
+    "docs_lm_interpolated",
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "u AS (SELECT unnest(ws) AS t FROM w), "
+    "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u), "
+    "bix AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w "
+    "WHERE len(ws) >= 2), "
+    "big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, "
+    "CAST(count(*) AS BIGINT) AS c2 FROM bix GROUP BY 1, 2), "
+    "tix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w "
+    "WHERE len(ws) >= 3), "
+    "dt AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3, "
+    "CAST(count(*) AS BIGINT) AS k FROM tix GROUP BY 1, 2, 3, 4), "
+    "tri AS (SELECT w1, w2, w3, CAST(sum(k) AS BIGINT) AS c3 "
+    "FROM dt GROUP BY 1, 2, 3), "
+    "m AS (SELECT tri.w1, tri.w2, tri.w3, c3, "
+    "(c3 * 1000000) // bp.c2 AS p3, "
+    "(bs.c2 * 1000000) // u2.c1 AS p2, "
+    "(u3.c1 * 1000000) // tot.n AS p1 "
+    "FROM tri "
+    "JOIN big bp ON tri.w1 = bp.w1 AND tri.w2 = bp.w2 "
+    "JOIN big bs ON tri.w2 = bs.w1 AND tri.w3 = bs.w2 "
+    "JOIN uni u2 ON tri.w2 = u2.t "
+    "JOIN uni u3 ON tri.w3 = u3.t, tot) "
+    "SELECT dt.doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams, "
+    "CAST(sum(k * ((5 * p3 + 3 * p2 + 2 * p1) // 10)) // sum(k) AS BIGINT) "
+    "AS mean_interp_micro, "
+    "CAST(sum(CASE WHEN c3 = 1 THEN k ELSE 0 END) AS BIGINT) "
+    "AS n_singleton_trigrams "
+    "FROM dt JOIN m ON dt.w1 = m.w1 AND dt.w2 = m.w2 AND dt.w3 = m.w3 "
+    "GROUP BY 1 ORDER BY doc_id",
+)
+def docs_lm_interpolated(spark, sf_dir):
+    """Jelinek-Mercer interpolated trigram LM scoring
+    (text.lm_interpolated_scores) — the smoothed upgrade of the bigram
+    tier: p = 0.5·p(w3|w1w2) + 0.3·p(w3|w2) + 0.2·p(w3), every term the
+    exact integer (c·10⁶) div ctx, the mixture (5p3+3p2+2p1) div 10,
+    so corpus training AND scoring sit inside the hash gate. Three
+    n-gram count reductions + three model joins + one score join-back;
+    each shuffle carries distinct n-grams, never occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.lm_interpolated_scores(d).orderBy("doc_id")
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 

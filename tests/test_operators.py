@@ -1286,3 +1286,48 @@ def test_linalg_degenerate_inputs(spark, emb):
         ).collect()
     }
     assert rows[0] == [2.0, 1.0] and rows[1] == [2.0, 1.0]
+
+
+def test_lm_interpolated_matches_pure_python(spark):
+    """Train-and-score the interpolated trigram LM on a tiny corpus
+    and compare every output against a direct Python replay of the
+    integer-exact definition."""
+    corpus = [
+        (1, "a b c a b c"),
+        (2, "a b d"),
+        (3, "x y"),  # < 3 tokens: no output row
+        (4, "c a b c a"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_interp_micro, r.n_singleton_trigrams)
+        for r in text.lm_interpolated_scores(df).collect()
+    }
+
+    from collections import Counter
+
+    uni, big, tri = Counter(), Counter(), Counter()
+    toks = {i: t.split() for i, t in corpus}
+    for ws in toks.values():
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n = sum(uni.values())
+    exp = {}
+    for i, ws in toks.items():
+        doc_tri = Counter(zip(ws, ws[1:], ws[2:]))
+        if not doc_tri:
+            continue
+        tot_k = sum(doc_tri.values())
+        s = 0
+        singletons = 0
+        for (w1, w2, w3), k in doc_tri.items():
+            p3 = (tri[(w1, w2, w3)] * 1000000) // big[(w1, w2)]
+            p2 = (big[(w2, w3)] * 1000000) // uni[w2]
+            p1 = (uni[w3] * 1000000) // n
+            s += k * ((5 * p3 + 3 * p2 + 2 * p1) // 10)
+            if tri[(w1, w2, w3)] == 1:
+                singletons += k
+        exp[i] = (tot_k, s // tot_k, singletons)
+    assert got == exp
+    assert 3 not in got
