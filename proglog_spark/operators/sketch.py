@@ -26,9 +26,104 @@ survives.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from proglog_spark.operators.text import token_hash32
+
+# Mersenne prime for the pairwise-independent CMS hash family
+# ((a·h + b) mod p) mod width. h is reduced mod p FIRST so a·h stays
+# under 2^62 (a, h < 2^31) — int64-exact in Spark, DuckDB and numpy.
+CMS_PRIME = 2_147_483_647
+
+
+def cms_params(depth: int, salt: str = "cms") -> list[tuple[int, int]]:
+    """The (a_j, b_j) hash constants for a depth-``depth`` sketch.
+
+    Derived from md5 of the salt and row index — deterministic, so the
+    SAME literals are inlined into the Spark expressions and the ANSI
+    SQL oracle (the sketch is reproducible across engines and runs,
+    like every hash in this repo; no RNG).
+    """
+
+    def h32(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [
+        (h32(f"{salt}-a-{j}") % (CMS_PRIME - 1) + 1, h32(f"{salt}-b-{j}") % CMS_PRIME)
+        for j in range(depth)
+    ]
+
+
+def _cms_bucket_cols(key_col, depth: int, width: int, salt: str) -> list:
+    h = token_hash32(key_col.cast("string")) % CMS_PRIME
+    return [
+        ((F.lit(a) * h + F.lit(b)) % CMS_PRIME % width).cast("long")
+        for a, b in cms_params(depth, salt)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: ``(j, b, cnt)``
+    rows, one per non-empty cell — at most ``depth × width`` total,
+    regardless of input size or key cardinality.
+
+    The complement of Misra-Gries above: MG answers "which keys are
+    heavy" (no false positives on presence), CMS answers point
+    frequency queries for ANY key with ``true ≤ est ≤ true + εN``
+    (ε = e/width per the Cormode-Muthukrishnan bound; the LOWER bound
+    is deterministic — a cell sums every colliding key's true count).
+
+    100 TB shape: the exploded (j, bucket) stream partial-aggregates
+    map-side into ≤ depth·width cells per task, so the shuffle carries
+    ≤ depth·width·partitions rows — never the key space. Cell-wise sum
+    of two sketches built with the same (depth, width, salt) IS the
+    sketch of the union (`events_cms_merge` asserts this in the hash
+    gate), so per-partition / per-day sketches roll up associatively.
+    """
+    buckets = _cms_bucket_cols(F.col(key_col), depth, width, salt)
+    return (
+        df.select(F.posexplode(F.array(*buckets)).alias("j", "b"))
+        # posexplode positions are INT; the cell coordinates are BIGINT
+        # everywhere else in this family (oracle included)
+        .select(F.col("j").cast("long").alias("j"), "b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``:
+    ``(key_col, est)`` with ``est = min_j cms[j][h_j(key)]``.
+
+    The sketch side is ≤ depth·width rows by construction, so the join
+    is always broadcast — estimation never shuffles the key stream.
+    """
+    buckets = _cms_bucket_cols(F.col(key_col), depth, width, salt)
+    kb = keys.select(key_col, F.posexplode(F.array(*buckets)).alias("j", "b")).select(
+        key_col, F.col("j").cast("long").alias("j"), "b"
+    )
+    return (
+        kb.join(F.broadcast(cms), ["j", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
 
 
 def misra_gries(df: DataFrame, key: str, k: int = 255) -> DataFrame:

@@ -1032,6 +1032,71 @@ def docs_lm_interpolated(spark, sf_dir):
     return text.lm_interpolated_scores(d).orderBy("doc_id")
 
 
+_LM_KEEP_MICRO = 50_000  # keep docs with mean interpolated p >= 0.05
+
+
+@register(
+    "docs_lm_quality_filter",
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "u AS (SELECT unnest(ws) AS t FROM w), "
+    "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u), "
+    "bix AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w "
+    "WHERE len(ws) >= 2), "
+    "big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, "
+    "CAST(count(*) AS BIGINT) AS c2 FROM bix GROUP BY 1, 2), "
+    "tix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w "
+    "WHERE len(ws) >= 3), "
+    "dt AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3, "
+    "CAST(count(*) AS BIGINT) AS k FROM tix GROUP BY 1, 2, 3, 4), "
+    "tri AS (SELECT w1, w2, w3, CAST(sum(k) AS BIGINT) AS c3 "
+    "FROM dt GROUP BY 1, 2, 3), "
+    "m AS (SELECT tri.w1, tri.w2, tri.w3, "
+    "(c3 * 1000000) // bp.c2 AS p3, "
+    "(bs.c2 * 1000000) // u2.c1 AS p2, "
+    "(u3.c1 * 1000000) // tot.n AS p1 "
+    "FROM tri "
+    "JOIN big bp ON tri.w1 = bp.w1 AND tri.w2 = bp.w2 "
+    "JOIN big bs ON tri.w2 = bs.w1 AND tri.w3 = bs.w2 "
+    "JOIN uni u2 ON tri.w2 = u2.t "
+    "JOIN uni u3 ON tri.w3 = u3.t, tot), "
+    "sc AS (SELECT dt.doc_id, "
+    "CAST(sum(k * ((5 * p3 + 3 * p2 + 2 * p1) // 10)) // sum(k) AS BIGINT) "
+    "AS lm_micro FROM dt "
+    "JOIN m ON dt.w1 = m.w1 AND dt.w2 = m.w2 AND dt.w3 = m.w3 GROUP BY 1) "
+    "SELECT d.doc_id, CAST(coalesce(sc.lm_micro, -1) AS BIGINT) AS lm_micro, "
+    f"(sc.lm_micro IS NOT NULL AND sc.lm_micro >= {_LM_KEEP_MICRO}) AS is_kept "
+    "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id",
+)
+def docs_lm_quality_filter(spark, sf_dir):
+    """The perplexity filter's DELIVERABLE (the CCNet recipe: score
+    every doc with a corpus-trained LM, keep the fluent ones): a
+    per-document keep/drop verdict from the interpolated trigram
+    score, thresholded at mean p >= 0.05. Docs too short to form a
+    trigram score -1 and are dropped — brevity is a quality signal
+    here, not an error. Same train-and-score plan as
+    docs_lm_interpolated (distinct-n-gram shuffles only) plus one
+    left join back to the corpus; the verdict column is what the
+    packing/sharding stages consume downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = text.lm_interpolated_scores(d).select(
+        "doc_id", F.col("mean_interp_micro").alias("lm_micro")
+    )
+    return (
+        d.join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lm_micro", F.lit(-1)).alias("lm_micro"),
+            (
+                F.col("lm_micro").isNotNull()
+                & (F.col("lm_micro") >= _LM_KEEP_MICRO)
+            ).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
@@ -1260,6 +1325,50 @@ def docs_dedup_keepers(spark, sf_dir):
                 "is_kept"
             ),
         )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_cluster_safe_split",
+    f"WITH RECURSIVE sh AS ({_JACCARD_SHINGLES_SQL}), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE floor(1000000.0 * len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200000), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+    "comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id), "
+    "wr AS (SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) "
+    "SELECT doc_id, cluster_rep, CASE WHEN b < 800000 THEN 'train' "
+    "WHEN b < 900000 THEN 'valid' ELSE 'test' END AS split FROM "
+    "(SELECT doc_id, cluster_rep, CAST('0x' || substr(md5('split' || "
+    "CAST(cluster_rep AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS b FROM wr) "
+    "ORDER BY doc_id",
+)
+def docs_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test assignment: the split key is the
+    near-dup CLUSTER representative, not the document id, so two
+    near-duplicate documents can never land in different splits — the
+    eval-contamination failure mode a doc-keyed split
+    (docs_train_split) cannot rule out. Composition of the dedup
+    cluster map (iterative min-label propagation; recursive-CTE
+    oracle) with the deterministic hash split: unclustered docs key on
+    themselves, clustered docs inherit their representative's bucket.
+    The cluster map join is AQE's call (tiny in the common case); the
+    split itself stays a shuffle-free projection."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    clusters = dedup.connected_components(pairs)
+    withrep = d.join(clusters, d.doc_id == clusters.id, "left").select(
+        "doc_id", F.coalesce("rep", "doc_id").alias("cluster_rep")
+    )
+    return (
+        sampling.train_split(withrep, "cluster_rep")
+        .select("doc_id", "cluster_rep", "split")
         .orderBy("doc_id")
     )
 
@@ -4942,6 +5051,99 @@ def docs_heavy_terms_sketch(spark, sf_dir):
             ).alias("est_in_bounds"),
         )
         .orderBy("term")
+    )
+
+
+def _cms_sql_parts(depth: int = 4, width: int = 512, salt: str = "cms") -> str:
+    """Shared oracle CTEs: the literal (a, b) hash constants (the same
+    Python function — sketch.cms_params — generates the Spark columns,
+    so the two engines cannot drift), per-event 31-bit key hashes, and
+    the full-table cell counts."""
+    from proglog_spark.operators import sketch
+
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(sketch.cms_params(depth, salt))
+    )
+    return (
+        f"WITH pr AS (SELECT * FROM (VALUES {rows}) AS t(j, ha, hb)), "
+        "uh AS (SELECT user_id, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        f"1, 8) AS BIGINT) % {sketch.CMS_PRIME} AS h FROM events), "
+        f"cells AS (SELECT CAST(j AS BIGINT) AS j, "
+        f"(ha * h + hb) % {sketch.CMS_PRIME} % {width} AS b, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM uh CROSS JOIN pr GROUP BY 1, 2)"
+    )
+
+
+@register(
+    "events_cms_user_counts",
+    _cms_sql_parts()
+    + ", exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1), "
+    "top AS (SELECT user_id, n_events FROM exact "
+    "ORDER BY n_events DESC, user_id LIMIT 20), "
+    "tb AS (SELECT t.user_id, t.n_events, p.j, "
+    f"(p.ha * u.h + p.hb) % 2147483647 % 512 AS b "
+    "FROM top t JOIN (SELECT DISTINCT user_id, h FROM uh) u USING (user_id) "
+    "CROSS JOIN pr p) "
+    "SELECT tb.user_id, tb.n_events, min(c.cnt) AS cms_est, "
+    "CAST(min(c.cnt) - tb.n_events AS BIGINT) AS overcount "
+    "FROM tb JOIN cells c ON c.j = tb.j AND c.b = tb.b "
+    "GROUP BY tb.user_id, tb.n_events ORDER BY n_events DESC, user_id",
+)
+def events_cms_user_counts(spark, sf_dir):
+    """Count-min point-frequency estimates for the top-20 users
+    (operators/sketch.cms_build/cms_estimate), hash-exact: the
+    pairwise-independent hash family is md5-seeded literals shared
+    with the oracle, every cell count is exact integer arithmetic, so
+    est and overcount (est - true ≥ 0, the CMS one-sidedness) are
+    deterministic. MG's mirror image: CMS answers *frequency of any
+    key* in O(depth) cells; MG answers *which keys are heavy*.
+    100 TB shape: the sketch is ≤ depth·width rows whatever the key
+    cardinality (map-side combine collapses the exploded stream), the
+    estimate join is always broadcast, and the top-20 is TakeOrdered —
+    no global window, no key-space shuffle beyond the exact twin this
+    query audits against."""
+    from proglog_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = exact.orderBy(F.desc("n_events"), "user_id").limit(20)
+    est = sketch.cms_estimate(cms, top.select("user_id"), "user_id")
+    return (
+        top.join(F.broadcast(est), "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("n_events")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+@register(
+    "events_cms_merge",
+    _cms_sql_parts()
+    + " SELECT j, b, cnt FROM cells ORDER BY j, b",
+)
+def events_cms_merge(spark, sf_dir):
+    """CMS mergeability, asserted in the hash gate: the Spark side
+    builds TWO sketches over disjoint halves of the corpus (even/odd
+    user_id) and merges them by cell-wise sum; the oracle computes the
+    whole-table sketch directly. Equality of the full cell tables is
+    exactly the associativity a 100 TB rollup relies on — build one
+    sketch per partition/day/shard, sum cells, never rescan."""
+    from proglog_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    even = sketch.cms_build(ev.where(F.col("user_id") % 2 == 0), "user_id")
+    odd = sketch.cms_build(ev.where(F.col("user_id") % 2 == 1), "user_id")
+    return (
+        even.unionByName(odd)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("j", "b")
     )
 
 

@@ -1061,6 +1061,91 @@ def test_misra_gries_one_sided_bounds(spark, docs):
             assert term in est, f"guaranteed-heavy term {term} missing"
 
 
+def test_count_min_overcounts_and_merges(spark):
+    """CMS point estimates are pure OVERcounts (est >= true, the
+    mirror of MG's undercount), the cell table never exceeds
+    depth x width rows, and cell-wise sum of two disjoint-slice
+    sketches equals the whole-corpus sketch — the mergeability the
+    events_cms_merge gate asserts. A tiny width (16) forces heavy
+    collision so the overcount branch is actually exercised."""
+    from proglog_spark.operators import sketch
+
+    df = (
+        spark.range(0, 2000)
+        .select((F.col("id") % 37).alias("k"))
+        .repartition(8)
+    )
+    depth, width = 4, 16
+    cms = sketch.cms_build(df, "k", depth=depth, width=width)
+    assert cms.count() <= depth * width
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est
+        for r in sketch.cms_estimate(cms, keys, "k", depth=depth, width=width).collect()
+    }
+    exact = {
+        r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= n for k, n in exact.items())
+    assert any(est[k] > n for k, n in exact.items()), "width=16 should collide"
+
+    lo = sketch.cms_build(df.where(F.col("k") < 20), "k", depth=depth, width=width)
+    hi = sketch.cms_build(df.where(F.col("k") >= 20), "k", depth=depth, width=width)
+    merged = {
+        (r.j, r.b): r.cnt
+        for r in lo.unionByName(hi)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.j, r.b): r.cnt for r in cms.collect()}
+    assert merged == whole
+
+
+def test_cluster_safe_split_never_straddles(spark, sf_dir):
+    """The leakage property itself: every near-dup PAIR lands in the
+    same split (the doc-keyed split can and does violate this), and
+    the label set is the standard three."""
+    from proglog_spark.queries import docs_cluster_safe_split
+
+    out = docs_cluster_safe_split(spark, sf_dir)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    assert set(split_of.values()) <= {"train", "valid", "test"}
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold_micro=200000).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert split_of[r.id_a] == split_of[r.id_b], (
+            f"near-dups {r.id_a}/{r.id_b} straddle splits"
+        )
+
+
+def test_lm_quality_filter_verdict_consistency(spark, sf_dir):
+    """is_kept iff the doc scored AND cleared the threshold; docs too
+    short to form a trigram carry the -1 sentinel and are dropped."""
+    from proglog_spark.queries import _LM_KEEP_MICRO, docs_lm_quality_filter
+    import tempfile
+
+    rows = docs_lm_quality_filter(spark, sf_dir).collect()
+    assert any(r.is_kept for r in rows) and any(not r.is_kept for r in rows)
+    for r in rows:
+        assert r.is_kept == (r.lm_micro >= _LM_KEEP_MICRO)
+
+    # a one-word doc must survive the pipeline as (-1, dropped)
+    tmp = tempfile.mkdtemp()
+    d = load_table(spark, sf_dir, "documents")
+    d.limit(5).unionByName(
+        spark.createDataFrame(
+            [(999_999, "stub", "en", "unit", 4)], d.schema
+        )
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    short = {
+        r.doc_id: r
+        for r in docs_lm_quality_filter(spark, tmp).collect()
+    }[999_999]
+    assert short.lm_micro == -1 and not short.is_kept
+
+
 def test_cogroup_aligned_stats_matches_join_formulation(spark, sf_dir):
     """cogroup().applyInPandas per-key alignment == the JVM join
     formulation: an order is 'attributed' when a same-key event
