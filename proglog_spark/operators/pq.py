@@ -1,0 +1,202 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+PQ splits each vector into ``m`` subspaces and replaces every
+subvector with the index of its nearest codeword, so a corpus vector
+is stored as ``m`` small integers instead of ``dim`` floats — the
+memory-bandwidth compression FAISS pairs with IVF for billion-scale
+search (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011). Query scoring is ADC (asymmetric
+distance computation): the query stays exact, one tiny
+``query × subspace × codeword`` dot-product lookup table is built
+driver-side, and each corpus vector's score is ``m`` table lookups
+summed — the scan reads codes, never embeddings.
+
+Everything here is integer-exact on the ``floor(x·scale)`` grid, the
+repo's established oracle discipline (operators/similarity.py): L2
+codebook training is truncating-integer Lloyd (sign(s)·(|s| div cnt)
+member means — DuckDB ``//`` truncates toward zero while numpy floors,
+so both engines run the shared sign-decomposed form), assignment keys
+are ``2·(x·c) − |c|²`` (the |x|² term is constant per row, dropped),
+ties go to the LOWEST codeword index (numpy first-max ==
+``list_position(ks, list_max(ks))``), and ADC scores are exact int64
+dot products — so training, encoding, and the approximate top-k all
+hash-match an ANSI SQL oracle (queries.py::_pq_ann_oracle).
+
+100 TB shape: training collects only the bounded deterministic sample
+(``similarity.ivf_train_sample``, ≤ 2^18 rows at any corpus size);
+encoding is one Arrow pass against the closure-shipped codebooks
+(m·n_codes·sub int64s); scoring reads the ``m``-int code column only
+and shuffles (query, id, score) triples into the two-phase per-query
+top-k. Behavioral anchor: the reference engine stores opaque record
+bytes (/root/reference/internal/log/store.go) — vector compression is
+a north-star extension, not reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proglog_spark.operators.similarity import ivf_train_sample
+from proglog_spark.operators.topk import topk_per_key
+
+# ADC keeps the query set driver-side (the LUT is per-query); keep the
+# contract honest with an explicit bound rather than an implicit OOM.
+MAX_ADC_QUERIES = 4096
+
+
+def _sub_keys(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Assignment keys for one subspace: key[v, c] = 2·(x[v]·c) − |c|².
+
+    Maximizing this minimizes L2 distance to the codeword (|x|² is
+    constant per row). int64-exact: |components| ≤ scale ⇒
+    |2d| + |c|² ≤ 3·sub·scale² (≈ 10⁸ at sub=32, scale=1000).
+    """
+    return 2 * (x @ cents.T) - (cents.astype(np.int64) ** 2).sum(axis=1)[None, :]
+
+
+def quantized_pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 16,
+    n_codes: int = 256,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    max_train_rows: int = 1 << 18,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> np.ndarray:
+    """Train the ``(m, n_codes, dim/m)`` int64 codebook tensor.
+
+    Per subspace: integer Lloyd on the quantized sample — init from
+    the first ``n_codes`` sample subvectors by id, assignment by
+    :func:`_sub_keys` argmax (ties to the lowest index), update by the
+    truncating integer mean sign(s)·(|s| div cnt); an empty cell
+    carries its previous codeword. Deterministic end to end, replayed
+    literally by the SQL oracle.
+    """
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    sub = dim // m
+    assert 3 * sub * scale * scale < 2**62, "assignment keys must fit int64"
+    rows = ivf_train_sample(
+        corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
+    )
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qm = np.floor(mat * scale).astype(np.int64)
+    books = []
+    for j in range(m):
+        x = qm[:, j * sub : (j + 1) * sub]
+        cents = x[:n_codes].copy()
+        for _ in range(iters):
+            assign = _sub_keys(x, cents).argmax(axis=1)
+            nxt = cents.copy()
+            for c in range(n_codes):
+                members = x[assign == c]
+                if not len(members):
+                    continue  # empty cell: carry the previous codeword
+                s = members.sum(axis=0)  # exact: |s| <= len * scale
+                nxt[c] = np.where(s < 0, -1, 1) * (np.abs(s) // len(members))
+            cents = nxt
+        books.append(cents)
+    return np.stack(books)
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append the ``m``-int PQ code array: per subspace, the argmax of
+    :func:`_sub_keys` against the closure-shipped codebooks. One
+    Arrow-batched int64 matmul per subspace per batch.
+    """
+    B = np.asarray(codebooks, dtype=np.int64)
+    m, _, sub = B.shape
+    sc = scale
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        qm = np.floor(mat * sc).astype(np.int64)
+        out = np.empty((len(qm), m), dtype=np.int64)
+        for j in range(m):
+            x = qm[:, j * sub : (j + 1) * sub]
+            out[:, j] = _sub_keys(x, B[j]).argmax(axis=1)
+        return pd.Series([[int(c) for c in row] for row in out])
+
+    return df.select("*", _codes(F.col(vec_col)).alias(out_col))
+
+
+def quantized_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 256,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """ADC top-k over PQ codes: ``(query_id, vec_id, adc_dot, rank)``.
+
+    adc_dot = Σ_j q_j · codeword_j(code_j(x)) — the quantized-corpus
+    approximation of the exact dot product, int64-exact, so the
+    approximate answer itself (codes, LUT, ranking) hash-matches the
+    SQL oracle. Corpus vectors are read once to encode; scoring scans
+    the code column only.
+    """
+    books = quantized_pq_train(
+        corpus, dim, m, n_codes, iters, sample_mod,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    )
+    sub = dim // m
+    q_rows = (
+        queries.select(id_col, vec_col).orderBy(id_col).limit(MAX_ADC_QUERIES + 1).collect()
+    )
+    assert len(q_rows) <= MAX_ADC_QUERIES, (
+        f"ADC keeps the query set driver-side; got > {MAX_ADC_QUERIES} queries"
+    )
+    qids = [int(r[0]) for r in q_rows]
+    qm = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
+    ).astype(np.int64)
+    # lut[qi, j, c] = q_j · B[j][c]  (n_queries × m × n_codes int64s)
+    lut = np.stack(
+        [qm[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+
+    coded = with_pq_codes(corpus.select(id_col, vec_col), books, vec_col, scale)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _adc(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy()).astype(np.int64)  # (rows, m)
+        s = np.zeros((len(C), lut.shape[0]), dtype=np.int64)
+        for j in range(m):
+            s += lut[:, j, :][:, C[:, j]].T
+        return pd.Series([list(row) for row in s])
+
+    scored = (
+        coded.select(id_col, F.posexplode(_adc(F.col("pq_codes"))).alias("qpos", "adc_dot"))
+        .select(
+            F.element_at(F.lit(qids), F.col("qpos") + 1).alias("query_id"),
+            id_col,
+            "adc_dot",
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("adc_dot").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "adc_dot", "rank")

@@ -1812,6 +1812,109 @@ def emb_ivf_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _pq_ann_oracle(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> str:
+    """All-SQL replay of pq.quantized_pq_ann_topk — training, corpus
+    encoding, the per-query ADC lookup table, and the final ranking.
+
+    RELATIONAL, not list-lambda: vectors and codebooks are flattened to
+    (vec_id, sp, t, value) / (sp, cell, t, value) rows with the
+    subspace id ``sp`` carried as a column, so ALL m independent Lloyd
+    chains run in ONE set of hash-join + group-by CTEs per iteration
+    (a list_transform formulation evaluated ~120M interpreted lambdas
+    at m=16·256 codes and never finished; this form runs in seconds).
+    Assignment key 2·(x·c) − |c|² via row_number (key DESC, cell ASC ==
+    numpy first-max); member means sign-decomposed (DuckDB // truncates
+    toward zero, numpy floors — the shared form agrees); empty cells
+    carry the previous codeword through the LEFT JOIN coalesce. ADC
+    then joins each corpus vector's (sp, code) pairs to the per-query
+    codeword dot table and sums — the approximate answer, training
+    trajectory and all, is hash-compared."""
+    dim = m * sub
+    key = "2 * sum(f.xv * c.cv) - sum(c.cv * c.cv)"
+    parts = [
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
+        "md AS (SELECT GREATEST(1, (count(*) + 262143) // 262144) AS sm FROM embeddings)",
+        "samp AS (SELECT vec_id, q FROM qv, md WHERE vec_id % sm = 0 "
+        "ORDER BY vec_id LIMIT 262144)",
+        f"tt AS (SELECT unnest(range(1, {dim + 1})) AS t)",
+        f"fx AS (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+        "q[t] AS xv FROM samp, tt)",
+        f"fq AS (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+        "q[t] AS xv FROM qv, tt)",
+        "ini AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell "
+        "FROM samp)",
+        "cb0 AS (SELECT f.sp, i.cell, f.t, f.xv AS cv FROM ini i "
+        f"JOIN fx f USING (vec_id) WHERE i.cell < {n_codes})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"cb{i - 1}"
+        parts += [
+            f"a{i} AS (SELECT vec_id, sp, cell FROM (SELECT f.vec_id, f.sp, c.cell, "
+            f"row_number() OVER (PARTITION BY f.vec_id, f.sp "
+            f"ORDER BY {key} DESC, c.cell) AS rn "
+            f"FROM fx f JOIN {p} c ON c.sp = f.sp AND c.t = f.t "
+            "GROUP BY f.vec_id, f.sp, c.cell) z WHERE rn = 1)",
+            f"u{i} AS (SELECT a.sp, a.cell, f.t, CASE WHEN sum(f.xv) < 0 THEN "
+            "-((-sum(f.xv)) // count(*)) ELSE sum(f.xv) // count(*) END AS cv "
+            f"FROM a{i} a JOIN fx f ON f.vec_id = a.vec_id AND f.sp = a.sp "
+            "GROUP BY 1, 2, 3)",
+            f"cb{i} AS (SELECT p.sp, p.cell, p.t, coalesce(u.cv, p.cv) AS cv "
+            f"FROM {p} p LEFT JOIN u{i} u ON u.sp = p.sp AND u.cell = p.cell "
+            "AND u.t = p.t)",
+        ]
+    fin = f"cb{iters}"
+    parts += [
+        "enc AS (SELECT vec_id, sp, cell AS code FROM (SELECT f.vec_id, f.sp, c.cell, "
+        f"row_number() OVER (PARTITION BY f.vec_id, f.sp ORDER BY {key} DESC, c.cell) "
+        f"AS rn FROM fq f JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
+        "GROUP BY f.vec_id, f.sp, c.cell) z WHERE rn = 1)",
+        "lut AS (SELECT f.vec_id AS query_id, f.sp, c.cell AS code, "
+        f"CAST(sum(f.xv * c.cv) AS BIGINT) AS pdot FROM fq f "
+        f"JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
+        f"WHERE f.vec_id IN {_QUERY_VECS} GROUP BY 1, 2, 3)",
+        "sc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot "
+        "FROM enc e JOIN lut l ON l.sp = e.sp AND l.code = e.code "
+        "WHERE e.vec_id != l.query_id GROUP BY 1, 2)",
+        "ranked AS (SELECT query_id, vec_id, adc_dot, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rank FROM sc)",
+    ]
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, adc_dot, rank FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"
+    )
+
+
+@register("emb_pq_ann_topk", _pq_ann_oracle())
+def emb_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq): each corpus
+    vector compressed to the standard 16×8-bit code (16 subspaces of 4
+    dims, 256 codewords each — 16 bytes/vector), queries scored by
+    summed codeword-dot lookups — the memory-bandwidth ANN tier that
+    composes with IVF at billion scale (scan reads 16 bytes per
+    vector, never the embedding column). Oracle-exact end to end
+    INCLUDING per-subspace integer Lloyd training, corpus encoding,
+    and the ADC table (the emb_ivf_ann_topk recipe with the L2 key and
+    truncating integer means). PQ recall vs the exact top-k (~0.8@10
+    on the fixtures) is property-tested; this gate pins the machinery
+    bit-for-bit."""
+    from proglog_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        pq.quantized_pq_ann_topk(e, q, dim=64, k=10, m=16, n_codes=256, iters=3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            "adc_dot",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "emb_cosine_neardup",
     "WITH qv AS (SELECT vec_id, list_transform(embedding, "
