@@ -158,21 +158,7 @@ def quantized_pq_ann_topk(
         corpus, dim, m, n_codes, iters, sample_mod,
         id_col=id_col, vec_col=vec_col, scale=scale,
     )
-    sub = dim // m
-    q_rows = (
-        queries.select(id_col, vec_col).orderBy(id_col).limit(MAX_ADC_QUERIES + 1).collect()
-    )
-    assert len(q_rows) <= MAX_ADC_QUERIES, (
-        f"ADC keeps the query set driver-side; got > {MAX_ADC_QUERIES} queries"
-    )
-    qids = [int(r[0]) for r in q_rows]
-    qm = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
-    ).astype(np.int64)
-    # lut[qi, j, c] = q_j · B[j][c]  (n_queries × m × n_codes int64s)
-    lut = np.stack(
-        [qm[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
-    )
+    qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
 
     coded = with_pq_codes(corpus.select(id_col, vec_col), books, vec_col, scale)
 
@@ -192,6 +178,112 @@ def quantized_pq_ann_topk(
             "adc_dot",
         )
         .where(F.col(id_col) != F.col("query_id"))
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("adc_dot").desc(), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "adc_dot", "rank")
+
+
+def _query_lut(queries: DataFrame, books: np.ndarray, id_col, vec_col, scale):
+    """Collect the (bounded) query set and build the ADC lookup
+    tensor: ids, lut[qi, j, code] = q_j · codeword."""
+    m, _, sub = books.shape
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(MAX_ADC_QUERIES + 1)
+        .collect()
+    )
+    assert len(q_rows) <= MAX_ADC_QUERIES, (
+        f"ADC keeps the query set driver-side; got > {MAX_ADC_QUERIES} queries"
+    )
+    qids = [int(r[0]) for r in q_rows]
+    qm = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
+    ).astype(np.int64)
+    lut = np.stack(
+        [qm[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+    return qids, lut
+
+
+def quantized_ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    ivf_iters: int = 3,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 256,
+    pq_iters: int = 3,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IndexIVFPQ shape, raw-vector codebooks):
+    IVF cells route each query to ``n_probe/n_cells`` of the corpus,
+    PQ-ADC scores only those candidates from their 16-byte codes —
+    ``(query_id, vec_id, adc_dot, rank)``, hash-matching the SQL
+    oracle end to end (both trainings included).
+
+    This is the billion-scale composition: the scan that matters reads
+    (id, cell, codes) — never the embedding column — and the probed
+    cells bound the per-query work. One Arrow pass computes cell AND
+    codes together; candidate selection is a broadcast join on the
+    probed cells; ranking is the two-phase per-query top-k.
+    """
+    from proglog_spark.operators.similarity import (
+        quantized_ivf_train,
+        with_quantized_ivf_cells,
+    )
+
+    cents = quantized_ivf_train(
+        corpus, n_cells, ivf_iters, sample_mod,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    )
+    books = quantized_pq_train(
+        corpus, dim, m, n_codes, pq_iters, sample_mod,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    )
+    qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
+    pos = {qid: i for i, qid in enumerate(qids)}
+
+    # one corpus scan: IVF cell (n_probe=1) + PQ codes, embeddings
+    # dropped before anything shuffles
+    idx = with_quantized_ivf_cells(
+        corpus.select(id_col, vec_col), cents, 1, vec_col, scale
+    )
+    idx = with_pq_codes(idx, books, vec_col, scale).select(
+        id_col, "ivf_cell", "pq_codes"
+    )
+    probes = with_quantized_ivf_cells(
+        queries.select(id_col, vec_col), cents, n_probe, vec_col, scale
+    ).select(F.col(id_col).alias("query_id"), "ivf_cell")
+
+    cand = idx.join(F.broadcast(probes), on="ivf_cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    @F.pandas_udf(T.LongType())
+    def _adc_at(qid_s: pd.Series, codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        qi = qid_s.map(pos).to_numpy(dtype=np.int64)
+        s = np.zeros(len(C), dtype=np.int64)
+        for j in range(m):
+            s += lut[qi, j, C[:, j]]
+        return pd.Series(s)
+
+    scored = cand.select(
+        "query_id",
+        id_col,
+        _adc_at(F.col("query_id"), F.col("pq_codes")).alias("adc_dot"),
     )
     return topk_per_key(
         scored,

@@ -1725,17 +1725,12 @@ def _ivf_key_sql(qref: str, cref: str) -> str:
     )
 
 
-def _ivf_ann_oracle(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> str:
-    """All-SQL replay of similarity.quantized_ivf_ann_topk — including
-    the TRAINING: the bounded deterministic sample (id % sm = 0,
-    ordered LIMIT 2^18, sm = ceil(n/2^18)), first-16-by-id init, and
-    each unrolled Lloyd step (argmax assignment via list_position ==
-    numpy first-max tie-break; exact integer member sums rescaled to
-    the ±1000 grid; empty cells carry the previous centroid). Corpus
-    assignment, query probing (key desc, cell asc) and the final
-    quantized-cosine ranking then replay exactly as in the LSH oracle —
-    the approximate answer, training trajectory and all, is
-    hash-compared."""
+def _ivf_cand_parts(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> list[str]:
+    """The IVF oracle's shared front half — quantized corpus, bounded
+    deterministic sample, unrolled integer Lloyd training, corpus cell
+    assignment, query probing — ending at the ``cand`` (query_id,
+    vec_id) candidate CTE. Reused verbatim by _ivf_ann_oracle (exact
+    re-ranking tail) and _ivfpq_ann_oracle (ADC tail)."""
     parts = [
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
@@ -1776,6 +1771,23 @@ def _ivf_ann_oracle(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> str:
         f"WHERE pr <= {n_probe})",
         "cand AS (SELECT qp.query_id, ac.vec_id FROM ac JOIN qp "
         "ON ac.cell = qp.cell AND ac.vec_id != qp.query_id)",
+    ]
+    return parts
+
+
+def _ivf_ann_oracle(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> str:
+    """All-SQL replay of similarity.quantized_ivf_ann_topk — including
+    the TRAINING: the bounded deterministic sample (id % sm = 0,
+    ordered LIMIT 2^18, sm = ceil(n/2^18)), first-16-by-id init, and
+    each unrolled Lloyd step (argmax assignment via list_position ==
+    numpy first-max tie-break; exact integer member sums rescaled to
+    the ±1000 grid; empty cells carry the previous centroid). Corpus
+    assignment, query probing (key desc, cell asc) and the final
+    quantized-cosine ranking then replay exactly as in the LSH oracle —
+    the approximate answer, training trajectory and all, is
+    hash-compared."""
+    parts = _ivf_cand_parts(n_cells, iters, n_probe)
+    parts += [
         "sc AS (SELECT c.query_id, c.vec_id, "
         "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
         "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
@@ -1812,31 +1824,25 @@ def emb_ivf_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _pq_ann_oracle(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> str:
-    """All-SQL replay of pq.quantized_pq_ann_topk — training, corpus
-    encoding, the per-query ADC lookup table, and the final ranking.
-
-    RELATIONAL, not list-lambda: vectors and codebooks are flattened to
-    (vec_id, sp, t, value) / (sp, cell, t, value) rows with the
-    subspace id ``sp`` carried as a column, so ALL m independent Lloyd
-    chains run in ONE set of hash-join + group-by CTEs per iteration
-    (a list_transform formulation evaluated ~120M interpreted lambdas
-    at m=16·256 codes and never finished; this form runs in seconds).
-    Assignment key 2·(x·c) − |c|² via row_number (key DESC, cell ASC ==
-    numpy first-max); member means sign-decomposed (DuckDB // truncates
+def _pq_parts(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> list[str]:
+    """The PQ oracle's codebook/encode/LUT CTEs — everything after the
+    shared qv/md/samp prefix, ending at ``enc`` (corpus codes) and
+    ``lut`` (per-query codeword dots). RELATIONAL, not list-lambda:
+    vectors and codebooks are flattened to (vec_id, sp, t, value) /
+    (sp, cell, t, value) rows with the subspace id ``sp`` carried as a
+    column, so ALL m independent Lloyd chains run in ONE set of
+    hash-join + group-by CTEs per iteration (a list_transform
+    formulation evaluated ~120M interpreted lambdas at m=16·256 codes
+    and never finished; this form runs in seconds). Assignment key
+    2·(x·c) − |c|² via row_number (key DESC, cell ASC == numpy
+    first-max); member means sign-decomposed (DuckDB // truncates
     toward zero, numpy floors — the shared form agrees); empty cells
-    carry the previous codeword through the LEFT JOIN coalesce. ADC
-    then joins each corpus vector's (sp, code) pairs to the per-query
-    codeword dot table and sums — the approximate answer, training
-    trajectory and all, is hash-compared."""
+    carry the previous codeword through the LEFT JOIN coalesce.
+    Iteration CTEs are pa*/pu* so the IVF chain's names stay free for
+    _ivfpq_ann_oracle."""
     dim = m * sub
     key = "2 * sum(f.xv * c.cv) - sum(c.cv * c.cv)"
     parts = [
-        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
-        "md AS (SELECT GREATEST(1, (count(*) + 262143) // 262144) AS sm FROM embeddings)",
-        "samp AS (SELECT vec_id, q FROM qv, md WHERE vec_id % sm = 0 "
-        "ORDER BY vec_id LIMIT 262144)",
         f"tt AS (SELECT unnest(range(1, {dim + 1})) AS t)",
         f"fx AS (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
         "q[t] AS xv FROM samp, tt)",
@@ -1850,17 +1856,17 @@ def _pq_ann_oracle(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4
     for i in range(1, iters + 1):
         p = f"cb{i - 1}"
         parts += [
-            f"a{i} AS (SELECT vec_id, sp, cell FROM (SELECT f.vec_id, f.sp, c.cell, "
+            f"pa{i} AS (SELECT vec_id, sp, cell FROM (SELECT f.vec_id, f.sp, c.cell, "
             f"row_number() OVER (PARTITION BY f.vec_id, f.sp "
             f"ORDER BY {key} DESC, c.cell) AS rn "
             f"FROM fx f JOIN {p} c ON c.sp = f.sp AND c.t = f.t "
             "GROUP BY f.vec_id, f.sp, c.cell) z WHERE rn = 1)",
-            f"u{i} AS (SELECT a.sp, a.cell, f.t, CASE WHEN sum(f.xv) < 0 THEN "
+            f"pu{i} AS (SELECT a.sp, a.cell, f.t, CASE WHEN sum(f.xv) < 0 THEN "
             "-((-sum(f.xv)) // count(*)) ELSE sum(f.xv) // count(*) END AS cv "
-            f"FROM a{i} a JOIN fx f ON f.vec_id = a.vec_id AND f.sp = a.sp "
+            f"FROM pa{i} a JOIN fx f ON f.vec_id = a.vec_id AND f.sp = a.sp "
             "GROUP BY 1, 2, 3)",
             f"cb{i} AS (SELECT p.sp, p.cell, p.t, coalesce(u.cv, p.cv) AS cv "
-            f"FROM {p} p LEFT JOIN u{i} u ON u.sp = p.sp AND u.cell = p.cell "
+            f"FROM {p} p LEFT JOIN pu{i} u ON u.sp = p.sp AND u.cell = p.cell "
             "AND u.t = p.t)",
         ]
     fin = f"cb{iters}"
@@ -1873,11 +1879,66 @@ def _pq_ann_oracle(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4
         f"CAST(sum(f.xv * c.cv) AS BIGINT) AS pdot FROM fq f "
         f"JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
         f"WHERE f.vec_id IN {_QUERY_VECS} GROUP BY 1, 2, 3)",
+    ]
+    return parts
+
+
+_PQ_PREFIX = [
+    "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
+    "md AS (SELECT GREATEST(1, (count(*) + 262143) // 262144) AS sm FROM embeddings)",
+    "samp AS (SELECT vec_id, q FROM qv, md WHERE vec_id % sm = 0 "
+    "ORDER BY vec_id LIMIT 262144)",
+]
+
+
+def _pq_ann_oracle(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> str:
+    """All-SQL replay of pq.quantized_pq_ann_topk — training, corpus
+    encoding, the per-query ADC lookup table (see :func:`_pq_parts`),
+    then the brute ADC scan: every corpus vector's (sp, code) pairs
+    join the per-query codeword dot table and sum — the approximate
+    answer, training trajectory and all, is hash-compared."""
+    parts = _PQ_PREFIX + _pq_parts(m, n_codes, iters, sub)
+    parts += [
         "sc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot "
         "FROM enc e JOIN lut l ON l.sp = e.sp AND l.code = e.code "
         "WHERE e.vec_id != l.query_id GROUP BY 1, 2)",
         "ranked AS (SELECT query_id, vec_id, adc_dot, row_number() OVER "
         "(PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rank FROM sc)",
+    ]
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, adc_dot, rank FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"
+    )
+
+
+def _ivfpq_ann_oracle(
+    n_cells: int = 16,
+    ivf_iters: int = 3,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 256,
+    pq_iters: int = 3,
+    sub: int = 4,
+) -> str:
+    """All-SQL replay of pq.quantized_ivfpq_ann_topk — the FAISS
+    IndexIVFPQ shape: the IVF chain (_ivf_cand_parts — spherical-k-means
+    cells, corpus assignment, query probing) restricts candidates to
+    the probed cells, then the PQ chain (_pq_parts — raw-vector
+    codebooks, by_residual=false) scores ONLY those candidates by ADC.
+    Both training trajectories, the candidate set, and the ranking are
+    hash-compared. The two chains share the qv/md/samp prefix and use
+    disjoint CTE names by construction."""
+    parts = _ivf_cand_parts(n_cells, ivf_iters, n_probe)
+    parts += _pq_parts(m, n_codes, pq_iters, sub)
+    parts += [
+        "psc AS (SELECT c.query_id, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot "
+        "FROM cand c JOIN enc e ON e.vec_id = c.vec_id "
+        "JOIN lut l ON l.query_id = c.query_id AND l.sp = e.sp AND l.code = e.code "
+        "GROUP BY 1, 2)",
+        "ranked AS (SELECT query_id, vec_id, adc_dot, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rank FROM psc)",
     ]
     return (
         ", ".join(parts)
@@ -1905,6 +1966,35 @@ def emb_pq_ann_topk(spark, sf_dir):
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
         pq.quantized_pq_ann_topk(e, q, dim=64, k=10, m=16, n_codes=256, iters=3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            "adc_dot",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("emb_ivfpq_ann_topk", _ivfpq_ann_oracle())
+def emb_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.quantized_ivfpq_ann_topk) — the FAISS
+    IndexIVFPQ composition and the repo's billion-scale similarity
+    path: spherical-k-means IVF cells route each query to n_probe/16
+    of the corpus, and PQ-ADC scores only those candidates from their
+    16-byte codes — the scoring scan never touches the embedding
+    column. BOTH trainings (integer Lloyd for cells, per-subspace
+    integer Lloyd for codebooks), the candidate sets, and the ADC
+    ranking replay in the SQL oracle (_ivf_cand_parts + _pq_parts
+    share the quantized-corpus prefix and compose), so the approximate
+    answer hash-matches end to end. Recall vs exact stays
+    property-tested."""
+    from proglog_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        pq.quantized_ivfpq_ann_topk(e, q, dim=64, k=10)
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             "vec_id",

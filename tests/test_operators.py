@@ -327,6 +327,45 @@ def test_pq_adc_recall_vs_exact_dot(spark, emb):
         assert all(0 <= c < n_codes for c in r.pq_codes)
 
 
+def test_ivfpq_recall_and_candidate_discipline(spark, emb):
+    """IVF-PQ must (a) keep useful recall vs the exact dot top-10
+    despite scoring only probed cells from 16-byte codes, and (b)
+    return only candidates the IVF router actually admits — every
+    result row's vec_id must live in one of its query's probed cells."""
+    from proglog_spark.operators import pq
+    from proglog_spark.operators.similarity import (
+        quantized_ivf_train,
+        with_quantized_ivf_cells,
+    )
+
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_dot_topk(emb, qs, k=10).collect()
+    }
+    rows = pq.quantized_ivfpq_ann_topk(emb, qs, dim=64, k=10).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"IVF-PQ recall too low: {recall}"
+
+    cents = quantized_ivf_train(emb, 16, 3)
+    cell_of = {
+        r.vec_id: r.ivf_cell
+        for r in with_quantized_ivf_cells(
+            emb.select("vec_id", "embedding"), cents, 1
+        ).collect()
+    }
+    probed = {}
+    for r in with_quantized_ivf_cells(
+        qs.select("vec_id", "embedding"), cents, 4
+    ).collect():
+        probed.setdefault(r.vec_id, set()).add(r.ivf_cell)
+    for r in rows:
+        assert cell_of[r.vec_id] in probed[r.query_id], (
+            f"{r.vec_id} outside {r.query_id}'s probed cells"
+        )
+
+
 def test_quantized_lsh_ann_matches_float_candidates(spark, emb):
     """The integer-grid variant must land the same recall class as the
     float path (same planes, same corpus): its top-10 sets may differ
