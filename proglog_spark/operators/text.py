@@ -338,3 +338,81 @@ def lm_interpolated_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    term_queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-shaped retrieval over whitespace tokens, integer-exact:
+    top-k ``(query_id, doc_id, score_micro, rank)`` per query.
+
+    Okapi BM25 with k1 = 1.2, b = 0.75, both cleared to integers
+    (×20), and the float idf replaced by the RATIONAL surrogate
+    idf_s = ((N − df + 1)·10⁶) div (df + 1) — monotone in the true
+    log-idf, so rankings agree wherever idf margins exceed one
+    quantization step, and every engine computes the identical BIGINT.
+    Per matched (query, doc, term):
+
+        rel20  = (18·dl·N) div S            -- 18·(dl/avgdl), avgdl = S/N
+        tf_n   = (tf·44·10⁶) div (20·tf + 6 + rel20)
+        score += (idf_s · tf_n) div 10⁶
+
+    Fixed-point budget: idf_s·tf_n ≤ 2.2·10¹²·N must fit int64, so
+    the micro grid holds to ~4M documents per corpus; above that,
+    drop the idf scale a decade per 10× docs (the ordering, which is
+    what BM25 is for, survives rescaling).
+
+    Plan shape at 100 TB: tf/dl/df are explode → partial-agg
+    reductions (distinct (doc, term) pairs shuffle, never token
+    occurrences); the query-term table and the two 1-row totals
+    broadcast; scoring joins tf→dl on the doc key; the final top-k is
+    the two-phase per-query rank (no global window).
+    """
+    from proglog_spark.operators.topk import topk_per_key
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = df.agg(F.count(F.lit(1)).alias("n")).join(
+        toks.agg(F.count(F.lit(1)).alias("s"))
+    )
+    qt = df.sparkSession.createDataFrame(term_queries, "query_id long, term string")
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "_id")
+        .join(dfreq, "term")
+        .join(F.broadcast(totals))
+        .select(
+            "query_id",
+            "_id",
+            F.expr(
+                "(((n - df + 1) * 1000000) div (df + 1)) * "
+                "((tf * 44 * 1000000) div (20 * tf + 6 + (18 * dl * n) div s)) "
+                "div 1000000"
+            ).alias("contrib"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "_id").agg(
+        F.sum("contrib").alias("score_micro")
+    )
+    return (
+        topk_per_key(
+            scored,
+            ["query_id"],
+            [F.col("score_micro").desc(), F.col("_id")],
+            k,
+            rank_col="rank",
+        )
+        .withColumnRenamed("_id", id_col)
+        .select("query_id", id_col, "score_micro", "rank")
+    )

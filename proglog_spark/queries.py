@@ -1097,6 +1097,53 @@ def docs_lm_quality_filter(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [
+    (0, "hash"), (0, "join"), (0, "table"),
+    (1, "stream"), (1, "window"),
+    (2, "vector"), (2, "scan"), (2, "slow"),
+]
+
+
+@register(
+    "docs_bm25_topk",
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), "
+    "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM toks) AS s), "
+    "qt AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    + ") AS v(query_id, term)), "
+    "c AS (SELECT qt.query_id, tf.doc_id, "
+    "(((tot.n - dfq.df + 1) * 1000000) // (dfq.df + 1)) * "
+    "((tf.tf * 44 * 1000000) // (20 * tf.tf + 6 + (18 * dl.dl * tot.n) // tot.s)) "
+    "// 1000000 AS contrib "
+    "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) "
+    "JOIN dfq USING (term), tot), "
+    "sc AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, "
+    "CAST(sum(contrib) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2), "
+    "ranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank FROM sc) "
+    "SELECT query_id, doc_id, score_micro, rank FROM ranked WHERE rank <= 10 "
+    "ORDER BY query_id, rank",
+)
+def docs_bm25_topk(spark, sf_dir):
+    """BM25-shaped retrieval (text.bm25_topk): top-10 documents for
+    three multi-term queries, integer-exact — k1/b cleared to
+    integers, the float idf replaced by the rational surrogate
+    ((N−df+1)·10⁶ div (df+1), monotone in log-idf) so corpus
+    statistics, scoring, and ranking all hash-match the oracle. The
+    retrieval stage every decontamination / eval-lookup pipeline
+    needs next to the LM-quality tier. tf/df/dl are distinct-pair
+    reductions; query terms and totals broadcast; per-query top-k is
+    two-phase, no global window."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
