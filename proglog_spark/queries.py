@@ -5363,6 +5363,35 @@ def events_cms_user_counts(spark, sf_dir):
 
 
 @register(
+    "events_cms_streamed",
+    _cms_sql_parts() + " SELECT j, b, cnt FROM cells ORDER BY j, b",
+)
+def events_cms_streamed(spark, sf_dir):
+    """The CMS maintained BY the streaming engine: the bucket explode
+    runs on the event stream and the (j, b) cell counts are streaming
+    aggregation state (complete mode, availableNow trigger) — after
+    the run the state table IS the whole-corpus sketch, hash-checked
+    against the same oracle as the batch and merge variants (the
+    convergence contract, oracle-enforced). State is bounded at
+    depth·width cells no matter how long the stream runs — the
+    property that makes sketches the streaming answer to frequency
+    questions, where exact per-key state grows with the key space."""
+    from proglog_spark.operators import sketch
+
+    cells = sketch.cms_build(_stream_events(spark, sf_dir), "user_id")
+    name = _sink_name("cms_streamed")
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _drain_memory_sink(spark, name).orderBy("j", "b")
+
+
+@register(
     "events_cms_merge",
     _cms_sql_parts()
     + " SELECT j, b, cnt FROM cells ORDER BY j, b",
