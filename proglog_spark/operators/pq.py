@@ -69,6 +69,7 @@ def quantized_pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Train the ``(m, n_codes, dim/m)`` int64 codebook tensor.
 
@@ -82,7 +83,7 @@ def quantized_pq_train(
     assert dim % m == 0, "dim must split evenly into m subspaces"
     sub = dim // m
     assert 3 * sub * scale * scale < 2**62, "assignment keys must fit int64"
-    rows = ivf_train_sample(
+    rows = sample_rows if sample_rows is not None else ivf_train_sample(
         corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
     )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -244,13 +245,18 @@ def quantized_ivfpq_ann_topk(
         with_quantized_ivf_cells,
     )
 
+    # one bounded sample collect feeds BOTH trainers (they would each
+    # re-run the corpus count + ordered-limit collect otherwise)
+    sample = ivf_train_sample(
+        corpus, sample_mod, id_col=id_col, vec_col=vec_col
+    )
     cents = quantized_ivf_train(
         corpus, n_cells, ivf_iters, sample_mod,
-        id_col=id_col, vec_col=vec_col, scale=scale,
+        id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
     )
     books = quantized_pq_train(
         corpus, dim, m, n_codes, pq_iters, sample_mod,
-        id_col=id_col, vec_col=vec_col, scale=scale,
+        id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
     )
     qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
     pos = {qid: i for i, qid in enumerate(qids)}

@@ -701,6 +701,7 @@ def quantized_ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Integer-exact spherical k-means for IVF cells — the
     oracle-replayable twin of :func:`train_ivf_centroids`.
@@ -721,7 +722,9 @@ def quantized_ivf_train(
 
     Returns the (n_cells, dim) int64 centroid matrix.
     """
-    rows = ivf_train_sample(
+    # a caller composing several trainers over the same corpus (IVF-PQ)
+    # passes the collected sample once instead of re-scanning per trainer
+    rows = sample_rows if sample_rows is not None else ivf_train_sample(
         corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
     )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])

@@ -380,11 +380,15 @@ def bm25_topk(
             "term"
         ),
     )
+    # tf is the ONLY aggregate computed from the exploded token stream;
+    # dl, df, and the corpus token total S all derive from it, so the
+    # full corpus is tokenized exactly once (three separate toks scans
+    # would re-explode every occurrence per statistic)
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = df.agg(F.count(F.lit(1)).alias("n")).join(
-        toks.agg(F.count(F.lit(1)).alias("s"))
+        dl.agg(F.sum("dl").alias("s"))
     )
     qt = df.sparkSession.createDataFrame(term_queries, "query_id long, term string")
     contrib = (

@@ -37,6 +37,7 @@ from proglog_spark.operators import (
     joins,
     sampling,
     similarity,
+    sketch,
     text,
     topk,
     windows,
@@ -5294,13 +5295,14 @@ def docs_heavy_terms_sketch(spark, sf_dir):
     )
 
 
-def _cms_sql_parts(depth: int = 4, width: int = 512, salt: str = "cms") -> str:
+_CMS_WIDTH = 512
+
+
+def _cms_sql_parts(depth: int = 4, width: int = _CMS_WIDTH, salt: str = "cms") -> str:
     """Shared oracle CTEs: the literal (a, b) hash constants (the same
     Python function — sketch.cms_params — generates the Spark columns,
     so the two engines cannot drift), per-event 31-bit key hashes, and
     the full-table cell counts."""
-    from proglog_spark.operators import sketch
-
     rows = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(sketch.cms_params(depth, salt))
     )
@@ -5322,7 +5324,9 @@ def _cms_sql_parts(depth: int = 4, width: int = 512, salt: str = "cms") -> str:
     "top AS (SELECT user_id, n_events FROM exact "
     "ORDER BY n_events DESC, user_id LIMIT 20), "
     "tb AS (SELECT t.user_id, t.n_events, p.j, "
-    f"(p.ha * u.h + p.hb) % 2147483647 % 512 AS b "
+    # the SAME modulus/width as _cms_sql_parts' cells CTE — frozen
+    # literals here would silently diverge if the defaults changed
+    f"(p.ha * u.h + p.hb) % {sketch.CMS_PRIME} % {_CMS_WIDTH} AS b "
     "FROM top t JOIN (SELECT DISTINCT user_id, h FROM uh) u USING (user_id) "
     "CROSS JOIN pr p) "
     "SELECT tb.user_id, tb.n_events, min(c.cnt) AS cms_est, "
@@ -5343,8 +5347,6 @@ def events_cms_user_counts(spark, sf_dir):
     estimate join is always broadcast, and the top-20 is TakeOrdered —
     no global window, no key-space shuffle beyond the exact twin this
     query audits against."""
-    from proglog_spark.operators import sketch
-
     ev = load_table(spark, sf_dir, "events")
     cms = sketch.cms_build(ev, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -5376,8 +5378,6 @@ def events_cms_streamed(spark, sf_dir):
     depth·width cells no matter how long the stream runs — the
     property that makes sketches the streaming answer to frequency
     questions, where exact per-key state grows with the key space."""
-    from proglog_spark.operators import sketch
-
     cells = sketch.cms_build(_stream_events(spark, sf_dir), "user_id")
     name = _sink_name("cms_streamed")
     q = (
@@ -5403,11 +5403,12 @@ def events_cms_merge(spark, sf_dir):
     whole-table sketch directly. Equality of the full cell tables is
     exactly the associativity a 100 TB rollup relies on — build one
     sketch per partition/day/shard, sum cells, never rescan."""
-    from proglog_spark.operators import sketch
-
     ev = load_table(spark, sf_dir, "events")
+    # != 0 (not == 1) so the two halves provably partition the table:
+    # Spark's % keeps the dividend's sign, so a negative user_id would
+    # satisfy NEITHER == 0 nor == 1 and silently vanish from the merge
     even = sketch.cms_build(ev.where(F.col("user_id") % 2 == 0), "user_id")
-    odd = sketch.cms_build(ev.where(F.col("user_id") % 2 == 1), "user_id")
+    odd = sketch.cms_build(ev.where(F.col("user_id") % 2 != 0), "user_id")
     return (
         even.unionByName(odd)
         .groupBy("j", "b")

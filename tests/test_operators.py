@@ -316,8 +316,12 @@ def test_pq_adc_recall_vs_exact_dot(spark, emb):
         ranks = sorted(r.rank for r in rows if r.query_id == qid)
         assert ranks == list(range(1, len(ranks) + 1))
 
-    # codes: one per subspace, inside the codebook range; ADC score of
-    # a vector against ITSELF equals the reconstructed self-dot
+    # codes: one per subspace, inside the codebook range; and the ADC
+    # score of a vector against itself equals the dot of its exact
+    # quantized self with its RECONSTRUCTION (codeword concatenation) —
+    # recomputed here independently of the operator's LUT arithmetic
+    import numpy as np
+
     books = pq.quantized_pq_train(emb, dim=64)
     m, n_codes, sub = books.shape
     assert (m, sub) == (16, 4) and n_codes <= 256
@@ -325,6 +329,15 @@ def test_pq_adc_recall_vs_exact_dot(spark, emb):
     for r in coded:
         assert len(r.pq_codes) == m
         assert all(0 <= c < n_codes for c in r.pq_codes)
+        q = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        recon = np.concatenate([books[j][r.pq_codes[j]] for j in range(m)])
+        lut_self = sum(
+            int(q[j * sub : (j + 1) * sub] @ books[j][r.pq_codes[j]])
+            for j in range(m)
+        )
+        assert lut_self == int(q @ recon)
 
 
 def test_ivfpq_recall_and_candidate_discipline(spark, emb):
@@ -1235,18 +1248,23 @@ def test_lm_quality_filter_verdict_consistency(spark, sf_dir):
         assert r.is_kept == (r.lm_micro >= _LM_KEEP_MICRO)
 
     # a one-word doc must survive the pipeline as (-1, dropped)
+    import shutil
+
     tmp = tempfile.mkdtemp()
-    d = load_table(spark, sf_dir, "documents")
-    d.limit(5).unionByName(
-        spark.createDataFrame(
-            [(999_999, "stub", "en", "unit", 4)], d.schema
-        )
-    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-    short = {
-        r.doc_id: r
-        for r in docs_lm_quality_filter(spark, tmp).collect()
-    }[999_999]
-    assert short.lm_micro == -1 and not short.is_kept
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        d.limit(5).unionByName(
+            spark.createDataFrame(
+                [(999_999, "stub", "en", "unit", 4)], d.schema
+            )
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        short = {
+            r.doc_id: r
+            for r in docs_lm_quality_filter(spark, tmp).collect()
+        }[999_999]
+        assert short.lm_micro == -1 and not short.is_kept
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_cogroup_aligned_stats_matches_join_formulation(spark, sf_dir):
