@@ -155,3 +155,25 @@ def misra_gries(df: DataFrame, key: str, k: int = 255) -> DataFrame:
 
     summaries = df.select(key).mapInPandas(summarize, out_schema)
     return summaries.groupBy(key).agg(F.sum("est").alias("est"))
+
+
+def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """AMS-style join-size estimate from two CMS sketches built with
+    the same (depth, width, salt): ``est = min_j Σ_b a[j][b]·b[j][b]``
+    — a deterministic OVERestimate of the true equi-join cardinality
+    Σ_k f_a(k)·f_b(k) (hash collisions only add non-negative cross
+    terms; Cormode-Muthukrishnan §4.2).
+
+    The planner's question — "how big is this join?" — answered from
+    2·depth·width integers without scanning either relation: at 100 TB
+    the sketches roll up per partition/day and the estimate is a
+    driver-side join of two tiny cell tables.
+    """
+    a = cms_a.select("j", "b", F.col("cnt").alias("cnt_a"))
+    bt = cms_b.select("j", "b", F.col("cnt").alias("cnt_b"))
+    return (
+        a.join(bt, ["j", "b"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("est"))
+    )

@@ -5364,6 +5364,66 @@ def events_cms_user_counts(spark, sf_dir):
     )
 
 
+def _cms_slice_cells_sql(px: str, cond: str) -> str:
+    """Cell CTEs for a CMS over a filtered events slice (reuses the
+    ``pr`` constants CTE from _cms_sql_parts' prefix)."""
+    return (
+        f"{px}h AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        f"1, 8) AS BIGINT) % {sketch.CMS_PRIME} AS h FROM events WHERE {cond}), "
+        f"{px}c AS (SELECT CAST(j AS BIGINT) AS j, "
+        f"(ha * h + hb) % {sketch.CMS_PRIME} % {_CMS_WIDTH} AS b, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM {px}h CROSS JOIN pr GROUP BY 1, 2)"
+    )
+
+
+@register(
+    "events_cms_join_estimate",
+    _cms_sql_parts().split(", uh AS")[0]  # just the pr constants CTE
+    + ", "
+    + _cms_slice_cells_sql("a", "event_type = 'click'")
+    + ", "
+    + _cms_slice_cells_sql("k", "event_type = 'purchase'")
+    + ", ip AS (SELECT ac.j, CAST(sum(ac.cnt * kc.cnt) AS BIGINT) AS ipj "
+    "FROM ac JOIN kc ON ac.j = kc.j AND ac.b = kc.b GROUP BY 1), "
+    "est AS (SELECT min(ipj) AS cms_estimate FROM ip), "
+    "fa AS (SELECT user_id, CAST(count(*) AS BIGINT) AS na FROM events "
+    "WHERE event_type = 'click' GROUP BY 1), "
+    "fb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nb FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "tru AS (SELECT CAST(sum(na * nb) AS BIGINT) AS true_join_size "
+    "FROM fa JOIN fb USING (user_id)) "
+    "SELECT true_join_size, cms_estimate, "
+    "CAST(cms_estimate - true_join_size AS BIGINT) AS overcount "
+    "FROM tru, est",
+)
+def events_cms_join_estimate(spark, sf_dir):
+    """Join-cardinality estimation from sketches alone
+    (sketch.cms_inner_product, the AMS estimator): |clicks ⋈ purchases
+    on user_id| estimated as min_j Σ_b a[j][b]·b[j][b] over the two
+    CMS cell tables — the question every join planner asks, answered
+    from 2·depth·width integers without scanning either relation. The
+    estimate is a deterministic overcount (collisions add non-negative
+    cross terms), so estimate, truth, and gap all hash-check. At
+    100 TB the per-relation sketches come from the mergeable rollup
+    (events_cms_merge) — estimation itself reads no events."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    est = sketch.cms_inner_product(
+        sketch.cms_build(a, "user_id"), sketch.cms_build(b, "user_id")
+    )
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    tru = fa.join(fb, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("true_join_size")
+    )
+    return tru.join(F.broadcast(est)).select(
+        "true_join_size",
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("true_join_size")).alias("overcount"),
+    )
+
+
 @register(
     "events_cms_streamed",
     _cms_sql_parts() + " SELECT j, b, cnt FROM cells ORDER BY j, b",

@@ -1185,6 +1185,17 @@ def test_count_min_overcounts_and_merges(spark):
     whole = {(r.j, r.b): r.cnt for r in cms.collect()}
     assert merged == whole
 
+    # inner product: a deterministic OVERestimate of the true
+    # equi-join cardinality sum_k fa(k)*fb(k), and collisions at
+    # width=16 must actually inflate it
+    est = sketch.cms_inner_product(lo, hi).collect()[0].est
+    fa = {r.k: r.n for r in df.where(F.col("k") < 20).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fb = {r.k: r.n for r in df.where(F.col("k") >= 20).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    true_ip = sum(n * fb.get(k, 0) for k, n in fa.items())
+    assert true_ip == 0  # disjoint key ranges: the TRUE join is empty
+    assert est >= true_ip
+    assert est > 0, "width=16 collisions should inflate the estimate"
+
 
 def test_bm25_ranking_properties(spark, sf_dir):
     """BM25 sanity on a constructed corpus: a document matching more
