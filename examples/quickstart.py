@@ -77,7 +77,7 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
         .count()
     )
 
-    # 5 — one declared analytics query (139 total; see QUERIES.md)
+    # 5 — one declared analytics query (156 total; see QUERIES.md)
     from proglog_spark.queries import REGISTRY
 
     out["scorecard"] = [
@@ -85,6 +85,32 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
         for r in REGISTRY["docs_source_scorecard"][0](spark, sf_dir)
         .limit(3)
         .collect()
+    ]
+
+    # 5b — the training-data toolkit in three calls: a mergeable
+    # count-min sketch (frequency answers from depth×width integers),
+    # product-quantization ANN over embeddings (16-byte codes), and
+    # BM25 retrieval — each also a hash-checked entry in the declared
+    # suite (events_cms_*, emb_pq_ann_topk, docs_bm25_topk)
+    from pyspark.sql import functions as F
+
+    from proglog_spark.operators import pq, sketch, text
+    from proglog_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(events, "user_id")
+    out["cms_cells"] = cms.count()  # <= 4 * 512 whatever the corpus
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = pq.quantized_pq_ann_topk(
+        emb, emb.where(F.col("vec_id") == 0), dim=64, k=3
+    )
+    out["pq_neighbors"] = [r.vec_id for r in hits.collect()]
+
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    out["bm25_top3"] = [
+        (r.doc_id, r.score_micro)
+        for r in text.bm25_topk(docs_tbl, [(0, "hash"), (0, "join")], k=3).collect()
     ]
 
     # 6 — curation pipeline into training shards
