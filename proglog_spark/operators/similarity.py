@@ -391,6 +391,78 @@ def quantized_lsh_ann_topk(
     ).select("query_id", id_col, "cos2_pico", "rank")
 
 
+def quantized_knn_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """k-NN GRAPH construction — top-k neighbors for EVERY vector:
+    ``(src, dst, cos2_pico, rank)``. The all-vectors analog of
+    :func:`quantized_lsh_ann_topk` (which broadcasts a small query
+    set): here BOTH sides are the corpus, so candidates come from a
+    bucket-keyed SELF-join of the narrow (id, table, bucket) relation
+    — no broadcast, shuffle keyed on the bucket — and each vector
+    ranks its own candidate list with the integer cosine key. This is
+    the batch kNN-graph stage SemDeDup/graph-based curation pipelines
+    start from; integer-grid bucketing + integer ranking keep the
+    whole approximate graph oracle-replayable. Vectors sharing no
+    bucket with any other vector emit no row (both engines agree).
+    """
+    c = (
+        with_quantized_lsh_buckets(
+            df.select(id_col, vec_col), dim, bits, tables, vec_col, scale
+        )
+        .select(id_col, "lsh_table", "lsh_bucket")
+        # both self-join sides read this; checkpointing (not .cache())
+        # runs the bucketing UDF once and lets the ContextCleaner free
+        # the blocks when the frame is collected (semantic_dedup's
+        # pattern — a .cache() here leaks one copy per call)
+        .localCheckpoint(eager=True)
+    )
+    a = c.select(F.col(id_col).alias("src"), "lsh_table", "lsh_bucket")
+    b = c.select(F.col(id_col).alias("dst"), "lsh_table", "lsh_bucket")
+    cand = (
+        a.join(b, on=["lsh_table", "lsh_bucket"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    vs = df.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("v_src"),
+        quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("nb"),
+    )
+    vd = df.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("v_dst"),
+        quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("na"),
+    )
+    scored = (
+        cand.join(vd, "dst")
+        .join(vs, "src")
+        .select(
+            "src",
+            "dst",
+            quantized_dot(F.col("v_src"), F.col("v_dst"), scale).alias("qd"),
+            "na",
+            "nb",
+        )
+        .select("src", "dst", quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"))
+    )
+    return topk_per_key(
+        scored,
+        ["src"],
+        [F.col("cos2_pico").desc(), F.col("dst")],
+        k,
+        rank_col="rank",
+    ).select("src", "dst", "cos2_pico", "rank")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     dim: int,

@@ -1759,6 +1759,57 @@ def emb_lsh_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _knn_join_oracle(k: int = 3) -> str:
+    """All-SQL replay of similarity.quantized_knn_join: the SAME
+    integer sign-bucketing as _lsh_ann_oracle, but candidates come
+    from the full bucket self-join (every vector is a query) and each
+    source ranks its candidates — the whole approximate kNN graph is
+    hash-compared."""
+    vals = ", ".join(
+        f"({p}, {list(row)})"
+        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
+        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
+        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        "cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM bk a "
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND a.vec_id != b.vec_id), "
+        "sc AS (SELECT c.src, c.dst, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.dst = a.vec_id JOIN qv b ON c.src = b.vec_id), "
+        "keyed AS (SELECT src, dst, CAST(CASE WHEN na = 0 OR nb = 0 THEN "
+        "-1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) "
+        "END AS BIGINT) AS cos2_pico FROM sc), "
+        "ranked AS (SELECT src, dst, cos2_pico, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos2_pico DESC, dst) AS rank FROM keyed) "
+        f"SELECT src, dst, cos2_pico, rank FROM ranked WHERE rank <= {k} "
+        "ORDER BY src, rank"
+    )
+
+
+@register("emb_knn_join", _knn_join_oracle())
+def emb_knn_join(spark, sf_dir):
+    """k-NN graph construction (similarity.quantized_knn_join): top-3
+    neighbors for EVERY vector via the bucket-keyed LSH self-join —
+    the stage SemDeDup / graph-based curation starts from, and the
+    all-vectors upgrade of the broadcast-query ANN path. No broadcast:
+    candidates shuffle on (table, bucket), each source ranks its own
+    list two-phase. Integer bucketing + integer cosine ranking make
+    the whole approximate graph (candidate sets included)
+    hash-comparable; kNN recall stays property-tested."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_knn_join(e, dim=64, k=3).orderBy("src", "rank")
+
+
 def _ivf_key_sql(qref: str, cref: str) -> str:
     """The integer IVF assignment key (similarity._quantized_cell_keys)
     as a SQL expression over two BIGINT-list refs: sign(d)·(d²·1000 div

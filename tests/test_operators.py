@@ -340,6 +340,29 @@ def test_pq_adc_recall_vs_exact_dot(spark, emb):
         assert lut_self == int(q @ recon)
 
 
+def test_knn_join_graph_properties(spark, emb):
+    """The kNN graph: per-source ranks are dense from 1, no
+    self-edges, at most k neighbors, and for the 3 probe vectors the
+    graph's edges recall a healthy share of the exact top-3 (>= 0.5 —
+    same LSH parameters as the ANN recall floor)."""
+    rows = similarity.quantized_knn_join(emb, dim=64, k=3).collect()
+    by_src = {}
+    for r in rows:
+        assert r.src != r.dst
+        by_src.setdefault(r.src, []).append(r.rank)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_cosine_topk(emb, qs, k=3).collect()
+    }
+    got = {(r.src, r.dst) for r in rows if r.src in (0, 1, 2)}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"kNN-join recall too low: {recall}"
+
+
 def test_ivfpq_recall_and_candidate_discipline(spark, emb):
     """IVF-PQ must (a) keep useful recall vs the exact dot top-10
     despite scoring only probed cells from 16-byte codes, and (b)
