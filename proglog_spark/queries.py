@@ -6491,12 +6491,25 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 })
 
 
+# Newest-first bias inside the fresh group: with more fresh queries
+# than the driver's 50-entry window, the operators added MOST RECENTLY
+# lead (their file position would otherwise decide), so every new
+# family lands a driver CORRECTNESS row in its first round.
+_WINDOW_PRIORITY = [
+    "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
+    "events_cms_join_estimate", "emb_knn_join",
+]
+
+
 def _rotated_names() -> list[str]:
-    """Registry names, never-driver-checked first (registry order
-    within each group)."""
-    fresh = [n for n in REGISTRY if n not in _DRIVER_CHECKED]
+    """Registry names, never-driver-checked first (priority list, then
+    registry order within each group)."""
+    pri = [n for n in _WINDOW_PRIORITY if n in REGISTRY and n not in _DRIVER_CHECKED]
+    fresh = [
+        n for n in REGISTRY if n not in _DRIVER_CHECKED and n not in _WINDOW_PRIORITY
+    ]
     seen = [n for n in REGISTRY if n in _DRIVER_CHECKED]
-    return fresh + seen
+    return pri + fresh + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
