@@ -382,9 +382,16 @@ def bm25_topk(
     )
     # tf is the ONLY aggregate computed from the exploded token stream;
     # dl, df, and the corpus token total S all derive from it, so the
-    # full corpus is tokenized exactly once (three separate toks scans
-    # would re-explode every occurrence per statistic)
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # full corpus is tokenized exactly once. The eager localCheckpoint
+    # makes that physical, not just logical: tf has three consumers
+    # with DIFFERENT partitionings (term join, _id agg, term agg), and
+    # AQE's exchange reuse only deduplicated one of them — without the
+    # checkpoint the token explode re-ran per branch.
+    tf = (
+        toks.groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = df.agg(F.count(F.lit(1)).alias("n")).join(

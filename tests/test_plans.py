@@ -491,3 +491,81 @@ def test_user_percentiles_use_two_phase_rank_not_window(spark, sf_dir):
     # the two-phase core's visible fingerprints: a range exchange was
     # materialized into the pinned scan, and the Arrow offset pass runs
     assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
+
+
+def test_cms_build_is_single_partial_agg_shuffle(spark, sf_dir):
+    """CMS construction: one hash shuffle whose input is already the
+    map-side-combined cell table (<= depth*width rows per task) — no
+    joins, no sort. The sketch's whole point is that the shuffle never
+    carries the key space."""
+    from proglog_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(sketch.cms_build(ev, "user_id"))
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan and "partial" in plan.lower()
+
+
+def test_cms_estimate_join_is_broadcast(spark, sf_dir):
+    """Point estimation joins the (<= depth*width row) cell table as a
+    broadcast — the key stream itself is never shuffled for the
+    lookup."""
+    from proglog_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id")
+    est = sketch.cms_estimate(cms, ev.select("user_id").distinct(), "user_id")
+    plan = plan_of(est)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_ann_single_corpus_scan_two_arrow_passes(spark, sf_dir):
+    """PQ-ADC: the corpus parquet is scanned ONCE (encode); scoring
+    runs on codes through a second Arrow pass; the per-query rank
+    window is partitioned by query_id, never global."""
+    from proglog_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    plan = plan_of(pq.quantized_pq_ann_topk(emb, q, dim=64, k=5))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 2
+    assert "query_id" in plan.split("windowspecdefinition")[1][:40]
+
+
+def test_ivfpq_probe_join_is_broadcast(spark, sf_dir):
+    """IVF-PQ: the probed-cells join against the tiny query-probe
+    table must broadcast; candidate scoring never sort-merges."""
+    from proglog_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    plan = plan_of(pq.quantized_ivfpq_ann_topk(emb, q, dim=64, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_buckets_computed_once(spark, sf_dir):
+    """kNN graph: the bucket table is eagerly checkpointed, so BOTH
+    self-join sides read the materialized RDD and the bucketing UDF
+    appears ZERO times in the final plan (it already ran, once)."""
+    from proglog_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(sim.quantized_knn_join(emb, dim=64, k=3))
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bm25_tokenizes_once(spark, sf_dir):
+    """BM25: tf is the single materialization of the token explode
+    (eager checkpoint); dl/df/S derive from it, so the plan reads the
+    corpus parquet exactly once (the doc-count footer scan) and never
+    re-explodes text per statistic."""
+    from proglog_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(text_ops.bm25_topk(d, [(0, "hash"), (0, "join")], k=5))
+    assert plan.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in plan
