@@ -463,6 +463,66 @@ def quantized_knn_join(
     ).select("src", "dst", "cos2_pico", "rank")
 
 
+def lsh_negative_sample(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic HARD-EXCLUDED negative sampling for contrastive
+    training: per query, ``k`` corpus vectors chosen uniformly by key
+    hash among those sharing NO LSH bucket with the query in any
+    table — the false-negative guard (a bucket-sharing vector is a
+    near-dup candidate, exactly what a contrastive negative must not
+    be). Output: ``(query_id, vec_id, rank)``.
+
+    Everything is hash-deterministic (integer-grid bucketing + md5
+    pair hash), so the sample is reproducible across runs/partitions
+    and replays in the SQL oracle. Plan shape: the bucket-collision
+    exclusion set is (query, id) pairs from the bucket join; the
+    candidate space is corpus-ids × queries (queries broadcast, ids
+    only), anti-joined against the exclusions; ranking is the
+    two-phase per-query top-k on the pair hash.
+    """
+    from proglog_spark.operators.text import token_hash32
+
+    c = with_quantized_lsh_buckets(
+        corpus.select(id_col, vec_col), dim, bits, tables, vec_col, scale
+    ).select(id_col, "lsh_table", "lsh_bucket")
+    qb = with_quantized_lsh_buckets(
+        queries.select(id_col, vec_col), dim, bits, tables, vec_col, scale
+    ).select(F.col(id_col).alias("query_id"), "lsh_table", "lsh_bucket")
+    excluded = (
+        c.join(F.broadcast(qb), on=["lsh_table", "lsh_bucket"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    space = corpus.select(id_col).crossJoin(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id")))
+    ).where(F.col(id_col) != F.col("query_id"))
+    neg = space.join(excluded, ["query_id", id_col], "left_anti").select(
+        "query_id",
+        id_col,
+        token_hash32(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            ),
+            salt,
+        ).alias("_h"),
+    )
+    return topk_per_key(
+        neg, ["query_id"], [F.col("_h"), F.col(id_col)], k, rank_col="rank"
+    ).select("query_id", id_col, "rank")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     dim: int,

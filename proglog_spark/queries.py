@@ -1810,6 +1810,62 @@ def emb_knn_join(spark, sf_dir):
     return similarity.quantized_knn_join(e, dim=64, k=3).orderBy("src", "rank")
 
 
+def _negative_sample_oracle(k: int = 5) -> str:
+    """All-SQL replay of similarity.lsh_negative_sample: the same
+    sign-bucketing as the kNN oracle builds the exclusion set; the
+    candidate space is corpus × probe queries minus exclusions;
+    ranking is the salted md5 pair hash."""
+    vals = ", ".join(
+        f"({p}, {list(row)})"
+        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
+        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
+        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        f"qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk "
+        f"WHERE vec_id IN {_QUERY_VECS}), "
+        "ex AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM bk JOIN qb "
+        "ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket), "
+        "neg AS (SELECT q.query_id, v.vec_id, "
+        "CAST('0x' || substr(md5('neg' || CAST(q.query_id AS VARCHAR) || ':' || "
+        "CAST(v.vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h "
+        "FROM (SELECT DISTINCT query_id FROM qb) q CROSS JOIN "
+        "(SELECT vec_id FROM embeddings) v "
+        "WHERE v.vec_id != q.query_id AND NOT EXISTS "
+        "(SELECT 1 FROM ex WHERE ex.query_id = q.query_id "
+        "AND ex.vec_id = v.vec_id)), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY h, vec_id) AS rank FROM neg) "
+        f"SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k} "
+        "ORDER BY query_id, rank"
+    )
+
+
+@register("emb_negative_sampling", _negative_sample_oracle())
+def emb_negative_sampling(spark, sf_dir):
+    """Contrastive-training negative sampling
+    (similarity.lsh_negative_sample): per probe query, 5 negatives
+    chosen uniformly by deterministic pair hash among vectors sharing
+    NO LSH bucket with the query — the false-negative guard (a
+    bucket-sharing vector is a near-dup candidate, exactly what a
+    contrastive negative must not be). Hash-deterministic end to end,
+    so the sample replays in the oracle and is reproducible across
+    runs, partitionings, and engines — the property a training run
+    needs before it depends on the pairs. Exclusions come from the
+    bucket join; the candidate space is ids × 3 broadcast queries;
+    ranking is two-phase."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.lsh_negative_sample(e, q, dim=64, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _ivf_key_sql(qref: str, cref: str) -> str:
     """The integer IVF assignment key (similarity._quantized_cell_keys)
     as a SQL expression over two BIGINT-list refs: sign(d)·(d²·1000 div

@@ -340,6 +340,32 @@ def test_pq_adc_recall_vs_exact_dot(spark, emb):
         assert lut_self == int(q @ recon)
 
 
+def test_negative_sampling_excludes_all_bucket_mates(spark, emb):
+    """The false-negative guard itself: no sampled negative may share
+    ANY LSH bucket with its query; ranks are dense; the sample is
+    reproducible (two runs agree exactly)."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    rows = similarity.lsh_negative_sample(emb, qs, dim=64, k=5).collect()
+    again = similarity.lsh_negative_sample(emb, qs, dim=64, k=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    b = similarity.with_quantized_lsh_buckets(
+        emb.select("vec_id", "embedding"), 64, 4, 8
+    ).collect()
+    buckets = {}
+    for r in b:
+        buckets.setdefault(r.vec_id, set()).add((r.lsh_table, r.lsh_bucket))
+    per_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert not (buckets[r.query_id] & buckets[r.vec_id]), (
+            f"negative {r.vec_id} shares a bucket with query {r.query_id}"
+        )
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_knn_join_graph_properties(spark, emb):
     """The kNN graph: per-source ranks are dense from 1, no
     self-edges, at most k neighbors, and for the 3 probe vectors the
