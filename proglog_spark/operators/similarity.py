@@ -391,11 +391,26 @@ def quantized_lsh_ann_topk(
     ).select("query_id", id_col, "cos2_pico", "rank")
 
 
+def adaptive_lsh_bits(n: int, occupancy: int = 32, lo: int = 4, hi: int = 12) -> int:
+    """Selectivity auto-sizing for corpus-scale LSH self-joins: the
+    smallest bits in [lo, hi] keeping expected bucket occupancy
+    ≤ ``occupancy`` (n ≤ occupancy·2^bits). With FIXED bits the
+    bucket self-join is quadratic in the corpus (n²/2^bits candidate
+    pairs — the 10× probe measured ratio 23.6 before this); scaling
+    bits with n keeps candidates ≈ tables·occupancy·n, linear. Pure
+    integer ladder, replayed verbatim by the SQL oracle's CASE chain.
+    """
+    b = lo
+    while b < hi and n > (occupancy << b):
+        b += 1
+    return b
+
+
 def quantized_knn_join(
     df: DataFrame,
     dim: int,
     k: int = 3,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -412,7 +427,13 @@ def quantized_knn_join(
     start from; integer-grid bucketing + integer ranking keep the
     whole approximate graph oracle-replayable. Vectors sharing no
     bucket with any other vector emit no row (both engines agree).
+
+    ``bits=None`` (default) auto-sizes selectivity to the corpus via
+    :func:`adaptive_lsh_bits` — the knob that keeps the self-join
+    linear instead of quadratic as the corpus grows.
     """
+    if bits is None:
+        bits = adaptive_lsh_bits(df.count())
     c = (
         with_quantized_lsh_buckets(
             df.select(id_col, vec_col), dim, bits, tables, vec_col, scale

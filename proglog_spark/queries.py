@@ -1759,24 +1759,34 @@ def emb_lsh_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _knn_join_oracle(k: int = 3) -> str:
+def _knn_join_oracle(k: int = 3, tables: int = 8) -> str:
     """All-SQL replay of similarity.quantized_knn_join: the SAME
-    integer sign-bucketing as _lsh_ann_oracle, but candidates come
-    from the full bucket self-join (every vector is a query) and each
-    source ranks its candidates — the whole approximate kNN graph is
-    hash-compared."""
+    integer sign-bucketing as _lsh_ann_oracle, but (a) bits auto-size
+    to the corpus through the adaptive_lsh_bits integer ladder
+    (replayed as a CASE chain over count(*) — pure integer
+    comparisons, no float log), and (b) candidates come from the full
+    bucket self-join (every vector is a query), each source ranking
+    its candidates — the whole approximate kNN graph is
+    hash-compared. Planes are inlined up to the ladder's 12-bit
+    ceiling; only pidx < bits·tables participate."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+    )
+    ladder = " ".join(
+        f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12)
     )
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
-        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
         "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
-        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
-        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        "THEN 1 << (pidx % bits) ELSE 0 END) AS BIGINT) AS bucket "
+        f"FROM qv CROSS JOIN pl, ab WHERE pidx < bits * {tables} "
+        "GROUP BY vec_id, pidx // bits), "
         "cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM bk a "
         "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "AND a.vec_id != b.vec_id), "
@@ -1805,7 +1815,10 @@ def emb_knn_join(spark, sf_dir):
     candidates shuffle on (table, bucket), each source ranks its own
     list two-phase. Integer bucketing + integer cosine ranking make
     the whole approximate graph (candidate sets included)
-    hash-comparable; kNN recall stays property-tested."""
+    hash-comparable; kNN recall stays property-tested. Bits auto-size
+    to the corpus (adaptive_lsh_bits, replayed by the oracle's
+    integer CASE ladder) — the fix for the 23.6× super-linear 10×
+    probe the FIXED-bits first version measured (SCALING §13)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.quantized_knn_join(e, dim=64, k=3).orderBy("src", "rank")
 
@@ -6553,7 +6566,7 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 # family lands a driver CORRECTNESS row in its first round.
 _WINDOW_PRIORITY = [
     "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
-    "events_cms_join_estimate", "emb_knn_join",
+    "events_cms_join_estimate", "emb_knn_join", "emb_negative_sampling",
 ]
 
 
