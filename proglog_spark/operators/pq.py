@@ -88,6 +88,16 @@ def quantized_pq_train(
     )
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     qm = np.floor(mat * scale).astype(np.int64)
+    return pq_train_matrix(qm, m, n_codes, iters)
+
+
+def pq_train_matrix(qm: np.ndarray, m: int, n_codes: int, iters: int) -> np.ndarray:
+    """The pure integer Lloyd core over an already-quantized int64
+    matrix — shared by raw-vector training (:func:`quantized_pq_train`)
+    and residual training (:func:`quantized_ivfpq_ann_topk` with
+    ``by_residual=True``, where the rows are x − centroid on the same
+    grid)."""
+    sub = qm.shape[1] // m
     books = []
     for j in range(m):
         x = qm[:, j * sub : (j + 1) * sub]
@@ -227,6 +237,7 @@ def quantized_ivfpq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IndexIVFPQ shape, raw-vector codebooks):
     IVF cells route each query to ``n_probe/n_cells`` of the corpus,
@@ -239,8 +250,17 @@ def quantized_ivfpq_ann_topk(
     cells bound the per-query work. One Arrow pass computes cell AND
     codes together; candidate selection is a broadcast join on the
     probed cells; ranking is the two-phase per-query top-k.
+
+    ``by_residual=True`` (the FAISS IndexIVFPQ default) trains the PQ
+    codebooks on, and encodes, the residual x − centroid(cell(x)) —
+    the code budget spends on within-cell variation, so recall at the
+    same 16-byte code is strictly better. ADC adds the per-(query,
+    cell) centroid dot back: score = q·c_cell + Σ_j q_j·codeword_j.
+    Residual components stay on the integer grid (|r| ≤ 2·scale), so
+    the residual path is oracle-exact too.
     """
     from proglog_spark.operators.similarity import (
+        _quantized_cell_keys,
         quantized_ivf_train,
         with_quantized_ivf_cells,
     )
@@ -254,21 +274,40 @@ def quantized_ivfpq_ann_topk(
         corpus, n_cells, ivf_iters, sample_mod,
         id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
     )
-    books = quantized_pq_train(
-        corpus, dim, m, n_codes, pq_iters, sample_mod,
-        id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
-    )
+    if by_residual:
+        qm_s = np.floor(
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in sample]) * scale
+        ).astype(np.int64)
+        assign = _quantized_cell_keys(qm_s, cents, scale).argmax(axis=1)
+        books = pq_train_matrix(qm_s - cents[assign], m, n_codes, pq_iters)
+    else:
+        books = quantized_pq_train(
+            corpus, dim, m, n_codes, pq_iters, sample_mod,
+            id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
+        )
     qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
     pos = {qid: i for i, qid in enumerate(qids)}
 
     # one corpus scan: IVF cell (n_probe=1) + PQ codes, embeddings
     # dropped before anything shuffles
-    idx = with_quantized_ivf_cells(
-        corpus.select(id_col, vec_col), cents, 1, vec_col, scale
-    )
-    idx = with_pq_codes(idx, books, vec_col, scale).select(
-        id_col, "ivf_cell", "pq_codes"
-    )
+    if by_residual:
+        idx = _with_cell_and_residual_codes(
+            corpus.select(id_col, vec_col), cents, books, vec_col, scale
+        ).select(id_col, "ivf_cell", "pq_codes")
+        # the coarse ADC term: per-(query, cell) centroid dots
+        q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+        qm_q = np.floor(
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
+        ).astype(np.int64)
+        cellterm = qm_q @ cents.T  # (n_queries, n_cells) int64
+    else:
+        idx = with_quantized_ivf_cells(
+            corpus.select(id_col, vec_col), cents, 1, vec_col, scale
+        )
+        idx = with_pq_codes(idx, books, vec_col, scale).select(
+            id_col, "ivf_cell", "pq_codes"
+        )
+        cellterm = None
     probes = with_quantized_ivf_cells(
         queries.select(id_col, vec_col), cents, n_probe, vec_col, scale
     ).select(F.col(id_col).alias("query_id"), "ivf_cell")
@@ -278,18 +317,22 @@ def quantized_ivfpq_ann_topk(
     )
 
     @F.pandas_udf(T.LongType())
-    def _adc_at(qid_s: pd.Series, codes: pd.Series) -> pd.Series:
+    def _adc_at(qid_s: pd.Series, cell_s: pd.Series, codes: pd.Series) -> pd.Series:
         C = np.stack(codes.to_numpy()).astype(np.int64)
         qi = qid_s.map(pos).to_numpy(dtype=np.int64)
         s = np.zeros(len(C), dtype=np.int64)
         for j in range(m):
             s += lut[qi, j, C[:, j]]
+        if cellterm is not None:
+            s += cellterm[qi, cell_s.to_numpy(dtype=np.int64)]
         return pd.Series(s)
 
     scored = cand.select(
         "query_id",
         id_col,
-        _adc_at(F.col("query_id"), F.col("pq_codes")).alias("adc_dot"),
+        _adc_at(
+            F.col("query_id"), F.col("ivf_cell"), F.col("pq_codes")
+        ).alias("adc_dot"),
     )
     return topk_per_key(
         scored,
@@ -298,3 +341,51 @@ def quantized_ivfpq_ann_topk(
         k,
         rank_col="rank",
     ).select("query_id", id_col, "adc_dot", "rank")
+
+
+def _with_cell_and_residual_codes(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Append (ivf_cell, pq_codes) in ONE Arrow pass for the residual
+    path: assign the cell with the IVF key, subtract the cell centroid
+    on the integer grid, encode the residual against the residual
+    codebooks."""
+    from proglog_spark.operators.similarity import _quantized_cell_keys
+
+    C = np.asarray(centroids, dtype=np.int64)
+    B = np.asarray(codebooks, dtype=np.int64)
+    m, _, sub = B.shape
+    sc = scale
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("ivf_cell", T.IntegerType()),
+                T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def _cr(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        qm = np.floor(mat * sc).astype(np.int64)
+        cell = _quantized_cell_keys(qm, C, sc).argmax(axis=1)
+        resid = qm - C[cell]
+        out = np.empty((len(qm), m), dtype=np.int64)
+        for j in range(m):
+            out[:, j] = _sub_keys(resid[:, j * sub : (j + 1) * sub], B[j]).argmax(
+                axis=1
+            )
+        return pd.DataFrame(
+            {
+                "ivf_cell": cell.astype("int32"),
+                "pq_codes": [[int(c) for c in row] for row in out],
+            }
+        )
+
+    return df.select("*", _cr(F.col(vec_col)).alias("_cr")).select(
+        "*", "_cr.ivf_cell", "_cr.pq_codes"
+    ).drop("_cr")

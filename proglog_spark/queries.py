@@ -1992,7 +1992,16 @@ def emb_ivf_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _pq_parts(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> list[str]:
+def _pq_parts(
+    m: int = 16,
+    n_codes: int = 256,
+    iters: int = 3,
+    sub: int = 4,
+    sample_src: str = "fx",
+    corpus_src: str = "fq",
+    lut_src: str | None = None,
+    include_flats: bool = True,
+) -> list[str]:
     """The PQ oracle's codebook/encode/LUT CTEs — everything after the
     shared qv/md/samp prefix, ending at ``enc`` (corpus codes) and
     ``lut`` (per-query codeword dots). RELATIONAL, not list-lambda:
@@ -2010,16 +2019,20 @@ def _pq_parts(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> 
     _ivfpq_ann_oracle."""
     dim = m * sub
     key = "2 * sum(f.xv * c.cv) - sum(c.cv * c.cv)"
-    parts = [
-        f"tt AS (SELECT unnest(range(1, {dim + 1})) AS t)",
-        f"fx AS (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
-        "q[t] AS xv FROM samp, tt)",
-        f"fq AS (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
-        "q[t] AS xv FROM qv, tt)",
+    parts = []
+    if include_flats:
+        parts += [
+            f"tt AS (SELECT unnest(range(1, {dim + 1})) AS t)",
+            f"fx AS MATERIALIZED (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+            "q[t] AS xv FROM samp, tt)",
+            f"fq AS MATERIALIZED (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+            "q[t] AS xv FROM qv, tt)",
+        ]
+    parts += [
         "ini AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell "
         "FROM samp)",
-        "cb0 AS (SELECT f.sp, i.cell, f.t, f.xv AS cv FROM ini i "
-        f"JOIN fx f USING (vec_id) WHERE i.cell < {n_codes})",
+        "cb0 AS MATERIALIZED (SELECT f.sp, i.cell, f.t, f.xv AS cv FROM ini i "
+        f"JOIN {sample_src} f USING (vec_id) WHERE i.cell < {n_codes})",
     ]
     for i in range(1, iters + 1):
         p = f"cb{i - 1}"
@@ -2027,24 +2040,24 @@ def _pq_parts(m: int = 16, n_codes: int = 256, iters: int = 3, sub: int = 4) -> 
             f"pa{i} AS (SELECT vec_id, sp, cell FROM (SELECT f.vec_id, f.sp, c.cell, "
             f"row_number() OVER (PARTITION BY f.vec_id, f.sp "
             f"ORDER BY {key} DESC, c.cell) AS rn "
-            f"FROM fx f JOIN {p} c ON c.sp = f.sp AND c.t = f.t "
+            f"FROM {sample_src} f JOIN {p} c ON c.sp = f.sp AND c.t = f.t "
             "GROUP BY f.vec_id, f.sp, c.cell) z WHERE rn = 1)",
             f"pu{i} AS (SELECT a.sp, a.cell, f.t, CASE WHEN sum(f.xv) < 0 THEN "
             "-((-sum(f.xv)) // count(*)) ELSE sum(f.xv) // count(*) END AS cv "
-            f"FROM pa{i} a JOIN fx f ON f.vec_id = a.vec_id AND f.sp = a.sp "
-            "GROUP BY 1, 2, 3)",
-            f"cb{i} AS (SELECT p.sp, p.cell, p.t, coalesce(u.cv, p.cv) AS cv "
+            f"FROM pa{i} a JOIN {sample_src} f ON f.vec_id = a.vec_id "
+            "AND f.sp = a.sp GROUP BY 1, 2, 3)",
+            f"cb{i} AS MATERIALIZED (SELECT p.sp, p.cell, p.t, coalesce(u.cv, p.cv) AS cv "
             f"FROM {p} p LEFT JOIN pu{i} u ON u.sp = p.sp AND u.cell = p.cell "
             "AND u.t = p.t)",
         ]
     fin = f"cb{iters}"
     parts += [
-        "enc AS (SELECT vec_id, sp, cell AS code FROM (SELECT f.vec_id, f.sp, c.cell, "
+        "enc AS MATERIALIZED (SELECT vec_id, sp, cell AS code FROM (SELECT f.vec_id, f.sp, c.cell, "
         f"row_number() OVER (PARTITION BY f.vec_id, f.sp ORDER BY {key} DESC, c.cell) "
-        f"AS rn FROM fq f JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
+        f"AS rn FROM {corpus_src} f JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
         "GROUP BY f.vec_id, f.sp, c.cell) z WHERE rn = 1)",
-        "lut AS (SELECT f.vec_id AS query_id, f.sp, c.cell AS code, "
-        f"CAST(sum(f.xv * c.cv) AS BIGINT) AS pdot FROM fq f "
+        "lut AS MATERIALIZED (SELECT f.vec_id AS query_id, f.sp, c.cell AS code, "
+        f"CAST(sum(f.xv * c.cv) AS BIGINT) AS pdot FROM {lut_src or corpus_src} f "
         f"JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
         f"WHERE f.vec_id IN {_QUERY_VECS} GROUP BY 1, 2, 3)",
     ]
@@ -2134,6 +2147,108 @@ def emb_pq_ann_topk(spark, sf_dir):
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
         pq.quantized_pq_ann_topk(e, q, dim=64, k=10, m=16, n_codes=256, iters=3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            "adc_dot",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_residual_oracle(
+    n_cells: int = 16,
+    ivf_iters: int = 3,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 256,
+    pq_iters: int = 3,
+    sub: int = 4,
+) -> str:
+    """All-SQL replay of quantized_ivfpq_ann_topk(by_residual=True) —
+    the FAISS IndexIVFPQ default: PQ codebooks are trained on, and
+    encode, the RESIDUAL x − centroid(cell(x)) (components stay
+    exactly representable on the integer grid, |r| ≤ 2·scale), and ADC
+    adds the per-(query, cell) centroid dot back:
+    score = q·c_cell + Σ_j q_j·codeword_j. The IVF chain, the residual
+    flats (rx over the sample, rq over the corpus), the residual PQ
+    training, and the two ADC terms all replay relationally."""
+    dim = m * sub
+    parts = _ivf_cand_parts(n_cells, ivf_iters, n_probe)
+    fin_ivf = f"it{ivf_iters}"
+    parts += [
+        # the corpus cell assignment is referenced three times (rx, rq,
+        # psc); without MATERIALIZED DuckDB inlines the expensive
+        # list-lambda assignment per reference (measured 208 s -> then
+        # seconds with the hint)
+        "acm AS MATERIALIZED (SELECT * FROM ac)",
+        # flatten the final IVF centroids to (cell, t, cv) rows
+        f"cf1 AS (SELECT unnest(range(len(cents))) AS cell, "
+        f"unnest(cents) AS cw FROM {fin_ivf})",
+        "cf AS (SELECT cell, unnest(range(1, len(cw) + 1)) AS t, "
+        "unnest(cw) AS cv FROM cf1)",
+        f"tt AS (SELECT unnest(range(1, {dim + 1})) AS t)",
+        f"fx AS MATERIALIZED (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+        "q[t] AS xv FROM samp, tt)",
+        f"fq AS MATERIALIZED (SELECT vec_id, CAST((t - 1) // {sub} AS BIGINT) AS sp, t, "
+        "q[t] AS xv FROM qv, tt)",
+        # residual flats: subtract each row's own cell centroid (ac is
+        # the IVF chain's whole-corpus assignment; the sample is a
+        # subset of the corpus, so it joins the same table)
+        "rx AS MATERIALIZED (SELECT f.vec_id, f.sp, f.t, f.xv - c.cv AS xv FROM fx f "
+        "JOIN acm a ON a.vec_id = f.vec_id JOIN cf c ON c.cell = a.cell "
+        "AND c.t = f.t)",
+        "rq AS MATERIALIZED (SELECT f.vec_id, f.sp, f.t, f.xv - c.cv AS xv FROM fq f "
+        "JOIN acm a ON a.vec_id = f.vec_id JOIN cf c ON c.cell = a.cell "
+        "AND c.t = f.t)",
+    ]
+    # enc quantizes corpus RESIDUALS, but the ADC lookup table dots
+    # the RAW query vector against the residual codewords (score =
+    # q.c_cell + q.recon(r)) — lut reads fq, not rq
+    parts += _pq_parts(
+        m, n_codes, pq_iters, sub,
+        sample_src="rx", corpus_src="rq", lut_src="fq", include_flats=False,
+    )
+    parts += [
+        # per-(query, cell) centroid dot — the coarse ADC term
+        "ct AS (SELECT f.vec_id AS query_id, c.cell, "
+        "CAST(sum(f.xv * c.cv) AS BIGINT) AS cdot FROM fq f "
+        f"JOIN cf c ON c.t = f.t WHERE f.vec_id IN {_QUERY_VECS} "
+        "GROUP BY 1, 2)",
+        "psc AS (SELECT c.query_id, c.vec_id, "
+        "CAST(any_value(ct.cdot) + sum(l.pdot) AS BIGINT) AS adc_dot "
+        "FROM cand c JOIN acm a ON a.vec_id = c.vec_id "
+        "JOIN ct ON ct.query_id = c.query_id AND ct.cell = a.cell "
+        "JOIN enc e ON e.vec_id = c.vec_id "
+        "JOIN lut l ON l.query_id = c.query_id AND l.sp = e.sp "
+        "AND l.code = e.code GROUP BY 1, 2)",
+        "ranked AS (SELECT query_id, vec_id, adc_dot, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rank FROM psc)",
+    ]
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, adc_dot, rank FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"
+    )
+
+
+@register("emb_ivfpq_residual_topk", _ivfpq_residual_oracle())
+def emb_ivfpq_residual_topk(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (by_residual=True — the FAISS
+    IndexIVFPQ default): PQ codebooks quantize x − centroid(cell(x)),
+    which concentrates the code budget on within-cell variation, and
+    ADC adds the per-(query, cell) centroid dot back. Strictly better
+    recall than raw-vector IVF-PQ at the same 16-byte code
+    (property-tested); residual components stay exactly representable
+    on the integer grid, so BOTH trainings, residual encoding, and the
+    two-term ADC all hash-match the relational oracle."""
+    from proglog_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return (
+        pq.quantized_ivfpq_ann_topk(e, q, dim=64, k=10, by_residual=True)
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             "vec_id",
@@ -6567,6 +6682,7 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 _WINDOW_PRIORITY = [
     "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
     "events_cms_join_estimate", "emb_knn_join", "emb_negative_sampling",
+    "emb_ivfpq_residual_topk",
 ]
 
 

@@ -428,6 +428,36 @@ def test_ivfpq_recall_and_candidate_discipline(spark, emb):
         )
 
 
+def test_ivfpq_residual_beats_raw_recall(spark, emb):
+    """by_residual=True (the FAISS default) must match or beat the
+    raw-vector IVF-PQ's recall at the same 16-byte code budget — the
+    code spends on within-cell variation instead of absolute
+    position."""
+    from proglog_spark.operators import pq
+
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_dot_topk(emb, qs, k=10).collect()
+    }
+    raw = {
+        (r.query_id, r.vec_id)
+        for r in pq.quantized_ivfpq_ann_topk(emb, qs, dim=64, k=10).collect()
+    }
+    res = {
+        (r.query_id, r.vec_id)
+        for r in pq.quantized_ivfpq_ann_topk(
+            emb, qs, dim=64, k=10, by_residual=True
+        ).collect()
+    }
+    raw_recall = len(truth & raw) / len(truth)
+    res_recall = len(truth & res) / len(truth)
+    assert res_recall >= raw_recall, (
+        f"residual recall {res_recall} below raw {raw_recall}"
+    )
+    assert res_recall >= 0.3
+
+
 def test_quantized_lsh_ann_matches_float_candidates(spark, emb):
     """The integer-grid variant must land the same recall class as the
     float path (same planes, same corpus): its top-10 sets may differ
