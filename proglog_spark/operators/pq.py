@@ -48,6 +48,14 @@ from proglog_spark.operators.topk import topk_per_key
 MAX_ADC_QUERIES = 4096
 
 
+def _quantize_rows(rows, scale: int) -> np.ndarray:
+    """collected vector rows -> int64 floor(x*scale) grid matrix — the
+    repo's one quantization contract, defined once."""
+    return np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) * scale
+    ).astype(np.int64)
+
+
 def _sub_keys(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Assignment keys for one subspace: key[v, c] = 2·(x[v]·c) − |c|².
 
@@ -86,9 +94,7 @@ def quantized_pq_train(
     rows = sample_rows if sample_rows is not None else ivf_train_sample(
         corpus, sample_mod, max_train_rows, id_col=id_col, vec_col=vec_col
     )
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    qm = np.floor(mat * scale).astype(np.int64)
-    return pq_train_matrix(qm, m, n_codes, iters)
+    return pq_train_matrix(_quantize_rows(rows, scale), m, n_codes, iters)
 
 
 def pq_train_matrix(qm: np.ndarray, m: int, n_codes: int, iters: int) -> np.ndarray:
@@ -97,7 +103,13 @@ def pq_train_matrix(qm: np.ndarray, m: int, n_codes: int, iters: int) -> np.ndar
     and residual training (:func:`quantized_ivfpq_ann_topk` with
     ``by_residual=True``, where the rows are x − centroid on the same
     grid)."""
+    assert qm.shape[1] % m == 0, "dim must split evenly into m subspaces"
     sub = qm.shape[1] // m
+    # key bound with the widest inputs this core accepts (residuals:
+    # |component| <= 2*scale): 3*sub*max|x|^2 must fit int64
+    assert 3 * sub * int(np.abs(qm).max() if qm.size else 0) ** 2 < 2**62, (
+        "assignment keys would overflow int64 — lower scale or dim"
+    )
     books = []
     for j in range(m):
         x = qm[:, j * sub : (j + 1) * sub]
@@ -169,7 +181,7 @@ def quantized_pq_ann_topk(
         corpus, dim, m, n_codes, iters, sample_mod,
         id_col=id_col, vec_col=vec_col, scale=scale,
     )
-    qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
+    qids, _, lut = _query_lut(queries, books, id_col, vec_col, scale)
 
     coded = with_pq_codes(corpus.select(id_col, vec_col), books, vec_col, scale)
 
@@ -213,13 +225,11 @@ def _query_lut(queries: DataFrame, books: np.ndarray, id_col, vec_col, scale):
         f"ADC keeps the query set driver-side; got > {MAX_ADC_QUERIES} queries"
     )
     qids = [int(r[0]) for r in q_rows]
-    qm = np.floor(
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
-    ).astype(np.int64)
+    qm = _quantize_rows(q_rows, scale)
     lut = np.stack(
         [qm[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
     )
-    return qids, lut
+    return qids, qm, lut
 
 
 def quantized_ivfpq_ann_topk(
@@ -275,9 +285,11 @@ def quantized_ivfpq_ann_topk(
         id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
     )
     if by_residual:
-        qm_s = np.floor(
-            np.stack([np.asarray(r[1], dtype=np.float64) for r in sample]) * scale
-        ).astype(np.int64)
+        # same input contract as the raw path (quantized_pq_train
+        # asserts this); pq_train_matrix re-checks the residual-widened
+        # int64 bound itself
+        assert dim % m == 0, "dim must split evenly into m subspaces"
+        qm_s = _quantize_rows(sample, scale)
         assign = _quantized_cell_keys(qm_s, cents, scale).argmax(axis=1)
         books = pq_train_matrix(qm_s - cents[assign], m, n_codes, pq_iters)
     else:
@@ -285,7 +297,7 @@ def quantized_ivfpq_ann_topk(
             corpus, dim, m, n_codes, pq_iters, sample_mod,
             id_col=id_col, vec_col=vec_col, scale=scale, sample_rows=sample,
         )
-    qids, lut = _query_lut(queries, books, id_col, vec_col, scale)
+    qids, qm_q, lut = _query_lut(queries, books, id_col, vec_col, scale)
     pos = {qid: i for i, qid in enumerate(qids)}
 
     # one corpus scan: IVF cell (n_probe=1) + PQ codes, embeddings
@@ -294,11 +306,8 @@ def quantized_ivfpq_ann_topk(
         idx = _with_cell_and_residual_codes(
             corpus.select(id_col, vec_col), cents, books, vec_col, scale
         ).select(id_col, "ivf_cell", "pq_codes")
-        # the coarse ADC term: per-(query, cell) centroid dots
-        q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-        qm_q = np.floor(
-            np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows]) * scale
-        ).astype(np.int64)
+        # the coarse ADC term: per-(query, cell) centroid dots, from
+        # the SAME bounded collect _query_lut already did
         cellterm = qm_q @ cents.T  # (n_queries, n_cells) int64
     else:
         idx = with_quantized_ivf_cells(

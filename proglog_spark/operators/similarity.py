@@ -415,6 +415,7 @@ def quantized_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    n: int | None = None,
 ) -> DataFrame:
     """k-NN GRAPH construction — top-k neighbors for EVERY vector:
     ``(src, dst, cos2_pico, rank)``. The all-vectors analog of
@@ -433,7 +434,10 @@ def quantized_knn_join(
     linear instead of quadratic as the corpus grows.
     """
     if bits is None:
-        bits = adaptive_lsh_bits(df.count())
+        # auto-sizing needs the corpus cardinality; pass ``n`` when the
+        # caller already knows it to keep construction lazy (otherwise
+        # this runs one count job before the plan exists)
+        bits = adaptive_lsh_bits(df.count() if n is None else n)
     c = (
         with_quantized_lsh_buckets(
             df.select(id_col, vec_col), dim, bits, tables, vec_col, scale
