@@ -493,12 +493,13 @@ def lsh_negative_sample(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
     salt: str = "neg",
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic HARD-EXCLUDED negative sampling for contrastive
     training: per query, ``k`` corpus vectors chosen uniformly by key
@@ -514,9 +515,20 @@ def lsh_negative_sample(
     candidate space is corpus-ids × queries (queries broadcast, ids
     only), anti-joined against the exclusions; ranking is the
     two-phase per-query top-k on the pair hash.
+
+    ``bits=None`` (default) auto-sizes bucket width to the corpus via
+    :func:`adaptive_lsh_bits`: with FIXED bits, a growing corpus makes
+    every vector share some bucket with each query by chance, so the
+    exclusion set approaches the whole corpus and the eligible
+    negative pool shrinks below ``k`` — the same
+    corpus-independent-bucket scaling class the kNN-join probe caught.
+    The ladder keeps expected per-table collisions (the exclusion
+    mass) ≈ occupancy·tables per query, corpus-size-independent.
     """
     from proglog_spark.operators.text import token_hash32
 
+    if bits is None:
+        bits = adaptive_lsh_bits(corpus.count() if n is None else n)
     c = with_quantized_lsh_buckets(
         corpus.select(id_col, vec_col), dim, bits, tables, vec_col, scale
     ).select(id_col, "lsh_table", "lsh_bucket")
@@ -1015,35 +1027,50 @@ def embedding_cosine_neardup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int = 1000,
+    n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine >= threshold) via
     multi-table LSH self-join — the embedding analog of
-    minhash_lsh_pairs. At cosine 0.95 per-bit agreement is ~0.90, so
-    8 tables x 8 bits miss with prob (1-0.9^8)^8 ≈ 1%. Bucket-pair
-    candidates are verified with INTEGER arithmetic on the
-    floor(x·1000) grid: cos ≥ t ⇔ d > 0 ∧ 10^6·d² ≥ t_milli²·na·nb
-    with t_milli = round(1000·t) — exact in 128-bit decimal, so the
-    verification stage (and with it the emitted pair set, whenever the
-    deterministic md5 bucketing recalls every qualifying pair) is
-    hash-comparable against an all-pairs SQL oracle. Output:
+    minhash_lsh_pairs. ``bits=None`` (default) auto-sizes bucket
+    selectivity to the corpus via :func:`adaptive_lsh_bits` — with
+    FIXED bits the bucket self-join grows n²/2^bits candidate pairs
+    (the quadratic class the kNN-join 10× probe measured at 23.6×
+    before its adaptive fix); the ladder keeps candidates
+    ≈ tables·occupancy·n, linear. Bucketing runs on the same
+    floor(x·scale) integer grid as the verification, so BOTH stages
+    (candidates and the threshold test) are engine-portable and the
+    emitted pair set hash-matches a SQL oracle that replays the
+    bucketing (the quantized_knn_join precedent). Verification:
+    cos ≥ t ⇔ d > 0 ∧ 10^6·d² ≥ t_milli²·na·nb with
+    t_milli = round(1000·t) — exact in 128-bit decimal. Output:
     (id_a, id_b, cos2_pico) with cos2_pico from
-    :func:`quantized_cosine_key`. Recall itself stays property-tested.
+    :func:`quantized_cosine_key`. Recall (which pairs the buckets
+    propose, more bits → fewer per-table collisions, compensated by
+    the ``tables`` dial) stays property-tested.
     """
     # the squared-threshold algebra (10^6·d² ≥ t²·na·nb with d > 0) is
     # one-sided: a zero/negative threshold would silently behave as
     # its absolute value (cos >= 0 pairs excluded, cos >= -t inverted)
     assert 0 < threshold <= 1, f"threshold must be in (0, 1], got {threshold}"
     t_milli = int(round(threshold * 1000))
-    # cached: the narrow bucket table feeds both self-join sides (the
-    # bucketing UDF would otherwise run twice over the corpus)
+    if bits is None:
+        bits = adaptive_lsh_bits(df.count() if n is None else n)
+    # checkpointed: the narrow bucket table feeds both self-join sides
+    # (the bucketing UDF would otherwise run twice over the corpus);
+    # localCheckpoint (not .cache()) lets the ContextCleaner free the
+    # blocks when the frame is collected — a .cache() here leaked one
+    # CacheManager copy per call for the session lifetime
     c = (
-        with_lsh_buckets(df.select(id_col, vec_col), dim, bits, tables, vec_col)
+        with_quantized_lsh_buckets(
+            df.select(id_col, vec_col), dim, bits, tables, vec_col, scale
+        )
         .select(id_col, "lsh_table", "lsh_bucket")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a = c.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
     b = c.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")

@@ -1823,23 +1823,32 @@ def emb_knn_join(spark, sf_dir):
     return similarity.quantized_knn_join(e, dim=64, k=3).orderBy("src", "rank")
 
 
-def _negative_sample_oracle(k: int = 5) -> str:
+def _negative_sample_oracle(k: int = 5, tables: int = 8) -> str:
     """All-SQL replay of similarity.lsh_negative_sample: the same
-    sign-bucketing as the kNN oracle builds the exclusion set; the
-    candidate space is corpus × probe queries minus exclusions;
-    ranking is the salted md5 pair hash."""
+    sign-bucketing as the kNN oracle — bits auto-sized to the corpus
+    via the adaptive_lsh_bits CASE ladder — builds the exclusion set;
+    the candidate space is corpus × probe queries minus exclusions;
+    ranking is the salted md5 pair hash. With FIXED bits the exclusion
+    set approaches the whole corpus as it grows (every vector
+    eventually shares some bucket with each query), starving the
+    negative pool below k; the ladder keeps exclusion mass
+    corpus-size-independent."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
     )
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
-        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
         "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
-        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
-        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        "THEN 1 << (pidx % bits) ELSE 0 END) AS BIGINT) AS bucket "
+        f"FROM qv CROSS JOIN pl, ab WHERE pidx < bits * {tables} "
+        "GROUP BY vec_id, pidx // bits), "
         f"qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk "
         f"WHERE vec_id IN {_QUERY_VECS}), "
         "ex AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM bk JOIN qb "
@@ -2288,35 +2297,68 @@ def emb_ivfpq_ann_topk(spark, sf_dir):
     )
 
 
-@register(
-    "emb_cosine_neardup",
-    "WITH qv AS (SELECT vec_id, list_transform(embedding, "
-    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
-    "n AS (SELECT vec_id, q, "
-    "list_sum(list_transform(q, x -> x * x))::BIGINT AS nn FROM qv), "
-    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    "list_sum(list_transform(range(1, len(a.q) + 1), "
-    "i -> a.q[i] * b.q[i]))::BIGINT AS qd, a.nn AS na, b.nn AS nb "
-    "FROM n a JOIN n b ON a.vec_id < b.vec_id) "
-    "SELECT id_a, id_b, CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
-    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
-    "(CAST(na AS HUGEINT) * nb)) AS BIGINT) AS cos2_pico FROM pairs "
-    "WHERE qd > 0 AND CAST(qd AS HUGEINT) * qd * 1000000 >= "
-    "CAST(810000 AS HUGEINT) * na * nb ORDER BY id_a, id_b",
-)
+def _cosine_neardup_oracle(t_milli: int = 900, tables: int = 8) -> str:
+    """All-SQL replay of similarity.embedding_cosine_neardup: the same
+    integer sign-bucketing as _knn_join_oracle — bits auto-sized to
+    the corpus through the adaptive_lsh_bits integer ladder (a CASE
+    chain over count(*)) — feeding the full bucket self-join
+    (id_a < id_b), then the exact integer threshold test
+    10^6·d² ≥ t_milli²·na·nb with d > 0. Planes are inlined up to the
+    ladder's 12-bit ceiling; only pidx < bits·tables participate, so
+    the candidate set (and with it the emitted pair set) matches the
+    Spark bucketing bit for bit at every corpus size."""
+    vals = ", ".join(
+        f"({p}, {list(row)})"
+        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+    )
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        "FROM (SELECT count(*) AS n FROM embeddings)), "
+        f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
+        "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
+        "THEN 1 << (pidx % bits) ELSE 0 END) AS BIGINT) AS bucket "
+        f"FROM qv CROSS JOIN pl, ab WHERE pidx < bits * {tables} "
+        "GROUP BY vec_id, pidx // bits), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a "
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "sc AS (SELECT c.id_a, c.id_b, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.id_a = a.vec_id JOIN qv b ON c.id_b = b.vec_id) "
+        "SELECT id_a, id_b, CAST((CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+        "(CAST(na AS HUGEINT) * nb)) AS BIGINT) AS cos2_pico FROM sc "
+        f"WHERE qd > 0 AND CAST(qd AS HUGEINT) * qd * 1000000 >= "
+        f"CAST({t_milli * t_milli} AS HUGEINT) * na * nb ORDER BY id_a, id_b"
+    )
+
+
+@register("emb_cosine_neardup", _cosine_neardup_oracle(t_milli=450))
 def emb_cosine_neardup(spark, sf_dir):
-    """Near-duplicate embedding pairs (quantized cosine >= 0.9) via
-    multi-table hyperplane-LSH self-join — the embedding analog of
-    docs MinHash. The verification stage is integer-exact on the
-    floor(x·1000) grid (10^6·d² >= 900²·na·nb), so the emitted pairs
-    hash-match the all-pairs SQL oracle; the md5 bucketing is
-    deterministic, and at the declared parameters (12 tables × 12
-    bits) it recalls every >=0.9 pair in the fixture corpora — LSH
-    recall in general remains property-tested, and a recall miss at a
-    new SF would surface as an oracle diff, which is the point."""
+    """Near-duplicate embedding pairs (quantized cosine >= threshold)
+    via multi-table hyperplane-LSH self-join — the embedding analog of
+    docs MinHash. Bits auto-size to the corpus (adaptive_lsh_bits,
+    replayed by the oracle's integer CASE ladder — the
+    quantized_knn_join recipe): the earlier FIXED 12-bit version was
+    the last corpus-independent bucket count in the repo, the exact
+    n²/2^bits quadratic class the kNN 10× probe measured at 23.6×.
+    Bucketing now runs on the floor(x·1000) integer grid, so the
+    ORACLE REPLAYS THE BUCKETS (not all-pairs): candidates and the
+    integer verification (10^6·d² >= t²·na·nb) both hash-match at
+    every corpus size; LSH recall is property-tested separately
+    (planted-clone test) instead of riding the oracle. Threshold 0.45
+    because the synthetic fixtures top out at cosine ~0.6 (the old
+    0.9 gate compared empty sets — trivially green); production
+    near-dup runs pass 0.9+."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.9, bits=12, tables=12)
+        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.45)
         .select("id_a", "id_b", "cos2_pico")
         .orderBy("id_a", "id_b")
     )

@@ -666,7 +666,11 @@ def test_quantized_ivf_handles_zero_vector(spark):
 
 def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     """A corpus vector duplicated under a new id (tiny jitter) must be
-    recovered as a near-dup pair; unrelated random pairs must not."""
+    recovered as a near-dup pair; unrelated random pairs must not.
+    Exercises the default ADAPTIVE bits path (the recall pin the
+    bucket-replaying oracle no longer provides): near-identical clones
+    survive the ladder's finer buckets at any corpus size because
+    their integer-grid sign patterns agree in every table."""
     planted = emb.where(F.col("vec_id") == 7).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
@@ -676,7 +680,7 @@ def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     pairs = {
         (r.id_a, r.id_b)
         for r in similarity.embedding_cosine_neardup(
-            df, dim=64, threshold=0.95, bits=8, tables=8
+            df, dim=64, threshold=0.95
         ).collect()
     }
     assert (7, 100007) in pairs
