@@ -175,6 +175,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp)
 
 
+#: docs-per-block budget the fuzzy-match blocking ladder targets —
+#: with ~20 sources × (~550 chars / width) size buckets, occupancy is
+#: ≈ n·width/11000, so each ladder rung halves/fifths the size-bucket
+#: width as the corpus doubles/quintuples past n·width ≈ 550k.
+_BLOCK_WIDTH_LADDER = (
+    (5_500, 100),
+    (11_000, 50),
+    (27_500, 20),
+    (55_000, 10),
+    (110_000, 5),
+    (275_000, 2),
+)
+_BLOCK_PREFIX_LADDER = (550_000, 5_500_000, 55_000_000, 550_000_000)
+
+
+def adaptive_block_params(n: int) -> tuple[int, int]:
+    """Corpus-adaptive fuzzy-match blocking: ``(size-bucket width,
+    exact-prefix chars)`` for a corpus of ``n`` documents.
+
+    With CORPUS-INDEPENDENT blocking keys the within-block pair count
+    grows n² (SCALING §11 measured 1814× work at 100× on the fixed
+    ``n_chars div 100`` key) — the same class adaptive_lsh_bits fixed
+    for the LSH self-joins. Here the selectivity dial has two stages:
+    the size-bucket WIDTH shrinks with n (100 chars down to 1), and
+    past the width floor the block key grows ``plen`` exact-prefix
+    characters (record-linkage multi-key blocking). Both ladders are
+    pure integer comparisons on n, replayed verbatim by the SQL
+    oracle's CASE chains. Narrower blocks trade recall (a qualifying
+    pair straddling a boundary is missed) for linear candidate growth
+    — the same dial every blocking scheme exposes; both engines
+    replay the SAME dial, so the emitted pair set stays
+    hash-comparable at every corpus size.
+    """
+    width = 1
+    for hi, w in _BLOCK_WIDTH_LADDER:
+        if n <= hi:
+            width = w
+            break
+    plen = len(_BLOCK_PREFIX_LADDER)
+    for j, hi in enumerate(_BLOCK_PREFIX_LADDER):
+        if n <= hi:
+            plen = j
+            break
+    return width, plen
+
+
 def lm_transition_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

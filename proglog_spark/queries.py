@@ -4594,31 +4594,62 @@ def events_value_moments(spark, sf_dir):
     )
 
 
-@register(
-    "docs_fuzzy_block_match",
-    "WITH d AS (SELECT doc_id, source, n_chars // 100 AS sz, "
-    "left(text, 40) AS p FROM documents) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "CAST(levenshtein(a.p, b.p) AS BIGINT) AS prefix_dist "
-    "FROM d a JOIN d b ON a.source = b.source AND a.sz = b.sz "
-    "AND a.doc_id < b.doc_id "
-    "WHERE levenshtein(a.p, b.p) <= 12 ORDER BY id_a, id_b",
-)
+def _fuzzy_block_oracle() -> str:
+    """SQL replay of docs_fuzzy_block_match with the
+    text.adaptive_block_params ladders as CASE chains over count(*) —
+    size-bucket width and exact-prefix length are generated from the
+    same module constants the Spark side reads, so the two engines
+    cannot drift."""
+    from proglog_spark.operators.text import (
+        _BLOCK_PREFIX_LADDER,
+        _BLOCK_WIDTH_LADDER,
+    )
+
+    wl = " ".join(f"WHEN n <= {hi} THEN {w}" for hi, w in _BLOCK_WIDTH_LADDER)
+    pl = " ".join(
+        f"WHEN n <= {hi} THEN {j}" for j, hi in enumerate(_BLOCK_PREFIX_LADDER)
+    )
+    return (
+        f"WITH ab AS (SELECT CASE {wl} ELSE 1 END AS w, "
+        f"CASE {pl} ELSE {len(_BLOCK_PREFIX_LADDER)} END AS j "
+        "FROM (SELECT count(*) AS n FROM documents)), "
+        "d AS (SELECT doc_id, source, n_chars // w AS sz, "
+        "left(text, j) AS pk, left(text, 40) AS p FROM documents, ab) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.p, b.p) AS BIGINT) AS prefix_dist "
+        "FROM d a JOIN d b ON a.source = b.source AND a.sz = b.sz "
+        "AND a.pk = b.pk AND a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.p, b.p) <= 12 ORDER BY id_a, id_b"
+    )
+
+
+@register("docs_fuzzy_block_match", _fuzzy_block_oracle())
 def docs_fuzzy_block_match(spark, sf_dir):
     """Blocked fuzzy matching — the classic record-linkage shape:
     edit distance is O(len²) per pair and all-pairs is O(n²), so pairs
-    are generated only inside (source, size-bucket) blocks via an
-    equi-join (shuffle on the block key), then JVM-side
+    are generated only inside (source, size-bucket, prefix) blocks via
+    an equi-join (shuffle on the block key), then JVM-side
     ``levenshtein`` on fixed 40-char prefixes filters survivors.
-    Block sizes are bounded by the source/size histogram (≤ ~70 docs
-    at sf0.1 → ≤ ~2.5k pairs per block); at cluster scale skewed
+    Blocking keys are CORPUS-ADAPTIVE (text.adaptive_block_params):
+    the size-bucket width shrinks with the document count and, past
+    the 1-char width floor, the key grows exact-prefix characters —
+    the fixed ``div 100`` key this replaces measured 1814× the work
+    at 100× (SCALING §11), the same corpus-independent-key quadratic
+    adaptive_lsh_bits fixed for the LSH self-joins. The oracle
+    replays both ladders as CASE chains over count(*), so the emitted
+    pair set hash-matches at every corpus size; residual skewed
     blocks get the salted-join treatment (`operators/skew.py`) or a
     MinHash pre-filter (`docs_minhash_lsh`) before the exact
     distance."""
-    d = load_table(spark, sf_dir, "documents").select(
+    from proglog_spark.operators.text import adaptive_block_params
+
+    docs = load_table(spark, sf_dir, "documents")
+    width, plen = adaptive_block_params(docs.count())
+    d = docs.select(
         "doc_id",
         "source",
-        F.expr("n_chars div 100").alias("sz"),
+        F.expr(f"n_chars div {width}").alias("sz"),
+        F.substring("text", 1, plen).alias("pk"),
         F.substring("text", 1, 40).alias("p"),
     )
     # parallelism must be pinned BEFORE the join: when AQE broadcasts
@@ -4637,6 +4668,7 @@ def docs_fuzzy_block_match(spark, sf_dir):
         b,
         (F.col("a_source") == F.col("b_source"))
         & (F.col("a_sz") == F.col("b_sz"))
+        & (F.col("a_pk") == F.col("b_pk"))
         & (F.col("a_doc_id") < F.col("b_doc_id")),
     )
     return (
