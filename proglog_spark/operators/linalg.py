@@ -22,6 +22,39 @@ from pyspark.sql import DataFrame
 POWER_ITERATIONS = 300
 
 
+def masked_vector_rows(vecs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """NULL-guard for Arrow-batched vector UDFs: ``(mask, mat)`` where
+    ``mask`` marks the non-null input rows and ``mat`` stacks exactly
+    those rows as float64. Every encode/bucket/assign UDF goes through
+    this instead of a bare ``np.stack(vecs.to_numpy())`` — a single
+    NULL embedding row would otherwise kill the whole job with an
+    opaque worker TypeError (np.stack over a None). Callers emit NULL
+    for masked-out rows, matching this module's NULL-skip contract
+    (gram_matrix/quantized_gram drop NULL vectors from their sums).
+    """
+    arr = vecs.to_numpy()
+    mask = np.fromiter((v is not None for v in arr), dtype=bool, count=len(arr))
+    if not mask.any():
+        return mask, np.empty((0, 0), dtype=np.float64)
+    mat = np.stack(
+        [np.asarray(arr[i], dtype=np.float64) for i in np.flatnonzero(mask)]
+    )
+    return mask, mat
+
+
+def scatter_masked(mask: np.ndarray, values) -> np.ndarray:
+    """Scatter per-valid-row results back into a None-filled object
+    array of the full batch length — the output half of
+    :func:`masked_vector_rows`. A python loop, deliberately:
+    ``out[mask] = list_of_lists`` trips numpy's broadcast rules
+    (fancy-indexing assignment rejects 2-D inputs).
+    """
+    out = np.full(len(mask), None, dtype=object)
+    for i, v in zip(np.flatnonzero(mask), values):
+        out[i] = v
+    return out
+
+
 def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int | None = None):
     """Compute (n, X^T X) for the vector column — distributed.
 

@@ -145,13 +145,22 @@ def with_pq_codes(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _codes(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        qm = np.floor(mat * sc).astype(np.int64)
-        out = np.empty((len(qm), m), dtype=np.int64)
-        for j in range(m):
-            x = qm[:, j * sub : (j + 1) * sub]
-            out[:, j] = _sub_keys(x, B[j]).argmax(axis=1)
-        return pd.Series([[int(c) for c in row] for row in out])
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL vector -> NULL code array (linalg NULL-skip contract)
+        mask, mat = masked_vector_rows(vecs)
+        rows = []
+        if mat.size:
+            qm = np.floor(mat * sc).astype(np.int64)
+            out = np.empty((len(qm), m), dtype=np.int64)
+            for j in range(m):
+                x = qm[:, j * sub : (j + 1) * sub]
+                out[:, j] = _sub_keys(x, B[j]).argmax(axis=1)
+            rows = [[int(c) for c in row] for row in out]
+        return pd.Series(list(scatter_masked(mask, rows)))
 
     return df.select("*", _codes(F.col(vec_col)).alias(out_col))
 
@@ -187,11 +196,22 @@ def quantized_pq_ann_topk(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _adc(codes: pd.Series) -> pd.Series:
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (rows, m)
-        s = np.zeros((len(C), lut.shape[0]), dtype=np.int64)
-        for j in range(m):
-            s += lut[:, j, :][:, C[:, j]].T
-        return pd.Series([list(row) for row in s])
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL code array (a NULL embedding upstream) scores NULL —
+        # posexplode then drops the row
+        mask, Cf = masked_vector_rows(codes)
+        rows = []
+        if Cf.size:
+            C = Cf.astype(np.int64)  # (rows, m)
+            s = np.zeros((len(C), lut.shape[0]), dtype=np.int64)
+            for j in range(m):
+                s += lut[:, j, :][:, C[:, j]].T
+            rows = [list(row) for row in s]
+        return pd.Series(list(scatter_masked(mask, rows)))
 
     scored = (
         coded.select(id_col, F.posexplode(_adc(F.col("pq_codes"))).alias("qpos", "adc_dot"))
@@ -215,8 +235,12 @@ def _query_lut(queries: DataFrame, books: np.ndarray, id_col, vec_col, scale):
     """Collect the (bounded) query set and build the ADC lookup
     tensor: ids, lut[qi, j, code] = q_j · codeword."""
     m, _, sub = books.shape
+    # NULL query vectors are skipped (no LUT row -> the query simply
+    # emits no results) — np.stack over a None is an opaque worker/
+    # driver TypeError otherwise, the linalg NULL-skip contract
     q_rows = (
         queries.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
         .orderBy(id_col)
         .limit(MAX_ADC_QUERIES + 1)
         .collect()
@@ -327,14 +351,25 @@ def quantized_ivfpq_ann_topk(
 
     @F.pandas_udf(T.LongType())
     def _adc_at(qid_s: pd.Series, cell_s: pd.Series, codes: pd.Series) -> pd.Series:
-        C = np.stack(codes.to_numpy()).astype(np.int64)
-        qi = qid_s.map(pos).to_numpy(dtype=np.int64)
-        s = np.zeros(len(C), dtype=np.int64)
-        for j in range(m):
-            s += lut[qi, j, C[:, j]]
-        if cellterm is not None:
-            s += cellterm[qi, cell_s.to_numpy(dtype=np.int64)]
-        return pd.Series(s)
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL code array (a NULL embedding upstream) scores NULL —
+        # such rows never enter the candidate ranking
+        mask, Cf = masked_vector_rows(codes)
+        vals = []
+        if Cf.size:
+            C = Cf.astype(np.int64)
+            qi = qid_s[mask].map(pos).to_numpy(dtype=np.int64)
+            s = np.zeros(len(C), dtype=np.int64)
+            for j in range(m):
+                s += lut[qi, j, C[:, j]]
+            if cellterm is not None:
+                s += cellterm[qi, cell_s[mask].to_numpy(dtype=np.int64)]
+            vals = [int(v) for v in s]
+        return pd.Series(list(scatter_masked(mask, vals)), dtype=object)
 
     scored = cand.select(
         "query_id",
@@ -379,19 +414,30 @@ def _with_cell_and_residual_codes(
         )
     )
     def _cr(vecs: pd.Series) -> pd.DataFrame:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        qm = np.floor(mat * sc).astype(np.int64)
-        cell = _quantized_cell_keys(qm, C, sc).argmax(axis=1)
-        resid = qm - C[cell]
-        out = np.empty((len(qm), m), dtype=np.int64)
-        for j in range(m):
-            out[:, j] = _sub_keys(resid[:, j * sub : (j + 1) * sub], B[j]).argmax(
-                axis=1
-            )
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL vector -> NULL (cell, codes) struct fields; the cell
+        # equi-join then drops the row (linalg NULL-skip contract)
+        mask, mat = masked_vector_rows(vecs)
+        cells, codes = [], []
+        if mat.size:
+            qm = np.floor(mat * sc).astype(np.int64)
+            cell = _quantized_cell_keys(qm, C, sc).argmax(axis=1)
+            resid = qm - C[cell]
+            out = np.empty((len(qm), m), dtype=np.int64)
+            for j in range(m):
+                out[:, j] = _sub_keys(resid[:, j * sub : (j + 1) * sub], B[j]).argmax(
+                    axis=1
+                )
+            cells = [int(c) for c in cell]
+            codes = [[int(c) for c in row] for row in out]
         return pd.DataFrame(
             {
-                "ivf_cell": cell.astype("int32"),
-                "pq_codes": [[int(c) for c in row] for row in out],
+                "ivf_cell": list(scatter_masked(mask, cells)),
+                "pq_codes": list(scatter_masked(mask, codes)),
             }
         )
 

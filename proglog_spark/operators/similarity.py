@@ -230,16 +230,26 @@ def with_lsh_buckets(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (rows, dim)
-        if q is None:
-            signs = (mat @ planes) >= 0.0  # (rows, bits*tables)
-        else:
-            qmat = np.floor(mat * q).astype(np.int64)  # quantized_dot grid
-            signs = (qmat @ planes) >= 0  # exact: int64 matmul
-        weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
-        per_bit = signs * weights  # (rows, bits*tables)
-        buckets = per_bit.reshape(len(mat), n_tables, n_bits).sum(axis=2)
-        return pd.Series(list(buckets))
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL vectors bucket to NULL (posexplode then drops the row —
+        # a null embedding simply never enters the LSH join), instead
+        # of an opaque np.stack TypeError killing the job
+        mask, mat = masked_vector_rows(vecs)
+        buckets = []
+        if mat.size:
+            if q is None:
+                signs = (mat @ planes) >= 0.0  # (rows, bits*tables)
+            else:
+                qmat = np.floor(mat * q).astype(np.int64)  # quantized_dot grid
+                signs = (qmat @ planes) >= 0  # exact: int64 matmul
+            weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
+            per_bit = signs * weights  # (rows, bits*tables)
+            buckets = list(per_bit.reshape(len(mat), n_tables, n_bits).sum(axis=2))
+        return pd.Series(list(scatter_masked(mask, buckets)))
 
     return df.select(
         "*", F.posexplode(_buckets(F.col(vec_col))).alias("lsh_table", "lsh_bucket")
@@ -709,12 +719,18 @@ def ivf_train_sample(
     discipline holds BY DEFAULT, not opt-in. An explicit sample_mod is
     honored, and the ordered LIMIT backstops both paths (skewed id
     distributions included), so the collect can never exceed the cap.
+
+    NULL vectors are excluded (they cannot train a centroid and would
+    kill the driver-side np.stack); the oracle's sample replay matches
+    because a null-embedding corpus would fail its list arithmetic
+    anyway — fixtures have none, and production nulls are the caller's
+    filter to own before training.
     """
     if sample_mod is None:
         n = corpus.count()
         sample_mod = max(1, -(-n // max_train_rows))  # ceil(n / cap)
     return (
-        corpus.where(F.col(id_col) % sample_mod == 0)
+        corpus.where((F.col(id_col) % sample_mod == 0) & F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(max_train_rows)
@@ -773,11 +789,20 @@ def _with_ivf_cells(df: DataFrame, centroids, n_probe: int, vec_col: str) -> Dat
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = (mat / norms) @ C.T
-        top = np.argsort(-sims, axis=1)[:, :kp]
-        return pd.Series([[int(c) for c in row] for row in top])
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL vector -> NULL cell list (explode drops the row)
+        mask, mat = masked_vector_rows(vecs)
+        cells = []
+        if mat.size:
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ C.T
+            top = np.argsort(-sims, axis=1)[:, :kp]
+            cells = [[int(c) for c in row] for row in top]
+        return pd.Series(list(scatter_masked(mask, cells)))
 
     return df.select("*", F.explode(_cells(F.col(vec_col))).alias("ivf_cell"))
 
@@ -938,11 +963,20 @@ def with_quantized_ivf_cells(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        qm = np.floor(mat * sc).astype(np.int64)
-        keys = _quantized_cell_keys(qm, C, sc)
-        top = np.argsort(-keys, axis=1, kind="stable")[:, :kp]
-        return pd.Series([[int(c) for c in row] for row in top])
+        from proglog_spark.operators.linalg import (
+            masked_vector_rows,
+            scatter_masked,
+        )
+
+        # NULL vector -> NULL cell list (explode drops the row)
+        mask, mat = masked_vector_rows(vecs)
+        cells = []
+        if mat.size:
+            qm = np.floor(mat * sc).astype(np.int64)
+            keys = _quantized_cell_keys(qm, C, sc)
+            top = np.argsort(-keys, axis=1, kind="stable")[:, :kp]
+            cells = [[int(c) for c in row] for row in top]
+        return pd.Series(list(scatter_masked(mask, cells)))
 
     return df.select("*", F.explode(_cells(F.col(vec_col))).alias("ivf_cell"))
 

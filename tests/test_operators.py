@@ -664,6 +664,50 @@ def test_quantized_ivf_handles_zero_vector(spark):
         assert zero_rows[0].rank == max(r.rank for r in out)
 
 
+def test_null_embedding_never_crashes_encode_paths(spark, emb):
+    """A single NULL embedding row must not kill any Arrow encode/
+    bucket/assign job (np.stack over a None is an opaque worker
+    TypeError without the masked_vector_rows guard) — the null row is
+    simply excluded, matching linalg's NULL-skip contract."""
+    from proglog_spark.operators import pq
+
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .limit(60)
+        .unionByName(
+            spark.createDataFrame(
+                [(999999, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+            )
+        )
+    )
+    qs = corpus.where(F.col("vec_id").isin(0, 1))
+
+    knn = similarity.quantized_knn_join(corpus, dim=64, k=2).collect()
+    assert knn and all(r.src != 999999 and r.dst != 999999 for r in knn)
+
+    nd = similarity.embedding_cosine_neardup(corpus, dim=64, threshold=0.45).collect()
+    assert all(r.id_a != 999999 and r.id_b != 999999 for r in nd)
+
+    ivf = similarity.quantized_ivf_ann_topk(
+        corpus, qs, dim=64, k=5, n_cells=4, iters=2, n_probe=2
+    ).collect()
+    assert ivf and all(r.vec_id != 999999 for r in ivf)
+
+    for resid in (False, True):
+        out = pq.quantized_ivfpq_ann_topk(
+            corpus, qs, dim=64, k=5, n_cells=4, ivf_iters=2, pq_iters=1,
+            n_probe=2, by_residual=resid,
+        ).collect()
+        assert out and all(r.vec_id != 999999 for r in out)
+
+    # a NULL QUERY vector is skipped too (it emits no rows), not fatal
+    nq = qs.unionByName(
+        spark.createDataFrame([(999998, None)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    )
+    out = pq.quantized_pq_ann_topk(corpus, nq, dim=64, k=5, iters=1).collect()
+    assert out and all(r.query_id != 999998 for r in out)
+
+
 def test_embedding_cosine_neardup_finds_planted_pair(spark, emb):
     """A corpus vector duplicated under a new id (tiny jitter) must be
     recovered as a near-dup pair; unrelated random pairs must not.
