@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 
 from proglog_spark.errors import (
     OffsetOutOfRangeError,
+    ProglogError,
     WriterLockHeldError,
     WriterLockLostError,
 )
@@ -447,14 +448,50 @@ class LogTable:
         the stale file's inode, with the owner RE-READ by path inside
         it (a competitor that opened before our replace blocks on the
         old inode; one that opens after reads our fresh owner and backs
-        off). Remote stores have no flock — there the reclaim falls
-        back to delete-then-create with the narrow race documented
-        (production hardening is a lease service / conditional PUT).
+        off). Remote stores have no flock — there
+        :meth:`_reclaim_lock_remote` runs the create-then-VERIFY
+        protocol instead.
         """
         if self._local_dir() is not None:
             return self._cas_lock_local(expect_owner)
+        return self._reclaim_lock_remote(expect_owner)
+
+    def _reclaim_lock_remote(self, expect_owner: dict) -> bool:
+        """Reclaim on stores with only create-exclusive + delete (no
+        flock, no conditional PUT). Bare delete-then-create lets two
+        claimants that both observed the expired lease interleave —
+        A deletes, A creates, B's queued delete removes A's NEW lock,
+        B creates: two live writers. Narrowed to create-then-verify:
+
+        1. re-read, and DELETE only while the content still equals the
+           stale owner we diagnosed — a competitor's fresh lock is
+           never deleted on the strength of a stale observation;
+        2. create-exclusive carrying this instance's unique token;
+        3. settle for a jittered delay, re-read, and claim ownership
+           only if the surviving content carries OUR token — a
+           claimant whose file was clobbered in the window backs off
+           (never deleting the survivor), so the common interleavings
+           end with at most one claimant past verify.
+
+        The residual window (a competitor's delete delayed beyond the
+        settle read) is documented, not closed — a store with
+        conditional-PUT upgrades this to the local path's true CAS;
+        lacking even that, ``steal_writer_lock`` remains the
+        operator-supervised route.
+        """
+        import random
+        import time
+
+        if self._read_lock_owner() != expect_owner:
+            return False  # someone already acted on the stale lock
         self._delete_lock_file()
-        return False  # fall through to the create loop
+        if not self._try_create_lock():
+            return False  # competitor's create beat ours
+        time.sleep(min(self.lease_seconds / 10.0, 0.25) * (0.5 + random.random()))
+        cur = self._read_lock_owner()
+        # token-exact (not _owner_is_self): two same-process instances
+        # racing here must still elect a single winner
+        return cur is not None and cur.get("token") == self._lock_token
 
     def _cas_lock_local(self, expect_owner: dict) -> bool:
         """flock-guarded compare-and-swap of the local lock file: write
@@ -742,7 +779,16 @@ class LogTable:
         if time.time() < self._lease_deadline - self.lease_seconds / 2:
             return
         if not self._renew_owned_lease():
-            raise WriterLockLostError(self.path, self._fenced_owner or {})
+            # only a RECORDED takeover is a fencing; renewal can also
+            # fail because a concurrent close() dropped _lock_owned —
+            # reporting that as WriterLockLostError(owner={}) would
+            # blame a takeover (pid=None host=None) that never happened
+            if self._fenced_owner is not None:
+                raise WriterLockLostError(self.path, self._fenced_owner)
+            raise ProglogError(
+                f"writer lock for {self.path} was released concurrently "
+                "(close() raced this mutating call); re-open to write"
+            )
 
     def steal_writer_lock(self) -> None:
         """Forcibly take over the writer lock (operator action: only

@@ -388,3 +388,124 @@ def test_multiprocess_contention_single_owner(tmp_path):
         assert int(fh.read()) == n_procs * n_rounds
     # the last closer deleted the lock file
     assert not os.path.exists(_lock_path(log_dir))
+
+
+# ------------------------------------------------------------------
+# remote-store reclaim (no flock, no conditional PUT): the
+# create-then-verify protocol of LogTable._reclaim_lock_remote
+# ------------------------------------------------------------------
+
+
+def _simulate_remote_store(log: LogTable, path: str) -> None:
+    """Route the three lock primitives through plain file ops and
+    report no local dir — the shape of an object store that offers
+    only create-exclusive and delete."""
+    lp = _lock_path(path)
+    log._local_dir = lambda: None  # type: ignore[method-assign]
+
+    def read_owner():
+        try:
+            with open(lp) as fh:
+                return json.load(fh)
+        except Exception:
+            return None
+
+    def delete():
+        try:
+            os.unlink(lp)
+        except FileNotFoundError:
+            pass
+
+    def create():
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, json.dumps(log._lock_owner_info()).encode())
+        os.close(fd)
+        return True
+
+    log._read_lock_owner = read_owner  # type: ignore[method-assign]
+    log._delete_lock_file = delete  # type: ignore[method-assign]
+    log._try_create_lock = create  # type: ignore[method-assign]
+
+
+def test_remote_reclaim_succeeds_and_verifies_token(spark, tmp_path):
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.close()
+    _plant_lease_lock(path, host="some-dead-remote-host", expires_in=-5.0)
+    stale = json.load(open(_lock_path(path)))
+    other = LogTable.open(spark, path)
+    other.lease_seconds = 0.5
+    _simulate_remote_store(other, path)
+    assert other._reclaim_lock_remote(stale) is True
+    assert json.load(open(_lock_path(path)))["token"] == other._lock_token
+
+
+def test_remote_reclaim_backs_off_when_clobbered(spark, tmp_path):
+    """A competitor whose delayed delete+create lands inside our
+    settle window must win cleanly: we back off at verify and leave
+    the competitor's lock untouched (the two-live-writers interleave
+    of bare delete-then-create)."""
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.close()
+    _plant_lease_lock(path, host="some-dead-remote-host", expires_in=-5.0)
+    stale = json.load(open(_lock_path(path)))
+    other = LogTable.open(spark, path)
+    other.lease_seconds = 0.5
+    _simulate_remote_store(other, path)
+    competitor = {"pid": 1, "host": "other-host", "token": "competitor-token"}
+    real_create = other._try_create_lock
+
+    def clobbering_create():
+        ok = real_create()
+        # competitor's queued delete + create land before our verify
+        with open(_lock_path(path), "w") as fh:
+            json.dump(competitor, fh)
+        return ok
+
+    other._try_create_lock = clobbering_create  # type: ignore[method-assign]
+    assert other._reclaim_lock_remote(stale) is False
+    assert json.load(open(_lock_path(path))) == competitor  # left alone
+
+
+def test_remote_reclaim_never_deletes_a_fresh_lock(spark, tmp_path):
+    """If the content changed between diagnosis and reclaim, the
+    stale-owner precondition fails BEFORE any delete."""
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.close()
+    _plant_lease_lock(path, host="some-dead-remote-host", expires_in=-5.0)
+    stale = json.load(open(_lock_path(path)))
+    fresh = {"pid": 1, "host": "other-host", "token": "fresh-token"}
+    with open(_lock_path(path), "w") as fh:
+        json.dump(fresh, fh)
+    other = LogTable.open(spark, path)
+    other.lease_seconds = 0.5
+    _simulate_remote_store(other, path)
+    assert other._reclaim_lock_remote(stale) is False
+    assert json.load(open(_lock_path(path))) == fresh
+
+
+def test_local_release_race_is_not_reported_as_takeover(spark, tmp_path):
+    """_verify_or_renew_lease after a concurrent close(): renewal
+    fails with NO recorded fencing — that's a local release, and must
+    not raise WriterLockLostError(owner={}) blaming a takeover by
+    pid=None/host=None."""
+    from proglog_spark.errors import ProglogError, WriterLockLostError
+
+    path = str(tmp_path / "log")
+    log = LogTable.create(spark, path, bucket_size=8)
+    log.append(["a"])
+    # the race: close() dropped ownership between the mutating call's
+    # owned-check and its lease verification
+    log._lock_owned = False
+    log._lease_deadline = 0.0
+    with pytest.raises(ProglogError) as ei:
+        log._verify_or_renew_lease()
+    assert not isinstance(ei.value, WriterLockLostError)
+    assert "released" in str(ei.value)
+    log._lock_owned = True  # restore for clean close
+    log.close()
