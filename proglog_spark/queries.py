@@ -6083,25 +6083,173 @@ def docs_repeated_span_dedup(spark, sf_dir):
 # the merge list is a FIXED artifact (tokenizers are deployed as
 # frozen files); this one was trained by operators/bpe.train_bpe on
 # the documents fixture and is reproducible from it (parity pinned in
-# tests/test_operators.py). Training in-query would re-run the merge
-# loop per invocation for no coverage gain.
+# tests/test_operators.py and, since the docs_bpe_train_merges gate,
+# replayed live by the SQL oracle).
 _BPE_MERGES = [
     ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
     ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
 ]
 
 
-@register("docs_bpe_token_stats", None)  # BPE is not SQL-expressible → rows-only
+def _sqlq(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_apply_parts(k: int, a_sql: str, b_sql: str, merged_sql: str,
+                     gate_sql: str = "true") -> list[str]:
+    """CTEs for ONE greedy left-to-right merge pass s{k-1} -> s{k}
+    over (word, pos, sym) rows — the relational twin of
+    operators/bpe.merge_pair. Greedy non-overlap needs care only when
+    the pair is a==b (a run of identical symbols merges at
+    run-relative positions 0, 2, 4, …): runs are identified with the
+    gaps-and-islands idiom (pos − row_number per (word, sym)) and the
+    parity test applies; for a != b, adjacent matches cannot overlap
+    and the parity clause is vacuously true. A matched position takes
+    the merged symbol, the position after a match is dropped
+    (lag(hit)), and positions renumber densely."""
+    p = k - 1
+    return [
+        f"m{k} AS (SELECT word, pos, sym, "
+        f"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nx, "
+        f"row_number() OVER (PARTITION BY word, sym, ri ORDER BY pos) - 1 AS runpos "
+        f"FROM (SELECT word, pos, sym, pos - row_number() OVER "
+        f"(PARTITION BY word, sym ORDER BY pos) AS ri FROM s{p}))",
+        f"h{k} AS (SELECT word, pos, sym, (sym = {a_sql} AND nx = {b_sql} "
+        f"AND {gate_sql} AND ({a_sql} != {b_sql} OR runpos % 2 = 0)) AS hit "
+        f"FROM m{k})",
+        f"s{k} AS MATERIALIZED (SELECT word, "
+        f"row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, "
+        f"CASE WHEN hit THEN {merged_sql} ELSE sym END AS sym "
+        f"FROM (SELECT word, pos, sym, hit, lag(hit, 1, false) OVER "
+        f"(PARTITION BY word ORDER BY pos) AS ph FROM h{k}) WHERE NOT ph)",
+    ]
+
+
+_BPE_SYMS_SQL = (
+    "(SELECT word, pos, CASE WHEN pos <= length(word) "
+    "THEN word[CAST(pos AS INT)] ELSE '</w>' END AS sym "
+    "FROM (SELECT word, CAST(unnest(range(1, length(word) + 2)) AS BIGINT) "
+    "AS pos FROM {src}))"
+)
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    """SQL replay of bpe.encode with a frozen merge list: the merge
+    loop runs once per DISTINCT word (the same Zipf cache trick as the
+    Arrow encoder) as an unrolled chain of merge-pass CTEs — the
+    AS MATERIALIZED discipline from the Lloyd-chain oracles (DuckDB
+    re-inlines un-materialized CTEs per reference)."""
+    parts = [
+        "WITH wl AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(str_split(text, ' '), x -> x != '') AS ws FROM documents)",
+        "wd AS MATERIALIZED (SELECT DISTINCT unnest(ws) AS word FROM wl)",
+        "s0 AS MATERIALIZED " + _BPE_SYMS_SQL.format(src="wd"),
+    ]
+    for k, (a, b) in enumerate(merges, 1):
+        parts += _bpe_apply_parts(k, _sqlq(a), _sqlq(b), _sqlq(a + b))
+    n = len(merges)
+    parts += [
+        f"enc AS MATERIALIZED (SELECT word, list(sym ORDER BY pos) AS toks, "
+        f"count(*) AS nt FROM s{n} GROUP BY word)",
+        "dw AS (SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM wl, "
+        "unnest(range(1, len(ws) + 1)) AS t(i))",
+        "agg AS (SELECT d.doc_id, count(*) AS n_words, "
+        "CAST(sum(e.nt) AS BIGINT) AS n_tokens, "
+        "(flatten(list(e.toks ORDER BY d.i)))[1:12] AS token_prefix "
+        "FROM dw d JOIN enc e ON d.word = e.word GROUP BY d.doc_id)",
+    ]
+    return ", ".join(parts) + (
+        " SELECT c.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words, "
+        "CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "coalesce(a.token_prefix, []) AS token_prefix "
+        "FROM documents c LEFT JOIN agg a ON c.doc_id = a.doc_id "
+        "ORDER BY c.doc_id"
+    )
+
+
+def _bpe_train_oracle(num_merges: int = 10, min_pair_count: int = 2,
+                      cap: int = 1_000_000) -> str:
+    """SQL replay of bpe.train_bpe_driver: the (word, n) reduction
+    (bounded the same way: top ``cap`` by count desc, word), then per
+    merge an exact pair-count aggregation, the argmax with the
+    trainer's tie-break (count desc, a, b — the heap key), and the
+    greedy apply pass — unrolled ``num_merges`` times. The
+    min_pair_count stop replays as a gate on the apply (a sub-minimum
+    best pair leaves the symbols unchanged, so every later step picks
+    the same sub-minimum pair and is filtered from the output —
+    exactly the trainer's early stop)."""
+    parts = [
+        "WITH wf AS MATERIALIZED (SELECT word, n FROM ("
+        "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(str_split(text, ' ')) AS word FROM documents) "
+        "WHERE word != '' GROUP BY word) "
+        f"ORDER BY n DESC, word LIMIT {cap})",
+        "s0 AS MATERIALIZED " + _BPE_SYMS_SQL.format(src="wf"),
+    ]
+    for k in range(1, num_merges + 1):
+        parts += [
+            f"p{k} AS MATERIALIZED (SELECT sym AS a, nx AS b, "
+            f"CAST(sum(n) AS BIGINT) AS cnt FROM "
+            f"(SELECT s.word, s.sym, lead(s.sym) OVER "
+            f"(PARTITION BY s.word ORDER BY s.pos) AS nx FROM s{k - 1} s) j "
+            f"JOIN wf ON j.word = wf.word WHERE nx IS NOT NULL GROUP BY 1, 2)",
+            f"b{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)",
+        ]
+        parts += _bpe_apply_parts(
+            k,
+            f"(SELECT a FROM b{k})",
+            f"(SELECT b FROM b{k})",
+            f"(SELECT a || b FROM b{k})",
+            gate_sql=f"(SELECT cnt FROM b{k}) >= {min_pair_count}",
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, cnt "
+        f"FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return ", ".join(parts) + (
+        f" SELECT merge_idx, lhs, rhs FROM ({union}) "
+        f"WHERE cnt >= {min_pair_count} ORDER BY merge_idx"
+    )
+
+
+@register("docs_bpe_token_stats", _bpe_encode_oracle(_BPE_MERGES))
 def docs_bpe_token_stats(spark, sf_dir):
     """Subword tokenization as a pipeline stage: the frozen BPE merge
     list (`operators/bpe.py`) applied corpus-wide in one Arrow-batched
     pass — per-doc word/token counts plus the leading token ids'
     strings. The compression ratio n_tokens/n_chars is the metric a
-    data pipeline tracks per source before training."""
+    data pipeline tracks per source before training. HASH-GATED: the
+    oracle replays the encoder as an unrolled chain of greedy
+    merge-pass CTEs over the distinct words (was the repo's one
+    rows-only query; training itself is gated by
+    docs_bpe_train_merges)."""
     from proglog_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
     return bpe.encode(d, _BPE_MERGES).orderBy("doc_id")
+
+
+@register("docs_bpe_train_merges", _bpe_train_oracle())
+def docs_bpe_train_merges(spark, sf_dir):
+    """BPE TRAINING in the oracle gate: bpe.train_bpe_driver's merge
+    loop — one Spark reduction to the bounded (word, n) table, then
+    the in-memory lazy-heap merge loop (2 Spark jobs at any vocabulary
+    size) — hash-matched against a SQL oracle that unrolls the exact
+    argmax/tie-break/greedy-apply recurrence with AS MATERIALIZED CTEs
+    (the integer-Lloyd recipe). The iterative trainer was the last
+    rows-only surface in the repo; with this gate the merge SEQUENCE
+    itself is engine-portable, not just replayable in-process."""
+    from proglog_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_driver(d, num_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx LONG, lhs STRING, rhs STRING",
+    ).orderBy("merge_idx")
 
 
 @register(
