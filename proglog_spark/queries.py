@@ -5761,6 +5761,101 @@ def events_cms_streamed(spark, sf_dir):
 
 
 @register(
+    "events_heavy_hitters_streamed",
+    _cms_sql_parts()
+    + ", exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1), "
+    "top AS (SELECT user_id, n_events FROM exact "
+    "ORDER BY n_events DESC, user_id LIMIT 20), "
+    "tb AS (SELECT t.user_id, t.n_events, p.j, "
+    f"(p.ha * u.h + p.hb) % {sketch.CMS_PRIME} % {_CMS_WIDTH} AS b "
+    "FROM top t JOIN (SELECT DISTINCT user_id, h FROM uh) u USING (user_id) "
+    "CROSS JOIN pr p) "
+    "SELECT tb.user_id, tb.n_events, min(c.cnt) AS cms_est, "
+    "CAST(min(c.cnt) - tb.n_events AS BIGINT) AS cms_overcount, "
+    "TRUE AS mg_present_or_light, TRUE AS mg_bounds_ok "
+    "FROM tb JOIN cells c ON c.j = tb.j AND c.b = tb.b "
+    "GROUP BY tb.user_id, tb.n_events ORDER BY n_events DESC, user_id",
+)
+def events_heavy_hitters_streamed(spark, sf_dir):
+    """The streaming heavy-hitter MONITOR — the composition a
+    training-data ingest pipeline actually runs over the unbounded
+    tail (reference motif: ConsumeStream feeding an aggregation,
+    internal/server/server.go:138-158): Misra-Gries summaries
+    maintained as BOUNDED streaming state (streaming/heavy.py —
+    groups × k entries forever, vs per-key exact state that grows
+    with the key space) say WHO is heavy; CMS point estimates say HOW
+    heavy; the exact twin audits both. MG summary CONTENT is
+    batch-boundary-dependent (inherent to the sketch), so the
+    hash-gated output asserts its THEOREMS, true at any scale and any
+    arrival order: a top-20 user is either present in the streamed
+    summary or provably light (absent ⇒ true count ≤ N/(k+1)), and a
+    present user's estimate is an undercount by at most N/(k+1) —
+    the docs_heavy_terms_sketch audit pattern lifted to streaming.
+    The CMS numbers are deterministic and hash-exact (cells built
+    batch-side here; streamed-cells == batch-cells is already gated
+    by events_cms_streamed)."""
+    from proglog_spark.streaming import heavy
+
+    ev = load_table(spark, sf_dir, "events")
+    emissions = heavy.streaming_heavy_hitters(
+        _stream_events(spark, sf_dir), "user_id", k=255, groups=8
+    )
+    name = _sink_name("heavy_streamed")
+    # stateful queries pin partitioning at start; the state key domain
+    # is exactly 8 synthetic groups, so a narrow state width avoids 32
+    # store commits per micro-batch (the sessionize precedent; conf
+    # restored only after the query finishes — earlier would race the
+    # stream's plan capture)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            emissions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    mg = heavy.latest_summaries(_drain_memory_sink(spark, name)).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("est").alias("mg_est"),
+    )
+
+    cms = sketch.cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = exact.orderBy(F.desc("n_events"), "user_id").limit(20)
+    est = sketch.cms_estimate(cms, top.select("user_id"), "user_id")
+    n_total = ev.count()
+    slack = n_total // 256  # N/(k+1) with k=255
+    return (
+        top.join(F.broadcast(est), "user_id")
+        .join(F.broadcast(mg), "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("n_events")).alias("cms_overcount"),
+            (
+                F.col("mg_est").isNotNull()
+                | (F.col("n_events") <= F.lit(slack))
+            ).alias("mg_present_or_light"),
+            (
+                F.col("mg_est").isNull()
+                | (
+                    (F.col("mg_est") <= F.col("n_events"))
+                    & (F.col("mg_est") >= F.col("n_events") - F.lit(slack))
+                )
+            ).alias("mg_bounds_ok"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+@register(
     "events_cms_merge",
     _cms_sql_parts()
     + " SELECT j, b, cnt FROM cells ORDER BY j, b",

@@ -1154,3 +1154,62 @@ def test_streaming_asof_late_candidate_ties_and_nulls(spark, tmp_path):
         q.stop()
     assert got[100] == (3, 0.3)  # exact-time match beats earlier ties
     assert got[200] == (None, None)  # no candidate for k=2
+
+
+def test_streaming_heavy_hitters_guarantees_under_compression(spark, tmp_path):
+    """MG as streaming state with k SMALL enough that the compress
+    step fires: the theorems the hash gate relies on must hold — every
+    estimate is an undercount by at most N/(k+1), and any key absent
+    from the final summary has true count <= N/(k+1). Also pins the
+    bounded-state contract: <= groups * k summary entries."""
+    import pandas as pd
+
+    from proglog_spark.streaming.heavy import (
+        latest_summaries,
+        streaming_heavy_hitters,
+    )
+
+    # skewed corpus: two screaming-heavy keys + a long tail, written
+    # as several files so the stream sees multiple micro-batches
+    rows = (
+        [(0, "hot-a")] * 400
+        + [(0, "hot-b")] * 300
+        + [(0, f"tail-{i}") for i in range(300) for _ in (0, 1)]
+    )
+    src = str(tmp_path / "keys")
+    df = spark.createDataFrame(rows, "part LONG, k STRING")
+    df.repartition(6).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    em = streaming_heavy_hitters(stream, "k", k=16, groups=4)
+    q = (
+        em.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg_guarantees")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("mg_guarantees")
+    summary = {
+        r["key"]: r["est"] for r in latest_summaries(sunk).collect()
+    }
+    spark.catalog.dropTempView("mg_guarantees")
+
+    n_total = len(rows)
+    slack = n_total // 17  # N/(k+1)
+    exact = pd.Series([k for _, k in rows]).value_counts()
+    assert len(summary) <= 4 * 16  # bounded state
+    assert any(e < exact[k] for k, e in summary.items()), (
+        "compression never fired — the test corpus must force it"
+    )
+    for k, est in summary.items():
+        assert 0 < est <= exact[k]
+        assert est >= exact[k] - slack
+    for k, true in exact.items():
+        if k not in summary:
+            assert true <= slack, f"absent key {k} above the MG threshold"
+    # the screaming-heavy keys are guaranteed present
+    assert "hot-a" in summary and "hot-b" in summary
