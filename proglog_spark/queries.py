@@ -1145,6 +1145,85 @@ def docs_bm25_topk(spark, sf_dir):
     return text.bm25_topk(d, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
 
 
+_BM25_CONTAM_MICRO = 8_000_000
+
+
+@register(
+    "docs_bm25_decontamination",
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents WHERE doc_id % 97 <> 0), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), "
+    "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents "
+    "WHERE doc_id % 97 <> 0) AS n, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM toks) AS s), "
+    "qt AS (SELECT DISTINCT doc_id AS query_id, "
+    "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term "
+    "FROM documents WHERE doc_id % 97 = 0), "
+    "c AS (SELECT qt.query_id, tf.doc_id, "
+    "(((tot.n - dfq.df + 1) * 1000000) // (dfq.df + 1)) * "
+    "((tf.tf * 44 * 1000000) // (20 * tf.tf + 6 + (18 * dl.dl * tot.n) // tot.s)) "
+    "// 1000000 AS contrib "
+    "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) "
+    "JOIN dfq USING (term), tot), "
+    "sc AS (SELECT CAST(query_id AS BIGINT) AS bench_id, doc_id, "
+    "CAST(sum(contrib) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2), "
+    "ranked AS (SELECT bench_id, doc_id, score_micro, row_number() OVER "
+    "(PARTITION BY bench_id ORDER BY score_micro DESC, doc_id) AS rank FROM sc) "
+    "SELECT bench_id, doc_id, score_micro, rank, "
+    f"score_micro >= {_BM25_CONTAM_MICRO} AS is_contaminated "
+    "FROM ranked WHERE rank <= 5 ORDER BY bench_id, rank",
+)
+def docs_bm25_decontamination(spark, sf_dir):
+    """Benchmark decontamination via RETRIEVAL — the soft complement
+    of docs_contamination's exact 5-gram overlap, and how the
+    retrieval tier is actually consumed by a curation pipeline: each
+    held-out benchmark item (doc_id % 97, the docs_contamination
+    convention) becomes a BM25 query whose distinct tokens are the
+    terms; text.bm25_topk retrieves its top-5 most-similar CORPUS
+    documents (benchmark rows excluded from the index — they must not
+    retrieve themselves), and a corpus doc scoring above the integer
+    threshold is flagged contaminated. Catches paraphrase-level
+    contamination exact n-gram matching misses. Plan shape: the
+    benchmark term table is collected (an eval suite is small by
+    definition — the same boundedness as the broadcast gram set in
+    docs_contamination) and broadcast; corpus statistics are the
+    bm25_topk distinct-pair reductions, built over the non-benchmark
+    corpus only; NO corpus shuffle beyond them; scoring, ranking, and
+    the verdict are integer-exact, so the whole audit hash-matches."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_terms = (
+        d.where(is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+        .collect()
+    )
+    corpus = d.where(~is_bench)
+    topk = text.bm25_topk(
+        corpus, [(int(r["doc_id"]), r["term"]) for r in bench_terms], k=5
+    )
+    return (
+        topk.select(
+            F.col("query_id").alias("bench_id"),
+            "doc_id",
+            "score_micro",
+            "rank",
+            (F.col("score_micro") >= F.lit(_BM25_CONTAM_MICRO)).alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy("bench_id", "rank")
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
