@@ -7050,15 +7050,20 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
     "docs_quality", "docs_simhash", "docs_simhash_neardup",
     "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
-    "emb_cosine_neardup", "emb_dot_topk",
+    "emb_dot_topk",
     "emb_exact_dup",
-    "emb_norm_stats", "emb_semantic_dedup", "events_approx_distinct",
-    # NOT listed (evicted r3): emb_ivf_ann_topk (r2 artifact checked the
-    # float rows-only version; the integer-k-means oracle is new),
-    # emb_cosine_topk and emb_lsh_ann_topk (their zero-norm sentinel
-    # changed after the r2 artifact) — a query whose implementation or
-    # oracle changes after its last driver check must rotate BACK into
-    # the driver window
+    "emb_norm_stats", "events_approx_distinct",
+    # NOT listed (evicted r4, the re-check rule — a query whose
+    # implementation or oracle changes after its last driver check
+    # must rotate BACK into the driver window):
+    # emb_cosine_neardup (r1/r2 artifact checked the fixed-bits
+    # float-bucket version; now adaptive-bits integer buckets with a
+    # bucket-replay oracle), emb_semantic_dedup (rides the NULL-guarded
+    # bucket UDF), and the r3-checked emb_negative_sampling (adaptive
+    # bits), emb_knn_join / emb_lsh_ann_topk (bucket UDF NULL guard),
+    # emb_ivf_ann_topk (cell UDF + null-filtered train sample),
+    # emb_pq_ann_topk / emb_ivfpq_ann_topk / emb_ivfpq_residual_topk
+    # (encode/ADC NULL guards)
     "events_asof_order", "events_attribution_window", "events_extremes",
     "events_hourly_counts", "events_hourly_counts_streamed",
     "events_inactive_users", "events_json_sum", "events_running_count",
@@ -7068,17 +7073,58 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "log_read_out_of_range", "log_read_point", "log_scan_range",
     "log_servers", "log_tail", "log_truncate_view", "tpch_q1_pricing",
     "tpch_q3_shipping", "tpch_q5_nation_revenue",
+    # CORRECTNESS_r03.json (50 names, minus the 8 evictions above)
+    "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
+    "events_cms_join_estimate",
+    "events_asof_order_streamed", "docs_epoch_shuffle",
+    "docs_lm_transition_score", "docs_lm_interpolated",
+    "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
+    "docs_cluster_safe_split", "emb_cosine_topk",
+    "tpch_q6_forecast", "tpch_q18_big_orders", "tpch_q4_late_orders",
+    "tpch_q2_top_supplier", "tpch_q14_promo_share",
+    "tpch_q16_supplier_variety", "tpch_salted_priority_revenue",
+    "docs_length_quantiles", "events_heavy_users", "events_cube_counts",
+    "events_pivot_counts", "events_trailing_hour_count",
+    "events_rollup_counts", "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q16_part_suppliers", "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive", "tpch_q22_idle_customers",
+    "tpch_q10_returned_revenue", "events_gap_stats", "events_decile_value",
+    "events_first_last_touch", "events_same_day_conversion",
+    "docs_top_terms", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q15_top_supplier",
+    "tpch_q20_promo_shippers",
 })
 
 
-# Newest-first bias inside the fresh group: with more fresh queries
-# than the driver's 50-entry window, the operators added MOST RECENTLY
-# lead (their file position would otherwise decide), so every new
-# family lands a driver CORRECTNESS row in its first round.
+# Coverage-first ordering inside the fresh group: the three r4
+# queries and the re-oracled docs_bpe_token_stats lead, then the
+# entire never-driver-checked backlog in registry order — the first
+# 50 emitted are the driver's r4 window (46 of the 60 never-checked
+# names; the remaining 14 plus the 9 emb_* queries evicted by the
+# re-check rule, all freshly green in the local full gate, land in
+# r5's window).
 _WINDOW_PRIORITY = [
-    "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
-    "events_cms_join_estimate", "emb_knn_join", "emb_negative_sampling",
-    "emb_ivfpq_residual_topk",
+    "docs_bpe_train_merges", "events_heavy_hitters_streamed", "docs_bm25_decontamination",
+    "docs_bpe_token_stats", "tpch_q21_last_shipper", "events_retention_cohorts",
+    "events_funnel_conversion", "events_value_histogram", "events_daily_active",
+    "events_pareto_users", "docs_bigram_counts", "docs_source_dedup_stats",
+    "docs_repetition_stats", "docs_contamination", "docs_train_split",
+    "events_unpivot_extremes", "events_props_map_explode", "events_user_value_percentiles",
+    "events_halves_full_outer", "emb_pca_power", "docs_pii_redaction",
+    "events_markov_transitions", "docs_udtf_ngrams", "tpch_q11_important_parts",
+    "lineitem_profile", "events_value_moments", "docs_fuzzy_block_match",
+    "events_minute_gapfill", "emb_label_centroids", "docs_pack_sequences",
+    "docs_tokenize_ids", "docs_tfidf_top_terms", "docs_weighted_mixture",
+    "docs_curation_pipeline", "docs_incremental_dedup", "events_trailing_anomaly",
+    "events_rolling_wau", "docs_length_quantiles_sketch", "orders_bucket_ranks",
+    "orders_calendar_profile", "events_nullsafe_match", "events_grouping_sets",
+    "docs_recursive_ancestry", "events_variant_props", "tpch_bloom_filter_join",
+    "docs_heavy_terms_sketch", "docs_minhash_estimate_gate", "events_out_of_order_audit",
+    "events_type_value_quantiles", "events_distinct_rollup_streamed", "docs_repeated_span_dedup",
+    "events_bitmap_distinct", "events_hll_rollup_gate", "events_type_day_matrix",
+    "docs_chunk_spans", "docs_rarity_filter", "events_type_pagerank",
+    "events_journey_segments", "events_halves_bag_ops", "docs_source_scorecard",
+    "tpch_lateral_top_customers", "events_sql_udf_buckets", "docs_sql_tvf_tokens",
 ]
 
 
