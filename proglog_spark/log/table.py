@@ -488,10 +488,19 @@ class LogTable:
         if not self._try_create_lock():
             return False  # competitor's create beat ours
         time.sleep(min(self.lease_seconds / 10.0, 0.25) * (0.5 + random.random()))
-        cur = self._read_lock_owner()
         # token-exact (not _owner_is_self): two same-process instances
-        # racing here must still elect a single winner
-        return cur is not None and cur.get("token") == self._lock_token
+        # racing here must still elect a single winner. A None read is
+        # retried — _read_lock_owner swallows transient store errors as
+        # None, and treating a glitch as "we lost" would strand our own
+        # surviving lock file (the acquire retry would then adopt it via
+        # the same-pid sibling branch WITHOUT the created flag or a
+        # heartbeat: no delete at close, fenced after one idle lease)
+        for _ in range(5):
+            cur = self._read_lock_owner()
+            if cur is not None:
+                return cur.get("token") == self._lock_token
+            time.sleep(0.02)
+        return False  # persistently gone: a competitor's delete won
 
     def _cas_lock_local(self, expect_owner: dict) -> bool:
         """flock-guarded compare-and-swap of the local lock file: write
@@ -732,6 +741,15 @@ class LogTable:
             if owner.get("host") == me and owner.get("pid") == os.getpid():
                 self._lock_owned = True  # sibling instance, same process
                 self._fenced_owner = None
+                if owner.get("token") == self._lock_token:
+                    # OUR OWN file (a remote reclaim whose verify read
+                    # glitched, then retried into this loop): this is a
+                    # create, not a borrow — own the delete and run the
+                    # heartbeat; no sibling exists to do either
+                    self._lock_created = True
+                    self._lease_deadline = time.time() + self.lease_seconds
+                    self._start_heartbeat()
+                    return
                 # inherit the sibling's recorded expiry so our first
                 # mutating call re-validates no later than it would
                 try:

@@ -34,6 +34,11 @@ def masked_vector_rows(vecs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """
     arr = vecs.to_numpy()
     mask = np.fromiter((v is not None for v in arr), dtype=bool, count=len(arr))
+    if mask.all():
+        # the overwhelmingly common batch (no NULLs): one vectorized
+        # stack, no per-row asarray pass — the guard must not tax the
+        # hot path it protects
+        return mask, np.stack(arr).astype(np.float64)
     if not mask.any():
         return mask, np.empty((0, 0), dtype=np.float64)
     mat = np.stack(

@@ -100,12 +100,17 @@ def streaming_heavy_hitters(
         state.update(
             (list(summary.index), [int(v) for v in summary.values], seq)
         )
+        # a NULL-key marker row rides every emission so a batch whose
+        # compress EMPTIED the summary (a uniform tail can tie every
+        # count at the cut) still registers at this seq — otherwise
+        # latest_summaries would fall back to an older batch's rows and
+        # report stale state as live
         yield pd.DataFrame(
             {
-                "g": [int(g)] * len(summary),
-                "seq": [seq] * len(summary),
-                "key": summary.index.astype(str),
-                "est": summary.values.astype("int64"),
+                "g": [int(g)] * (len(summary) + 1),
+                "seq": [seq] * (len(summary) + 1),
+                "key": list(summary.index.astype(str)) + [None],
+                "est": [int(v) for v in summary.values] + [0],
             }
         )
 
@@ -137,6 +142,6 @@ def latest_summaries(emissions: DataFrame) -> DataFrame:
     mx = F.max("seq").over(Window.partitionBy("g"))
     return (
         emissions.withColumn("_mx", mx)
-        .where(F.col("seq") == F.col("_mx"))
+        .where((F.col("seq") == F.col("_mx")) & F.col("key").isNotNull())
         .select("key", "est")
     )
