@@ -569,3 +569,56 @@ def test_bm25_tokenizes_once(spark, sf_dir):
     plan = plan_of(text_ops.bm25_topk(d, [(0, "hash"), (0, "join")], k=5))
     assert plan.count("Scan parquet") == 1
     assert "Scan ExistingRDD" in plan
+
+
+def test_cosine_neardup_buckets_checkpointed_not_cached(spark, sf_dir):
+    """Adaptive cosine near-dup: the bucket table feeds both self-join
+    sides through the eager localCheckpoint — the bucketing UDF ran
+    once before the plan was built (zero ArrowEvalPython nodes) and no
+    InMemoryRelation leaks into the CacheManager (the per-call .cache()
+    this replaced held one copy per invocation for the session)."""
+    from proglog_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(sim.embedding_cosine_neardup(emb, dim=64, threshold=0.45))
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_bm25_decontamination_no_corpus_shuffle_beyond_stats(spark, sf_dir):
+    """Decontamination: the benchmark term table and the totals are
+    BROADCAST into the scoring join — the only exchanges are the
+    bm25_topk statistics reductions and the two-phase top-k, never a
+    corpus-vs-benchmark shuffle."""
+    from proglog_spark import queries as q
+
+    plan = plan_of(q.REGISTRY["docs_bm25_decontamination"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # qt joins tf on term via broadcast: no SortMergeJoin against the
+    # corpus-side statistics anywhere in the scoring pipeline
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_streamed_audit_joins_broadcast(spark, sf_dir):
+    """The monitor's audit side: CMS estimate and MG summary join the
+    top-20 exact rows via broadcast (both are bounded — depth·width
+    cells, groups·k summary entries); the verdict never shuffles the
+    exact key table against the sketches."""
+    from proglog_spark import queries as q
+
+    plan = plan_of(q.REGISTRY["events_heavy_hitters_streamed"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_training_is_two_jobs_then_driver(spark, sf_dir):
+    """BPE training: the corpus contributes ONE reduction (word-freq
+    table: a single parquet scan feeding a partial-agg shuffle); the
+    merge loop runs on the collected vocabulary, so the returned merge
+    table is a LocalTableScan — no per-merge Spark jobs in the plan."""
+    from proglog_spark import queries as q
+
+    plan = plan_of(q.REGISTRY["docs_bpe_train_merges"][0](spark, sf_dir))
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # training already ran; result is local
