@@ -13,9 +13,17 @@ Decode tiers:
   (P5/P6), and RIFF/WAVE PCM (8/16-bit). Format is sniffed from magic
   bytes; unsupported or malformed payloads yield a tagged row with
   NULL fields — a 100 TB decode job must never die on one bad file.
+- **Pluggable decoders** (:func:`register_image_decoder`) close the
+  compressed-codec boundary when a library IS present: a deployment
+  registers ``fmt -> callable(bytes) -> (h, w, channels, luma grid)``
+  and :func:`decode_images` dispatches sniffed formats to it with the
+  same never-crash contract as the built-ins. Pillow, if importable,
+  is auto-registered for JPEG/PNG at module load (an import-try — this
+  container ships without it, so the boundary below stays honest
+  here).
 - **Stub** (:func:`decode_image_stub`) for compressed codecs
-  (JPEG/PNG/MP3/H.264...): an honest ``NotImplementedError`` — those
-  genuinely need PIL/ffmpeg, absent from this container.
+  (JPEG/PNG/MP3/H.264...) when no decoder is registered: an honest
+  ``NotImplementedError`` — those genuinely need PIL/ffmpeg.
 - **Deterministic fake** (:func:`decode_media`) whose output feeds the
   oracle-checked resize→histogram pipeline (integer-exact end to end).
 
@@ -33,6 +41,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = "doc_id LONG, n_bytes LONG, header_hex STRING"
+
+#: The pluggable-decoder seam: sniffed format tag -> decoder callable.
+#: Contract (identical to the built-ins'): ``fn(data: bytes)`` returns
+#: ``(height, width, channels, row-major integer luma ndarray)``,
+#: returns None for an in-format payload out of the decoder's scope
+#: (tagged ``unsupported:<fmt>``), and raises ValueError for a
+#: malformed payload (tagged ``corrupt:<fmt>``) — never anything that
+#: kills the job. Registrations must happen BEFORE decode_images
+#: builds its plan: the table is snapshotted into the UDF closure so
+#: executors see a frozen copy (a driver-side mutation after plan
+#: build is invisible, by design — no cross-process mutable state).
+_IMAGE_DECODERS: dict = {}
+
+
+def register_image_decoder(fmt: str, fn) -> None:
+    """Register (or override) a decoder for a sniffed format tag (see
+    :func:`sniff_media_format`: "jpeg", "png", "bmp", ...). This is
+    how a real deployment closes the compressed-codec boundary —
+    ``register_image_decoder("jpeg", my_turbojpeg_decode)`` — while
+    this repo stays library-free."""
+    _IMAGE_DECODERS[fmt] = fn
+
+
+def _pillow_luma_decoder(data: bytes):
+    """Pillow-backed decoder matching the built-in contract: any
+    format PIL opens → 8-bit luma grid (PIL's own 601 rounding)."""
+    import io
+
+    import numpy as np
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            channels = len(im.getbands())
+            grid = np.asarray(im.convert("L"), dtype=np.int64)
+    except UnidentifiedImageError as e:  # malformed payload
+        raise ValueError(str(e)) from e
+    return grid.shape[0], grid.shape[1], channels, grid.reshape(-1)
+
+
+try:  # import-try: Pillow is absent from this container; a deployment
+    # that ships it gets JPEG/PNG decode with zero extra wiring
+    import PIL  # noqa: F401
+
+    register_image_decoder("jpeg", _pillow_luma_decoder)
+    register_image_decoder("png", _pillow_luma_decoder)
+except ImportError:
+    pass
 
 
 def decode_image_stub(payload: bytes) -> dict:
@@ -202,6 +258,10 @@ def decode_images(
     NULL-format row.
     """
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    # built-ins + the pluggable registry, SNAPSHOTTED into the closure:
+    # executors see a frozen copy; registrations after plan build are
+    # deliberately invisible (no cross-process mutable state)
+    decoders = {"bmp": _decode_bmp, "pnm": _decode_pnm, **_IMAGE_DECODERS}
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -213,7 +273,7 @@ def decode_images(
                 if payload is not None:
                     data = bytes(payload)
                     fmt = sniff_media_format(data)
-                    dec = {"bmp": _decode_bmp, "pnm": _decode_pnm}.get(fmt)
+                    dec = decoders.get(fmt)
                     if dec is not None:
                         try:
                             decoded = dec(data)

@@ -412,3 +412,52 @@ def test_pixel_histogram_handles_mixed_grid_sizes(spark):
     want2[2] = 2
     assert list(rows[1]) == want1 and list(rows[2]) == want2
     assert rows[3] is None
+
+
+def test_registered_decoder_closes_the_compressed_boundary(spark):
+    """The pluggable seam: a registered decoder for a sniffed
+    compressed format participates in decode_images with the SAME
+    never-crash contract as the built-ins — decoded rows, an
+    out-of-scope None -> unsupported:<fmt>, a ValueError ->
+    corrupt:<fmt> — and unregistered formats keep their tag with NULL
+    fields."""
+    from proglog_spark.multimodal.media import (
+        _IMAGE_DECODERS,
+        decode_images,
+        register_image_decoder,
+    )
+
+    def fake_jpeg(data: bytes):
+        # trivially "decodes" the bytes after the 3-byte magic as a
+        # 1-row luma grid; 4th byte 0xFF means corrupt, 0xFE means
+        # out-of-scope
+        body = data[3:]
+        if body[:1] == b"\xff":
+            raise ValueError("bad scan")
+        if body[:1] == b"\xfe":
+            return None
+        return 1, len(body), 1, np.frombuffer(body, np.uint8).astype(np.int64)
+
+    register_image_decoder("jpeg", fake_jpeg)
+    try:
+        rows = {
+            r.doc_id: r
+            for r in decode_images(
+                spark.createDataFrame(
+                    [
+                        (1, b"\xff\xd8\xff" + bytes([10, 20, 30])),
+                        (2, b"\xff\xd8\xff" + b"\xff rest"),
+                        (3, b"\xff\xd8\xff" + b"\xfe rest"),
+                        (4, b"\x89PNG\r\n\x1a\n...."),  # sniffed, no decoder
+                    ],
+                    "doc_id LONG, payload BINARY",
+                )
+            ).collect()
+        }
+    finally:
+        _IMAGE_DECODERS.pop("jpeg", None)
+    assert (rows[1].format, rows[1].height, rows[1].width) == ("jpeg", 1, 3)
+    assert list(rows[1].pixels) == [10, 20, 30]
+    assert rows[2].format == "corrupt:jpeg" and rows[2].pixels is None
+    assert rows[3].format == "unsupported:jpeg" and rows[3].pixels is None
+    assert rows[4].format == "png" and rows[4].pixels is None
