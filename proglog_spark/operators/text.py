@@ -444,6 +444,18 @@ def bm25_topk(
         dl.agg(F.sum("dl").alias("s"))
     )
     qt = df.sparkSession.createDataFrame(term_queries, "query_id long, term string")
+    return _bm25_rank(tf, dl, dfreq, totals, qt, k, id_col)
+
+
+def _bm25_rank(tf, dl, dfreq, totals, qt, k: int, id_col: str):
+    """The BM25 scoring tail shared by the direct path
+    (:func:`bm25_topk`) and the persisted-index path
+    (:func:`bm25_index_query`): identical integer arithmetic, so the
+    two paths return byte-identical rankings from the same statistics.
+    Inputs: tf(_id, term, tf), dl(_id, dl), dfreq(term, df),
+    totals(n, s) 1-row, qt(query_id, term)."""
+    from proglog_spark.operators.topk import topk_per_key
+
     contrib = (
         tf.join(F.broadcast(qt), "term")
         .join(dl, "_id")
@@ -473,3 +485,79 @@ def bm25_topk(
         .withColumnRenamed("_id", id_col)
         .select("query_id", id_col, "score_micro", "rank")
     )
+
+
+def bm25_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_partitions: int = 8,
+) -> None:
+    """Materialize a persistent BM25 inverted index: tokenize ONCE,
+    persist the four statistics tables a query needs — the
+    build-offline/query-online pattern of :func:`build_ivf_index`
+    (index once; every query afterwards reads statistics, never the
+    corpus text).
+
+    Layout IS the index: ``tf/`` is range-partitioned and sorted by
+    term, so each parquet file covers a term range and a query's
+    ``term IN (...)`` pushdown prunes to the files whose footer
+    min/max straddle its terms — the Spark-native analog of an
+    inverted index's term dictionary. ``dl/`` stays doc-keyed (the
+    postings→length join is on the doc id), ``df/`` term-keyed,
+    ``totals/`` one row.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # one tokenize feeds all four tables
+    )
+    (
+        tf.repartitionByRange(term_partitions, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/tf")
+    )
+    tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/dl")
+    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/df")
+    df.agg(F.count(F.lit(1)).alias("n")).join(
+        tf.agg(F.sum("tf").alias("s"))
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/totals")
+
+
+def bm25_index_query(
+    spark,
+    path: str,
+    term_queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query a persisted BM25 index: identical output to
+    :func:`bm25_topk` over the indexed corpus (same integer scoring
+    tail), but the corpus TEXT is never read — the query's terms
+    become pushed IN-filters on the term-sorted ``tf``/``df`` tables
+    (file/row-group pruning via footer min-max), the postings join dl
+    on the doc key, and the two totals broadcast. Query cost scales
+    with the matched postings, not the corpus."""
+    terms = sorted({t for _, t in term_queries})
+    tf = (
+        spark.read.parquet(f"{path}/tf")
+        .where(F.col("term").isin(terms))
+        .withColumnRenamed("doc_id", "_id")
+    )
+    dl = spark.read.parquet(f"{path}/dl").withColumnRenamed("doc_id", "_id")
+    dfreq = spark.read.parquet(f"{path}/df").where(F.col("term").isin(terms))
+    totals = spark.read.parquet(f"{path}/totals")
+    qt = spark.createDataFrame(term_queries, "query_id long, term string")
+    return _bm25_rank(tf, dl, dfreq, totals, qt, k, id_col)

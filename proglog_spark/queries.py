@@ -1195,6 +1195,12 @@ def docs_bm25_decontamination(spark, sf_dir):
     the verdict are integer-exact, so the whole audit hash-matches."""
     d = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 97 == 0
+    # honest bound on the driver collect (the MAX_ADC_QUERIES
+    # discipline): the % 97 predicate is a fixture stand-in for an
+    # external benchmark FILE, which is small by nature — but the
+    # stand-in grows with the corpus, so assert rather than OOM at a
+    # scale the fixture convention was never meant to reach
+    max_bench_terms = 1 << 20
     bench_terms = (
         d.where(is_bench)
         .select(
@@ -1204,7 +1210,12 @@ def docs_bm25_decontamination(spark, sf_dir):
             ).alias("term"),
         )
         .distinct()
+        .limit(max_bench_terms + 1)
         .collect()
+    )
+    assert len(bench_terms) <= max_bench_terms, (
+        "benchmark term table exceeds the driver-side bound — point the "
+        "decontamination query at a real (small) benchmark set"
     )
     corpus = d.where(~is_bench)
     topk = text.bm25_topk(

@@ -1675,3 +1675,21 @@ def test_lm_interpolated_matches_pure_python(spark):
         exp[i] = (tot_k, s // tot_k, singletons)
     assert got == exp
     assert 3 not in got
+
+
+def test_bm25_index_query_matches_direct_path(spark, docs, tmp_path):
+    """The persisted-index path must return byte-identical rankings to
+    bm25_topk over the same corpus (shared integer scoring tail), and
+    the pushed term filter must reach the tf scan."""
+    from proglog_spark.plans import executed_plan
+
+    queries = [(0, "hash"), (0, "join"), (1, "stream"), (1, "window")]
+    idx = str(tmp_path / "bm25_idx")
+    text.bm25_index_write(docs, idx)
+    got = text.bm25_index_query(spark, idx, queries, k=7)
+    want = text.bm25_topk(docs, queries, k=7)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = executed_plan(got)
+    # the corpus TEXT is never read: every scan is an index table
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+    assert "PushedFilters" in plan and "In(term" in plan.replace(" ", "")
