@@ -261,10 +261,11 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -275,7 +276,16 @@ def lsh_ann_topk(
     before vectors are joined back for scoring, so each corpus
     vector travels at most once (to its candidate row), never
     ``tables`` times.
+
+    ``bits=None`` (default) auto-sizes via :func:`adaptive_lsh_bits`:
+    FIXED bits make each query score a constant FRACTION of the
+    corpus (n/2^bits per table — a linear scan in disguise at 100 TB);
+    the ladder keeps expected per-query candidates ≈ tables·occupancy,
+    corpus-size-independent. More bits trade per-table recall, the
+    ``tables`` dial compensates (recall stays property-tested).
     """
+    if bits is None:
+        bits = adaptive_lsh_bits(corpus.count() if n is None else n)
     c = with_lsh_buckets(corpus.select(id_col, vec_col), dim, bits, tables, vec_col).select(
         id_col, "lsh_table", "lsh_bucket"
     )
@@ -329,11 +339,12 @@ def quantized_lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    n: int | None = None,
 ) -> DataFrame:
     """`lsh_ann_topk` made oracle-exact end-to-end: integer-grid sign
     bucketing (`with_quantized_lsh_buckets`) picks the candidate set
@@ -343,7 +354,14 @@ def quantized_lsh_ann_topk(
     to the float version: narrow corpus explode, broadcast query
     buckets, candidate dedup before vectors join back.
     Output: (query_id, vec_id, cos2_pico, rank).
+
+    ``bits=None`` (default) auto-sizes via :func:`adaptive_lsh_bits`
+    (replayed by the oracle's CASE ladder): fixed bits make each
+    query score n/2^bits of the corpus — a linear scan in disguise;
+    adaptive bits keep per-query candidates ≈ tables·occupancy.
     """
+    if bits is None:
+        bits = adaptive_lsh_bits(corpus.count() if n is None else n)
     c = with_quantized_lsh_buckets(
         corpus.select(id_col, vec_col), dim, bits, tables, vec_col, scale
     ).select(id_col, "lsh_table", "lsh_bucket")

@@ -1795,25 +1795,32 @@ def emb_cosine_topk(spark, sf_dir):
     return similarity.quantized_cosine_topk(e, q, k=10).orderBy("query_id", "rank")
 
 
-def _lsh_ann_oracle() -> str:
+def _lsh_ann_oracle(tables: int = 8) -> str:
     """All-SQL replay of quantized_lsh_ann_topk: the ±1 md5
-    hyperplanes are inlined as literal lists, sign-bucketing runs on
-    the same floor(x·1000) integer grid, candidates come from exact
-    (table, bucket) equality, and ranking uses the integer
-    quantized-cosine key — so even the *approximation* (which
-    candidates each query sees) is reproduced bit-for-bit."""
+    hyperplanes are inlined as literal lists (up to the
+    adaptive_lsh_bits ladder's 12-bit ceiling; only
+    pidx < bits·tables participate), sign-bucketing runs on the same
+    floor(x·1000) integer grid with bits auto-sized to the corpus by
+    the CASE ladder, candidates come from exact (table, bucket)
+    equality, and ranking uses the integer quantized-cosine key — so
+    even the *approximation* (which candidates each query sees) is
+    reproduced bit-for-bit at every corpus size."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 32))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
     )
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
-        "bk AS (SELECT vec_id, pidx // 4 AS tbl, CAST(sum(CASE WHEN "
+        "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
         "list_sum(list_transform(range(1, 65), i -> pv[i] * q[i])) >= 0 "
-        "THEN 1 << (pidx % 4) ELSE 0 END) AS BIGINT) AS bucket "
-        "FROM qv CROSS JOIN pl GROUP BY vec_id, pidx // 4), "
+        "THEN 1 << (pidx % bits) ELSE 0 END) AS BIGINT) AS bucket "
+        f"FROM qv CROSS JOIN pl, ab WHERE pidx < bits * {tables} "
+        "GROUP BY vec_id, pidx // bits), "
         "qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk "
         f"WHERE vec_id IN {_QUERY_VECS}), "
         "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM bk JOIN qb "
@@ -1840,13 +1847,17 @@ def emb_lsh_ann_topk(spark, sf_dir):
     oracle-exact end-to-end: integer-grid sign bucketing makes the
     candidate set deterministic and the quantized-cosine key makes
     the ranking integer, so the approximate result itself hash-matches
-    the SQL oracle (see `similarity.quantized_lsh_ann_topk`). LSH
-    recall vs the exact top-k stays property-tested."""
+    the SQL oracle (see `similarity.quantized_lsh_ann_topk`). Bits
+    auto-size to the corpus (adaptive_lsh_bits, replayed by the
+    oracle's CASE ladder): the earlier FIXED bits=4 meant every query
+    scored n/16 of the corpus per table — a linear scan in disguise;
+    the ladder keeps per-query candidates corpus-size-independent.
+    LSH recall vs the exact top-k stays property-tested."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.quantized_lsh_ann_topk(
-        e, q, dim=64, k=10, bits=4, tables=8
-    ).orderBy("query_id", "rank")
+    return similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10).orderBy(
+        "query_id", "rank"
+    )
 
 
 def _knn_join_oracle(k: int = 3, tables: int = 8) -> str:
