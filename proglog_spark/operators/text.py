@@ -492,7 +492,7 @@ def bm25_index_write(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    term_partitions: int = 8,
+    term_partitions: int | None = None,
 ) -> None:
     """Materialize a persistent BM25 inverted index: tokenize ONCE,
     persist the four statistics tables a query needs — the
@@ -519,6 +519,12 @@ def bm25_index_write(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)  # one tokenize feeds all four tables
     )
+    if term_partitions is None:
+        # corpus-adaptive file count (~4M postings per file): a fixed
+        # default would mean ever-fatter files as the corpus grows —
+        # the corpus-independent-knob disease the adaptive ladders fix
+        # elsewhere; the count is one cheap job over the checkpointed tf
+        term_partitions = max(8, tf.count() // 4_000_000 + 1)
     (
         tf.repartitionByRange(term_partitions, "term")
         .sortWithinPartitions("term", "doc_id")
