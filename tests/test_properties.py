@@ -632,3 +632,56 @@ def test_streaming_asof_state_machine_matches_merge_asof(rows, splits, delay_s):
             else (int(r["right_ts_us"]), int(r["right_tie"]))
         )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_oracle_replays_driver_loop(spark, words):
+    """The SQL training oracle must reproduce train_bpe_driver's merge
+    SEQUENCE on arbitrary corpora — the two-letter alphabet forces
+    a==b merge pairs (runs of identical symbols), the greedy-pass case
+    the run-parity SQL handles; ties and early stops land constantly
+    at this size."""
+    import duckdb
+
+    from proglog_spark import queries as q
+    from proglog_spark.operators.bpe import train_bpe_driver
+
+    df = spark.createDataFrame([(" ".join(words),)], "text STRING")
+    want = [
+        (i + 1, a, b)
+        for i, (a, b) in enumerate(train_bpe_driver(df, num_merges=6))
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT ? AS text", [" ".join(words)])
+    got = con.sql(q._bpe_train_oracle(num_merges=6)).fetchall()
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_block_params_ladder_invariants(n):
+    """Fuzzy-blocking ladder: width never increases and prefix length
+    never decreases with corpus size, widths stay in the declared set,
+    and inside the width regime the occupancy budget n·width ≤ 550k
+    holds (the bound that keeps per-block pairs constant)."""
+    from proglog_spark.operators.text import (
+        _BLOCK_PREFIX_LADDER,
+        _BLOCK_WIDTH_LADDER,
+        adaptive_block_params,
+    )
+
+    w, p = adaptive_block_params(n)
+    w2, p2 = adaptive_block_params(n + 1 + n // 10)
+    assert w2 <= w and p2 >= p
+    assert w in {x for _, x in _BLOCK_WIDTH_LADDER} | {1}
+    assert 0 <= p <= len(_BLOCK_PREFIX_LADDER)
+    if w > 1:
+        assert n * w <= 550_000
+    if p == 0:
+        assert n <= _BLOCK_PREFIX_LADDER[0]
