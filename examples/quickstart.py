@@ -112,6 +112,16 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
         (r.doc_id, r.score_micro)
         for r in text.bm25_topk(docs_tbl, [(0, "hash"), (0, "join")], k=3).collect()
     ]
+    # ...or index once, query many (the build-offline pattern): the
+    # persisted index returns byte-identical rankings without ever
+    # re-reading corpus text
+    text.bm25_index_write(docs_tbl, f"{workdir}/bm25_idx")
+    out["bm25_index_top3"] = [
+        (r.doc_id, r.score_micro)
+        for r in text.bm25_index_query(
+            spark, f"{workdir}/bm25_idx", [(0, "hash"), (0, "join")], k=3
+        ).collect()
+    ]
 
     # 6 — curation pipeline into training shards
     from proglog_spark.pipelines import curate_and_shard

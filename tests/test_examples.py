@@ -24,5 +24,6 @@ def test_quickstart_tour(spark, sf_dir, tmp_path):
     assert "PERMISSION_DENIED" in out["acl"]
     assert out["connector_rows"] == 11  # offsets 90..100
     assert len(out["scorecard"]) == 3
+    assert out["bm25_index_top3"] == out["bm25_top3"]
     assert sum(n for *_k, n in out["shard_accounting"]) > 0
     assert out["http_read"] == "event-0"
