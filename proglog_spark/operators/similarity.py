@@ -419,7 +419,7 @@ def quantized_lsh_ann_topk(
     ).select("query_id", id_col, "cos2_pico", "rank")
 
 
-def adaptive_lsh_bits(n: int, occupancy: int = 32, lo: int = 4, hi: int = 12) -> int:
+def adaptive_lsh_bits(n: int, occupancy: int = 32, lo: int = 4, hi: int = 16) -> int:
     """Selectivity auto-sizing for corpus-scale LSH self-joins: the
     smallest bits in [lo, hi] keeping expected bucket occupancy
     ≤ ``occupancy`` (n ≤ occupancy·2^bits). With FIXED bits the

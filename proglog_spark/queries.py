@@ -1798,7 +1798,7 @@ def emb_cosine_topk(spark, sf_dir):
 def _lsh_ann_oracle(tables: int = 8) -> str:
     """All-SQL replay of quantized_lsh_ann_topk: the ±1 md5
     hyperplanes are inlined as literal lists (up to the
-    adaptive_lsh_bits ladder's 12-bit ceiling; only
+    adaptive_lsh_bits ladder's 16-bit ceiling; only
     pidx < bits·tables participate), sign-bucketing runs on the same
     floor(x·1000) integer grid with bits auto-sized to the corpus by
     the CASE ladder, candidates come from exact (table, bucket)
@@ -1807,13 +1807,13 @@ def _lsh_ann_oracle(tables: int = 8) -> str:
     reproduced bit-for-bit at every corpus size."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 16 * tables))
     )
-    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 16))
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
-        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        f"ab AS (SELECT CASE {ladder} ELSE 16 END AS bits "
         "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
         "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
@@ -1868,19 +1868,19 @@ def _knn_join_oracle(k: int = 3, tables: int = 8) -> str:
     comparisons, no float log), and (b) candidates come from the full
     bucket self-join (every vector is a query), each source ranking
     its candidates — the whole approximate kNN graph is
-    hash-compared. Planes are inlined up to the ladder's 12-bit
+    hash-compared. Planes are inlined up to the ladder's 16-bit
     ceiling; only pidx < bits·tables participate."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 16 * tables))
     )
     ladder = " ".join(
-        f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12)
+        f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 16)
     )
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
-        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        f"ab AS (SELECT CASE {ladder} ELSE 16 END AS bits "
         "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
         "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
@@ -1936,13 +1936,13 @@ def _negative_sample_oracle(k: int = 5, tables: int = 8) -> str:
     corpus-size-independent."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 16 * tables))
     )
-    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 16))
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
-        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        f"ab AS (SELECT CASE {ladder} ELSE 16 END AS bits "
         "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
         "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
@@ -2405,18 +2405,18 @@ def _cosine_neardup_oracle(t_milli: int = 900, tables: int = 8) -> str:
     chain over count(*)) — feeding the full bucket self-join
     (id_a < id_b), then the exact integer threshold test
     10^6·d² ≥ t_milli²·na·nb with d > 0. Planes are inlined up to the
-    ladder's 12-bit ceiling; only pidx < bits·tables participate, so
+    ladder's 16-bit ceiling; only pidx < bits·tables participate, so
     the candidate set (and with it the emitted pair set) matches the
     Spark bucketing bit for bit at every corpus size."""
     vals = ", ".join(
         f"({p}, {list(row)})"
-        for p, row in enumerate(similarity.hyperplane_signs(64, 12 * tables))
+        for p, row in enumerate(similarity.hyperplane_signs(64, 16 * tables))
     )
-    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 12))
+    ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 16))
     return (
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
-        f"ab AS (SELECT CASE {ladder} ELSE 12 END AS bits "
+        f"ab AS (SELECT CASE {ladder} ELSE 16 END AS bits "
         "FROM (SELECT count(*) AS n FROM embeddings)), "
         f"pl AS (SELECT * FROM (VALUES {vals}) AS p(pidx, pv)), "
         "bk AS (SELECT vec_id, pidx // bits AS tbl, CAST(sum(CASE WHEN "
