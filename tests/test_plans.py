@@ -579,6 +579,12 @@ def test_cosine_neardup_buckets_checkpointed_not_cached(spark, sf_dir):
     this replaced held one copy per invocation for the session)."""
     from proglog_spark.operators import similarity as sim
 
+    # other test modules legitimately .cache() fixture tables, and the
+    # CacheManager's plan-matching would splice an InMemoryTableScan
+    # into OUR scan when the whole suite shares the session — clear
+    # first so the no-cache assertion tests THIS operator, not suite
+    # ordering
+    spark.catalog.clearCache()
     emb = load_table(spark, sf_dir, "embeddings")
     plan = plan_of(sim.embedding_cosine_neardup(emb, dim=64, threshold=0.45))
     assert "ArrowEvalPython" not in plan
