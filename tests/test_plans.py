@@ -628,3 +628,18 @@ def test_bpe_training_is_two_jobs_then_driver(spark, sf_dir):
     plan = plan_of(q.REGISTRY["docs_bpe_train_merges"][0](spark, sf_dir))
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan  # training already ran; result is local
+
+
+def test_ivf_knn_join_assignment_once_no_cache(spark, sf_dir):
+    """Trained-partition kNN graph: the (id, cell) table is eagerly
+    checkpointed, so both self-join sides read the materialized RDD —
+    the assignment UDF ran once before the plan existed and nothing
+    stays in the CacheManager."""
+    from proglog_spark.operators import similarity as sim
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(sim.quantized_ivf_knn_join(emb, dim=64, k=3))
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
