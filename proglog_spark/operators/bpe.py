@@ -234,7 +234,11 @@ def encode(
 ) -> DataFrame:
     """Apply a learned merge list: (id, n_words, n_tokens, tokens
     prefix). One Arrow-batched pass over the corpus, merges applied
-    per word in learned order (the standard greedy BPE encoder)."""
+    per word in learned order (the standard greedy BPE encoder).
+    ``token_prefix`` is the first 12 tokens SPACE-joined to a scalar:
+    words are split on ' ' so no token can contain the separator, and
+    scalar final columns are the driver-canonicalization contract
+    (SURVEY §2.1) — array cells break pandas sort/hash harnesses."""
     merge_list = list(merges)
     # Zipf makes a distinct-word cache the whole ballgame: each worker
     # encodes a word ONCE and every later occurrence is a dict hit —
@@ -286,5 +290,5 @@ def encode(
         id_col,
         F.size("w").cast("long").alias("n_words"),
         F.size("t").cast("long").alias("n_tokens"),
-        F.slice("t", 1, 12).alias("token_prefix"),
+        F.array_join(F.slice("t", 1, 12), " ").alias("token_prefix"),
     )

@@ -34,13 +34,16 @@ def masked_vector_rows(vecs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """
     arr = vecs.to_numpy()
     mask = np.fromiter((v is not None for v in arr), dtype=bool, count=len(arr))
+    if not mask.any():
+        # checked BEFORE the all-valid fast path: on a zero-length
+        # batch mask.all() is vacuously True and np.stack([]) raises —
+        # empty Arrow batches do occur (empty partitions, filters)
+        return mask, np.empty((0, 0), dtype=np.float64)
     if mask.all():
         # the overwhelmingly common batch (no NULLs): one vectorized
         # stack, no per-row asarray pass — the guard must not tax the
         # hot path it protects
         return mask, np.stack(arr).astype(np.float64)
-    if not mask.any():
-        return mask, np.empty((0, 0), dtype=np.float64)
     mat = np.stack(
         [np.asarray(arr[i], dtype=np.float64) for i in np.flatnonzero(mask)]
     )

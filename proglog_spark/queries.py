@@ -5024,7 +5024,7 @@ def _vocab_top1000(toks: DataFrame) -> DataFrame:
     "(PARTITION BY doc_id ORDER BY pos) AS rn FROM j WHERE id IS NOT NULL) "
     "WHERE rn <= 8 GROUP BY 1) "
     "SELECT b.doc_id, b.n_tokens, b.n_oov, "
-    "COALESCE(p.ids, CAST([] AS BIGINT[])) AS ids_prefix "
+    "COALESCE(array_to_string(p.ids, ','), '') AS ids_prefix "
     "FROM base b LEFT JOIN pref p USING (doc_id) ORDER BY b.doc_id",
 )
 def docs_tokenize_ids(spark, sf_dir):
@@ -5035,8 +5035,11 @@ def docs_tokenize_ids(spark, sf_dir):
     already-LIMITed 1000 rows, driver-scale by construction),
     broadcast it, and stream every token through the broadcast left
     join. Per doc: token count, OOV count, and the ids of the first 8
-    in-vocab tokens in document order (array output, hash-compared
-    order-sensitively)."""
+    in-vocab tokens in document order, comma-joined to a scalar —
+    final columns must be driver-canonicalizable (SURVEY §2.1: no
+    array/map/struct final columns; ids are BIGINTs so ',' cannot
+    collide), and the join is order-sensitive so the hash still pins
+    token order."""
     d = load_table(spark, sf_dir, "documents")
     toks = _alpha_tokens(d, with_pos=True)
     vocab = _vocab_top1000(toks)
@@ -5052,7 +5055,10 @@ def docs_tokenize_ids(spark, sf_dir):
         .where(F.col("rn") <= 8)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "id"))).alias("ps"))
-        .select("doc_id", F.expr("transform(ps, x -> x.id)").alias("ids"))
+        .select(
+            "doc_id",
+            F.expr("transform(ps, x -> CAST(x.id AS STRING))").alias("ids"),
+        )
     )
     return (
         base.join(pref, "doc_id", "left")
@@ -5060,9 +5066,7 @@ def docs_tokenize_ids(spark, sf_dir):
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.coalesce(F.col("ids"), F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias(
-                "ids_prefix"
-            ),
+            F.coalesce(F.array_join("ids", ","), F.lit("")).alias("ids_prefix"),
         )
         .orderBy("doc_id")
     )
@@ -6434,13 +6438,14 @@ def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
         "unnest(range(1, len(ws) + 1)) AS t(i))",
         "agg AS (SELECT d.doc_id, count(*) AS n_words, "
         "CAST(sum(e.nt) AS BIGINT) AS n_tokens, "
-        "(flatten(list(e.toks ORDER BY d.i)))[1:12] AS token_prefix "
+        "array_to_string((flatten(list(e.toks ORDER BY d.i)))[1:12], ' ') "
+        "AS token_prefix "
         "FROM dw d JOIN enc e ON d.word = e.word GROUP BY d.doc_id)",
     ]
     return ", ".join(parts) + (
         " SELECT c.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words, "
         "CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
-        "coalesce(a.token_prefix, []) AS token_prefix "
+        "coalesce(a.token_prefix, '') AS token_prefix "
         "FROM documents c LEFT JOIN agg a ON c.doc_id = a.doc_id "
         "ORDER BY c.doc_id"
     )
@@ -7197,39 +7202,58 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "docs_top_terms", "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q15_top_supplier",
     "tpch_q20_promo_shippers",
+    # CORRECTNESS_r04.json (the 48 greens; the 2 reds —
+    # docs_tokenize_ids / docs_bpe_token_stats — were re-serialized to
+    # scalar final columns in r5, which changed their ORACLES, so per
+    # the re-check rule they lead the r5 window instead)
+    "emb_knn_join_ivf", "docs_bpe_train_merges",
+    "events_heavy_hitters_streamed", "docs_bm25_decontamination",
+    "tpch_q21_last_shipper", "events_retention_cohorts",
+    "events_funnel_conversion", "events_value_histogram",
+    "events_daily_active", "events_pareto_users", "docs_bigram_counts",
+    "docs_source_dedup_stats", "docs_repetition_stats",
+    "docs_contamination", "docs_train_split", "events_unpivot_extremes",
+    "events_props_map_explode", "events_user_value_percentiles",
+    "events_halves_full_outer", "emb_pca_power", "docs_pii_redaction",
+    "events_markov_transitions", "docs_udtf_ngrams",
+    "tpch_q11_important_parts", "lineitem_profile", "events_value_moments",
+    "docs_fuzzy_block_match", "events_minute_gapfill",
+    "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
+    "docs_weighted_mixture", "docs_curation_pipeline",
+    "docs_incremental_dedup", "events_trailing_anomaly",
+    "events_rolling_wau", "docs_length_quantiles_sketch",
+    "orders_bucket_ranks", "orders_calendar_profile",
+    "events_nullsafe_match", "events_grouping_sets",
+    "docs_recursive_ancestry", "events_variant_props",
+    "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
+    "docs_minhash_estimate_gate", "events_out_of_order_audit",
+    "events_type_value_quantiles",
 })
 
 
-# Coverage-first ordering inside the fresh group: the three r4
-# queries and the re-oracled docs_bpe_token_stats lead, then the
-# entire never-driver-checked backlog in registry order — the first
-# 50 emitted are the driver's r4 window (46 of the 60 never-checked
-# names; the remaining 14 plus the 9 emb_* queries evicted by the
-# re-check rule, all freshly green in the local full gate, land in
-# r5's window).
+# r5 window (VERDICT-r4 item 2, the verification backlog): the two
+# re-serialized queries lead (their oracles changed — re-check rule),
+# then the 14 names that have never appeared in a driver window, then
+# the 9 emb_* queries evicted from _DRIVER_CHECKED after r4's
+# encode-path changes. 2+14+9 = 25 slots; the rest of the 50-query
+# window refills from the checked group in registry order (rotation
+# hygiene). After this round every registered name should have a
+# driver-green row at its CURRENT implementation.
 _WINDOW_PRIORITY = [
-    "emb_knn_join_ivf",
-    "docs_bpe_train_merges", "events_heavy_hitters_streamed", "docs_bm25_decontamination",
-    "docs_bpe_token_stats", "tpch_q21_last_shipper", "events_retention_cohorts",
-    "events_funnel_conversion", "events_value_histogram", "events_daily_active",
-    "events_pareto_users", "docs_bigram_counts", "docs_source_dedup_stats",
-    "docs_repetition_stats", "docs_contamination", "docs_train_split",
-    "events_unpivot_extremes", "events_props_map_explode", "events_user_value_percentiles",
-    "events_halves_full_outer", "emb_pca_power", "docs_pii_redaction",
-    "events_markov_transitions", "docs_udtf_ngrams", "tpch_q11_important_parts",
-    "lineitem_profile", "events_value_moments", "docs_fuzzy_block_match",
-    "events_minute_gapfill", "emb_label_centroids", "docs_pack_sequences",
-    "docs_tokenize_ids", "docs_tfidf_top_terms", "docs_weighted_mixture",
-    "docs_curation_pipeline", "docs_incremental_dedup", "events_trailing_anomaly",
-    "events_rolling_wau", "docs_length_quantiles_sketch", "orders_bucket_ranks",
-    "orders_calendar_profile", "events_nullsafe_match", "events_grouping_sets",
-    "docs_recursive_ancestry", "events_variant_props", "tpch_bloom_filter_join",
-    "docs_heavy_terms_sketch", "docs_minhash_estimate_gate", "events_out_of_order_audit",
-    "events_type_value_quantiles", "events_distinct_rollup_streamed", "docs_repeated_span_dedup",
-    "events_bitmap_distinct", "events_hll_rollup_gate", "events_type_day_matrix",
-    "docs_chunk_spans", "docs_rarity_filter", "events_type_pagerank",
-    "events_journey_segments", "events_halves_bag_ops", "docs_source_scorecard",
-    "tpch_lateral_top_customers", "events_sql_udf_buckets", "docs_sql_tvf_tokens",
+    # the two r4 reds, re-serialized to scalar final columns in r5
+    "docs_tokenize_ids", "docs_bpe_token_stats",
+    # the 14 never-driver-checked
+    "docs_chunk_spans", "docs_rarity_filter", "docs_repeated_span_dedup",
+    "docs_source_scorecard", "docs_sql_tvf_tokens", "events_bitmap_distinct",
+    "events_distinct_rollup_streamed", "events_halves_bag_ops",
+    "events_hll_rollup_gate", "events_journey_segments",
+    "events_sql_udf_buckets", "events_type_day_matrix",
+    "events_type_pagerank", "tpch_lateral_top_customers",
+    # the 9 emb_* evicted by the re-check rule (r4 adaptive-bits +
+    # NULL-guard encode-path changes)
+    "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
+    "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
+    "emb_pq_ann_topk", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
 ]
 
 

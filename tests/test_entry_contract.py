@@ -30,6 +30,36 @@ def test_oracle_keys_subset_of_queries():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
 
 
+def test_oracle_final_columns_are_scalar(sf_dir):
+    """Driver-canonicalization lint (SURVEY §2.1): the driver's hash
+    harness sorts result rows with pandas ``sort_values``, where
+    list/struct/map cells raise ``unhashable type`` — learned the hard
+    way in round 4 when the only two array-final-column queries
+    (docs_tokenize_ids, docs_bpe_token_stats) went driver-RED despite
+    agreeing with their oracles. Every declared query's FINAL columns
+    must therefore be scalar. DuckDB ``DESCRIBE`` binds and types the
+    oracle without executing it, and the gate separately enforces
+    Spark-vs-oracle schema match, so linting the oracle types covers
+    the Spark side too — cheap enough to sweep all registered oracles
+    in one test."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            t = typ.upper()
+            if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                bad.append((name, col, typ))
+    assert not bad, f"non-scalar final columns break the driver harness: {bad}"
+
+
 @pytest.mark.parametrize("name", ["log_bounds", "events_extremes", "emb_dot_topk"])
 def test_spot_queries_run(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)

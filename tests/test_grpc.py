@@ -250,3 +250,38 @@ def test_grpc_transport_end_to_end(spark, tmp_path):
         assert "offset out of range: 99" in e.value.details()
     finally:
         srv.stop()
+
+
+def test_grpc_transport_streams_end_to_end(spark, tmp_path):
+    """ENV-GATED (skips without grpcio): the two streaming RPCs over a
+    REAL grpc channel — the reference's testProduceConsumeStream shape
+    (internal/server/server_test.go:177-192): ProduceStream acks each
+    record with its offset in request order; ConsumeStream replays from
+    the requested offset. Pins the hand-rolled proto3 wire bytes
+    through an actual HTTP/2 transport, not just in-process fixtures."""
+    grpc = pytest.importorskip("grpc")
+    from proglog_spark.grpc_api.server import SERVICE_NAME, GrpcLogServer
+
+    engine = Engine.create(spark, str(tmp_path / "log"), bucket_size=8)
+    srv = GrpcLogServer(engine)
+    host, port = srv.start()
+    try:
+        channel = grpc.insecure_channel(f"{host}:{port}")
+        produce_stream = channel.stream_stream(f"/{SERVICE_NAME}/ProduceStream")
+        consume_stream = channel.unary_stream(f"/{SERVICE_NAME}/ConsumeStream")
+        values = [b"first", b"second", b"third"]
+        acks = list(
+            produce_stream(
+                iter(wire.ProduceRequest(wire.Record(value=v)).encode()
+                     for v in values)
+            )
+        )
+        assert [wire.ProduceResponse.decode(a).offset for a in acks] == [0, 1, 2]
+        got = []
+        for resp in consume_stream(wire.ConsumeRequest(offset=1).encode()):
+            got.append(wire.ConsumeResponse.decode(resp).record)
+            if len(got) == 2:  # tail-follow never ends on its own
+                break
+        assert [(r.offset, r.value) for r in got] == [(1, b"second"), (2, b"third")]
+    finally:
+        srv.stop()

@@ -461,3 +461,39 @@ def test_registered_decoder_closes_the_compressed_boundary(spark):
     assert rows[2].format == "corrupt:jpeg" and rows[2].pixels is None
     assert rows[3].format == "unsupported:jpeg" and rows[3].pixels is None
     assert rows[4].format == "png" and rows[4].pixels is None
+
+
+def test_pillow_auto_hook_decodes_real_png(spark):
+    """ENV-GATED (skips where Pillow is absent — this container):
+    the import-try auto-hook registers _pillow_luma_decoder for
+    jpeg/png at module import, so a REAL compressed payload decodes
+    through the same decode_images path as the built-ins, and a
+    corrupt body (valid PNG header, truncated stream — Pillow raises
+    OSError, not UnidentifiedImageError) maps to corrupt:png instead
+    of killing the job (the decoder-contract exception set)."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from proglog_spark.multimodal.media import _IMAGE_DECODERS, decode_images
+
+    assert "png" in _IMAGE_DECODERS and "jpeg" in _IMAGE_DECODERS
+
+    # a real 2x3 grayscale PNG with known pixel values
+    im = PIL_Image.new("L", (3, 2))
+    im.putdata([0, 128, 255, 10, 20, 30])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    good = buf.getvalue()
+    truncated = good[: len(good) // 2]  # valid header, corrupt body
+
+    rows = {
+        r.doc_id: r
+        for r in decode_images(
+            spark.createDataFrame(
+                [(1, good), (2, truncated)], "doc_id LONG, payload BINARY"
+            )
+        ).collect()
+    }
+    assert (rows[1].format, rows[1].height, rows[1].width) == ("png", 2, 3)
+    assert list(rows[1].pixels) == [0, 128, 255, 10, 20, 30]
+    assert rows[2].format == "corrupt:png" and rows[2].pixels is None

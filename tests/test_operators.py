@@ -664,6 +664,23 @@ def test_quantized_ivf_handles_zero_vector(spark):
         assert zero_rows[0].rank == max(r.rank for r in out)
 
 
+def test_masked_vector_rows_empty_batch():
+    """Zero-length Arrow batches (empty partitions, post-filter) must
+    not reach np.stack([]): the empty branch fires BEFORE the all-valid
+    fast path, where mask.all() is vacuously True on length 0."""
+    import pandas as pd
+
+    from proglog_spark.operators.linalg import masked_vector_rows
+
+    mask, mat = masked_vector_rows(pd.Series([], dtype=object))
+    assert len(mask) == 0 and mat.shape == (0, 0)
+    # 1-row sanity on each branch around it
+    mask, mat = masked_vector_rows(pd.Series([[1.0, 2.0]]))
+    assert mask.tolist() == [True] and mat.shape == (1, 2)
+    mask, mat = masked_vector_rows(pd.Series([None], dtype=object))
+    assert mask.tolist() == [False] and mat.shape == (0, 0)
+
+
 def test_null_embedding_never_crashes_encode_paths(spark, emb):
     """A single NULL embedding row must not kill any Arrow encode/
     bucket/assign job (np.stack over a None is an opaque worker
@@ -1515,7 +1532,12 @@ def test_bpe_training_matches_python_reference(spark, sf_dir):
     enc = bpe.encode(d.limit(20), merges).collect()
     for r in enc:
         assert r.n_tokens >= r.n_words  # every word ends with a </w> token
-        assert 0 < len(r.token_prefix) <= 12
+        # token_prefix is a SPACE-joined scalar (driver contract): the
+        # first min(n_tokens, 12) tokens, each non-empty
+        toks = r.token_prefix.split(" ")
+        assert 0 < len(toks) <= 12
+        assert len(toks) == min(r.n_tokens, 12)
+        assert all(toks)
 
 
 def test_bpe_driver_deep_parity_and_word_cap(spark, sf_dir):
