@@ -27,6 +27,44 @@ from proglog_spark import queries as q  # noqa: E402
 from proglog_spark.session import build_session  # noqa: E402
 
 
+def _streaming_warmup(spark) -> None:
+    """One throwaway stateful streaming query (1 row, 1 micro-batch,
+    memory sink + checkpoint — the harness shape every streamed gate
+    uses)."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="bench_stream_warm_src_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_warm_ckpt_")
+    try:
+        spark.createDataFrame([(1, 1)], "k long, v long").write.mode(
+            "append"
+        ).parquet(src)
+
+        def _fn(key, pdfs, state):
+            yield pd.DataFrame({"k": [key[0]], "n": [sum(len(p) for p in pdfs)]})
+
+        sq = (
+            spark.readStream.schema("k long, v long")
+            .parquet(src)
+            .groupBy("k")
+            .applyInPandasWithState(
+                _fn, "k long, n long", "s long", "update", "NoTimeout"
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("bench_stream_warmup")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        spark.sql("DROP TABLE IF EXISTS bench_stream_warmup")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -66,6 +104,12 @@ def main() -> None:
         "SELECT from_json(to_json(named_struct('a', id)), 'a BIGINT'), "
         "unbase64(base64(CAST('x' AS BINARY))) FROM range(1)"
     ).collect()
+    # the session's FIRST stateful streaming query pays ~4 s extra
+    # (state-channel Python workers + streaming codegen spin up once
+    # per JVM; measured in BASELINE's streaming-fixed-cost section) —
+    # absorb it with a minimal 1-row applyInPandasWithState run so the
+    # six streamed gate entries all measure steady-state engine cost
+    _streaming_warmup(spark)
 
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}

@@ -567,3 +567,106 @@ def bm25_index_query(
     totals = spark.read.parquet(f"{path}/totals")
     qt = spark.createDataFrame(term_queries, "query_id long, term string")
     return _bm25_rank(tf, dl, dfreq, totals, qt, k, id_col)
+
+
+def dsir_topk(
+    df: DataFrame,
+    is_target: Column,
+    k: int = 100,
+    n_buckets: int = 10007,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): rank raw
+    documents by how target-like their hashed-bigram feature
+    distribution is, and keep the top ``k``.
+
+    The published method fits two bag-of-hashed-ngrams models —
+    p_target and p_raw — and weighs each doc by its log likelihood
+    ratio. This implementation keeps the estimator but swaps the
+    per-feature log-ratio for the integer-exact mean likelihood ratio
+    on the micro grid (the repo's oracle-gating convention, same as
+    the LM scorers):
+
+        ratio_micro(f) = ((t_f+1) * (R+B) * 10^6) div ((r_f+1) * (T+B))
+        dsir_micro(d)  = sum_f k_f * ratio_micro(f) div sum_f k_f
+
+    with t_f/r_f the target/raw feature counts, T/R their totals, B
+    the bucket count (Laplace smoothing over the fixed hashed
+    vocabulary — exactly the paper's smoothed multinomials), and k_f
+    the doc's feature counts. Monotone scoring on the same sufficient
+    statistics; selection = top-k by (score, doc_id).
+
+    Scale posture — the reason DSIR hashes features: the MODEL is at
+    most ``n_buckets`` rows no matter the corpus size, so the
+    join-back broadcasts; the only corpus-scale shuffles are the two
+    feature-count reductions (map-side combinable). Features are word
+    bigrams hashed with the portable :func:`token_hash32` (md5-based,
+    so the DuckDB oracle reproduces bucket ids bit-for-bit).
+
+    BIGINT bound: (t_f+1)*(R+B)*10^6 stays below 2^63 while
+    t_f*R < 9.2e12 — past that (deep-trillions of tokens), lift the
+    two products to DECIMAL(38,0); the plan does not change.
+    """
+    feats = (
+        df.select(
+            id_col,
+            is_target.alias("is_tgt"),
+            F.filter(F.split(text_col, " "), lambda w: w != "").alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            id_col,
+            "is_tgt",
+            F.explode(
+                F.expr(
+                    # transform's i and [] indexing are both 0-based:
+                    # slice element i is ws[i], its successor ws[i+1]
+                    "transform(slice(ws, 1, size(ws) - 1), "
+                    "(w, i) -> concat(w, ' ', ws[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            id_col,
+            "is_tgt",
+            F.pmod(token_hash32(F.col("bg")), F.lit(n_buckets)).alias("bk"),
+        )
+    )
+    # one pass over the token stream: the model's per-bucket counts
+    # reduce FROM the per-doc feature table (is_tgt is constant per
+    # doc, so carrying it through the first groupBy is free), whose
+    # cardinality is distinct (doc, bucket) pairs — far below the raw
+    # token stream the naive second explode would re-scan
+    doc_f = feats.groupBy(id_col, "is_tgt", "bk").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    raw = doc_f.groupBy("bk").agg(
+        F.sum("k").alias("rc"),
+        F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(0)).alias("tc"),
+    )
+    totals = raw.agg(
+        F.sum("rc").cast("long").alias("R"), F.sum("tc").cast("long").alias("T")
+    )
+    model = F.broadcast(
+        raw.crossJoin(F.broadcast(totals)).select(
+            "bk",
+            F.expr(
+                f"CAST(((tc + 1) * (R + {n_buckets}) * 1000000) div "
+                f"((rc + 1) * (T + {n_buckets})) AS BIGINT)"
+            ).alias("ratio_micro"),
+        )
+    )
+    return (
+        doc_f.join(model, "bk")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.expr("CAST(sum(k * ratio_micro) div sum(k) AS BIGINT)").alias(
+                "dsir_micro"
+            ),
+        )
+        .orderBy(F.col("dsir_micro").desc(), id_col)
+        .limit(k)
+    )

@@ -1795,23 +1795,29 @@ def emb_cosine_topk(spark, sf_dir):
     return similarity.quantized_cosine_topk(e, q, k=10).orderBy("query_id", "rank")
 
 
-def _lsh_ann_oracle(tables: int = 8) -> str:
-    """All-SQL replay of quantized_lsh_ann_topk: the ±1 md5
-    hyperplanes are inlined as literal lists (up to the
-    adaptive_lsh_bits ladder's 16-bit ceiling; only
-    pidx < bits·tables participate), sign-bucketing runs on the same
-    floor(x·1000) integer grid with bits auto-sized to the corpus by
-    the CASE ladder, candidates come from exact (table, bucket)
-    equality, and ranking uses the integer quantized-cosine key — so
-    even the *approximation* (which candidates each query sees) is
-    reproduced bit-for-bit at every corpus size."""
+def _lsh_ann_ctes(tables: int = 8, query_pred: str | None = None) -> str:
+    """The quantized_lsh_ann_topk replay as a WITH-chain body (no
+    leading ``WITH``, no final SELECT): the ±1 md5 hyperplanes are
+    inlined as literal lists (up to the adaptive_lsh_bits ladder's
+    16-bit ceiling; only pidx < bits·tables participate),
+    sign-bucketing runs on the same floor(x·1000) integer grid with
+    bits auto-sized to the corpus by the CASE ladder, candidates come
+    from exact (table, bucket) equality, and ranking uses the integer
+    quantized-cosine key — so even the *approximation* (which
+    candidates each query sees) is reproduced bit-for-bit at every
+    corpus size. Ends with ``ranked(query_id, vec_id, cos2_pico,
+    rank)``; ``query_pred`` selects the query vectors (default: the
+    shared _QUERY_VECS sample). Shared by the ANN top-k oracle and
+    the recall-gate oracle."""
+    if query_pred is None:
+        query_pred = f"vec_id IN {_QUERY_VECS}"
     vals = ", ".join(
         f"({p}, {list(row)})"
         for p, row in enumerate(similarity.hyperplane_signs(64, 16 * tables))
     )
     ladder = " ".join(f"WHEN n <= {32 << b} THEN {b}" for b in range(4, 16))
     return (
-        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
         f"ab AS (SELECT CASE {ladder} ELSE 16 END AS bits "
         "FROM (SELECT count(*) AS n FROM embeddings)), "
@@ -1822,7 +1828,7 @@ def _lsh_ann_oracle(tables: int = 8) -> str:
         f"FROM qv CROSS JOIN pl, ab WHERE pidx < bits * {tables} "
         "GROUP BY vec_id, pidx // bits), "
         "qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk "
-        f"WHERE vec_id IN {_QUERY_VECS}), "
+        f"WHERE {query_pred}), "
         "cand AS (SELECT DISTINCT qb.query_id, bk.vec_id FROM bk JOIN qb "
         "ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket AND bk.vec_id != qb.query_id), "
         "sc AS (SELECT c.query_id, c.vec_id, "
@@ -1835,7 +1841,13 @@ def _lsh_ann_oracle(tables: int = 8) -> str:
         "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) END AS BIGINT) "
         "AS cos2_pico FROM sc), "
         "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
-        "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed) "
+        "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed)"
+    )
+
+
+def _lsh_ann_oracle(tables: int = 8) -> str:
+    return (
+        "WITH " + _lsh_ann_ctes(tables) + " "
         "SELECT query_id, vec_id, cos2_pico, rank FROM ranked WHERE rank <= 10 "
         "ORDER BY query_id, rank"
     )
@@ -7135,6 +7147,171 @@ def docs_sql_tvf_tokens(spark, sf_dir):
         "SELECT d.doc_id, CAST(t.pos AS BIGINT) AS pos, t.tok "
         "FROM sql_tvf_docs_src d, LATERAL tokenize_ws(d.text) t "
         "ORDER BY d.doc_id, pos"
+    )
+
+
+@register(
+    "docs_dsir_selection",
+    "WITH w AS (SELECT doc_id, lang, "
+    "list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents), "
+    "ix AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM w "
+    "WHERE len(ws) >= 2), "
+    "f AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8)) AS BIGINT) "
+    "% 10007 AS bk FROM ix), "
+    "df_doc AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS k "
+    "FROM f GROUP BY 1, 2), "
+    "raw AS (SELECT bk, CAST(count(*) AS BIGINT) AS rc, "
+    "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc "
+    "FROM f GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(rc) AS BIGINT) AS R, "
+    "CAST(sum(tc) AS BIGINT) AS T FROM raw), "
+    "m AS (SELECT bk, ((tc + 1) * (R + 10007) * 1000000) // "
+    "((rc + 1) * (T + 10007)) AS ratio_micro FROM raw, tot), "
+    "sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats, "
+    "CAST(sum(k * ratio_micro) // sum(k) AS BIGINT) AS dsir_micro "
+    "FROM df_doc JOIN m USING (bk) GROUP BY 1) "
+    "SELECT doc_id, n_feats, dsir_micro FROM sc "
+    "ORDER BY dsir_micro DESC, doc_id LIMIT 100",
+)
+def docs_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023) as a first-class pipeline
+    stage: rank the corpus by hashed-bigram importance against a
+    target domain (here lang='en' — the classic "select web data that
+    looks like the target" recipe) and keep the top 100. The
+    per-feature log-ratio of the paper becomes the integer-exact mean
+    likelihood ratio on the micro grid (`text.dsir_topk` — same
+    oracle-gating convention as the LM scorers), so feature hashing,
+    the two smoothed multinomials, scoring, AND selection all
+    hash-match the SQL oracle. Scale posture: the model is ≤ 10007
+    rows regardless of corpus size (the whole point of DSIR's hashed
+    features) and broadcasts to the join-back; the only corpus-scale
+    shuffles are two map-side-combinable feature-count reductions.
+    The reference has no text analytics at all (payloads are opaque
+    bytes, api/v1/log.proto:8); north-star training-data surface."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.dsir_topk(d, F.col("lang") == "en", k=100)
+
+
+@register(
+    "emb_ann_recall_gate",
+    "WITH " + _lsh_ann_ctes(8, "vec_id < 16") + ", "
+    "esc AS (SELECT b.vec_id AS query_id, a.vec_id, "
+    "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+    "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+    "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+    "FROM qv a CROSS JOIN qv b WHERE b.vec_id < 16 AND a.vec_id != b.vec_id), "
+    "ekeyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
+    "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+    "(CAST(na AS HUGEINT) * nb)) END AS BIGINT) AS cos2_pico FROM esc), "
+    "eranked AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM ekeyed) "
+    "SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact, "
+    "CAST(count(r.vec_id) AS BIGINT) AS n_hits, "
+    "CAST((count(r.vec_id) * 100) // count(*) AS BIGINT) AS recall_pct "
+    "FROM (SELECT query_id, vec_id FROM eranked WHERE rank <= 10) e "
+    "LEFT JOIN (SELECT query_id, vec_id FROM ranked WHERE rank <= 10) r "
+    "ON e.query_id = r.query_id AND e.vec_id = r.vec_id "
+    "GROUP BY 1 ORDER BY 1",
+)
+def emb_ann_recall_gate(spark, sf_dir):
+    """ANN quality as a GATED metric: recall@10 of the hyperplane-LSH
+    index against the exact quantized-cosine top-10, per query, over
+    a FIXED 16-query audit sample (vec_id < 16 — fixed so the exact
+    side stays 16·n linear at any corpus size; the sample size is the
+    audit dial). Every ANN deployment tracks recall; here the whole
+    measurement — exact ranking, bucketed candidates, hit counts —
+    is integer arithmetic inside the hash gate, so an engine change
+    that silently degrades the index (different planes, wrong bucket
+    math, dropped candidates) fails CORRECTNESS, not just a dashboard.
+    Composes the two existing oracle-exact paths
+    (`similarity.quantized_cosine_topk` / `quantized_lsh_ann_topk`);
+    recall against FLOAT cosine stays property-tested in
+    tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    exact = similarity.quantized_cosine_topk(e, q, k=10).select("query_id", "vec_id")
+    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST((n_hits * 100) div n_exact AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "emb_truncated_dim_overlap",
+    "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+    "dims AS (SELECT unnest([8, 16, 32, 64]) AS dim), "
+    "sc AS (SELECT d.dim, b.vec_id AS query_id, a.vec_id, "
+    "list_sum(list_transform(range(1, d.dim + 1), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+    "list_sum(list_transform(range(1, d.dim + 1), i -> a.q[i] * a.q[i]))::BIGINT AS na, "
+    "list_sum(list_transform(range(1, d.dim + 1), i -> b.q[i] * b.q[i]))::BIGINT AS nb "
+    "FROM qv a CROSS JOIN qv b CROSS JOIN dims d "
+    "WHERE b.vec_id < 16 AND a.vec_id != b.vec_id), "
+    "keyed AS (SELECT dim, query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
+    "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+    "(CAST(na AS HUGEINT) * nb)) END AS BIGINT) AS cos2_pico FROM sc), "
+    "r AS (SELECT dim, query_id, vec_id, row_number() OVER "
+    "(PARTITION BY dim, query_id ORDER BY cos2_pico DESC, vec_id) AS rn FROM keyed) "
+    "SELECT t.query_id, CAST(t.dim AS BIGINT) AS dim, "
+    "t.vec_id AS top1_trunc, f.vec_id AS top1_full, "
+    "t.vec_id = f.vec_id AS is_same "
+    "FROM (SELECT * FROM r WHERE rn = 1 AND dim < 64) t "
+    "JOIN (SELECT query_id, vec_id FROM r WHERE rn = 1 AND dim = 64) f "
+    "ON t.query_id = f.query_id ORDER BY t.query_id, dim",
+)
+def emb_truncated_dim_overlap(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): does
+    the top-1 neighbor survive truncating embeddings to a prefix of
+    8/16/32 dims? The measurement every dimension-reduction decision
+    (cheaper ANN, coarse IVF routing, MRL serving tiers) starts from —
+    and the audit that PQ/IVF parameter choices in this repo get
+    judged against. Exact quantized-cosine top-1 at each prefix dim
+    vs the full 64 dims over the fixed 16-query audit sample (same
+    linear 16·n posture as the recall gate; slicing commutes with the
+    per-component floor(x·1000) quantization, so Spark slicing raw
+    vectors and the oracle slicing quantized lists agree exactly)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 16)
+
+    def top1(d: int) -> DataFrame:
+        c_d = e.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        q_d = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        return similarity.quantized_cosine_topk(c_d, q_d, k=1).select(
+            "query_id", F.col("vec_id").alias("top1")
+        )
+
+    full = top1(64).withColumnRenamed("top1", "top1_full")
+    trunc = None
+    for d in (8, 16, 32):
+        t = top1(d).select(
+            "query_id", F.lit(d).cast("long").alias("dim"),
+            F.col("top1").alias("top1_trunc"),
+        )
+        trunc = t if trunc is None else trunc.unionByName(t)
+    return (
+        trunc.join(full, "query_id")
+        .select(
+            "query_id", "dim", "top1_trunc", "top1_full",
+            (F.col("top1_trunc") == F.col("top1_full")).alias("is_same"),
+        )
+        .orderBy("query_id", "dim")
     )
 
 

@@ -1732,3 +1732,66 @@ def test_ivf_knn_join_finds_planted_clone(spark, emb):
     assert top[7] == 100007 and top[100007] == 7
     n_src = len({r.src for r in rows})
     assert n_src == df.count()  # every vector has neighbors
+
+
+def test_dsir_topk_ranks_target_like_docs_first(spark):
+    """DSIR ordering property on a planted corpus: a raw doc written
+    in the target domain's vocabulary must outscore a raw doc written
+    in disjoint vocabulary (its bigrams share hash buckets with the
+    target counts, so its mean likelihood ratio is strictly higher),
+    and every score is positive-integer micro."""
+    from proglog_spark.operators.text import dsir_topk
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    rows = [
+        (i, target_text, "en") for i in range(10)  # the target domain
+    ] + [
+        (100, "alpha beta gamma delta alpha beta", "zh"),  # target-like raw
+        (101, "omega psi chi phi omega psi chi phi", "zh"),  # disjoint raw
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {
+        r.doc_id: r.dsir_micro
+        for r in dsir_topk(df, F.col("lang") == "en", k=100).collect()
+    }
+    assert out[100] > out[101]
+    assert all(v > 0 for v in out.values())
+    # target-domain docs themselves score at least as high as the
+    # target-like raw doc (identical feature distribution)
+    assert out[0] >= out[100]
+
+
+def test_ann_recall_gate_invariants(spark, sf_dir):
+    """The recall audit's internal consistency: exact side always
+    finds a full top-10 (fixtures have >> 10 vectors), hits can never
+    exceed it, and recall_pct is the exact integer ratio."""
+    from proglog_spark.queries import REGISTRY
+
+    rows = REGISTRY["emb_ann_recall_gate"][0](spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_pct == r.n_hits * 100 // r.n_exact
+
+
+def test_truncated_dim_overlap_full_dim_is_identity(spark, sf_dir):
+    """Slicing to the full 64 dims must reproduce the full-dim top-1
+    exactly (the audit's control arm), and the declared query's
+    is_same column must equal (top1_trunc == top1_full) row-wise."""
+    from proglog_spark.queries import REGISTRY
+    from proglog_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 16)
+    full = similarity.quantized_cosine_topk(e, q, k=1)
+    sliced = similarity.quantized_cosine_topk(
+        e.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+        q.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+        k=1,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, sliced.collect()))
+
+    for r in REGISTRY["emb_truncated_dim_overlap"][0](spark, sf_dir).collect():
+        assert r.dim in (8, 16, 32)
+        assert r.is_same == (r.top1_trunc == r.top1_full)
