@@ -736,11 +736,14 @@ def events_asof_order_streamed(spark, sf_dir):
 
     _write_sentinel(30)
     name = _sink_name("asof_streamed")
-    # unlike the sessionize twin (which narrows the state width to 8),
-    # this query keeps the SESSION's shuffle width: its cost is
-    # per-key pandas invocations (~|users| per micro-batch), which
-    # parallelize across state partitions — measured 25.4 s at 8
-    # partitions vs 19.4 s at 32 on the sf0.1 fixture
+    # keeps the SESSION's shuffle width: the engine groups state by
+    # hash BUCKET (r5 — 64 buckets, per-key logic vectorized inside
+    # via one merge_asof per seal wave), so per-micro-batch Python
+    # invocations are O(64) regardless of user count; the remaining
+    # cost is full-state store round-trips, which parallelize across
+    # partitions (the per-KEY ancestor measured 25.4 s at 8 partitions
+    # vs 19.4 s at 32 on the sf0.1 fixture; bucketed: 8.9 s at 32,
+    # 10x probe ratio 3.2 -> 1.9)
     q = (
         streaming_asof_join(
             ev.withColumnRenamed("user_id", "k"),
@@ -7362,7 +7365,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     # CORRECTNESS_r03.json (50 names, minus the 8 evictions above)
     "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
     "events_cms_join_estimate",
-    "events_asof_order_streamed", "docs_epoch_shuffle",
+    # events_asof_order_streamed NOT listed (evicted r5, re-check
+    # rule: the engine moved to hash-bucket state groups)
+    "docs_epoch_shuffle",
     "docs_lm_transition_score", "docs_lm_interpolated",
     "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
     "docs_cluster_safe_split", "emb_cosine_topk",
@@ -7431,6 +7436,8 @@ _WINDOW_PRIORITY = [
     "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
     "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
     "emb_pq_ann_topk", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
+    # evicted r5 (engine moved to bucketed state groups)
+    "events_asof_order_streamed",
 ]
 
 

@@ -486,9 +486,12 @@ def test_shard_assignment_properties(spark, keys, n_shards):
 # sequences, arbitrary batch splits, and the Spark watermark schedule
 # (wm = max event time seen - delay, updated between batches; rows
 # older than the wm at arrival are dropped; timers fire for dataless
-# keys whose timeout passed). Emitted matches must equal a pure
-# merge_asof over the ADMITTED rows — every admitted anchor exactly
-# once, matched to its max-(ts, tie) admitted candidate at-or-before.
+# BUCKETS whose timeout passed). State groups are hash buckets of
+# keys (key % 2 here, so one bucket carries TWO interleaved keys —
+# the multi-key vectorized path is what's under test). Emitted
+# matches must equal a pure merge_asof over the ADMITTED rows —
+# every admitted anchor exactly once, matched to its max-(ts, tie)
+# admitted candidate at-or-before WITH THE SAME KEY.
 # ---------------------------------------------------------------------------
 
 
@@ -577,36 +580,37 @@ def test_streaming_asof_state_machine_matches_merge_asof(rows, splits, delay_s):
             wm_ms = max_seen_ms - delay_s * 1000
         # admission filter: rows older than the current wm are dropped
         live_rows = [r for r in batch if r[2] >= wm_ms * 1000]
-        by_key: dict[int, list] = {}
+        by_bkt: dict[int, list] = {}
         for r in live_rows:
-            by_key.setdefault(r[0], []).append(r)
+            by_bkt.setdefault(r[0] % 2, []).append(r)
             if r[1] == "a":
                 admitted_a.append(r)
             else:
                 admitted_c.append(r)
-        # keys with data: normal invocation; keys without data whose
-        # timer passed: timed-out invocation
-        invoke = set(by_key)
-        for k, stv in stored.items():
-            t = states[k].timeout_ms if k in states else None
-            if k not in invoke and stv is not None and t is not None and t < wm_ms:
-                invoke.add(k)
-        for k in sorted(invoke):
-            krows = by_key.get(k, [])
+        # buckets with data: normal invocation; buckets without data
+        # whose timer passed: timed-out invocation
+        invoke = set(by_bkt)
+        for b, stv in stored.items():
+            t = states[b].timeout_ms if b in states else None
+            if b not in invoke and stv is not None and t is not None and t < wm_ms:
+                invoke.add(b)
+        for b in sorted(invoke):
+            brows = by_bkt.get(b, [])
             pdf = pd.DataFrame(
                 {
-                    "side": [0 if r[1] == "a" else 1 for r in krows],
-                    "ts_us": [r[2] for r in krows],
-                    "tie": [r[3] if r[1] == "c" else None for r in krows],
-                    "lid": [r[4] if r[1] == "a" else None for r in krows],
-                    "v0": [float(r[3]) if r[1] == "c" else None for r in krows],
+                    "key": [r[0] for r in brows],
+                    "side": [0 if r[1] == "a" else 1 for r in brows],
+                    "ts_us": [r[2] for r in brows],
+                    "tie": [r[3] if r[1] == "c" else None for r in brows],
+                    "lid": [r[4] if r[1] == "a" else None for r in brows],
+                    "v0": [float(r[3]) if r[1] == "c" else None for r in brows],
                 }
             )
-            st_obj = _FakeGroupState(wm_ms, not krows, stored.get(k))
-            for out in _asof_step((k,), [pdf] if krows else [], st_obj, VALS):
+            st_obj = _FakeGroupState(wm_ms, not brows, stored.get(b))
+            for out in _asof_step((b,), [pdf] if brows else [], st_obj, VALS):
                 emitted.extend(out.to_dict("records"))
-            stored[k] = st_obj._v
-            states[k] = st_obj
+            stored[b] = st_obj._v
+            states[b] = st_obj
         # Spark updates the watermark BETWEEN batches from the max
         # event time seen so far
         if live_rows:
