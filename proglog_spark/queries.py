@@ -576,8 +576,10 @@ def events_sessionize_streamed(spark, sf_dir):
 
     name = _sink_name("sessionize_streamed")
     # a stateful query pins its partitioning at start; the state key
-    # domain is users (~thousands at fixture scale), so a narrow state
-    # width avoids paying 32 store commits per micro-batch — set for
+    # domain is 64 user-hash BUCKETS (r5 — the engine vectorizes
+    # per-user logic inside each bucket), so a narrow state width
+    # still wins by avoiding 32 store commits per micro-batch
+    # (measured at sf0.1: 8.2 s at width 8 vs 9.4 s at 32) — set for
     # this query only. The query initializes ASYNCHRONOUSLY after
     # start() returns, so the conf is only restored after q.stop():
     # restoring earlier could race the stream's plan capture (and the
@@ -7356,7 +7358,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "events_asof_order", "events_attribution_window", "events_extremes",
     "events_hourly_counts", "events_hourly_counts_streamed",
     "events_inactive_users", "events_json_sum", "events_running_count",
-    "events_sessionize", "events_sessionize_streamed",
+    "events_sessionize",
+    # events_sessionize_streamed NOT listed (evicted r5, re-check
+    # rule: the engine moved to hash-bucket state groups)
     "events_sliding_counts", "events_user_topk", "log_acl_check",
     "log_bounds", "log_consume_from", "log_json_roundtrip",
     "log_read_out_of_range", "log_read_point", "log_scan_range",
@@ -7436,8 +7440,8 @@ _WINDOW_PRIORITY = [
     "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
     "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
     "emb_pq_ann_topk", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
-    # evicted r5 (engine moved to bucketed state groups)
-    "events_asof_order_streamed",
+    # evicted r5 (engines moved to bucketed state groups)
+    "events_asof_order_streamed", "events_sessionize_streamed",
 ]
 
 

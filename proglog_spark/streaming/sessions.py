@@ -18,9 +18,15 @@ admissible event can touch it (events older than the watermark are
 dropped by Spark before they reach the state function — the same
 boundary).
 
-Scale posture: state is O(sessions within one watermark horizon) per
-active user — three parallel long arrays; the shuffle key is user_id
-(same key the batch twin shuffles on).
+Scale posture: the state GROUP is a hash bucket of users (the
+`streaming/asof.py` / `streaming/heavy.py` recipe) because
+applyInPandasWithState invokes Python once per group per micro-batch
+— per-user groups cost O(|live users|) interpreter round-trips per
+batch, buckets cost O(n_buckets) with the per-user logic vectorized
+inside (one lexsort over the batch, one pass over session PIECES).
+Bucket state is O(sessions within one watermark horizon) summed over
+member users — four parallel long arrays; the shuffle key is the
+user-hash bucket.
 """
 
 from __future__ import annotations
@@ -31,7 +37,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = "user_id LONG, session_start_us LONG, session_end_us LONG, n_events LONG"
-_STATE_SCHEMA = "starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>"
+_STATE_SCHEMA = (
+    "us ARRAY<LONG>, starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>"
+)
 
 
 def batch_sessions(ts_us_sorted, gap_us: int) -> list[list[int]]:
@@ -70,16 +78,64 @@ def merge_session_pieces(pieces: list[list[int]], gap_us: int) -> list[list[int]
     return merged
 
 
+def batch_keyed_sessions(users, ts_us, gap_us: int) -> list[list[int]]:
+    """Per-key :func:`batch_sessions` over UNSORTED parallel arrays:
+    [[user, start_us, end_us, n], ...]. One lexsort by (user, ts),
+    breaks where the user changes or the gap exceeds — the multi-key
+    twin of the single-key kernel, same transitivity argument."""
+    import numpy as np
+
+    users = np.asarray(users, dtype=np.int64)
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    if not len(ts_us):
+        return []
+    order = np.lexsort((ts_us, users))
+    u, t = users[order], ts_us[order]
+    brk = np.flatnonzero((u[1:] != u[:-1]) | (np.diff(t) > gap_us)) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(t)]))
+    return [
+        [int(u[s]), int(t[s]), int(t[e - 1]), int(e - s)]
+        for s, e in zip(starts, ends)
+    ]
+
+
+def merge_keyed_pieces(pieces: list[list[int]], gap_us: int) -> list[list[int]]:
+    """Keyed :func:`merge_session_pieces`: pieces are
+    [user, start, end, n]; rows fuse only within one user. Sorting by
+    (user, start) makes each user's pieces contiguous, so the single
+    pass is the per-user merge run back to back."""
+    merged: list[list[int]] = []
+    for user, start, end, n in sorted(pieces):
+        if merged and merged[-1][0] == user and start - merged[-1][2] <= gap_us:
+            merged[-1][2] = max(merged[-1][2], end)
+            merged[-1][3] += n
+        else:
+            merged.append([user, start, end, n])
+    return merged
+
+
 def streaming_sessionize(
     stream: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Streaming sessions: (user_id, session_start_us, session_end_us,
     n_events), emitted exactly once, once closed (watermark past
-    end + gap)."""
+    end + gap).
+
+    State groups are hash BUCKETS of users (``n_buckets``), not single
+    users — applyInPandasWithState pays one Python invocation per
+    state group per micro-batch, so per-user grouping is O(|live
+    users|) interpreter round-trips every batch (a non-starter at
+    10⁹ users); bucketed is O(n_buckets), with the per-user logic
+    running over the whole bucket at once (`batch_keyed_sessions` one
+    lexsort, `merge_keyed_pieces` one pass over session PIECES — a
+    count bounded by sessions, not events). Same recipe as
+    `streaming/asof.py` and `streaming/heavy.py`."""
     gap_us = gap_seconds * 1_000_000
 
     # ts_us is computed JVM-side with unix_micros: pandas receives
@@ -88,70 +144,90 @@ def streaming_sessionize(
     # the zone offset while getCurrentWatermarkMs() stays true epoch —
     # sealing sessions hours late and shifting emitted bounds under
     # any non-UTC session (the same contract anomaly.py follows)
-    events = stream.select(
-        F.col(user_col).cast("long").alias("user_id"),
-        F.col(ts_col).alias("ts"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-    ).withWatermark("ts", watermark)
+    events = (
+        stream.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("bkt", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .withWatermark("ts", watermark)
+    )
 
     def _timeout_ms(end_us: int) -> int:
         return (end_us + gap_us) // 1000 + 1
 
-    def _emit(user_id, sessions):
-        return pd.DataFrame(
-            {
-                "user_id": [user_id] * len(sessions),
-                "session_start_us": [s[0] for s in sessions],
-                "session_end_us": [s[1] for s in sessions],
-                "n_events": [s[2] for s in sessions],
-            }
-        )
-
     def sessionize_fn(key, pdf_iter, state: GroupState):
-        (user_id,) = key
-        wm_ms = state.getCurrentWatermarkMs()
-        old = (
-            [list(s) for s in zip(*state.get)] if state.exists else []
-        )  # [[start, end, n], ...]
+        yield from _sessionize_step(key, pdf_iter, state, gap_us)
 
-        if state.hasTimedOut:
-            new_pieces = []
-        else:
-            import numpy as np
-
-            ts_us = np.sort(
-                pd.concat([pdf["ts_us"] for pdf in pdf_iter]).to_numpy(dtype="int64")
-            )
-            new_pieces = batch_sessions(ts_us, gap_us)
-
-        # interval merge: existing sessions + new batch sessions (late
-        # events can land between, before, or inside open sessions —
-        # all handled by the merge)
-        merged = merge_session_pieces(old + new_pieces, gap_us)
-
-        # emit everything the watermark has sealed (no admissible event
-        # can be within gap of it); keep the rest in state
-        done = [s for s in merged if _timeout_ms(s[1]) <= wm_ms]
-        live = [s for s in merged if _timeout_ms(s[1]) > wm_ms]
-
-        if live:
-            state.update(
-                (
-                    [s[0] for s in live],
-                    [s[1] for s in live],
-                    [s[2] for s in live],
-                )
-            )
-            state.setTimeoutTimestamp(min(_timeout_ms(s[1]) for s in live))
-        else:
-            state.remove()
-        if done:
-            yield _emit(user_id, done)
-
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.groupBy("bkt").applyInPandasWithState(
         sessionize_fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _sessionize_step(key, pdf_iter, state: GroupState, gap_us: int):
+    """One state transition for one BUCKET of users — module-level so
+    model tests can drive it without an engine. State is parallel
+    arrays of (user, start, end, n) session pieces; emission seals
+    every session the watermark has passed by more than the gap,
+    across all users in the bucket at once."""
+    wm_ms = state.getCurrentWatermarkMs()
+    old = (
+        [list(s) for s in zip(*state.get)] if state.exists else []
+    )  # [[user, start, end, n], ...]
+
+    if state.hasTimedOut:
+        new_pieces = []
+    else:
+        import numpy as np
+
+        frames = list(pdf_iter)
+        users = np.concatenate(
+            [p["user_id"].to_numpy(dtype="int64") for p in frames]
+        ) if frames else np.empty(0, dtype=np.int64)
+        ts_us = np.concatenate(
+            [p["ts_us"].to_numpy(dtype="int64") for p in frames]
+        ) if frames else np.empty(0, dtype=np.int64)
+        new_pieces = batch_keyed_sessions(users, ts_us, gap_us)
+
+    # interval merge per user: existing sessions + new batch sessions
+    # (late events can land between, before, or inside open sessions —
+    # all handled by the merge)
+    merged = merge_keyed_pieces(old + new_pieces, gap_us)
+
+    # emit everything the watermark has sealed (no admissible event
+    # can be within gap of it); keep the rest in state
+    done = [s for s in merged if _session_timeout_ms(s[2], gap_us) <= wm_ms]
+    live = [s for s in merged if _session_timeout_ms(s[2], gap_us) > wm_ms]
+
+    if live:
+        state.update(
+            (
+                [s[0] for s in live],
+                [s[1] for s in live],
+                [s[2] for s in live],
+                [s[3] for s in live],
+            )
+        )
+        state.setTimeoutTimestamp(
+            min(_session_timeout_ms(s[2], gap_us) for s in live)
+        )
+    else:
+        state.remove()
+    if done:
+        yield pd.DataFrame(
+            {
+                "user_id": [s[0] for s in done],
+                "session_start_us": [s[1] for s in done],
+                "session_end_us": [s[2] for s in done],
+                "n_events": [s[3] for s in done],
+            }
+        )
+
+
+def _session_timeout_ms(end_us: int, gap_us: int) -> int:
+    return (end_us + gap_us) // 1000 + 1

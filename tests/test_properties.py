@@ -67,6 +67,52 @@ def test_sessionize_merge_is_split_invariant(batches, gap_us):
     assert state == want
 
 
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),          # user
+                st.integers(min_value=0, max_value=10**7),      # ts
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_keyed_sessionize_merge_is_split_invariant(batches, gap_us):
+    """The BUCKETED sessionizer's state algebra (multi-user state
+    groups): folding any batch split of interleaved users through
+    batch_keyed_sessions + merge_keyed_pieces must equal per-user
+    one-shot sessionization of the full multiset, for every user at
+    once."""
+    import numpy as np
+
+    from proglog_spark.streaming.sessions import (
+        batch_keyed_sessions,
+        batch_sessions,
+        merge_keyed_pieces,
+    )
+
+    state: list[list[int]] = []
+    for batch in batches:
+        users = [u for u, _ in batch]
+        ts = [t for _, t in batch]
+        state = merge_keyed_pieces(
+            state + batch_keyed_sessions(users, ts, gap_us), gap_us
+        )
+
+    want: list[list[int]] = []
+    all_rows = [r for b in batches for r in b]
+    for u in sorted({u for u, _ in all_rows}):
+        ts = np.sort(np.array([t for uu, t in all_rows if uu == u], dtype=np.int64))
+        want += [[u, s, e, n] for s, e, n in batch_sessions(ts, gap_us)]
+    assert sorted(state) == sorted(want)
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs_strategy)
 def test_jaccard_pairs_exact_vs_python(spark, texts):
