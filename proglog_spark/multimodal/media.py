@@ -76,14 +76,19 @@ def _pillow_luma_decoder(data: bytes):
         with Image.open(io.BytesIO(data)) as im:
             channels = len(im.getbands())
             grid = np.asarray(im.convert("L"), dtype=np.int64)
-    except (UnidentifiedImageError, OSError, ValueError) as e:
+    except (
+        UnidentifiedImageError,
+        OSError,
+        ValueError,
+        Image.DecompressionBombError,
+    ) as e:
         # decoder contract: EVERY malformed payload maps to ValueError
         # so decode_batches' never-crash except-clause catches it.
         # UnidentifiedImageError = bad header; OSError = valid header,
         # corrupt body ("image file is truncated" / "broken data
         # stream" raised during convert/load); DecompressionBombError
-        # (oversized dims) subclasses ValueError and is re-wrapped
-        # uniformly rather than allowed to propagate as itself.
+        # (oversized declared dims) subclasses plain Exception — NOT
+        # ValueError — so it must be named explicitly.
         raise ValueError(str(e)) from e
     return grid.shape[0], grid.shape[1], channels, grid.reshape(-1)
 

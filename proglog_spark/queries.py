@@ -7419,12 +7419,15 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 
 # r5 window (VERDICT-r4 item 2, the verification backlog): the two
 # re-serialized queries lead (their oracles changed — re-check rule),
-# then the 14 names that have never appeared in a driver window, then
-# the 9 emb_* queries evicted from _DRIVER_CHECKED after r4's
-# encode-path changes. 2+14+9 = 25 slots; the rest of the 50-query
-# window refills from the checked group in registry order (rotation
-# hygiene). After this round every registered name should have a
-# driver-green row at its CURRENT implementation.
+# then the 14 names that have never appeared in a driver window, the
+# 9 emb_* queries evicted after r4's encode-path changes, and the 2
+# streamed queries evicted after r5's bucketed-state rewrites —
+# 2+14+9+2 = 27 priority slots, plus the 3 never-checked r5 additions
+# in the fresh group = 30; the remaining 20 of the 50-query window
+# refill from the checked group in registry order (rotation hygiene).
+# After this round every name except the 20-deep tail of that refill
+# backlog should have a driver-green row at its CURRENT
+# implementation.
 _WINDOW_PRIORITY = [
     # the two r4 reds, re-serialized to scalar final columns in r5
     "docs_tokenize_ids", "docs_bpe_token_stats",

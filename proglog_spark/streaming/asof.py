@@ -96,16 +96,29 @@ def streaming_asof_join(
     )
     n_vals = len(vals)
 
+    from proglog_spark.streaming.sessions import NULL_KEY
+
     a = left.select(
-        F.col(on).cast("long").alias("key"),
+        F.coalesce(F.col(on).cast("long"), F.lit(NULL_KEY)).alias("key"),
         F.col(left_time).cast("timestamp").alias("ts"),
         F.lit(0).alias("side"),
         F.col(left_id).cast("long").alias("lid"),
         F.lit(None).cast("long").alias("tie"),
         *[F.lit(None).cast("double").alias(f"v{i}") for i in range(n_vals)],
     )
+    # NULL-key semantics follow the batch twin's JOIN rules: a NULL
+    # anchor can never match (it rides the NULL_KEY sentinel and seals
+    # unmatched, mapping back to NULL on emission) and a NULL candidate
+    # can never BE matched (it rides NULL_KEY+1 — a second reserved
+    # value no anchor carries, so it never joins; NULL != NULL).
+    # Crucially the NULL candidates are NOT filtered out: a pre-
+    # watermark filter would exclude their event times from watermark
+    # advancement, and a stream whose only late arrivals are NULL-keyed
+    # would freeze the clock and never seal pending anchors (caught by
+    # test_streaming_asof_matches_batch, whose wm-advancing sentinels
+    # happen to read with NULL keys).
     c = right.select(
-        F.col(on).cast("long").alias("key"),
+        F.coalesce(F.col(on).cast("long"), F.lit(NULL_KEY + 1)).alias("key"),
         F.col(right_time).cast("timestamp").alias("ts"),
         F.lit(1).alias("side"),
         F.lit(None).cast("long").alias("lid"),
@@ -122,12 +135,18 @@ def streaming_asof_join(
     def asof_fn(key, pdf_iter, state: GroupState):
         yield from _asof_step(key, pdf_iter, state, vals)
 
-    return tagged.groupBy("bkt").applyInPandasWithState(
+    out = tagged.groupBy("bkt").applyInPandasWithState(
         asof_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumn(
+        "key",
+        F.when(F.col("key") == NULL_KEY, F.lit(None).cast("long")).otherwise(
+            F.col("key")
+        ),
     )
 
 
@@ -204,28 +223,27 @@ def _asof_step(key, pdf_iter, state: GroupState, vals: list[str]):
             {"key": d_key, "left_id": d_id, "ts": d_ts}
         ).sort_values("ts", kind="stable")
         if len(c_ts):
-            right = pd.DataFrame({"key": c_key, "ts": c_ts, "_tie": c_tie})
-            right["_rts"] = c_ts
-            for i in range(n_vals):
-                right[f"_v{i}"] = c_vals[i]
+            # merge on a POSITIONAL index, then gather from the int64
+            # arrays: merge_asof emits float64 (NaN = no match), and a
+            # tie/ts value above 2^53 would lose precision through
+            # that round-trip — the index is bounded by the candidate
+            # count, so ITS float round-trip is always exact
+            right = pd.DataFrame({"key": c_key, "ts": c_ts})
+            right["_idx"] = np.arange(len(c_ts), dtype=np.int64)
             m = pd.merge_asof(left, right, on="ts", by="key",
                               direction="backward")
-            tie_f = m["_tie"].to_numpy(dtype="float64")
-            has = ~np.isnan(tie_f)
+            idx_f = m["_idx"].to_numpy(dtype="float64")
+            has = ~np.isnan(idx_f)
+            j = np.where(has, idx_f, 0).astype(np.int64)
             cols = {
                 "key": m["key"].to_numpy(dtype="int64"),
                 "left_id": m["left_id"].to_numpy(dtype="int64"),
                 "left_ts_us": m["ts"].to_numpy(dtype="int64"),
-                "right_ts_us": pd.Series(
-                    np.where(has, m["_rts"].to_numpy(dtype="float64"), 0)
-                    .astype(np.int64)
-                ).astype("Int64").mask(~has),
-                "right_tie": pd.Series(
-                    np.where(has, tie_f, 0).astype(np.int64)
-                ).astype("Int64").mask(~has),
+                "right_ts_us": pd.Series(c_ts[j]).astype("Int64").mask(~has),
+                "right_tie": pd.Series(c_tie[j]).astype("Int64").mask(~has),
             }
             for i, v in enumerate(vals):
-                cols[v] = m[f"_v{i}"]  # float64: NaN rows are no-match
+                cols[v] = pd.Series(c_vals[i][j]).mask(~has)
         else:  # the bucket never saw a candidate: all NULL matches
             n = len(d_ts)
             cols = {

@@ -41,6 +41,16 @@ _STATE_SCHEMA = (
     "us ARRAY<LONG>, starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>"
 )
 
+# NULL keys inside a bucketed state group would reach numpy as NaN and
+# crash the int64 ingest (the per-key ancestor passed NULL through as
+# its own group). They map to LONG_MIN before bucketing and back to
+# NULL on emission — the batch twin's "NULL is its own group" GROUP BY
+# semantics, at the documented cost of reserving that one key value
+# (the as-of engine additionally reserves NULL_KEY + 1 for NULL-keyed
+# CANDIDATES, which under JOIN semantics must never match anything,
+# including NULL-keyed anchors).
+NULL_KEY = -(1 << 63)
+
 
 def batch_sessions(ts_us_sorted, gap_us: int) -> list[list[int]]:
     """Vectorized gap-sessionization of one batch's SORTED event times:
@@ -146,7 +156,9 @@ def streaming_sessionize(
     # any non-UTC session (the same contract anomaly.py follows)
     events = (
         stream.select(
-            F.col(user_col).cast("long").alias("user_id"),
+            F.coalesce(F.col(user_col).cast("long"), F.lit(NULL_KEY)).alias(
+                "user_id"
+            ),
             F.col(ts_col).alias("ts"),
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         )
@@ -154,18 +166,21 @@ def streaming_sessionize(
         .withWatermark("ts", watermark)
     )
 
-    def _timeout_ms(end_us: int) -> int:
-        return (end_us + gap_us) // 1000 + 1
-
     def sessionize_fn(key, pdf_iter, state: GroupState):
         yield from _sessionize_step(key, pdf_iter, state, gap_us)
 
-    return events.groupBy("bkt").applyInPandasWithState(
+    out = events.groupBy("bkt").applyInPandasWithState(
         sessionize_fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumn(
+        "user_id",
+        F.when(F.col("user_id") == NULL_KEY, F.lit(None).cast("long")).otherwise(
+            F.col("user_id")
+        ),
     )
 
 

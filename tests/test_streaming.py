@@ -1156,6 +1156,92 @@ def test_streaming_asof_late_candidate_ties_and_nulls(spark, tmp_path):
     assert got[200] == (None, None)  # no candidate for k=2
 
 
+def test_streaming_null_keys_survive_bucketed_state(spark, tmp_path):
+    """NULL keys through the BUCKETED engines (the per-key ancestors
+    passed NULL through as its own group; a naive int64 ingest of the
+    NULL-bucket group would crash on NaN): the sessionizer emits a
+    NULL-user session (GROUP BY semantics — NULL is its own group);
+    the as-of join emits a NULL-key anchor UNMATCHED and never matches
+    a NULL-key candidate (JOIN semantics — NULL equals nothing)."""
+    import datetime as dt
+
+    from proglog_spark.streaming import streaming_sessionize
+    from proglog_spark.streaming.asof import streaming_asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    # --- sessionize: one real user, one NULL user ---
+    s_dir = tmp_path / "s"
+    def ws(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+            "append"
+        ).parquet(str(s_dir))
+
+    ws([(7, t0), (7, t0 + dt.timedelta(minutes=5)), (None, t0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(s_dir))
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_nulls")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .start()
+    )
+    try:
+        _drain(q)
+        ws([(999, t0 + dt.timedelta(days=30))])  # seal everything
+        _drain(q)
+        rows = {r.user_id: r.n_events for r in spark.table("sess_nulls").collect()}
+    finally:
+        q.stop()
+    assert rows[7] == 2
+    assert rows[None] == 1  # the NULL user's own session, not a crash
+
+    # --- as-of: NULL anchor unmatched; NULL candidate matches nothing ---
+    a_dir, c_dir = tmp_path / "a", tmp_path / "c"
+    spark.createDataFrame(
+        [(None, 100, t0), (1, 200, t0)], "k long, lid long, ts timestamp"
+    ).write.mode("append").parquet(str(a_dir))
+    spark.createDataFrame(
+        [(None, t0 - dt.timedelta(hours=1), 5, 0.5),
+         (1, t0 - dt.timedelta(hours=1), 6, 0.6)],
+        "k long, ts timestamp, tie long, val double",
+    ).write.mode("append").parquet(str(c_dir))
+    a_stream = spark.readStream.schema("k long, lid long, ts timestamp").parquet(
+        str(a_dir)
+    )
+    c_stream = spark.readStream.schema(
+        "k long, ts timestamp, tie long, val double"
+    ).parquet(str(c_dir))
+    joined = streaming_asof_join(
+        a_stream, c_stream, on="k", left_time="ts", right_time="ts",
+        left_id="lid", tie_break="tie", value_cols=["val"], watermark="6 hours",
+    )
+    q2 = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_nulls")
+        .option("checkpointLocation", str(tmp_path / "ack"))
+        .start()
+    )
+    try:
+        _drain(q2)
+        for days in (30, 60):
+            spark.createDataFrame(
+                [(9, t0 + dt.timedelta(days=days), 0, 0.0)],
+                "k long, ts timestamp, tie long, val double",
+            ).write.mode("append").parquet(str(c_dir))
+            _drain(q2)
+        got = {
+            r.left_id: (r.key, r.right_tie)
+            for r in spark.table("asof_nulls").collect()
+        }
+    finally:
+        q2.stop()
+    assert got[100] == (None, None)  # NULL anchor: emitted, unmatched
+    assert got[200] == (1, 6)  # real key unaffected
+
+
 def test_streaming_heavy_hitters_guarantees_under_compression(spark, tmp_path):
     """MG as streaming state with k SMALL enough that the compress
     step fires: the theorems the hash gate relies on must hold — every
