@@ -343,6 +343,47 @@ def events_hourly_counts_streamed(spark, sf_dir):
 
 
 @register(
+    "events_dedup_streamed",
+    "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us "
+    "FROM events ORDER BY event_id",
+)
+def events_dedup_streamed(spark, sf_dir):
+    """Exactly-once delivery over an at-least-once feed, THE
+    reference-motivated streaming operator (its pull-based Replicator
+    re-copies the whole source log when a member rejoins, shipping
+    duplicates downstream — internal/log/replicator.go:43-87): the
+    fixture streams through TWO independent file sources unioned
+    (every record delivered twice, the rejoin scenario), and
+    `streaming/dedup.dedup_stream` (watermarked
+    dropDuplicatesWithinWatermark, state bounded by the horizon) must
+    emit each event exactly once — the oracle is simply the events
+    table itself, so any duplicate OR dropped record fails the hash."""
+    from proglog_spark.streaming.dedup import dedup_stream
+
+    doubled = _stream_events(spark, sf_dir).unionByName(
+        _stream_events(spark, sf_dir)
+    )
+    deduped = dedup_stream(
+        doubled, key_cols=["event_id"], event_time_col="ts", watermark="1 minute"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    name = _sink_name("dedup_streamed")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _drain_memory_sink(spark, name).orderBy("event_id")
+
+
+@register(
     "events_sliding_counts",
     "WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ls FROM events), "
     "exp AS (SELECT event_type, ls - 1800*i.i AS window_start FROM e "

@@ -33,6 +33,7 @@ def dedup_stream(
     stream: DataFrame,
     *,
     by: str = "offset",
+    key_cols: list[str] | None = None,
     event_time_col: str = "event_time",
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -40,11 +41,16 @@ def dedup_stream(
     state.
 
     ``by``: 'offset' (replicator re-delivery) or 'content' (producer
-    retry under a fresh offset; identity = md5 of value‖term‖type).
+    retry under a fresh offset; identity = md5 of value‖term‖type) —
+    the two log-record identities. ``key_cols`` overrides both for
+    non-log schemas (e.g. event streams keyed by event_id).
     ``stream`` must carry ``event_time_col`` (timestamp) — state for a
     key is released once the watermark passes it.
     """
-    if by == "offset":
+    if key_cols is not None:
+        keys = list(key_cols)
+        keyed = stream
+    elif by == "offset":
         keys = ["offset"]
         keyed = stream
     elif by == "content":
