@@ -609,16 +609,39 @@ def dsir_topk(
     t_f*R < 9.2e12 — past that (deep-trillions of tokens), lift the
     two products to DECIMAL(38,0); the plan does not change.
     """
+    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
+    model = _dsir_fit(doc_f, n_buckets)
+    return (
+        _dsir_score(doc_f, model, id_col)
+        .orderBy(F.col("dsir_micro").desc(), id_col)
+        .limit(k)
+    )
+
+
+def _dsir_doc_features(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    is_target=None,
+) -> DataFrame:
+    """Per-doc hashed-bigram feature counts: (id, [is_tgt,] bk, k).
+    One explode pass over the token stream; everything downstream
+    (model fit AND scoring) reduces from this table, whose cardinality
+    is distinct (doc, bucket) pairs — far below the raw token
+    stream."""
+    extra = [is_target.alias("is_tgt")] if is_target is not None else []
+    keys = [id_col, "is_tgt", "bk"] if is_target is not None else [id_col, "bk"]
     feats = (
         df.select(
             id_col,
-            is_target.alias("is_tgt"),
+            *extra,
             F.filter(F.split(text_col, " "), lambda w: w != "").alias("ws"),
         )
         .where(F.size("ws") >= 2)
         .select(
             id_col,
-            "is_tgt",
+            *(["is_tgt"] if is_target is not None else []),
             F.explode(
                 F.expr(
                     # transform's i and [] indexing are both 0-based:
@@ -630,18 +653,16 @@ def dsir_topk(
         )
         .select(
             id_col,
-            "is_tgt",
+            *(["is_tgt"] if is_target is not None else []),
             F.pmod(token_hash32(F.col("bg")), F.lit(n_buckets)).alias("bk"),
         )
     )
-    # one pass over the token stream: the model's per-bucket counts
-    # reduce FROM the per-doc feature table (is_tgt is constant per
-    # doc, so carrying it through the first groupBy is free), whose
-    # cardinality is distinct (doc, bucket) pairs — far below the raw
-    # token stream the naive second explode would re-scan
-    doc_f = feats.groupBy(id_col, "is_tgt", "bk").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    return feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("k"))
+
+
+def _dsir_fit(doc_f: DataFrame, n_buckets: int) -> DataFrame:
+    """Fit the per-bucket likelihood-ratio model from a feature table
+    carrying is_tgt: (bk, ratio_micro), at most ``n_buckets`` rows."""
     raw = doc_f.groupBy("bk").agg(
         F.sum("k").alias("rc"),
         F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(0)).alias("tc"),
@@ -649,24 +670,107 @@ def dsir_topk(
     totals = raw.agg(
         F.sum("rc").cast("long").alias("R"), F.sum("tc").cast("long").alias("T")
     )
-    model = F.broadcast(
-        raw.crossJoin(F.broadcast(totals)).select(
-            "bk",
-            F.expr(
-                f"CAST(((tc + 1) * (R + {n_buckets}) * 1000000) div "
-                f"((rc + 1) * (T + {n_buckets})) AS BIGINT)"
-            ).alias("ratio_micro"),
+    return raw.crossJoin(F.broadcast(totals)).select(
+        "bk",
+        F.expr(
+            f"CAST(((tc + 1) * (R + {n_buckets}) * 1000000) div "
+            f"((rc + 1) * (T + {n_buckets})) AS BIGINT)"
+        ).alias("ratio_micro"),
+    )
+
+
+def _dsir_score(
+    doc_f: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    default_ratio: int | None = None,
+) -> DataFrame:
+    """Shared scoring tail (direct and persisted-model paths run this
+    byte-identically): broadcast the ≤ n_buckets-row model onto the
+    per-doc feature table. Unordered (id, n_feats, dsir_micro).
+
+    ``default_ratio`` is the smoothed ratio of a NEVER-OBSERVED bucket
+    (both Laplace pseudocounts at 1) — required when scoring data the
+    model was not fitted on, where new buckets must get the smoothing
+    floor instead of silently dropping from the join. The in-session
+    fit-and-score path leaves it None (every scored bucket exists in
+    the model by construction, and the SQL oracle's inner join says
+    the same)."""
+    joined = (
+        doc_f.join(F.broadcast(model), "bk")
+        if default_ratio is None
+        else doc_f.join(F.broadcast(model), "bk", "left").withColumn(
+            "ratio_micro",
+            F.coalesce(F.col("ratio_micro"), F.lit(int(default_ratio))),
         )
     )
-    return (
-        doc_f.join(model, "bk")
-        .groupBy(id_col)
-        .agg(
-            F.sum("k").cast("long").alias("n_feats"),
-            F.expr("CAST(sum(k * ratio_micro) div sum(k) AS BIGINT)").alias(
-                "dsir_micro"
-            ),
-        )
-        .orderBy(F.col("dsir_micro").desc(), id_col)
-        .limit(k)
+    return joined.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_feats"),
+        F.expr("CAST(sum(k * ratio_micro) div sum(k) AS BIGINT)").alias(
+            "dsir_micro"
+        ),
     )
+
+
+def dsir_model_write(
+    df: DataFrame,
+    is_target,
+    path: str,
+    n_buckets: int = 10007,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a fitted DSIR model — the train-once/score-forever
+    pattern of :func:`bm25_index_write` and `pq.build_ivf_index`: fit
+    the hashed-bigram likelihood-ratio model on a labeled corpus
+    sample and write it as ONE parquet file (the model is ≤ n_buckets
+    rows by construction — DSIR's whole point), plus a one-row meta
+    table pinning n_buckets so scorers can't silently hash into a
+    different bucket space. Incremental pipelines then score each new
+    data drop against the frozen model without ever re-reading the
+    training corpus."""
+    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
+    _dsir_fit(doc_f, n_buckets).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/model"
+    )
+    # meta pins the bucket space AND the never-observed-bucket ratio
+    # (both Laplace pseudocounts at 1): new data scored against the
+    # frozen model needs the smoothing floor for buckets the training
+    # corpus never produced
+    totals = doc_f.agg(
+        F.sum("k").cast("long").alias("R"),
+        F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("T"),
+    ).collect()[0]
+    default_ratio = ((totals["R"] + n_buckets) * 1_000_000) // (
+        totals["T"] + n_buckets
+    )
+    df.sparkSession.createDataFrame(
+        [(n_buckets, default_ratio)], "n_buckets LONG, default_ratio LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dsir_model_score(
+    spark,
+    path: str,
+    df: DataFrame,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus against a persisted DSIR model: identical output
+    to the in-session path over the same model (same feature hash,
+    same integer scoring tail). ``k=None`` returns every doc's score
+    (the filter-stage spelling); ``k`` set returns the top-k selection
+    exactly like :func:`dsir_topk`."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    model = spark.read.parquet(f"{path}/model")
+    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col)
+    scored = _dsir_score(
+        doc_f, model, id_col, default_ratio=int(meta["default_ratio"])
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.col("dsir_micro").desc(), id_col).limit(k)

@@ -1795,3 +1795,32 @@ def test_truncated_dim_overlap_full_dim_is_identity(spark, sf_dir):
     for r in REGISTRY["emb_truncated_dim_overlap"][0](spark, sf_dir).collect():
         assert r.dim in (8, 16, 32)
         assert r.is_same == (r.top1_trunc == r.top1_full)
+
+
+def test_dsir_persisted_model_matches_direct_path(spark, docs, tmp_path):
+    """The persisted-model scorer must reproduce the in-session
+    dsir_topk exactly (same feature hash, same integer tail), and
+    scoring a DISJOINT new corpus against the frozen model works
+    without re-reading the training corpus."""
+    from proglog_spark.operators.text import (
+        dsir_model_score,
+        dsir_model_write,
+        dsir_topk,
+    )
+
+    tgt = F.col("lang") == "en"
+    path = str(tmp_path / "dsir")
+    dsir_model_write(docs, tgt, path)
+
+    direct = dsir_topk(docs, tgt, k=50).collect()
+    via_model = dsir_model_score(spark, path, docs, k=50).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_model]
+
+    # frozen model scores unseen docs (ids disjoint from training)
+    new = spark.createDataFrame(
+        [(10_001, "alpha beta gamma"), (10_002, "x")],
+        "doc_id LONG, text STRING",
+    )
+    scored = {r.doc_id: r for r in dsir_model_score(spark, path, new).collect()}
+    assert 10_001 in scored and scored[10_001].n_feats == 2
+    assert 10_002 not in scored  # <2 words: no bigram features
