@@ -2143,12 +2143,19 @@ def emb_knn_join_ivf(spark, sf_dir):
     return similarity.quantized_ivf_knn_join(e, dim=64, k=3).orderBy("src", "rank")
 
 
-def _ivf_cand_parts(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> list[str]:
+def _ivf_cand_parts(
+    n_cells: int = 16,
+    iters: int = 3,
+    n_probe: int = 4,
+    query_pred: str | None = None,
+) -> list[str]:
     """The IVF oracle's shared front half — quantized corpus, bounded
     deterministic sample, unrolled integer Lloyd training, corpus cell
     assignment, query probing — ending at the ``cand`` (query_id,
     vec_id) candidate CTE. Reused verbatim by _ivf_ann_oracle (exact
-    re-ranking tail) and _ivfpq_ann_oracle (ADC tail)."""
+    re-ranking tail), _ivfpq_ann_oracle (ADC tail), and the IVF recall
+    gate (``query_pred`` selects the query vectors; the predicate sees
+    the corpus as alias ``v``)."""
     parts = [
         "WITH qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)",
@@ -2183,7 +2190,7 @@ def _ivf_cand_parts(n_cells: int = 16, iters: int = 3, n_probe: int = 4) -> list
         "qk AS (SELECT v.vec_id AS query_id, c.cell, "
         f"{_ivf_key_sql('v.q', 'p.cents[c.cell + 1]')} AS ck "
         f"FROM qv v, {fin} p, (SELECT unnest(range({n_cells})) AS cell) c "
-        f"WHERE v.vec_id IN {_QUERY_VECS})",
+        f"WHERE {query_pred or f'v.vec_id IN {_QUERY_VECS}'})",
         "qp AS (SELECT query_id, cell FROM (SELECT query_id, cell, row_number() OVER "
         "(PARTITION BY query_id ORDER BY ck DESC, cell) AS pr FROM qk) z "
         f"WHERE pr <= {n_probe})",
@@ -7239,6 +7246,29 @@ def docs_dsir_selection(spark, sf_dir):
     return text.dsir_topk(d, F.col("lang") == "en", k=100)
 
 
+def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared recall-audit tail: per query, how many of the exact
+    top-k did the ANN index return. All-integer (hit counts and an
+    exact percentage), so the whole audit hash-gates."""
+    hits = ann.select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST((n_hits * 100) div n_exact AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "emb_ann_recall_gate",
     "WITH " + _lsh_ann_ctes(8, "vec_id < 16") + ", "
@@ -7277,25 +7307,76 @@ def emb_ann_recall_gate(spark, sf_dir):
     tests/test_operators.py."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 16)
-    exact = similarity.quantized_cosine_topk(e, q, k=10).select("query_id", "vec_id")
-    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
+    exact = similarity.quantized_cosine_topk(e, q, k=10)
+    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10)
+    return _recall_vs_exact(exact, ann)
+
+
+_EXACT_RANK_CTES = (
+    "esc AS (SELECT b.vec_id AS query_id, a.vec_id, "
+    "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+    "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+    "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+    "FROM qv a CROSS JOIN qv b WHERE b.vec_id < 16 AND a.vec_id != b.vec_id), "
+    "ekeyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
+    "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
+    "(CAST(na AS HUGEINT) * nb)) END AS BIGINT) AS cos2_pico FROM esc), "
+    "eranked AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM ekeyed)"
+)
+
+_RECALL_TAIL = (
+    " SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact, "
+    "CAST(count(r.vec_id) AS BIGINT) AS n_hits, "
+    "CAST((count(r.vec_id) * 100) // count(*) AS BIGINT) AS recall_pct "
+    "FROM (SELECT query_id, vec_id FROM eranked WHERE rank <= 10) e "
+    "LEFT JOIN (SELECT query_id, vec_id FROM ranked WHERE rank <= 10) r "
+    "ON e.query_id = r.query_id AND e.vec_id = r.vec_id "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+def _ivf_recall_oracle() -> str:
+    """IVF twin of the LSH recall oracle: the shared candidate chain
+    (training trajectory included) ranked with the quantized-cosine
+    key, compared per query against the exact brute-force top-10."""
+    parts = _ivf_cand_parts(16, 3, 4, query_pred="v.vec_id < 16")
+    parts += [
+        "sc AS (SELECT c.query_id, c.vec_id, "
+        "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
+        "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
+        "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
+        "FROM cand c JOIN qv a ON c.vec_id = a.vec_id JOIN qv b ON c.query_id = b.vec_id)",
+        "keyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
+        "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
+        "((CAST(qd AS HUGEINT) * qd * 1000000000000) // (CAST(na AS HUGEINT) * nb)) "
+        "END AS BIGINT) AS cos2_pico FROM sc)",
+        "ranked AS (SELECT query_id, vec_id, cos2_pico, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM keyed)",
+        _EXACT_RANK_CTES,
+    ]
+    return ", ".join(parts) + _RECALL_TAIL
+
+
+@register("emb_ivf_recall_gate", _ivf_recall_oracle())
+def emb_ivf_recall_gate(spark, sf_dir):
+    """The IVF index's recall@10 vs exact top-10 over the same fixed
+    16-query audit sample as `emb_ann_recall_gate` — with both ANN
+    families (hash-bucketed LSH and trained-partition IVF)
+    recall-gated, an index-quality regression in EITHER scale path
+    fails CORRECTNESS. The oracle replays the full IVF pipeline
+    (bounded-sample integer Lloyd training, cell assignment, probing)
+    and the exact side in one query; n_probe=4 of 16 cells means
+    recall is genuinely partial — the audit measures a real
+    approximation, not a tautology."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    exact = similarity.quantized_cosine_topk(e, q, k=10)
+    ann = similarity.quantized_ivf_ann_topk(
+        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4
     )
-    return (
-        exact.join(ann, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("hit").alias("n_hits"),
-        )
-        .select(
-            "query_id",
-            "n_exact",
-            "n_hits",
-            F.expr("CAST((n_hits * 100) div n_exact AS BIGINT)").alias("recall_pct"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_vs_exact(exact, ann)
 
 
 @register(
