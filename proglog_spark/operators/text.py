@@ -610,7 +610,7 @@ def dsir_topk(
     two products to DECIMAL(38,0); the plan does not change.
     """
     doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
-    model = _dsir_fit(doc_f, n_buckets)
+    model = _dsir_fit(_dsir_bucket_counts(doc_f), n_buckets)
     return (
         _dsir_score(doc_f, model, id_col)
         .orderBy(F.col("dsir_micro").desc(), id_col)
@@ -630,18 +630,17 @@ def _dsir_doc_features(
     (model fit AND scoring) reduces from this table, whose cardinality
     is distinct (doc, bucket) pairs — far below the raw token
     stream."""
-    extra = [is_target.alias("is_tgt")] if is_target is not None else []
-    keys = [id_col, "is_tgt", "bk"] if is_target is not None else [id_col, "bk"]
+    tgt = ["is_tgt"] if is_target is not None else []
     feats = (
         df.select(
             id_col,
-            *extra,
+            *([is_target.alias("is_tgt")] if is_target is not None else []),
             F.filter(F.split(text_col, " "), lambda w: w != "").alias("ws"),
         )
         .where(F.size("ws") >= 2)
         .select(
             id_col,
-            *(["is_tgt"] if is_target is not None else []),
+            *tgt,
             F.explode(
                 F.expr(
                     # transform's i and [] indexing are both 0-based:
@@ -653,20 +652,26 @@ def _dsir_doc_features(
         )
         .select(
             id_col,
-            *(["is_tgt"] if is_target is not None else []),
+            *tgt,
             F.pmod(token_hash32(F.col("bg")), F.lit(n_buckets)).alias("bk"),
         )
     )
-    return feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("k"))
+    return feats.groupBy(id_col, *tgt, "bk").agg(F.count(F.lit(1)).alias("k"))
 
 
-def _dsir_fit(doc_f: DataFrame, n_buckets: int) -> DataFrame:
-    """Fit the per-bucket likelihood-ratio model from a feature table
-    carrying is_tgt: (bk, ratio_micro), at most ``n_buckets`` rows."""
-    raw = doc_f.groupBy("bk").agg(
+def _dsir_bucket_counts(doc_f: DataFrame) -> DataFrame:
+    """Per-bucket (rc, tc) raw/target counts from an is_tgt-carrying
+    feature table — at most n_buckets rows."""
+    return doc_f.groupBy("bk").agg(
         F.sum("k").alias("rc"),
         F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(0)).alias("tc"),
     )
+
+
+def _dsir_fit(raw: DataFrame, n_buckets: int) -> DataFrame:
+    """Fit the per-bucket likelihood-ratio model from the (bk, rc, tc)
+    bucket-count table: (bk, ratio_micro), at most ``n_buckets``
+    rows."""
     totals = raw.agg(
         F.sum("rc").cast("long").alias("R"), F.sum("tc").cast("long").alias("T")
     )
@@ -730,22 +735,21 @@ def dsir_model_write(
     data drop against the frozen model without ever re-reading the
     training corpus."""
     doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
-    _dsir_fit(doc_f, n_buckets).coalesce(1).write.mode("overwrite").parquet(
+    # the ≤ n_buckets-row bucket-count table feeds both the model and
+    # the totals; checkpoint it so the corpus is featurized ONCE, not
+    # once per consumer
+    raw = _dsir_bucket_counts(doc_f).localCheckpoint(eager=True)
+    _dsir_fit(raw, n_buckets).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/model"
     )
     # meta pins the bucket space AND the never-observed-bucket ratio
     # (both Laplace pseudocounts at 1): new data scored against the
     # frozen model needs the smoothing floor for buckets the training
     # corpus never produced
-    totals = doc_f.agg(
-        F.sum("k").cast("long").alias("R"),
-        F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(0))
-        .cast("long")
-        .alias("T"),
+    t = raw.agg(
+        F.sum("rc").cast("long").alias("R"), F.sum("tc").cast("long").alias("T")
     ).collect()[0]
-    default_ratio = ((totals["R"] + n_buckets) * 1_000_000) // (
-        totals["T"] + n_buckets
-    )
+    default_ratio = ((t["R"] + n_buckets) * 1_000_000) // (t["T"] + n_buckets)
     df.sparkSession.createDataFrame(
         [(n_buckets, default_ratio)], "n_buckets LONG, default_ratio LONG"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -7269,49 +7269,10 @@ def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "emb_ann_recall_gate",
-    "WITH " + _lsh_ann_ctes(8, "vec_id < 16") + ", "
-    "esc AS (SELECT b.vec_id AS query_id, a.vec_id, "
-    "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
-    "list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na, "
-    "list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb "
-    "FROM qv a CROSS JOIN qv b WHERE b.vec_id < 16 AND a.vec_id != b.vec_id), "
-    "ekeyed AS (SELECT query_id, vec_id, CAST(CASE WHEN na = 0 OR nb = 0 "
-    "THEN -1000000000001 ELSE (CASE WHEN qd < 0 THEN -1 ELSE 1 END) * "
-    "((CAST(qd AS HUGEINT) * qd * 1000000000000) // "
-    "(CAST(na AS HUGEINT) * nb)) END AS BIGINT) AS cos2_pico FROM esc), "
-    "eranked AS (SELECT query_id, vec_id, row_number() OVER "
-    "(PARTITION BY query_id ORDER BY cos2_pico DESC, vec_id) AS rank FROM ekeyed) "
-    "SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact, "
-    "CAST(count(r.vec_id) AS BIGINT) AS n_hits, "
-    "CAST((count(r.vec_id) * 100) // count(*) AS BIGINT) AS recall_pct "
-    "FROM (SELECT query_id, vec_id FROM eranked WHERE rank <= 10) e "
-    "LEFT JOIN (SELECT query_id, vec_id FROM ranked WHERE rank <= 10) r "
-    "ON e.query_id = r.query_id AND e.vec_id = r.vec_id "
-    "GROUP BY 1 ORDER BY 1",
-)
-def emb_ann_recall_gate(spark, sf_dir):
-    """ANN quality as a GATED metric: recall@10 of the hyperplane-LSH
-    index against the exact quantized-cosine top-10, per query, over
-    a FIXED 16-query audit sample (vec_id < 16 — fixed so the exact
-    side stays 16·n linear at any corpus size; the sample size is the
-    audit dial). Every ANN deployment tracks recall; here the whole
-    measurement — exact ranking, bucketed candidates, hit counts —
-    is integer arithmetic inside the hash gate, so an engine change
-    that silently degrades the index (different planes, wrong bucket
-    math, dropped candidates) fails CORRECTNESS, not just a dashboard.
-    Composes the two existing oracle-exact paths
-    (`similarity.quantized_cosine_topk` / `quantized_lsh_ann_topk`);
-    recall against FLOAT cosine stays property-tested in
-    tests/test_operators.py."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 16)
-    exact = similarity.quantized_cosine_topk(e, q, k=10)
-    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10)
-    return _recall_vs_exact(exact, ann)
-
-
+# shared recall-oracle pieces: exact brute-force ranking over the
+# fixed 16-query audit sample, and the per-query hit aggregation —
+# every ANN family's recall gate appends these to its own candidate
+# chain (which must end at a `ranked` CTE)
 _EXACT_RANK_CTES = (
     "esc AS (SELECT b.vec_id AS query_id, a.vec_id, "
     "list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))::BIGINT AS qd, "
@@ -7335,6 +7296,32 @@ _RECALL_TAIL = (
     "ON e.query_id = r.query_id AND e.vec_id = r.vec_id "
     "GROUP BY 1 ORDER BY 1"
 )
+
+
+@register(
+    "emb_ann_recall_gate",
+    "WITH " + _lsh_ann_ctes(8, "vec_id < 16") + ", "
+    + _EXACT_RANK_CTES + _RECALL_TAIL,
+)
+def emb_ann_recall_gate(spark, sf_dir):
+    """ANN quality as a GATED metric: recall@10 of the hyperplane-LSH
+    index against the exact quantized-cosine top-10, per query, over
+    a FIXED 16-query audit sample (vec_id < 16 — fixed so the exact
+    side stays 16·n linear at any corpus size; the sample size is the
+    audit dial). Every ANN deployment tracks recall; here the whole
+    measurement — exact ranking, bucketed candidates, hit counts —
+    is integer arithmetic inside the hash gate, so an engine change
+    that silently degrades the index (different planes, wrong bucket
+    math, dropped candidates) fails CORRECTNESS, not just a dashboard.
+    Composes the two existing oracle-exact paths
+    (`similarity.quantized_cosine_topk` / `quantized_lsh_ann_topk`);
+    recall against FLOAT cosine stays property-tested in
+    tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    exact = similarity.quantized_cosine_topk(e, q, k=10)
+    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10)
+    return _recall_vs_exact(exact, ann)
 
 
 def _ivf_recall_oracle() -> str:
