@@ -1151,8 +1151,10 @@ _BM25_QUERIES = [
 ]
 
 
-@register(
-    "docs_bm25_topk",
+# shared by docs_bm25_topk (direct path) and docs_bm25_index_topk
+# (persistent-index path): the two Spark plans must produce the SAME
+# rows, so they gate against the SAME oracle
+_BM25_TOPK_ORACLE = (
     "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
     "x -> x != '')) AS term FROM documents), "
     "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
@@ -1175,8 +1177,11 @@ _BM25_QUERIES = [
     "ranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER "
     "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank FROM sc) "
     "SELECT query_id, doc_id, score_micro, rank FROM ranked WHERE rank <= 10 "
-    "ORDER BY query_id, rank",
+    "ORDER BY query_id, rank"
 )
+
+
+@register("docs_bm25_topk", _BM25_TOPK_ORACLE)
 def docs_bm25_topk(spark, sf_dir):
     """BM25-shaped retrieval (text.bm25_topk): top-10 documents for
     three multi-term queries, integer-exact — k1/b cleared to
@@ -1189,6 +1194,46 @@ def docs_bm25_topk(spark, sf_dir):
     two-phase, no global window."""
     d = load_table(spark, sf_dir, "documents")
     return text.bm25_topk(d, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebuild it as a local DataFrame —
+    for queries whose lineage reads a temp artifact that is deleted
+    before the caller's own collect (the `_drain_memory_sink` move
+    applied to file-backed artifacts). Only ever used on bounded
+    top-k/audit outputs."""
+    rows, schema = df.collect(), df.schema
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+@register("docs_bm25_index_topk", _BM25_TOPK_ORACLE)
+def docs_bm25_index_topk(spark, sf_dir):
+    """The PERSISTENT-INDEX retrieval path inside the hash gate:
+    build the BM25 inverted index on disk (`text.bm25_index_write` —
+    term-range-sorted postings files, doc-keyed lengths, one-row
+    totals), then answer the same three queries from the INDEX
+    (`text.bm25_index_query` — the corpus text is never re-read; the
+    query's terms become pushed IN-filters pruning postings files).
+    Gates against the IDENTICAL oracle as `docs_bm25_topk`, so the
+    index round-trip must be byte-identical to the direct path —
+    index staleness, lost postings, or a broken pruning pushdown all
+    fail CORRECTNESS. (The pytest twin checks index == direct inside
+    one engine; this checks index == independent engine.)"""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_index_gate_")
+    try:
+        text.bm25_index_write(d, path)
+        out = _materialize(
+            text.bm25_index_query(spark, path, _BM25_QUERIES, k=10).orderBy(
+                "query_id", "rank"
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 _BM25_CONTAM_MICRO = 8_000_000
@@ -7203,8 +7248,10 @@ def docs_sql_tvf_tokens(spark, sf_dir):
     )
 
 
-@register(
-    "docs_dsir_selection",
+# shared by docs_dsir_selection (in-session fit-and-score) and
+# docs_dsir_from_model (persisted-model path): fitting on the same
+# corpus, both plans must select the same top-100
+_DSIR_ORACLE = (
     "WITH w AS (SELECT doc_id, lang, "
     "list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents), "
     "ix AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM w "
@@ -7225,8 +7272,11 @@ def docs_sql_tvf_tokens(spark, sf_dir):
     "CAST(sum(k * ratio_micro) // sum(k) AS BIGINT) AS dsir_micro "
     "FROM df_doc JOIN m USING (bk) GROUP BY 1) "
     "SELECT doc_id, n_feats, dsir_micro FROM sc "
-    "ORDER BY dsir_micro DESC, doc_id LIMIT 100",
+    "ORDER BY dsir_micro DESC, doc_id LIMIT 100"
 )
+
+
+@register("docs_dsir_selection", _DSIR_ORACLE)
 def docs_dsir_selection(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023) as a first-class pipeline
     stage: rank the corpus by hashed-bigram importance against a
@@ -7244,6 +7294,29 @@ def docs_dsir_selection(spark, sf_dir):
     bytes, api/v1/log.proto:8); north-star training-data surface."""
     d = load_table(spark, sf_dir, "documents")
     return text.dsir_topk(d, F.col("lang") == "en", k=100)
+
+
+@register("docs_dsir_from_model", _DSIR_ORACLE)
+def docs_dsir_from_model(spark, sf_dir):
+    """The persisted-DSIR-model path inside the hash gate: fit and
+    WRITE the model (`text.dsir_model_write` — one ≤10007-row parquet
+    file plus the meta row pinning the bucket space and smoothing
+    floor), then select the top-100 by scoring the corpus against the
+    FROZEN artifact (`text.dsir_model_score`). Same oracle as
+    `docs_dsir_selection`: the train-once/score-forever spelling must
+    reproduce the in-session fit exactly — a drifted bucket space,
+    lost model rows, or a broken smoothing floor fails CORRECTNESS."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dsir_model_gate_")
+    try:
+        text.dsir_model_write(d, F.col("lang") == "en", path)
+        out = _materialize(text.dsir_model_score(spark, path, d, k=100))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
