@@ -5417,8 +5417,9 @@ def docs_incremental_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "events_trailing_anomaly",
+# shared by the batch RANGE-frame query and its stateful streaming
+# twin: the flagged-event set must be identical
+_TRAILING_ANOMALY_ORACLE = (
     "WITH e AS (SELECT event_id, event_type, "
     "CAST(floor(value * 1000000) AS BIGINT) AS vm, "
     "CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS tm FROM events), "
@@ -5428,8 +5429,11 @@ def docs_incremental_dedup(spark, sf_dir):
     "RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)) "
     "SELECT event_id, event_type, vm AS value_micro, "
     "CAST(n AS BIGINT) AS trail_n, CAST(s AS BIGINT) AS trail_sum_micro "
-    "FROM w WHERE vm * n > 3 * s AND n >= 3 ORDER BY event_id",
+    "FROM w WHERE vm * n > 3 * s AND n >= 3 ORDER BY event_id"
 )
+
+
+@register("events_trailing_anomaly", _TRAILING_ANOMALY_ORACLE)
 def events_trailing_anomaly(spark, sf_dir):
     """Trailing-window anomaly detection, integer-exact: flag events
     whose value exceeds 3× the trailing-6-hour mean for their type —
@@ -5469,6 +5473,68 @@ def events_trailing_anomaly(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register("events_trailing_anomaly_streamed", _TRAILING_ANOMALY_ORACLE)
+def events_trailing_anomaly_streamed(spark, sf_dir):
+    """The trailing-mean anomaly monitor through the REAL stateful
+    streaming engine (`streaming/anomaly.py`: per-type ring of
+    in-window pairs merged with each micro-batch via two binary
+    searches): the fixture streams as two CHRONOLOGICAL micro-batches
+    split at the median timestamp — the second batch's early windows
+    must reach back into first-batch ring state — and the flagged set
+    must hash-match the SAME batch RANGE-frame oracle. Flags emit
+    immediately in append mode (the monitor alerts as events arrive —
+    no watermark sealing, so no sentinels), which is the operational
+    difference from the sealed-emission engines; the seventh
+    streamed-inside-the-gate entry."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.streaming.anomaly import streaming_trailing_anomaly
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    mid = (
+        e.agg(
+            F.timestamp_micros(
+                (
+                    (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+                ).cast("long")
+            ).alias("m")
+        )
+        .collect()[0]
+        .m
+    )
+    feed = tempfile.mkdtemp(prefix="anomaly_feed_")
+    ckpt = tempfile.mkdtemp(prefix="anomaly_ckpt_")
+    name = _sink_name("anomaly_streamed")
+    try:
+        e.where(F.col("ts") <= F.lit(mid)).write.mode("append").parquet(feed)
+        q = (
+            streaming_trailing_anomaly(
+                spark.readStream.schema(e.schema).parquet(feed)
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            e.where(F.col("ts") > F.lit(mid)).write.mode("append").parquet(feed)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = _drain_memory_sink(spark, name)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out.select(
+        "event_id", "event_type", "value_micro", "trail_n", "trail_sum_micro"
+    ).orderBy("event_id")
 
 
 @register(
