@@ -384,6 +384,69 @@ def events_dedup_streamed(spark, sf_dir):
 
 
 @register(
+    "events_cdc_apply_streamed",
+    "WITH r AS (SELECT user_id, event_id, event_type, "
+    "CAST(floor(value * 1000000) AS BIGINT) AS value_micro, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "FROM events) "
+    "SELECT user_id, event_id AS last_event_id, event_type, value_micro "
+    "FROM r WHERE rn = 1 ORDER BY user_id",
+)
+def events_cdc_apply_streamed(spark, sf_dir):
+    """CDC apply through the REAL foreachBatch pipeline
+    (`streaming/cdc.apply_cdc_stream` + `sources/upsert.KeyedTable` —
+    the reference's FSM-apply idempotence argument,
+    internal/log/distributed_fsm.go:25-46): the keyed table is
+    initialized from the first half of the event feed (latest row per
+    user), the second half streams in as CDC changes merged by bucket
+    partial-rewrite, and the FINAL TABLE STATE must hash-match the
+    last-writer-per-key oracle over the whole feed — a lost change, a
+    stale overwrite, or a duplicated key all fail. event_id is the
+    CDC sequence (unique, monotone)."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.sources.upsert import KeyedTable
+    from proglog_spark.streaming.cdc import apply_cdc_stream, latest_per_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    half = e.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    d = tempfile.mkdtemp(prefix="cdc_gate_")
+    try:
+        table = KeyedTable.create(
+            spark,
+            f"{d}/table",
+            latest_per_key(e.where(F.col("event_id") <= half), "user_id", "event_id"),
+            "user_id",
+            n_buckets=8,
+        )
+        e.where(F.col("event_id") > half).write.mode("append").parquet(f"{d}/feed")
+        q = apply_cdc_stream(
+            spark.readStream.schema(e.schema).parquet(f"{d}/feed"),
+            table,
+            order_col="event_id",
+            checkpoint=f"{d}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = _materialize(
+            table.df().select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                "event_type",
+                F.floor(F.col("value") * 1000000).cast("long").alias("value_micro"),
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+@register(
     "events_sliding_counts",
     "WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ls FROM events), "
     "exp AS (SELECT event_type, ls - 1800*i.i AS window_start FROM e "
