@@ -609,7 +609,13 @@ def dsir_topk(
     t_f*R < 9.2e12 — past that (deep-trillions of tokens), lift the
     two products to DECIMAL(38,0); the plan does not change.
     """
-    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
+    # eager checkpoint (the bm25_topk tf precedent): doc_f feeds the
+    # model counts, the totals, AND the scoring join — without
+    # materialization Spark re-executes the corpus explode per
+    # consumer (a 3× corpus scan, caught by the plan pin)
+    doc_f = _dsir_doc_features(
+        df, n_buckets, text_col, id_col, is_target
+    ).localCheckpoint(eager=True)
     model = _dsir_fit(_dsir_bucket_counts(doc_f), n_buckets)
     return (
         _dsir_score(doc_f, model, id_col)

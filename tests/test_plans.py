@@ -643,3 +643,39 @@ def test_ivf_knn_join_assignment_once_no_cache(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "InMemoryTableScan" not in plan
+
+
+def test_dsir_model_broadcasts_and_takes_ordered(spark, sf_dir):
+    """DSIR selection: the ≤10007-row model joins back by BROADCAST
+    (never a shuffle of the feature table against it), the top-100 is
+    TakeOrderedAndProject (no global sort), and the corpus parquet is
+    scanned exactly once (model counts reduce FROM the per-doc feature
+    table, not a second explode)."""
+    from proglog_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(text_ops.dsir_topk(d, F.col("lang") == "en", k=100))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the feature table is eagerly checkpointed: every consumer (model
+    # counts, totals, scoring join) reads the materialized RDD — zero
+    # re-reads of the corpus parquet inside the plan
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bm25_index_query_pushes_term_in_filters(spark, sf_dir, tmp_path):
+    """Persistent BM25 index: a query's terms reach the tf/df scans as
+    pushed In(term) filters (footer min-max pruning on the
+    term-range-sorted files) and the corpus TEXT is never read — the
+    plan scans only the index tables."""
+    from proglog_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    text_ops.bm25_index_write(d, path)
+    plan = plan_of(
+        text_ops.bm25_index_query(spark, path, [(0, "hash"), (0, "join")], k=5)
+    )
+    assert "In(term, [" in plan or "term IN (" in plan
+    assert "documents.parquet" not in plan
