@@ -2366,6 +2366,7 @@ def _pq_parts(
     corpus_src: str = "fq",
     lut_src: str | None = None,
     include_flats: bool = True,
+    query_pred: str | None = None,
 ) -> list[str]:
     """The PQ oracle's codebook/encode/LUT CTEs — everything after the
     shared qv/md/samp prefix, ending at ``enc`` (corpus codes) and
@@ -2424,7 +2425,7 @@ def _pq_parts(
         "lut AS MATERIALIZED (SELECT f.vec_id AS query_id, f.sp, c.cell AS code, "
         f"CAST(sum(f.xv * c.cv) AS BIGINT) AS pdot FROM {lut_src or corpus_src} f "
         f"JOIN {fin} c ON c.sp = f.sp AND c.t = f.t "
-        f"WHERE f.vec_id IN {_QUERY_VECS} GROUP BY 1, 2, 3)",
+        f"WHERE {query_pred or f'f.vec_id IN {_QUERY_VECS}'} GROUP BY 1, 2, 3)",
     ]
     return parts
 
@@ -7565,6 +7566,43 @@ def emb_ivf_recall_gate(spark, sf_dir):
     ann = similarity.quantized_ivf_ann_topk(
         e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4
     )
+    return _recall_vs_exact(exact, ann)
+
+
+def _pq_recall_oracle() -> str:
+    """PQ twin of the recall oracles: codebook training + corpus
+    encoding + per-query ADC table (lut restricted to the 16-query
+    audit sample), the brute ADC scan ranked, then the shared exact
+    side and recall tail."""
+    parts = _PQ_PREFIX + _pq_parts(16, 256, 3, 4, query_pred="f.vec_id < 16")
+    parts += [
+        "sc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot "
+        "FROM enc e JOIN lut l ON l.sp = e.sp AND l.code = e.code "
+        "WHERE e.vec_id != l.query_id GROUP BY 1, 2)",
+        "ranked AS (SELECT query_id, vec_id, adc_dot, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rank FROM sc)",
+        _EXACT_RANK_CTES,
+    ]
+    return ", ".join(parts) + _RECALL_TAIL
+
+
+@register("emb_pq_recall_gate", _pq_recall_oracle())
+def emb_pq_recall_gate(spark, sf_dir):
+    """The third ANN family's recall audit: PQ ADC top-10 vs the exact
+    quantized-cosine top-10 over the same fixed 16-query sample —
+    LSH, IVF, and PQ index quality are now ALL hash-gated metrics.
+    PQ's recall shortfall is compression loss (16 bytes/vector), the
+    number a deployment weighs against the 16× memory-bandwidth win;
+    the oracle replays codebook training, corpus encoding, and the
+    ADC lookup for the audit queries."""
+    from proglog_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    exact = similarity.quantized_cosine_topk(e, q, k=10)
+    ann = pq.quantized_pq_ann_topk(
+        e, q, dim=64, k=10, m=16, n_codes=256, iters=3
+    ).select(F.col("query_id").cast("long").alias("query_id"), "vec_id")
     return _recall_vs_exact(exact, ann)
 
 
