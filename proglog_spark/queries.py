@@ -7675,136 +7675,133 @@ def emb_truncated_dim_overlap(spark, sf_dir):
 
 
 # The round driver's correctness gate only samples a fixed-size PREFIX
-# of the dict returned by queries(); rounds 1-2 both sampled the same
-# first 50 names, leaving the rest of the surface verified only by the
-# local full gate (tools/check_oracle.py). To rotate fresh queries into
-# the driver's window each round, names already covered by a past
-# driver CORRECTNESS artifact are listed here and emitted LAST — the
-# never-driver-checked queries lead, in registry order. Append each new
-# round's driver-checked names so the window keeps advancing.
-_DRIVER_CHECKED: frozenset[str] = frozenset({
-    # CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json (52 names)
-    "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
-    "docs_fingerprint", "docs_frame_sample", "docs_hash_sample",
-    "docs_lang_id", "docs_media_meta", "docs_media_pipeline",
-    "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
-    "docs_quality", "docs_simhash", "docs_simhash_neardup",
-    "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
-    "emb_dot_topk",
-    "emb_exact_dup",
-    "emb_norm_stats", "events_approx_distinct",
-    # NOT listed (evicted r4, the re-check rule — a query whose
-    # implementation or oracle changes after its last driver check
-    # must rotate BACK into the driver window):
-    # emb_cosine_neardup (r1/r2 artifact checked the fixed-bits
-    # float-bucket version; now adaptive-bits integer buckets with a
-    # bucket-replay oracle), emb_semantic_dedup (rides the NULL-guarded
-    # bucket UDF), and the r3-checked emb_negative_sampling (adaptive
-    # bits), emb_knn_join / emb_lsh_ann_topk (bucket UDF NULL guard),
-    # emb_ivf_ann_topk (cell UDF + null-filtered train sample),
-    # emb_pq_ann_topk / emb_ivfpq_ann_topk / emb_ivfpq_residual_topk
-    # (encode/ADC NULL guards)
-    "events_asof_order", "events_attribution_window", "events_extremes",
-    "events_hourly_counts", "events_hourly_counts_streamed",
-    "events_inactive_users", "events_json_sum", "events_running_count",
-    "events_sessionize",
-    # events_sessionize_streamed NOT listed (evicted r5, re-check
-    # rule: the engine moved to hash-bucket state groups)
-    "events_sliding_counts", "events_user_topk", "log_acl_check",
-    "log_bounds", "log_consume_from", "log_json_roundtrip",
-    "log_read_out_of_range", "log_read_point", "log_scan_range",
-    "log_servers", "log_tail", "log_truncate_view", "tpch_q1_pricing",
-    "tpch_q3_shipping", "tpch_q5_nation_revenue",
-    # CORRECTNESS_r03.json (50 names, minus the 8 evictions above)
-    "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
-    "events_cms_join_estimate",
-    # events_asof_order_streamed NOT listed (evicted r5, re-check
-    # rule: the engine moved to hash-bucket state groups)
-    "docs_epoch_shuffle",
-    "docs_lm_transition_score", "docs_lm_interpolated",
-    "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
-    "docs_cluster_safe_split", "emb_cosine_topk",
-    "tpch_q6_forecast", "tpch_q18_big_orders", "tpch_q4_late_orders",
-    "tpch_q2_top_supplier", "tpch_q14_promo_share",
-    "tpch_q16_supplier_variety", "tpch_salted_priority_revenue",
-    "docs_length_quantiles", "events_heavy_users", "events_cube_counts",
-    "events_pivot_counts", "events_trailing_hour_count",
-    "events_rollup_counts", "tpch_q12_priority_lines", "tpch_q13_custdist",
-    "tpch_q16_part_suppliers", "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive", "tpch_q22_idle_customers",
-    "tpch_q10_returned_revenue", "events_gap_stats", "events_decile_value",
-    "events_first_last_touch", "events_same_day_conversion",
-    "docs_top_terms", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q15_top_supplier",
-    "tpch_q20_promo_shippers",
-    # CORRECTNESS_r04.json (the 48 greens; the 2 reds —
-    # docs_tokenize_ids / docs_bpe_token_stats — were re-serialized to
-    # scalar final columns in r5, which changed their ORACLES, so per
-    # the re-check rule they lead the r5 window instead)
-    "emb_knn_join_ivf", "docs_bpe_train_merges",
-    "events_heavy_hitters_streamed", "docs_bm25_decontamination",
-    "tpch_q21_last_shipper", "events_retention_cohorts",
-    "events_funnel_conversion", "events_value_histogram",
-    "events_daily_active", "events_pareto_users", "docs_bigram_counts",
-    "docs_source_dedup_stats", "docs_repetition_stats",
-    "docs_contamination", "docs_train_split", "events_unpivot_extremes",
-    "events_props_map_explode", "events_user_value_percentiles",
-    "events_halves_full_outer", "emb_pca_power", "docs_pii_redaction",
-    "events_markov_transitions", "docs_udtf_ngrams",
-    "tpch_q11_important_parts", "lineitem_profile", "events_value_moments",
-    "docs_fuzzy_block_match", "events_minute_gapfill",
-    "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
-    "docs_weighted_mixture", "docs_curation_pipeline",
-    "docs_incremental_dedup", "events_trailing_anomaly",
-    "events_rolling_wau", "docs_length_quantiles_sketch",
-    "orders_bucket_ranks", "orders_calendar_profile",
-    "events_nullsafe_match", "events_grouping_sets",
-    "docs_recursive_ancestry", "events_variant_props",
-    "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
-    "docs_minhash_estimate_gate", "events_out_of_order_audit",
-    "events_type_value_quantiles",
-})
+# of the dict returned by queries(); to rotate fresh queries into the
+# driver's window each round, names already covered by a past driver
+# CORRECTNESS artifact are grouped below BY THE ROUND OF THEIR LATEST
+# GREEN CHECK and emitted oldest-checked-first after the priority /
+# never-checked groups — so stale greens re-verify before recent ones
+# (VERDICT-r5 item 5 rotation hygiene). A name whose implementation,
+# oracle, or operator-module dependencies change after its last check
+# MUST move out of its group and into _WINDOW_PRIORITY (the re-check
+# rule). As of r6 this rule is MECHANICAL, not conventional: each
+# checked name's dependency-closure digest is recorded in
+# driver_check_manifest.json at check-recording time, and
+# tests/test_entry_contract.py fails if any checked name's current
+# digest drifts from the manifest without an eviction
+# (tools/digest_manifest.py computes the closure: query source +
+# oracle SQL + referenced proglog_spark module/helper sources).
+_CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
+    # CORRECTNESS_r01/r02 greens whose latest check is still r1/r2
+    ("r1r2", (
+        "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
+        "docs_fingerprint", "docs_frame_sample", "docs_hash_sample",
+        "docs_lang_id", "docs_media_meta", "docs_media_pipeline",
+        "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
+        "docs_quality", "docs_simhash", "docs_simhash_neardup",
+        "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
+        "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
+        "events_approx_distinct", "events_asof_order",
+        "events_attribution_window", "events_extremes", "events_inactive_users",
+        "events_json_sum", "events_running_count", "events_sessionize",
+        "events_user_topk", "tpch_q1_pricing", "tpch_q3_shipping",
+        "tpch_q5_nation_revenue",
+    )),
+    # CORRECTNESS_r03 greens whose latest check is still r3
+    ("r3", (
+        "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
+        "events_cms_join_estimate", "docs_epoch_shuffle",
+        "docs_lm_transition_score", "docs_lm_interpolated",
+        "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
+        "docs_cluster_safe_split", "emb_cosine_topk", "tpch_q6_forecast",
+        "tpch_q18_big_orders", "tpch_q4_late_orders", "tpch_q2_top_supplier",
+        "tpch_q14_promo_share", "tpch_q16_supplier_variety",
+        "tpch_salted_priority_revenue", "docs_length_quantiles",
+        "events_heavy_users", "events_cube_counts", "events_pivot_counts",
+        "events_trailing_hour_count", "events_rollup_counts",
+        "tpch_q12_priority_lines", "tpch_q13_custdist", "tpch_q16_part_suppliers",
+        "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
+        "tpch_q22_idle_customers", "tpch_q10_returned_revenue",
+        "events_gap_stats", "events_decile_value", "events_first_last_touch",
+        "events_same_day_conversion", "docs_top_terms", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit", "tpch_q15_top_supplier",
+        "tpch_q20_promo_shippers",
+    )),
+    # CORRECTNESS_r04 greens whose latest check is still r4
+    ("r4", (
+        "emb_knn_join_ivf", "docs_bpe_train_merges",
+        "events_heavy_hitters_streamed", "docs_bm25_decontamination",
+        "tpch_q21_last_shipper", "events_retention_cohorts",
+        "events_funnel_conversion", "events_value_histogram",
+        "events_daily_active", "events_pareto_users", "docs_bigram_counts",
+        "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
+        "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
+        "events_user_value_percentiles", "events_halves_full_outer",
+        "emb_pca_power", "docs_pii_redaction", "events_markov_transitions",
+        "docs_udtf_ngrams", "tpch_q11_important_parts", "lineitem_profile",
+        "events_value_moments", "docs_fuzzy_block_match", "events_minute_gapfill",
+        "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
+        "docs_weighted_mixture", "docs_curation_pipeline",
+        "docs_incremental_dedup", "events_trailing_anomaly", "events_rolling_wau",
+        "docs_length_quantiles_sketch", "orders_bucket_ranks",
+        "orders_calendar_profile", "events_nullsafe_match",
+        "events_grouping_sets", "docs_recursive_ancestry", "events_variant_props",
+        "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
+        "docs_minhash_estimate_gate", "events_out_of_order_audit",
+        "events_type_value_quantiles",
+    )),
+    # CORRECTNESS_r05 window: 50/50 green (incl. 13 refills whose
+    # latest check moved here from r1/r2)
+    ("r5", (
+        "docs_tokenize_ids", "docs_bpe_token_stats", "docs_chunk_spans",
+        "docs_rarity_filter", "docs_repeated_span_dedup", "docs_source_scorecard",
+        "docs_sql_tvf_tokens", "events_bitmap_distinct",
+        "events_distinct_rollup_streamed", "events_halves_bag_ops",
+        "events_hll_rollup_gate", "events_journey_segments",
+        "events_sql_udf_buckets", "events_type_day_matrix",
+        "events_type_pagerank", "tpch_lateral_top_customers",
+        "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
+        "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_pq_ann_topk",
+        "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
+        "events_asof_order_streamed", "events_sessionize_streamed",
+        "events_dedup_streamed", "events_cdc_apply_streamed",
+        "docs_bm25_index_topk", "events_trailing_anomaly_streamed",
+        "docs_dsir_selection", "docs_dsir_from_model", "emb_ann_recall_gate",
+        "emb_ivf_recall_gate", "emb_pq_recall_gate", "emb_truncated_dim_overlap",
+        "log_read_point", "log_bounds", "log_scan_range", "log_tail",
+        "log_consume_from", "log_truncate_view", "log_read_out_of_range",
+        "log_json_roundtrip", "log_servers", "log_acl_check",
+        "events_hourly_counts", "events_hourly_counts_streamed",
+        "events_sliding_counts",
+    )),
+)
+
+_DRIVER_CHECKED: frozenset[str] = frozenset(
+    n for _, grp in _CHECKED_BY_ROUND for n in grp
+)
 
 
-# r5 window (VERDICT-r4 item 2, the verification backlog): the two
-# re-serialized queries lead (their oracles changed — re-check rule),
-# then the 14 names that have never appeared in a driver window, the
-# 9 emb_* queries evicted after r4's encode-path changes, and the 2
-# streamed queries evicted after r5's bucketed-state rewrites —
-# 2+14+9+2 = 27 priority slots, plus the 3 never-checked r5 additions
-# in the fresh group = 30; the remaining 20 of the 50-query window
-# refill from the checked group in registry order (rotation hygiene).
-# After this round every name except the 20-deep tail of that refill
-# backlog should have a driver-green row at its CURRENT
-# implementation.
-_WINDOW_PRIORITY = [
-    # the two r4 reds, re-serialized to scalar final columns in r5
-    "docs_tokenize_ids", "docs_bpe_token_stats",
-    # the 14 never-driver-checked
-    "docs_chunk_spans", "docs_rarity_filter", "docs_repeated_span_dedup",
-    "docs_source_scorecard", "docs_sql_tvf_tokens", "events_bitmap_distinct",
-    "events_distinct_rollup_streamed", "events_halves_bag_ops",
-    "events_hll_rollup_gate", "events_journey_segments",
-    "events_sql_udf_buckets", "events_type_day_matrix",
-    "events_type_pagerank", "tpch_lateral_top_customers",
-    # the 9 emb_* evicted by the re-check rule (r4 adaptive-bits +
-    # NULL-guard encode-path changes)
-    "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
-    "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
-    "emb_pq_ann_topk", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
-    # evicted r5 (engines moved to bucketed state groups)
-    "events_asof_order_streamed", "events_sessionize_streamed",
+# r6 window: evictions forced by this round's edits (the digest test
+# enforces each), then any never-driver-checked additions, then the
+# oldest-checked names (r1/r2-era core set leads the refill).
+_WINDOW_PRIORITY: list[str] = [
 ]
 
 
 def _rotated_names() -> list[str]:
-    """Registry names, never-driver-checked first (priority list, then
-    registry order within each group)."""
+    """Registry names ordered for the driver's prefix window: evicted /
+    priority names first, then never-driver-checked names, then checked
+    names OLDEST-ROUND-FIRST (registry order within each group) so
+    stale greens re-verify before recent ones."""
     pri = [n for n in _WINDOW_PRIORITY if n in REGISTRY and n not in _DRIVER_CHECKED]
     fresh = [
         n for n in REGISTRY if n not in _DRIVER_CHECKED and n not in _WINDOW_PRIORITY
     ]
-    seen = [n for n in REGISTRY if n in _DRIVER_CHECKED]
+    seen = [
+        n
+        for _, grp in _CHECKED_BY_ROUND
+        for n in sorted(grp, key=list(REGISTRY).index)
+        if n in REGISTRY
+    ]
     return pri + fresh + seen
 
 

@@ -74,3 +74,76 @@ def test_media_meta_plumbing(spark):
     out = {r.doc_id: r for r in extract_media_meta(df).collect()}
     assert out[1].n_bytes == 6 and out[1].header_hex == "89504E47"
     assert out[2].n_bytes == 8 and out[2].header_hex == "52494646"
+
+
+# ---------------------------------------------------------------------------
+# Driver re-check rule, mechanized (VERDICT-r5 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _digest_tools():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import digest_manifest
+
+    return digest_manifest
+
+
+def test_driver_checked_digest_manifest():
+    """Every name green-listed in _DRIVER_CHECKED must carry a digest in
+    driver_check_manifest.json recorded when its check was logged, and
+    that digest must match the CURRENT dependency closure (query source
+    + oracle SQL + referenced proglog_spark module/helper sources).
+    Drift means an implementation or oracle changed after its last
+    driver check — the name must be EVICTED into _WINDOW_PRIORITY (and
+    `tools/digest_manifest.py --evict`-ed) so the driver re-verifies
+    it, or consciously re-recorded. This converts the re-check rule
+    from builder discipline into CI."""
+    dm = _digest_tools()
+    drifted, missing, stale = dm.drift_report()
+    assert not drifted, (
+        f"digest drift for driver-checked queries {drifted}: evict them "
+        "from _DRIVER_CHECKED into _WINDOW_PRIORITY and run "
+        "`python tools/digest_manifest.py --evict <names>`"
+    )
+    assert not missing, f"checked but never digest-recorded: {missing}"
+    assert not stale, (
+        f"manifest entries for non-checked names {stale}: run "
+        "`python tools/digest_manifest.py --evict <names>`"
+    )
+
+
+def test_digest_detects_oracle_and_impl_drift():
+    """The digest must move when the oracle SQL, the query function, or
+    a referenced helper changes — otherwise the manifest test above is
+    a no-op. Exercised with an injected registry (no globals touched)."""
+    dm = _digest_tools()
+
+    def q_v1(spark, sf_dir):
+        return helper_v1(spark)
+
+    def q_v2(spark, sf_dir):
+        return helper_v1(spark) + 1
+
+    def helper_v1(spark):
+        return 0
+
+    base = dm.query_digest("q", {"q": (q_v1, "SELECT 1 AS x")})
+    assert dm.query_digest("q", {"q": (q_v1, "SELECT 2 AS x")}) != base
+    assert dm.query_digest("q", {"q": (q_v2, "SELECT 1 AS x")}) != base
+    # same fn text + sql => same digest (stability)
+    assert dm.query_digest("q", {"q": (q_v1, "SELECT 1 AS x")}) == base
+
+
+def test_digest_covers_operator_modules():
+    """A real registry entry's closure must reach the operator modules
+    it calls through (the conservative over-evict direction): the
+    minhash query's digest includes operators/dedup.py source."""
+    dm = _digest_tools()
+    from proglog_spark.queries import REGISTRY
+
+    fn_srcs, mods = {}, {}
+    dm._fn_closure(REGISTRY["docs_minhash_lsh"][0], fn_srcs, mods)
+    assert "proglog_spark.operators.dedup" in mods
