@@ -82,13 +82,22 @@ def _pillow_luma_decoder(data: bytes):
         ValueError,
         Image.DecompressionBombError,
     ) as e:
-        # decoder contract: EVERY malformed payload maps to ValueError
-        # so decode_batches' never-crash except-clause catches it.
-        # UnidentifiedImageError = bad header; OSError = valid header,
-        # corrupt body ("image file is truncated" / "broken data
-        # stream" raised during convert/load); DecompressionBombError
-        # (oversized declared dims) subclasses plain Exception — NOT
-        # ValueError — so it must be named explicitly.
+        # decoder contract: every MALFORMED payload maps to ValueError
+        # so decode_batches' never-crash except-clause tags the row
+        # corrupt:<fmt>. UnidentifiedImageError = bad header; OSError
+        # with errno=None = valid header, corrupt body ("image file is
+        # truncated" / "broken data stream" raised during convert/
+        # load); DecompressionBombError (oversized declared dims)
+        # subclasses plain Exception — NOT ValueError — so it must be
+        # named explicitly. ENVIRONMENTAL OSErrors (EMFILE/ENOMEM
+        # under executor pressure — these carry a real errno, while
+        # Pillow's data-corruption OSErrors are raised bare) re-raise:
+        # a transient resource failure must fail the task for Spark to
+        # retry, not mislabel a good payload as corrupt.
+        if isinstance(e, OSError) and not isinstance(
+            e, UnidentifiedImageError
+        ) and e.errno is not None:
+            raise
         raise ValueError(str(e)) from e
     return grid.shape[0], grid.shape[1], channels, grid.reshape(-1)
 

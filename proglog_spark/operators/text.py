@@ -595,8 +595,16 @@ def dsir_topk(
     with t_f/r_f the target/raw feature counts, T/R their totals, B
     the bucket count (Laplace smoothing over the fixed hashed
     vocabulary — exactly the paper's smoothed multinomials), and k_f
-    the doc's feature counts. Monotone scoring on the same sufficient
-    statistics; selection = top-k by (score, doc_id).
+    the doc's feature counts. NOTE this is a deliberate RANKING-RULE
+    SUBSTITUTION, not an order-preserving transform of the published
+    score: a weighted arithmetic mean of per-feature likelihood
+    ratios is not monotone in the paper's sum of per-feature
+    log-ratios, so the selected top-k can differ from Xie et al.'s on
+    the same corpus. The substitution is chosen because it runs on
+    the same sufficient statistics (the two smoothed multinomials)
+    while staying integer-exact — which is what lets the whole
+    selection sit inside the DuckDB hash gate instead of a
+    float-tolerance comparison. Selection = top-k by (score, doc_id).
 
     Scale posture — the reason DSIR hashes features: the MODEL is at
     most ``n_buckets`` rows no matter the corpus size, so the
@@ -739,11 +747,22 @@ def dsir_model_write(
     table pinning n_buckets so scorers can't silently hash into a
     different bucket space. Incremental pipelines then score each new
     data drop against the frozen model without ever re-reading the
-    training corpus."""
-    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
-    # the ≤ n_buckets-row bucket-count table feeds both the model and
-    # the totals; checkpoint it so the corpus is featurized ONCE, not
-    # once per consumer
+    training corpus.
+
+    Returns the materialized per-doc feature table so a score-after-
+    train composition over the SAME corpus (`dsir_model_score`'s
+    ``doc_features``) reuses it instead of re-featurizing — the write
+    path already paid for the one corpus scan; handing the table back
+    halves the end-to-end cost of train-then-score-the-training-set
+    pipelines. Scoring genuinely NEW data still featurizes that data
+    itself (it must — the features don't exist yet)."""
+    # checkpoint the per-doc feature table itself (not just its
+    # bucket-count reduction): it feeds the model counts, the totals,
+    # AND — handed back to the caller — same-corpus scoring, all from
+    # ONE featurize pass over the corpus
+    doc_f = _dsir_doc_features(
+        df, n_buckets, text_col, id_col, is_target
+    ).localCheckpoint(eager=True)
     raw = _dsir_bucket_counts(doc_f).localCheckpoint(eager=True)
     _dsir_fit(raw, n_buckets).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/model"
@@ -759,6 +778,7 @@ def dsir_model_write(
     df.sparkSession.createDataFrame(
         [(n_buckets, default_ratio)], "n_buckets LONG, default_ratio LONG"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return doc_f
 
 
 def dsir_model_score(
@@ -768,16 +788,29 @@ def dsir_model_score(
     k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_features: DataFrame | None = None,
 ) -> DataFrame:
     """Score a corpus against a persisted DSIR model: identical output
     to the in-session path over the same model (same feature hash,
     same integer scoring tail). ``k=None`` returns every doc's score
     (the filter-stage spelling); ``k`` set returns the top-k selection
-    exactly like :func:`dsir_topk`."""
+    exactly like :func:`dsir_topk`.
+
+    ``doc_features`` short-circuits the featurize pass with a table
+    the caller already owns — the :func:`dsir_model_write` return
+    value, for the train-then-score-the-training-set composition.
+    The caller is responsible for it being ``df``'s feature table in
+    the MODEL's bucket space (the write path guarantees both); the
+    extra ``is_tgt`` column it carries is ignored by the scoring
+    groupBy."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_buckets = int(meta["n_buckets"])
     model = spark.read.parquet(f"{path}/model")
-    doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col)
+    doc_f = (
+        doc_features
+        if doc_features is not None
+        else _dsir_doc_features(df, n_buckets, text_col, id_col)
+    )
     scored = _dsir_score(
         doc_f, model, id_col, default_ratio=int(meta["default_ratio"])
     )

@@ -357,14 +357,37 @@ def events_dedup_streamed(spark, sf_dir):
     `streaming/dedup.dedup_stream` (watermarked
     dropDuplicatesWithinWatermark, state bounded by the horizon) must
     emit each event exactly once — the oracle is simply the events
-    table itself, so any duplicate OR dropped record fails the hash."""
+    table itself, so any duplicate OR dropped record fails the hash.
+
+    The dedup horizon is derived from the fixture's actual event-time
+    span (+1 day) rather than hard-coded: with a horizon SHORTER than
+    the span, records more than the horizon behind the observed max
+    event time would be dropped as late whenever the file source
+    splits delivery across micro-batches (maxFilesPerTrigger, a
+    multi-file fixture) — the gate's exactly-once guarantee must not
+    hinge on single-batch delivery. In production the horizon is the
+    state-size dial: it bounds state to keys seen within the horizon
+    and REQUIRES the feed's duplicate lag to stay inside it."""
     from proglog_spark.streaming.dedup import dedup_stream
 
+    span = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.ceil(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / (86400 * 1_000_000)
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
     doubled = _stream_events(spark, sf_dir).unionByName(
         _stream_events(spark, sf_dir)
     )
     deduped = dedup_stream(
-        doubled, key_cols=["event_id"], event_time_col="ts", watermark="1 minute"
+        doubled,
+        key_cols=["event_id"],
+        event_time_col="ts",
+        watermark=f"{int(span) + 1} days",
     ).select(
         "event_id",
         "user_id",
@@ -7435,15 +7458,88 @@ def docs_dsir_from_model(spark, sf_dir):
     FROZEN artifact (`text.dsir_model_score`). Same oracle as
     `docs_dsir_selection`: the train-once/score-forever spelling must
     reproduce the in-session fit exactly — a drifted bucket space,
-    lost model rows, or a broken smoothing floor fails CORRECTNESS."""
+    lost model rows, or a broken smoothing floor fails CORRECTNESS.
+    Since this composition scores the corpus the model was trained
+    on, it reuses the write path's materialized feature table
+    (`dsir_model_write`'s return value) — ONE featurize pass end to
+    end; `docs_dsir_score_new` gates the genuine new-data path that
+    must featurize its own input."""
     import shutil
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="dsir_model_gate_")
     try:
-        text.dsir_model_write(d, F.col("lang") == "en", path)
-        out = _materialize(text.dsir_model_score(spark, path, d, k=100))
+        feats = text.dsir_model_write(d, F.col("lang") == "en", path)
+        out = _materialize(
+            text.dsir_model_score(spark, path, d, k=100, doc_features=feats)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+# the new-data DSIR oracle: the model is fitted on HALF the corpus
+# (even doc_ids — the labeled sample), then the ODD half is scored
+# against the frozen model. Buckets the training half never produced
+# take the smoothing floor ((R+B)*1e6)//(T+B) — the LEFT join +
+# coalesce, where the same-corpus oracle's inner join provably
+# suffices — so the gate fails if a scorer ever silently drops
+# unseen-bucket features (the r5 gotcha this path exists to pin).
+_DSIR_NEW_ORACLE = (
+    "WITH w AS (SELECT doc_id, lang, "
+    "list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents), "
+    "ix AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM w "
+    "WHERE len(ws) >= 2), "
+    "f AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8)) AS BIGINT) "
+    "% 10007 AS bk FROM ix), "
+    "raw AS (SELECT bk, CAST(count(*) AS BIGINT) AS rc, "
+    "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc "
+    "FROM f WHERE doc_id % 2 = 0 GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(rc) AS BIGINT) AS R, "
+    "CAST(sum(tc) AS BIGINT) AS T FROM raw), "
+    "m AS (SELECT bk, ((tc + 1) * (R + 10007) * 1000000) // "
+    "((rc + 1) * (T + 10007)) AS ratio_micro FROM raw, tot), "
+    "df_doc AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS k "
+    "FROM f WHERE doc_id % 2 = 1 GROUP BY 1, 2), "
+    "sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats, "
+    "CAST(sum(k * coalesce(ratio_micro, "
+    "(SELECT ((R + 10007) * 1000000) // (T + 10007) FROM tot))) // sum(k) "
+    "AS BIGINT) AS dsir_micro "
+    "FROM df_doc LEFT JOIN m USING (bk) GROUP BY 1) "
+    "SELECT doc_id, n_feats, dsir_micro FROM sc "
+    "ORDER BY dsir_micro DESC, doc_id LIMIT 100"
+)
+
+
+@register("docs_dsir_score_new", _DSIR_NEW_ORACLE)
+def docs_dsir_score_new(spark, sf_dir):
+    """The incremental-pipeline DSIR path: fit and persist the model
+    on a labeled corpus sample (even doc_ids), then score a data drop
+    the model has NEVER seen (odd doc_ids) against the frozen
+    artifact. This is the path `dsir_model_write`'s meta row exists
+    for — new data hashes into buckets the training sample never
+    produced, and those features must take the stored Laplace
+    smoothing floor rather than silently dropping from the scoring
+    join (an inner join here loses features and reorders the top-k;
+    the oracle's LEFT JOIN + coalesce(floor) fails the hash on any
+    such drop). Unlike `docs_dsir_from_model` this genuinely
+    featurizes the new data — there is no table to reuse."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dsir_new_gate_")
+    try:
+        text.dsir_model_write(
+            d.where(F.col("doc_id") % 2 == 0), F.col("lang") == "en", path
+        )
+        out = _materialize(
+            text.dsir_model_score(
+                spark, path, d.where(F.col("doc_id") % 2 == 1), k=100
+            )
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
@@ -7694,9 +7790,8 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # CORRECTNESS_r01/r02 greens whose latest check is still r1/r2
     ("r1r2", (
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
-        "docs_fingerprint", "docs_frame_sample", "docs_hash_sample",
-        "docs_lang_id", "docs_media_meta", "docs_media_pipeline",
-        "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
+        "docs_fingerprint", "docs_hash_sample",
+        "docs_lang_id", "docs_media_meta", "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
         "docs_quality", "docs_simhash", "docs_simhash_neardup",
         "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
         "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
@@ -7762,10 +7857,9 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
         "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_pq_ann_topk",
         "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
-        "events_asof_order_streamed", "events_sessionize_streamed",
-        "events_dedup_streamed", "events_cdc_apply_streamed",
+        "events_cdc_apply_streamed",
         "docs_bm25_index_topk", "events_trailing_anomaly_streamed",
-        "docs_dsir_selection", "docs_dsir_from_model", "emb_ann_recall_gate",
+        "emb_ann_recall_gate",
         "emb_ivf_recall_gate", "emb_pq_recall_gate", "emb_truncated_dim_overlap",
         "log_read_point", "log_bounds", "log_scan_range", "log_tail",
         "log_consume_from", "log_truncate_view", "log_read_out_of_range",
@@ -7784,6 +7878,20 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # enforces each), then any never-driver-checked additions, then the
 # oldest-checked names (r1/r2-era core set leads the refill).
 _WINDOW_PRIORITY: list[str] = [
+    # r6 evictions (digest-manifest enforced — tools/digest_manifest.py):
+    # DSIR write/score path reworked to return + reuse the featurize
+    # table (operators/text.py), so both DSIR gates re-verify
+    "docs_dsir_selection", "docs_dsir_from_model",
+    # NULL-sentinel band guard added to the bucketed state engines
+    # (streaming/sessions.py guarded_null_key, wired into asof too)
+    "events_sessionize_streamed", "events_asof_order_streamed",
+    # dedup horizon now derived from the fixture's event-time span
+    # (ADVICE r5: no dependence on single-micro-batch delivery)
+    "events_dedup_streamed",
+    # multimodal/media.py Pillow decoder: environmental OSErrors
+    # (errno set) re-raise instead of mislabeling rows corrupt —
+    # conservative eviction of the module's gated pipelines
+    "docs_media_pipeline", "docs_frame_sample",
 ]
 
 

@@ -96,10 +96,10 @@ def streaming_asof_join(
     )
     n_vals = len(vals)
 
-    from proglog_spark.streaming.sessions import NULL_KEY
+    from proglog_spark.streaming.sessions import NULL_KEY, guarded_null_key
 
     a = left.select(
-        F.coalesce(F.col(on).cast("long"), F.lit(NULL_KEY)).alias("key"),
+        guarded_null_key(F.col(on)).alias("key"),
         F.col(left_time).cast("timestamp").alias("ts"),
         F.lit(0).alias("side"),
         F.col(left_id).cast("long").alias("lid"),
@@ -118,7 +118,7 @@ def streaming_asof_join(
     # test_streaming_asof_matches_batch, whose wm-advancing sentinels
     # happen to read with NULL keys).
     c = right.select(
-        F.coalesce(F.col(on).cast("long"), F.lit(NULL_KEY + 1)).alias("key"),
+        guarded_null_key(F.col(on), sentinel=NULL_KEY + 1).alias("key"),
         F.col(right_time).cast("timestamp").alias("ts"),
         F.lit(1).alias("side"),
         F.lit(None).cast("long").alias("lid"),

@@ -52,6 +52,37 @@ _STATE_SCHEMA = (
 NULL_KEY = -(1 << 63)
 
 
+def guarded_null_key(col, sentinel: int = NULL_KEY):
+    """NULL→sentinel mapping that fails LOUDLY on sentinel collision.
+
+    The in-band sentinels (LONG_MIN for GROUP-BY-semantics keys,
+    LONG_MIN+1 for JOIN-semantics candidates in the as-of engine)
+    were previously documented-but-silent: a legitimate key equal to
+    -2^63 would be emitted as NULL, a LONG_MIN+1 candidate would
+    silently never match, and a LONG_MIN+1 ANCHOR would wrongly match
+    NULL-keyed candidates. This guard raises inside the JVM row
+    pipeline (``raise_error`` — no extra pass, no shuffle, whole-stage
+    codegen keeps it) the moment a REAL key lands anywhere in the
+    reserved band {LONG_MIN, LONG_MIN+1} — every engine rejects the
+    whole band, not just its own sentinel, because the as-of join
+    gives the OTHER value a meaning too. Collision = job failure,
+    never a silent remap or phantom match."""
+    c = col.cast("long")
+    return F.coalesce(
+        F.when(
+            c <= F.lit(NULL_KEY + 1),
+            F.raise_error(
+                F.lit(
+                    "key lands in the reserved NULL-sentinel band "
+                    "{LONG_MIN, LONG_MIN+1}; remap the key domain "
+                    "(see streaming/sessions.py NULL_KEY)"
+                )
+            ),
+        ).otherwise(c),
+        F.lit(sentinel),
+    )
+
+
 def batch_sessions(ts_us_sorted, gap_us: int) -> list[list[int]]:
     """Vectorized gap-sessionization of one batch's SORTED event times:
     [[start_us, end_us, n_events], ...]. Gap connectivity is
@@ -156,9 +187,7 @@ def streaming_sessionize(
     # any non-UTC session (the same contract anomaly.py follows)
     events = (
         stream.select(
-            F.coalesce(F.col(user_col).cast("long"), F.lit(NULL_KEY)).alias(
-                "user_id"
-            ),
+            guarded_null_key(F.col(user_col)).alias("user_id"),
             F.col(ts_col).alias("ts"),
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         )

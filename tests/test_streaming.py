@@ -1299,3 +1299,27 @@ def test_streaming_heavy_hitters_guarantees_under_compression(spark, tmp_path):
             assert true <= slack, f"absent key {k} above the MG threshold"
     # the screaming-heavy keys are guaranteed present
     assert "hot-a" in summary and "hot-b" in summary
+
+
+def test_guarded_null_key_sentinel_band(spark):
+    """ADVICE r5: the in-band NULL sentinels must fail LOUDLY on
+    collision. NULL maps to the sentinel; ordinary keys pass through;
+    a REAL key anywhere in the reserved band {LONG_MIN, LONG_MIN+1}
+    raises inside the JVM row pipeline (both values rejected on every
+    side — the as-of join assigns the OTHER value a meaning too)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from proglog_spark.streaming.sessions import NULL_KEY, guarded_null_key
+
+    df = spark.createDataFrame([(None,), (7,), (-5,)], "k LONG")
+    got = {
+        r.g for r in df.select(guarded_null_key(F.col("k")).alias("g")).collect()
+    }
+    assert got == {NULL_KEY, 7, -5}
+
+    for bad in (NULL_KEY, NULL_KEY + 1):
+        poisoned = spark.createDataFrame([(bad,)], "k LONG")
+        with pytest.raises(SparkRuntimeException, match="reserved NULL-sentinel"):
+            poisoned.select(
+                guarded_null_key(F.col("k"), sentinel=NULL_KEY + 1).alias("g")
+            ).collect()
