@@ -78,7 +78,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = list(q.queries())
+    # CACHE-ORDER POLICY (VERDICT-r5 item 3): queries run in FIXED
+    # alphabetical order, NOT the rotation order queries() emits for
+    # the driver's correctness window. Several families share session
+    # caches (_doc_gram_sets / verified-pairs in the jaccard+minhash
+    # dedup family, the decode grids in the media family), so the
+    # FIRST family member to run pays the build and the rest ride it
+    # — under rotation order that first-payer changed every round,
+    # which made per-query deltas unattributable (0.46 s vs 2.40 s
+    # for the same unchanged docs_neardup_jaccard across r4/r5).
+    # Alphabetical is stable across rounds and code moves, so each
+    # cache cost lands on the same query name in every BENCH_r*.json.
+    names = sorted(q.queries())
     if only:
         keep = set(only.split(","))
         names = [n for n in names if n in keep]
@@ -111,6 +122,11 @@ def main() -> None:
     # six streamed gate entries all measure steady-state engine cost
     _streaming_warmup(spark)
 
+    # machine-load attribution: the driver may bench under shared
+    # load; recording 1-min loadavg at start/end lets a reviewer tell
+    # a noisy run from a regression (r5's >1.5x per-query outliers
+    # were unattributable without this)
+    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     fns = q.queries()
@@ -119,6 +135,7 @@ def main() -> None:
         rows = fns[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         n_rows[name] = len(rows)
+    load_end = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -129,6 +146,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "rows": sum(n_rows.values()),
+        "loadavg_1m": [load_start, load_end],
+        "query_order": "alphabetical (see cache-order policy above)",
     }
     # The driver tail-captures stdout with a bounded buffer, so the
     # LAST line must stay small (<200 bytes).  The per-query map goes
@@ -146,6 +165,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "load": [load_start, load_end],
                 "queries": {"see": "bench_queries.json"},
             }
         )

@@ -704,3 +704,52 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
             )
 
     return cols.mapInPandas(meta_batches, schema=MEDIA_META_SCHEMA)
+
+
+def dhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit difference hash (dHash) over decoded luma grids — the
+    standard perceptual image fingerprint for near-duplicate photos
+    (resize to 9x8 luma, set bit r*8+c iff pixel[r][c+1] > pixel[r][c];
+    near-identical images differ in a few bits, so Hamming-radius
+    blocking finds them without an all-pairs pass).
+
+    Input is :func:`decode_media` / :func:`decode_images` /
+    :func:`resize_media` output at height=8, width=9 — the hash is
+    decoder-agnostic, so a deployment that registers a real JPEG
+    decoder (``register_image_decoder``) feeds this unchanged.
+    Output is (id, simhash_lo, simhash_hi): the hash split into the
+    two 32-bit words :func:`proglog_spark.operators.dedup.
+    hamming_pairs` banding expects (bits 0-31 / 32-63), so the
+    SimHash text machinery — pigeonhole-complete block candidate
+    generation + exact Hamming verify — does image blocking with
+    ZERO new join code. The whole computation is built-in column
+    expressions on the already-decoded grid: static bit arithmetic,
+    whole-stage codegen, no Python in this stage, no shuffle.
+
+    NULL pixel rows (null payloads / decode failures upstream) drop —
+    a row with no image has no perceptual identity to dedup on.
+
+    Reference parity note: the reference has no media operators at
+    all (payloads are opaque bytes, api/v1/log.proto:8); this extends
+    its duplication motif (internal/log/replicator.go — O32) to the
+    image tier of a multimodal training pipeline.
+    """
+
+    def bit(k: int):
+        r, c = divmod(k, 8)
+        return (
+            F.col("pixels").getItem(r * 9 + c + 1)
+            > F.col("pixels").getItem(r * 9 + c)
+        ).cast("long")
+
+    def word(lo_bit: int):
+        w = F.lit(0).cast("long")
+        for k in range(lo_bit, lo_bit + 32):
+            w = w + F.shiftleft(bit(k), k - lo_bit)
+        return w
+
+    return df.where(F.col("pixels").isNotNull()).select(
+        F.col(id_col).alias("id"),
+        word(0).alias("simhash_lo"),
+        word(32).alias("simhash_hi"),
+    )

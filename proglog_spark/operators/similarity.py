@@ -1277,7 +1277,13 @@ def build_ivf_index(
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "cell INT, centroid ARRAY<DOUBLE>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # repartition(1), not coalesce(1): the local-relation source is
+    # defaultParallelism Python-RDD partitions, and coalesce would
+    # drain them sequentially through ONE task's Python-worker
+    # round-trips (~5 s of overhead for a few hundred centroid rows;
+    # measured r6 on the DSIR meta write). repartition shuffles the
+    # map side in parallel first (~0.6 s).
+    cdf.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _with_ivf_cells(
         corpus.select(id_col, vec_col), centroids, 1, vec_col
     )

@@ -775,9 +775,17 @@ def dsir_model_write(
         F.sum("rc").cast("long").alias("R"), F.sum("tc").cast("long").alias("T")
     ).collect()[0]
     default_ratio = ((t["R"] + n_buckets) * 1_000_000) // (t["T"] + n_buckets)
-    df.sparkSession.createDataFrame(
-        [(n_buckets, default_ratio)], "n_buckets LONG, default_ratio LONG"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # one-row meta via a single-partition JVM range, NOT
+    # createDataFrame([...]).coalesce(1): a local-relation DataFrame
+    # parallelizes over defaultParallelism Python-RDD partitions, and
+    # coalesce(1) then drains all of them SEQUENTIALLY through one
+    # task's Python-worker round-trips (~150 ms each = ~5 s of pure
+    # overhead for one row; measured r6). range(0,1,1,1) is one JVM
+    # task, ~0.2 s.
+    df.sparkSession.range(0, 1, 1, 1).select(
+        F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
+        F.lit(int(default_ratio)).cast("long").alias("default_ratio"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return doc_f
 
 

@@ -497,3 +497,43 @@ def test_pillow_auto_hook_decodes_real_png(spark):
     assert (rows[1].format, rows[1].height, rows[1].width) == ("png", 2, 3)
     assert list(rows[1].pixels) == [0, 128, 255, 10, 20, 30]
     assert rows[2].format == "corrupt:png" and rows[2].pixels is None
+
+
+def test_dhash64_bit_rule_and_nulls(spark):
+    """dHash bit k (= r*8+c) is set iff grid[r][c+1] > grid[r][c] on
+    the 8x9 luma grid; NULL-pixel rows drop (no perceptual identity).
+    A strictly increasing 72-byte ramp sets every bit (lo = hi = the
+    32-bit all-ones word); a constant payload sets none."""
+    from proglog_spark.multimodal import decode_media, dhash64
+
+    ramp = bytes(range(72))  # 72 bytes -> 1 byte per pixel, increasing
+    flat = bytes([7]) * 72
+    df = spark.createDataFrame(
+        [(1, ramp), (2, flat), (3, None)], "doc_id LONG, payload BINARY"
+    )
+    out = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in dhash64(decode_media(df, height=8, width=9)).collect()
+    }
+    assert set(out) == {1, 2}  # NULL payload row dropped
+    assert out[1] == ((1 << 32) - 1, (1 << 32) - 1)
+    assert out[2] == (0, 0)
+
+
+def test_dhash64_single_bit(spark):
+    """One bumped pixel flips exactly the expected bits: raising
+    grid[0][1] above its neighbors sets bit 0 (px[0][1] > px[0][0])
+    and clears bit 1 (px[0][2] > px[0][1] now false) relative to the
+    flat baseline — pinning both the bit index math and the 9-wide
+    row stride."""
+    from proglog_spark.multimodal import decode_media, dhash64
+
+    base = bytearray([10]) * 72
+    bumped = bytearray(base)
+    bumped[1] = 200  # grid[0][1]
+    df = spark.createDataFrame(
+        [(1, bytes(bumped))], "doc_id LONG, payload BINARY"
+    )
+    (row,) = dhash64(decode_media(df, height=8, width=9)).collect()
+    assert row.simhash_lo == 1  # only bit 0 set
+    assert row.simhash_hi == 0
