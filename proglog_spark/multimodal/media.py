@@ -748,8 +748,21 @@ def dhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             w = w + F.shiftleft(bit(k), k - lo_bit)
         return w
 
+    # geometry guard: a wrong-geometry grid (e.g. decode_media's 4x4
+    # default) would make getItem(16..71) NULL, silently collapsing
+    # every hash toward 0 and flooding hamming_pairs with false
+    # duplicates — fail the job instead (JVM-side, no extra pass)
+    ok = (F.col("height") == 8) & (F.col("width") == 9)
+
+    def guarded(w, name):
+        return F.when(ok, w).otherwise(
+            F.raise_error(
+                F.lit("dhash64 requires 8x9 grids (decode at height=8, width=9)")
+            )
+        ).alias(name)
+
     return df.where(F.col("pixels").isNotNull()).select(
         F.col(id_col).alias("id"),
-        word(0).alias("simhash_lo"),
-        word(32).alias("simhash_hi"),
+        guarded(word(0), "simhash_lo"),
+        guarded(word(32), "simhash_hi"),
     )

@@ -738,7 +738,8 @@ def dsir_model_write(
     n_buckets: int = 10007,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
+    keep_features: bool = False,
+) -> DataFrame | None:
     """Persist a fitted DSIR model — the train-once/score-forever
     pattern of :func:`bm25_index_write` and `pq.build_ivf_index`: fit
     the hashed-bigram likelihood-ratio model on a labeled corpus
@@ -749,20 +750,27 @@ def dsir_model_write(
     data drop against the frozen model without ever re-reading the
     training corpus.
 
-    Returns the materialized per-doc feature table so a score-after-
-    train composition over the SAME corpus (`dsir_model_score`'s
-    ``doc_features``) reuses it instead of re-featurizing — the write
-    path already paid for the one corpus scan; handing the table back
-    halves the end-to-end cost of train-then-score-the-training-set
-    pipelines. Scoring genuinely NEW data still featurizes that data
+    With ``keep_features=True``, returns the MATERIALIZED per-doc
+    feature table so a score-after-train composition over the SAME
+    corpus (`dsir_model_score`'s ``doc_features``) reuses it instead
+    of re-featurizing — the write path already paid for the one
+    corpus scan. This is opt-in because the feature table is
+    O(distinct (doc, bucket) pairs) — corpus-scale, unlike the
+    ≤ n_buckets-row model — and pinning it in executor storage is
+    only worth it for callers that actually score the training corpus
+    next. Train-only / new-data pipelines leave the default and only
+    the bucket-count reduction materializes (the function's bounded
+    scale posture). Scoring genuinely NEW data featurizes that data
     itself (it must — the features don't exist yet)."""
-    # checkpoint the per-doc feature table itself (not just its
-    # bucket-count reduction): it feeds the model counts, the totals,
-    # AND — handed back to the caller — same-corpus scoring, all from
-    # ONE featurize pass over the corpus
-    doc_f = _dsir_doc_features(
-        df, n_buckets, text_col, id_col, is_target
-    ).localCheckpoint(eager=True)
+    if keep_features:
+        # checkpoint the per-doc feature table itself: it feeds the
+        # model counts, the totals, AND — handed back to the caller —
+        # same-corpus scoring, all from ONE featurize pass
+        doc_f = _dsir_doc_features(
+            df, n_buckets, text_col, id_col, is_target
+        ).localCheckpoint(eager=True)
+    else:
+        doc_f = _dsir_doc_features(df, n_buckets, text_col, id_col, is_target)
     raw = _dsir_bucket_counts(doc_f).localCheckpoint(eager=True)
     _dsir_fit(raw, n_buckets).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/model"
@@ -786,7 +794,7 @@ def dsir_model_write(
         F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
         F.lit(int(default_ratio)).cast("long").alias("default_ratio"),
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    return doc_f
+    return doc_f if keep_features else None
 
 
 def dsir_model_score(

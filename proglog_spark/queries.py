@@ -1882,7 +1882,8 @@ def docs_media_pipeline(spark, sf_dir):
 # dhash64 from decode_images/Pillow grids, where the standard
 # radius-3 operating point applies as-is.
 _DHASH_CTES = (
-    "tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents), "
+    "tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
+    "WHERE text IS NOT NULL), "
     "b AS (SELECT doc_id, length(t) AS n, list_transform("
     "range(1, length(t) + 1), i -> unicode(substr(t, i, 1))) AS bs FROM tb), "
     "pxx AS (SELECT doc_id, p, (p * n) // 72 AS s, ((p + 1) * n) // 72 AS e, "
@@ -7615,7 +7616,9 @@ def docs_dsir_from_model(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="dsir_model_gate_")
     try:
-        feats = text.dsir_model_write(d, F.col("lang") == "en", path)
+        feats = text.dsir_model_write(
+            d, F.col("lang") == "en", path, keep_features=True
+        )
         out = _materialize(
             text.dsir_model_score(spark, path, d, k=100, doc_features=feats)
         )
@@ -8049,11 +8052,14 @@ def _rotated_names() -> list[str]:
     fresh = [
         n for n in REGISTRY if n not in _DRIVER_CHECKED and n not in _WINDOW_PRIORITY
     ]
+    reg_order = {n: i for i, n in enumerate(REGISTRY)}
     seen = [
         n
         for _, grp in _CHECKED_BY_ROUND
-        for n in sorted(grp, key=list(REGISTRY).index)
-        if n in REGISTRY
+        # filter BEFORE sorting: a renamed/deleted query lingering in a
+        # checked group must drop out silently, not ValueError the key
+        # fn and take down queries()/bench/the driver window
+        for n in sorted((x for x in grp if x in reg_order), key=reg_order.get)
     ]
     return pri + fresh + seen
 

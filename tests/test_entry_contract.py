@@ -147,3 +147,17 @@ def test_digest_covers_operator_modules():
     fn_srcs, mods = {}, {}
     dm._fn_closure(REGISTRY["docs_minhash_lsh"][0], fn_srcs, mods)
     assert "proglog_spark.operators.dedup" in mods
+
+
+def test_digest_reports_renamed_checked_name(monkeypatch):
+    """A green-listed name that no longer exists in REGISTRY (renamed/
+    deleted query with a stale _DRIVER_CHECKED entry) must surface as
+    an actionable drift row, not a KeyError traceback."""
+    import proglog_spark.queries as Q
+
+    dm = _digest_tools()
+    monkeypatch.setattr(
+        Q, "_DRIVER_CHECKED", frozenset(Q._DRIVER_CHECKED | {"ghost_query"})
+    )
+    drifted, _missing, _stale = dm.drift_report()
+    assert "ghost_query" in drifted

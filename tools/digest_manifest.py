@@ -194,14 +194,23 @@ def save_manifest(m: dict) -> None:
 
 def drift_report() -> tuple[list[str], list[str], list[str]]:
     """(drifted, missing_from_manifest, stale_in_manifest) vs
-    _DRIVER_CHECKED — all three must be empty for the test to pass."""
-    from proglog_spark.queries import _DRIVER_CHECKED
+    _DRIVER_CHECKED — all three must be empty for the test to pass.
+    A checked name no longer present in REGISTRY (renamed/deleted
+    query with a stale green-list entry) is reported as drifted —
+    with the actionable message — rather than KeyError-ing the
+    report."""
+    from proglog_spark.queries import REGISTRY, _DRIVER_CHECKED
 
     m = load_manifest()
-    drifted = [
-        n for n in sorted(_DRIVER_CHECKED) if n in m and query_digest(n) != m[n]
+    unknown = [n for n in sorted(_DRIVER_CHECKED) if n not in REGISTRY]
+    drifted = unknown + [
+        n
+        for n in sorted(_DRIVER_CHECKED)
+        if n in REGISTRY and n in m and query_digest(n) != m[n]
     ]
-    missing = [n for n in sorted(_DRIVER_CHECKED) if n not in m]
+    missing = [
+        n for n in sorted(_DRIVER_CHECKED) if n in REGISTRY and n not in m
+    ]
     stale = [n for n in sorted(m) if n not in _DRIVER_CHECKED]
     return drifted, missing, stale
 
