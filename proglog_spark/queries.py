@@ -1968,6 +1968,69 @@ def docs_image_neardup(spark, sf_dir):
 
 
 @register(
+    "docs_image_dedup_incremental",
+    _DHASH_SQL
+    + "SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END "
+    "AS new_id, "
+    "CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS dup_of, "
+    "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) "
+    "AS hamming FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
+    "WHERE (a.doc_id % 2) != (b.doc_id % 2) "
+    "AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
+    "ORDER BY new_id, dup_of",
+)
+def docs_image_dedup_incremental(spark, sf_dir):
+    """Incremental image dedup against a PERSISTED fingerprint index —
+    the steady-state shape of a multimodal ingest pipeline: the
+    existing corpus's dHash sketches live as a parquet fingerprint
+    store (written once, here the even doc_ids), and each new data
+    drop (odd doc_ids) hashes only ITSELF and blocks against the
+    loaded index — no re-decode, no re-hash of the historical corpus,
+    ever. The index is 3 longs/image regardless of image size, so a
+    10-billion-image store is ~240 GB of parquet — scannable, and
+    prunable further by persisting per-block bucket columns. Blocking
+    reuses `hamming_pairs` over the tagged union (parity IS the side
+    tag, so cross-side pairs are a filter); emitted pairs orient as
+    (new_id, dup_of). The oracle replays the cross-parity Hamming
+    relation over the same dHash CTEs — a dropped index row, a
+    decode drift, or a broken round-trip all fail the hash."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.multimodal import decode_media, dhash64
+    from proglog_spark.operators import dedup as _dedup
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def sketch(df):
+        payload = df.select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload"),
+        )
+        return dhash64(decode_media(payload, height=8, width=9))
+
+    path = tempfile.mkdtemp(prefix="dhash_index_gate_")
+    try:
+        sketch(d.where(F.col("doc_id") % 2 == 0)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        index = spark.read.parquet(path)
+        both = index.unionByName(sketch(d.where(F.col("doc_id") % 2 == 1)))
+        pairs = _dedup.hamming_pairs(both, max_hamming=3, blocks=4).where(
+            (F.col("id_a") % 2) != (F.col("id_b") % 2)
+        )
+        odd_a = F.col("id_a") % 2 == 1
+        out = pairs.select(
+            F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+            F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("dup_of"),
+            F.col("hamming").cast("long").alias("hamming"),
+        ).orderBy("new_id", "dup_of")
+        return _materialize(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "docs_image_dedup_keepers",
     "WITH RECURSIVE " + _DHASH_CTES
     + ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
