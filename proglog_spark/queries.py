@@ -2077,6 +2077,71 @@ def docs_image_dedup_keepers(spark, sf_dir):
     )
 
 
+@register(
+    "docs_audio_wav_roundtrip",
+    "WITH tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
+    "WHERE text IS NOT NULL), "
+    "s AS (SELECT doc_id, length(t) AS n, list_transform("
+    "range(1, length(t) + 1), i -> unicode(substr(t, i, 1)) - 128) AS ss "
+    "FROM tb) "
+    "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_samples, "
+    "CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS energy, "
+    "array_to_string(ss[1:least(n, 16)], ',') AS prefix_csv "
+    "FROM s ORDER BY doc_id",
+)
+def docs_audio_wav_roundtrip(spark, sf_dir):
+    """REAL audio-format round-trip inside the hash gate: each doc's
+    first 216 bytes become the sample stream of a genuine 8-bit mono
+    8 kHz RIFF/WAVE file CONSTRUCTED ENTIRELY JVM-SIDE (fixed header
+    fields as unhex literals, the two length fields as per-row
+    little-endian hex arithmetic — built-in functions only, no
+    Python on the build side), then `multimodal.decode_audio` parses
+    it with the stdlib ``wave`` reader + numpy and emits integer
+    sample facts. The oracle recomputes those facts straight from
+    the characters (byte value = code point on the ASCII corpus, 8-
+    bit PCM centers at 128), so ANY header-math error (RIFF/data
+    chunk sizes, LE encoding), sampwidth mishandling, truncation, or
+    centering bug goes RED. This moves the WAV decoder — previously
+    property-tested only — into the driver's oracle gate, and
+    completes the multimodal tier trio: image (dHash family), audio
+    (this), video-style frame sampling (`docs_frame_sample`).
+    Embarrassingly parallel: one projection + one mapInPandas, no
+    shuffle before the final sort."""
+    from proglog_spark.multimodal import decode_audio
+
+    def le_bytes(col, n_bytes):
+        """Little-endian byte string of an int column, via hex+unhex
+        (char() would UTF-8-expand code points >= 128)."""
+        parts = [
+            F.lpad(F.hex((col / (256**i)).cast("long") % 256), 2, "0")
+            for i in range(n_bytes)
+        ]
+        return F.unhex(F.concat(*parts))
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.substring("text", 1, 216)
+    n = F.octet_length(F.encode(t, "UTF-8"))
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"), le_bytes(n + F.lit(36), 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"), le_bytes(F.lit(16), 4),
+        F.unhex(F.lit("01000100")),        # PCM=1, channels=1 (LE16 x2)
+        le_bytes(F.lit(8000), 4), le_bytes(F.lit(8000), 4),  # rate, byterate
+        F.unhex(F.lit("01000800")),        # block align=1, bits=8 (LE16 x2)
+        F.encode(F.lit("data"), "UTF-8"), le_bytes(n, 4),
+        F.encode(t, "UTF-8"),
+    )
+    dec = decode_audio(d.select("doc_id", wav.alias("payload")), prefix=16)
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "energy",
+        F.array_join("sample_prefix", ",").alias("prefix_csv"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search + hygiene
 # ---------------------------------------------------------------------------

@@ -679,3 +679,39 @@ def test_bm25_index_query_pushes_term_in_filters(spark, sf_dir, tmp_path):
     )
     assert "In(term, [" in plan or "term IN (" in plan
     assert "documents.parquet" not in plan
+
+
+def test_image_dhash_single_pass_no_pre_sort_shuffle(spark, sf_dir):
+    """docs_image_dhash is ONE decode pass + JVM bit arithmetic: the
+    scan reads only (doc_id, text), exactly one MapInPandas stage
+    (the decode), the 64-bit projection is built-in expressions (no
+    second Python stage), and the only Exchange is the final ORDER
+    BY — nothing shuffles before it."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_image_dhash"][0](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert read_schema.count(",") == 1  # exactly the two columns
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1  # the orderBy only
+    assert "shiftleft" in plan  # hash is JVM-side, not Python
+
+
+def test_image_neardup_blocked_join_not_cartesian(spark, sf_dir):
+    """docs_image_neardup candidates come from the pigeonhole block
+    join (posexplode over 4 block values, equi-join on blk/blk_val),
+    never a cartesian product; the decode+hash sketch table is cached
+    so the UDF pass runs once for the explode AND the verify
+    join-back."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_image_neardup"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate" in plan  # the posexplode blocking
+    # every consumer (block explode ×2, verify join-back ×2) reads the
+    # CACHED sketch table — the decode UDF pass materializes once.
+    # (MapInPandas strings recur in the printout because each
+    # InMemoryTableScan reprints its cached child plan; the execution
+    # count is the InMemoryTableScan count, not that.)
+    assert plan.count("InMemoryTableScan") >= 3
