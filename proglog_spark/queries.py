@@ -2078,6 +2078,70 @@ def docs_image_dedup_keepers(spark, sf_dir):
 
 
 @register(
+    "docs_image_feature_topk",
+    "WITH " + _DHASH_CTES
+    + ", hist AS (SELECT doc_id, v // 16 AS bk, CAST(count(*) AS BIGINT) AS c "
+    "FROM pix GROUP BY 1, 2), "
+    "qs AS (SELECT DISTINCT doc_id AS qid FROM hist WHERE doc_id < 3), "
+    "cand AS (SELECT qs.qid, h.doc_id FROM (SELECT DISTINCT doc_id FROM hist) h "
+    "CROSS JOIN qs WHERE h.doc_id != qs.qid), "
+    "dots AS (SELECT cand.qid AS query_id, cand.doc_id, "
+    "CAST(coalesce(sum(h.c * qh.c), 0) AS BIGINT) AS qdot "
+    "FROM cand LEFT JOIN hist h ON h.doc_id = cand.doc_id "
+    "LEFT JOIN hist qh ON qh.doc_id = cand.qid AND qh.bk = h.bk "
+    "GROUP BY 1, 2), "
+    "ranked AS (SELECT query_id, doc_id, qdot, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY qdot DESC, doc_id) AS rank FROM dots) "
+    "SELECT query_id, doc_id, qdot, rank FROM ranked WHERE rank <= 10 "
+    "ORDER BY query_id, rank",
+)
+def docs_image_feature_topk(spark, sf_dir):
+    """Image SIMILARITY SEARCH over decoded pixel features — the
+    search half of the image tier next to the dHash dedup half
+    (mirroring the embedding tier's emb_dot_topk/emb_cosine_neardup
+    split): thumbnail → integer 16-bin intensity histogram
+    (`extract_pixel_histogram`, the hash-gated feature stage) →
+    brute-force top-10 by integer histogram dot product, broadcast
+    queries, one corpus pass, per-query rank pushdown. Every stage
+    is the exact-integer twin of the float pipeline a real deployment
+    runs (L2-normalized features into the ANN family — the
+    emb_* indexes take over at billon-image scale; this gate pins
+    the feature math and ranking semantics those compositions stand
+    on)."""
+    from pyspark.sql import Window
+
+    from proglog_spark.multimodal import decode_media, extract_pixel_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload")
+    )
+    h = extract_pixel_histogram(
+        decode_media(payload, height=8, width=9), dim=16
+    ).where(F.col("hist").isNotNull())
+    q = h.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("hist").alias("qh")
+    )
+    dot = F.aggregate(
+        F.zip_with("hist", "qh", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        h.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", dot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "qdot", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "docs_audio_wav_roundtrip",
     "WITH tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
     "WHERE text IS NOT NULL), "
