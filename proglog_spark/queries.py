@@ -1902,6 +1902,29 @@ _DHASH_CTES = (
 )
 _DHASH_SQL = "WITH " + _DHASH_CTES
 
+#: bytes of payload the image tier thumbnails (MUST match the literal
+#: 216 inside _DHASH_CTES and docs_image_feature_topk's oracle)
+_THUMB_BYTES = 216
+
+
+def _image_thumb_payload(d: DataFrame) -> DataFrame:
+    """The image tier's shared thumbnail contract: (doc_id, payload)
+    where payload is the first _THUMB_BYTES of the document — the
+    fake-decode input every image query feeds (rationale in the
+    _DHASH_CTES comment above)."""
+    return d.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, _THUMB_BYTES), "UTF-8").alias("payload"),
+    )
+
+
+def _image_sketch(d: DataFrame) -> DataFrame:
+    """Thumbnail -> decode -> 64-bit dHash sketch (id, simhash_lo/hi):
+    the shared head of every image-dedup query."""
+    from proglog_spark.multimodal import decode_media, dhash64
+
+    return dhash64(decode_media(_image_thumb_payload(d), height=8, width=9))
+
 
 @register(
     "docs_image_dhash",
@@ -1917,13 +1940,7 @@ def docs_image_dhash(spark, sf_dir):
     expressions, whole-stage codegen, no Python, no shuffle). Gated
     per-doc so every one of the 64 bits is pinned by the oracle —
     the blocking query below inherits a verified hash."""
-    from proglog_spark.multimodal import decode_media, dhash64
-
-    d = load_table(spark, sf_dir, "documents")
-    payload = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload")
-    )
-    sk = dhash64(decode_media(payload, height=8, width=9))
+    sk = _image_sketch(load_table(spark, sf_dir, "documents"))
     return sk.select(
         F.col("id").alias("doc_id"),
         F.col("simhash_lo").alias("dhash_lo"),
@@ -1952,14 +1969,9 @@ def docs_image_neardup(spark, sf_dir):
     need more, hotter blocks (the documented recall/cost dial) — at
     production radius <= 3, real photo near-dups differ in a few
     bits and this plan survives 100x unchanged."""
-    from proglog_spark.multimodal import decode_media, dhash64
     from proglog_spark.operators import dedup as _dedup
 
-    d = load_table(spark, sf_dir, "documents")
-    payload = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload")
-    )
-    sk = dhash64(decode_media(payload, height=8, width=9))
+    sk = _image_sketch(load_table(spark, sf_dir, "documents"))
     return (
         _dedup.hamming_pairs(sk, max_hamming=3, blocks=4)
         .withColumn("hamming", F.col("hamming").cast("long"))
@@ -1997,25 +2009,18 @@ def docs_image_dedup_incremental(spark, sf_dir):
     import shutil
     import tempfile
 
-    from proglog_spark.multimodal import decode_media, dhash64
     from proglog_spark.operators import dedup as _dedup
 
     d = load_table(spark, sf_dir, "documents")
-
-    def sketch(df):
-        payload = df.select(
-            "doc_id",
-            F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload"),
-        )
-        return dhash64(decode_media(payload, height=8, width=9))
-
     path = tempfile.mkdtemp(prefix="dhash_index_gate_")
     try:
-        sketch(d.where(F.col("doc_id") % 2 == 0)).write.mode(
+        _image_sketch(d.where(F.col("doc_id") % 2 == 0)).write.mode(
             "overwrite"
         ).parquet(path)
         index = spark.read.parquet(path)
-        both = index.unionByName(sketch(d.where(F.col("doc_id") % 2 == 1)))
+        both = index.unionByName(
+            _image_sketch(d.where(F.col("doc_id") % 2 == 1))
+        )
         pairs = _dedup.hamming_pairs(both, max_hamming=3, blocks=4).where(
             (F.col("id_a") % 2) != (F.col("id_b") % 2)
         )
@@ -2055,15 +2060,10 @@ def docs_image_dedup_keepers(spark, sf_dir):
     keeper left-join idiom unchanged — the cluster map carries (id,
     rep) pairs, never pixels. Oracle replays the transitive closure
     with a recursive CTE over the same dHash CTEs."""
-    from proglog_spark.multimodal import decode_media, dhash64
     from proglog_spark.operators import dedup as _dedup
 
     d = load_table(spark, sf_dir, "documents")
-    payload = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload")
-    )
-    sk = dhash64(decode_media(payload, height=8, width=9))
-    pairs = _dedup.hamming_pairs(sk, max_hamming=3, blocks=4)
+    pairs = _dedup.hamming_pairs(_image_sketch(d), max_hamming=3, blocks=4)
     clusters = _dedup.connected_components(pairs)
     return (
         d.join(clusters, d.doc_id == clusters.id, "left")
@@ -2108,16 +2108,12 @@ def docs_image_feature_topk(spark, sf_dir):
     emb_* indexes take over at billon-image scale; this gate pins
     the feature math and ranking semantics those compositions stand
     on)."""
-    from pyspark.sql import Window
-
     from proglog_spark.multimodal import decode_media, extract_pixel_histogram
+    from proglog_spark.operators.topk import topk_per_key
 
     d = load_table(spark, sf_dir, "documents")
-    payload = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 216), "UTF-8").alias("payload")
-    )
     h = extract_pixel_histogram(
-        decode_media(payload, height=8, width=9), dim=16
+        decode_media(_image_thumb_payload(d), height=8, width=9), dim=16
     ).where(F.col("hist").isNotNull())
     q = h.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), F.col("hist").alias("qh")
@@ -2132,11 +2128,15 @@ def docs_image_feature_topk(spark, sf_dir):
         .where(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", dot.alias("qdot"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "qdot", F.col("rank").cast("long"))
+        topk_per_key(
+            scored,
+            ["query_id"],
+            [F.desc("qdot"), F.asc("doc_id")],
+            k=10,
+            rank_col="rank",
+        )
+        .select("query_id", "doc_id", "qdot", "rank")
         .orderBy("query_id", "rank")
     )
 
