@@ -2142,6 +2142,79 @@ def docs_image_feature_topk(spark, sf_dir):
 
 
 @register(
+    "docs_multimodal_curation",
+    "WITH RECURSIVE " + _DHASH_CTES
+    + ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+    "comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id), "
+    "per_doc AS (SELECT d.source, "
+    "(c.id IS NULL OR c.rep = d.doc_id) AS img_kept, "
+    "(len(string_split(d.text, ' ')) >= 20 AND "
+    "floor(1000000.0 * len(list_distinct(string_split(d.text, ' '))) "
+    "/ len(string_split(d.text, ' '))) >= 300000) AS qual "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN NOT img_kept THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_image_dup_dropped, "
+    "CAST(sum(CASE WHEN img_kept AND NOT qual THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_quality_dropped, "
+    "CAST(sum(CASE WHEN img_kept AND qual THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept FROM per_doc GROUP BY source ORDER BY source",
+)
+def docs_multimodal_curation(spark, sf_dir):
+    """Multimodal curation accounting — the cross-tier twin of the
+    flagship `docs_curation_pipeline`: perceptual image dedup
+    (dHash pairs → connected components → min-id keeper) composed
+    with the text quality gate (token count + distinct-token ratio,
+    `text.with_quality`) into per-source keep/drop accounting, drop
+    reasons prioritized image-dup-first (the order a production
+    pipeline applies them: dedup before spending quality compute).
+    The cluster map is the only driver-mediated step (bounded
+    union-find below the edge threshold, MapReduce-CC above); the
+    quality gate, the keeper join-back (an (id, rep) map, never
+    pixels), and the accounting are one Catalyst tree — the text
+    column scans once."""
+    from proglog_spark.operators import dedup as _dedup
+    from proglog_spark.operators.text import with_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.hamming_pairs(_image_sketch(d), max_hamming=3, blocks=4)
+    clusters = _dedup.connected_components(pairs)
+    per_doc = (
+        with_quality(d)
+        .join(clusters, F.col("doc_id") == clusters.id, "left")
+        .select(
+            "source",
+            (F.col("id").isNull() | (F.col("rep") == F.col("doc_id"))).alias(
+                "img_kept"
+            ),
+            (
+                (F.col("n_tokens") >= 20) & (F.col("distinct_micro") >= 300000)
+            ).alias("qual"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("img_kept")).cast("long")).alias("n_image_dup_dropped"),
+            F.sum((F.col("img_kept") & ~F.col("qual")).cast("long")).alias(
+                "n_quality_dropped"
+            ),
+            F.sum((F.col("img_kept") & F.col("qual")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "docs_audio_wav_roundtrip",
     "WITH tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
     "WHERE text IS NOT NULL), "
