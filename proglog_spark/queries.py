@@ -2142,6 +2142,72 @@ def docs_image_feature_topk(spark, sf_dir):
 
 
 @register(
+    "docs_video_frame_containment",
+    "WITH f AS (SELECT doc_id, unnest(range(0, "
+    "CAST(ceil(length(text) / 64.0) AS BIGINT))) AS k, text FROM documents "
+    "WHERE text IS NOT NULL), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "md5(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)) AS h FROM f), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared FROM sh a "
+    "JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, n_shared, "
+    "CAST(floor(1000000.0 * n_shared / least(sa.n, sb.n)) AS BIGINT) "
+    "AS containment_micro "
+    "FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id "
+    "JOIN sizes sb ON cand.id_b = sb.doc_id "
+    "WHERE floor(1000000.0 * n_shared / least(sa.n, sb.n)) >= 500000 "
+    "ORDER BY id_a, id_b",
+)
+def docs_video_frame_containment(spark, sf_dir):
+    """Video-tier dedup: frame-level containment — the video twin of
+    the text tier's ExactSubstr shape (`docs_repeated_span_dedup`)
+    and the dedup stage a video training pipeline runs after
+    `sample_frames` keyframe extraction. Every payload chunks into
+    64-byte frames (`multimodal.sample_frames` with every_n=1, the
+    REAL mapInPandas fan-out stage — a deployment swaps in an ffmpeg
+    keyframe iterator + perceptual frame hash), then pairs whose
+    shared-distinct-frame count covers >= 50% of the smaller clip's
+    frames emit with their exact containment. Sub-quadratic by
+    construction: candidates come from the frame-hash equi-join
+    (shared frames only — the shuffle carries 16-byte hashes, never
+    payloads), counts reduce map-side, and the tiny per-doc size
+    table joins back. ASCII fixture => the oracle's char-substr md5
+    equals the byte-chunk md5."""
+    from proglog_spark.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    frames = sample_frames(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        frame_bytes=64,
+        every_n=1,
+    )
+    sh = frames.select("doc_id", F.col("frame_md5").alias("h")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    contain = F.floor(
+        F.lit(1000000.0)
+        * F.col("n_shared")
+        / F.least(F.col("na"), F.col("nb"))
+    ).cast("long")
+    return (
+        cand.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b", "n_shared", contain.alias("containment_micro"))
+        .where(F.col("containment_micro") >= 500000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "docs_multimodal_curation",
     "WITH RECURSIVE " + _DHASH_CTES
     + ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
