@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Gate-strength evidence: prove the hash gates DISCRIMINATE.
+
+A hash gate that never goes red proves nothing unless a wrong
+implementation would actually fail it ("zero-output oracles are
+trivially green" — the r5 audit concern). This tool runs a set of
+documented MUTATIONS: for each named query it executes the REAL
+Spark implementation and a DELIBERATELY-WRONG oracle (the oracle
+perturbed the way a plausible implementation bug would perturb the
+result — a flipped bit rule, a dropped smoothing floor, a lost dedup
+pass, an off-by-one frame boundary), and asserts the driver-style
+comparison (row count + column-sorted value multiset) CATCHES it.
+Every mutation must MISMATCH; the unmutated oracle must MATCH.
+
+Run: python tools/gate_mutations.py [--sf /root/testdata/sf0.01]
+Exit 0 = every gate discriminates; the per-mutation verdicts print
+as a table (recorded in FIXTURES.md §gate-strength).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from check_oracle import rows_multiset  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# (query, bug the mutation simulates, old_fragment, new_fragment) —
+# each fragment pair rewrites the ORACLE so it computes what the
+# buggy implementation WOULD have computed; the real Spark result
+# must then hash-mismatch it.
+MUTATIONS: list[tuple[str, str, str, str]] = [
+    (
+        "docs_image_dhash",
+        "dHash bit rule inverted (>= instead of >)",
+        "px[(k // 8) * 9 + (k % 8) + 2] > px[(k // 8) * 9 + (k % 8) + 1]",
+        "px[(k // 8) * 9 + (k % 8) + 2] >= px[(k // 8) * 9 + (k % 8) + 1]",
+    ),
+    (
+        "docs_image_dhash",
+        "row stride wrong (8-wide grid indexing on the 9-wide grid)",
+        "px[(k // 8) * 9 + (k % 8) + 2]",
+        "px[(k // 8) * 8 + (k % 8) + 2]",
+    ),
+    (
+        "docs_image_neardup",
+        "Hamming verify lost (blocking emits unverified far pairs)",
+        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3",
+        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 12",
+    ),
+    (
+        "docs_dsir_score_new",
+        "unseen-bucket features silently dropped (inner-join scorer)",
+        "FROM df_doc LEFT JOIN m USING (bk)",
+        "FROM df_doc JOIN m USING (bk)",
+    ),
+    (
+        "docs_dsir_selection",
+        "Laplace smoothing dropped from the ratio numerator",
+        "((tc + 1) * (R + 10007) * 1000000)",
+        "(tc * (R + 10007) * 1000000)",
+    ),
+    (
+        "docs_video_frame_containment",
+        "frame boundary off by one (65-byte chunks hashed as 64)",
+        "md5(substr(text, CAST(k * 64 + 1 AS BIGINT), 64))",
+        "md5(substr(text, CAST(k * 64 + 1 AS BIGINT), 65))",
+    ),
+    (
+        "docs_audio_wav_roundtrip",
+        "8-bit PCM centering forgotten (raw unsigned samples)",
+        "unicode(substr(t, i, 1)) - 128",
+        "unicode(substr(t, i, 1))",
+    ),
+    (
+        "docs_multimodal_curation",
+        "keeper rule lost (every clustered doc dropped, reps too)",
+        "(c.id IS NULL OR c.rep = d.doc_id) AS img_kept",
+        "(c.id IS NULL) AS img_kept",
+    ),
+    (
+        "docs_image_dedup_incremental",
+        "orientation swapped (index ids reported as new ids)",
+        "CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END "
+        "AS new_id",
+        "CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END "
+        "AS new_id",
+    ),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from proglog_spark.queries import REGISTRY
+    from proglog_spark.session import build_session
+
+    spark = build_session(
+        "gate-mutations", master="local[8]", shuffle_partitions=8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    spark_cache: dict[str, tuple[list[str], list[tuple]]] = {}
+
+    def spark_result(name):
+        if name not in spark_cache:
+            df = REGISTRY[name][0](spark, args.sf)
+            spark_cache[name] = (df.columns, [tuple(r) for r in df.collect()])
+        return spark_cache[name]
+
+    def matches(name, sql) -> bool:
+        cols, rows = spark_result(name)
+        rel = con.sql(sql)
+        orows = rel.fetchall()
+        if len(rows) != len(orows) or sorted(cols) != sorted(rel.columns):
+            return False
+        return rows_multiset(cols, rows) == rows_multiset(
+            list(rel.columns), orows
+        )
+
+    bad = 0
+    for name, bug, old, new in MUTATIONS:
+        sql = REGISTRY[name][1]
+        if old not in sql:
+            print(f"STALE    {name}: mutation fragment not found — update "
+                  f"MUTATIONS for: {bug}")
+            bad += 1
+            continue
+        if not matches(name, sql):
+            print(f"BROKEN   {name}: unmutated oracle does not match!")
+            bad += 1
+            continue
+        if matches(name, sql.replace(old, new)):
+            print(f"WEAK     {name}: gate did NOT catch: {bug}")
+            bad += 1
+        else:
+            print(f"CAUGHT   {name}: {bug}")
+    print(("all mutations caught" if not bad else f"{bad} problems"))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
