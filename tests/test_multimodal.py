@@ -537,3 +537,63 @@ def test_dhash64_single_bit(spark):
     (row,) = dhash64(decode_media(df, height=8, width=9)).collect()
     assert row.simhash_lo == 1  # only bit 0 set
     assert row.simhash_hi == 0
+
+
+def test_image_sketch_null_and_empty_payloads(spark):
+    """The image tier's NULL contract, pinned Spark-side (the fixture
+    has no NULL/empty text, so the gates never exercise it): NULL
+    payloads drop from the sketch (no perceptual identity — matching
+    the oracle CTEs' WHERE text IS NOT NULL), while EMPTY payloads
+    decode to the all-zero grid and hash to 0/0 on both engines."""
+    from proglog_spark.multimodal import decode_media, dhash64
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b""), (3, bytes(range(72)))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in dhash64(decode_media(df, height=8, width=9)).collect()
+    }
+    assert set(out) == {2, 3}  # NULL dropped, empty kept
+    assert out[2] == (0, 0)  # empty payload -> constant grid -> no bits
+
+
+def test_decode_audio_null_payload_and_bad_wav(spark):
+    """decode_audio's never-crash contract over the rows the WAV
+    round-trip gate can't produce: NULL payload -> NULL-format row;
+    a non-WAV payload tags its sniffed format with NULL fields; a
+    truncated WAV (data chunk shorter than declared) tags corrupt."""
+    from proglog_spark.multimodal import decode_audio
+
+    def wav(samples: bytes, declared: int | None = None) -> bytes:
+        n = len(samples) if declared is None else declared
+        h = (
+            b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVEfmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + n.to_bytes(4, "little")
+        )
+        return h + samples
+
+    rows = {
+        r.doc_id: r
+        for r in decode_audio(
+            spark.createDataFrame(
+                [
+                    (1, None),
+                    (2, b"\x89PNG\r\n\x1a\nnot audio"),
+                    (3, wav(b"\x80" * 8, declared=64)),
+                    (4, wav(bytes([128, 130, 126, 128]))),
+                ],
+                "doc_id LONG, payload BINARY",
+            )
+        ).collect()
+    }
+    assert rows[1].format is None and rows[1].energy is None
+    assert rows[2].format == "png" and rows[2].energy is None
+    assert rows[3].format == "corrupt:wav" and rows[3].energy is None
+    assert rows[4].format == "wav" and rows[4].n_samples == 4
+    assert rows[4].energy == 0 + 4 + 4 + 0  # centered at 128
