@@ -597,3 +597,45 @@ def test_decode_audio_null_payload_and_bad_wav(spark):
     assert rows[3].format == "corrupt:wav" and rows[3].energy is None
     assert rows[4].format == "wav" and rows[4].n_samples == 4
     assert rows[4].energy == 0 + 4 + 4 + 0  # centered at 128
+
+
+def test_pillow_png_through_resize_and_dhash(spark):
+    """ENV-GATED (skips where Pillow is absent — this container): the
+    REAL-decoder composition a deployment runs for image dedup —
+    decode_images (Pillow luma grid) → resize_media to 8x9 →
+    dhash64 — produces exactly the hash computed independently from
+    the PNG's known pixels with the same nearest-neighbor index math
+    and bit rule. Covers the real-pixels path the fixture gates
+    exercise only through the deterministic fake."""
+    import io
+
+    import numpy as np
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from proglog_spark.multimodal import decode_images, dhash64, resize_media
+
+    h_in, w_in = 18, 16
+    rng = np.random.default_rng(7)
+    grid = rng.integers(0, 256, size=(h_in, w_in), dtype=np.uint8)
+    im = PIL_Image.fromarray(grid, mode="L")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+
+    dec = decode_images(
+        spark.createDataFrame([(1, buf.getvalue())], "doc_id LONG, payload BINARY")
+    ).select("doc_id", "height", "width", "channels", "pixels")
+    (row,) = dhash64(resize_media(dec, out_h=8, out_w=9)).collect()
+
+    # independent expectation from the known pixels
+    rows_idx = (np.arange(8) * h_in) // 8
+    cols_idx = (np.arange(9) * w_in) // 9
+    small = grid.astype(np.int64)[rows_idx][:, cols_idx]
+    lo = hi = 0
+    for k in range(64):
+        r, c = divmod(k, 8)
+        bit = int(small[r, c + 1] > small[r, c])
+        if k < 32:
+            lo |= bit << k
+        else:
+            hi |= bit << (k - 32)
+    assert (row.simhash_lo, row.simhash_hi) == (lo, hi)
