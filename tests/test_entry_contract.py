@@ -161,3 +161,25 @@ def test_digest_reports_renamed_checked_name(monkeypatch):
     )
     drifted, _missing, _stale = dm.drift_report()
     assert "ghost_query" in drifted
+
+
+def test_bench_stdout_line_stays_small():
+    """The round driver tail-captures bench.py's stdout with a bounded
+    buffer: the final JSON line must stay under 200 bytes even at
+    worst-case field widths (the per-query map lives in
+    bench_queries.json for exactly this reason). Guards field creep —
+    r6 added the loadavg pair."""
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "declared_suite_wall_seconds",
+            "value": 99999.9999,
+            "unit": "sec",
+            "sf": "0.001",
+            "n_queries": 99999,
+            "load": [999.99, 999.99],
+            "queries": {"see": "bench_queries.json"},
+        }
+    )
+    assert len(line) < 200
