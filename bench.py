@@ -27,6 +27,24 @@ from proglog_spark import queries as q  # noqa: E402
 from proglog_spark.session import build_session  # noqa: E402
 
 
+def stdout_line(total: float, sf: str, n_queries: int, load: list) -> str:
+    """The ONE line the driver tail-captures from stdout — built here
+    so tests can assert it stays under the driver's ~200-byte buffer
+    at worst-case field widths (the per-query map deliberately lives
+    in bench_queries.json, not here)."""
+    return json.dumps(
+        {
+            "metric": "declared_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": n_queries,
+            "load": load,
+            "queries": {"see": "bench_queries.json"},
+        }
+    )
+
+
 def _streaming_warmup(spark) -> None:
     """One throwaway stateful streaming query (1 row, 1 micro-batch,
     memory sink + checkpoint — the harness shape every streamed gate
@@ -157,19 +175,7 @@ def main() -> None:
     )
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "load": [load_start, load_end],
-                "queries": {"see": "bench_queries.json"},
-            }
-        )
-    )
+    print(stdout_line(total, sf, len(timings), [load_start, load_end]))
     spark.stop()
 
 

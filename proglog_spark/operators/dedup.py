@@ -438,7 +438,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def hamming_pairs(
-    sketches: DataFrame, max_hamming: int = 3, blocks: int = 4
+    sketches: DataFrame, max_hamming: int = 3, blocks: int = 4,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs of docs whose 64-bit simhash differs in <= max_hamming bits.
 
@@ -451,8 +452,16 @@ def hamming_pairs(
     classic simhash operating point (larger radii need more blocks
     and coarser, hotter buckets — the standard recall/cost dial).
 
-    The sketch table feeds the explode and the verify join-back —
-    cached so the sketch UDF runs once per call (session-scoped,
+    Self mode (``other=None``): all unordered pairs within
+    ``sketches`` (id_a < id_b). TWO-SIDED mode (``other`` given):
+    pairs (id_a from ``sketches``, id_b from ``other``) — the
+    incremental-dedup shape, where a new drop blocks against a
+    persisted fingerprint index WITHOUT the index ever joining
+    against itself (at a 10^10-row index, index x index candidates
+    would dominate every drop).
+
+    The sketch tables feed the explode and the verify join-back —
+    cached so each sketch UDF runs once per call (session-scoped,
     LRU-evicted under pressure).
     """
     if blocks < max_hamming + 1:
@@ -468,27 +477,28 @@ def hamming_pairs(
         shift = (i % per_word) * bits_per
         return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
 
+    def blocked_of(df):
+        return df.select(
+            "id",
+            F.posexplode(F.array(*[block_val(i) for i in range(blocks)])).alias(
+                "blk", "blk_val"
+            ),
+        )
+
     sketches = sketches.cache()
-    blocked = sketches.select(
-        "id",
-        F.posexplode(F.array(*[block_val(i) for i in range(blocks)])).alias(
-            "blk", "blk_val"
-        ),
-    )
-    a = blocked.select(F.col("id").alias("id_a"), "blk", "blk_val")
-    b = blocked.select(F.col("id").alias("id_b"), "blk", "blk_val")
-    cands = (
-        a.join(b, on=["blk", "blk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    right = sketches if other is None else other.cache()
+    a = blocked_of(sketches).select(F.col("id").alias("id_a"), "blk", "blk_val")
+    b = blocked_of(right).select(F.col("id").alias("id_b"), "blk", "blk_val")
+    cands = a.join(b, on=["blk", "blk_val"])
+    if other is None:
+        cands = cands.where(F.col("id_a") < F.col("id_b"))
+    cands = cands.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     wa = sketches.select(
         F.col("id").alias("id_a"),
         F.col("simhash_lo").alias("lo_a"),
         F.col("simhash_hi").alias("hi_a"),
     )
-    wb = sketches.select(
+    wb = right.select(
         F.col("id").alias("id_b"),
         F.col("simhash_lo").alias("lo_b"),
         F.col("simhash_hi").alias("hi_b"),

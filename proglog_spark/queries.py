@@ -1881,14 +1881,23 @@ def docs_media_pipeline(spark, sf_dir):
 # don't shift when a photo is re-encoded). Real deployments feed
 # dhash64 from decode_images/Pillow grids, where the standard
 # radius-3 operating point applies as-is.
+#: bytes of payload the image/audio tiers thumbnail — interpolated
+#: into _DHASH_CTES, docs_image_feature_topk's oracle, AND the audio
+#: round-trip oracle below, so the window widens in ONE place
+_THUMB_BYTES = 216
+
 _DHASH_CTES = (
-    "tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
+    f"tb AS (SELECT doc_id, substr(text, 1, {_THUMB_BYTES}) AS t FROM documents "
     "WHERE text IS NOT NULL), "
     "b AS (SELECT doc_id, length(t) AS n, list_transform("
     "range(1, length(t) + 1), i -> unicode(substr(t, i, 1))) AS bs FROM tb), "
     "pxx AS (SELECT doc_id, p, (p * n) // 72 AS s, ((p + 1) * n) // 72 AS e, "
     "n, bs FROM b CROSS JOIN (SELECT unnest(range(72)) AS p) pp), "
-    "pix AS (SELECT doc_id, p, CASE WHEN e = s THEN bs[least(s, n - 1) + 1] "
+    # empty text: bs[0] is NULL in DuckDB 1-based indexing, but the
+    # fake decoder maps an empty payload to the all-zero grid —
+    # coalesce keeps both engines on 0 (latent until a fixture
+    # carries an empty document; pinned by gate_mutations + tests)
+    "pix AS (SELECT doc_id, p, CASE WHEN e = s THEN coalesce(bs[least(s, n - 1) + 1], 0) "
     "ELSE list_sum(bs[s + 1:e]) // (e - s) END AS v FROM pxx), "
     "g AS (SELECT doc_id, list(v ORDER BY p) AS px FROM pix GROUP BY doc_id), "
     "dh AS (SELECT doc_id, "
@@ -1901,10 +1910,6 @@ _DHASH_CTES = (
     "FROM g) "
 )
 _DHASH_SQL = "WITH " + _DHASH_CTES
-
-#: bytes of payload the image tier thumbnails (MUST match the literal
-#: 216 inside _DHASH_CTES and docs_image_feature_topk's oracle)
-_THUMB_BYTES = 216
 
 
 def _image_thumb_payload(d: DataFrame) -> DataFrame:
@@ -2018,16 +2023,17 @@ def docs_image_dedup_incremental(spark, sf_dir):
             "overwrite"
         ).parquet(path)
         index = spark.read.parquet(path)
-        both = index.unionByName(
-            _image_sketch(d.where(F.col("doc_id") % 2 == 1))
+        new_sk = _image_sketch(d.where(F.col("doc_id") % 2 == 1))
+        # TWO-SIDED blocking (hamming_pairs other=): only the new
+        # drop's blocks probe the index — the index NEVER joins
+        # against itself, so per-drop cost is proportional to the
+        # drop, not the 10^10-row store (the docstring's contract)
+        pairs = _dedup.hamming_pairs(
+            new_sk, max_hamming=3, blocks=4, other=index
         )
-        pairs = _dedup.hamming_pairs(both, max_hamming=3, blocks=4).where(
-            (F.col("id_a") % 2) != (F.col("id_b") % 2)
-        )
-        odd_a = F.col("id_a") % 2 == 1
         out = pairs.select(
-            F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
-            F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("dup_of"),
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("dup_of"),
             F.col("hamming").cast("long").alias("hamming"),
         ).orderBy("new_id", "dup_of")
         return _materialize(out)
@@ -2112,9 +2118,17 @@ def docs_image_feature_topk(spark, sf_dir):
     from proglog_spark.operators.topk import topk_per_key
 
     d = load_table(spark, sf_dir, "documents")
-    h = extract_pixel_histogram(
-        decode_media(_image_thumb_payload(d), height=8, width=9), dim=16
-    ).where(F.col("hist").isNotNull())
+    # cached: h feeds BOTH the corpus branch and the query branch —
+    # without it the q = h.where(doc_id < 3) branch re-runs the whole
+    # decode+histogram UDF pass over the corpus (predicates do not
+    # push through mapInPandas); same move hamming_pairs makes
+    h = (
+        extract_pixel_histogram(
+            decode_media(_image_thumb_payload(d), height=8, width=9), dim=16
+        )
+        .where(F.col("hist").isNotNull())
+        .cache()
+    )
     q = h.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), F.col("hist").alias("qh")
     )
@@ -2282,15 +2296,20 @@ def docs_multimodal_curation(spark, sf_dir):
 
 @register(
     "docs_audio_wav_roundtrip",
-    "WITH tb AS (SELECT doc_id, substr(text, 1, 216) AS t FROM documents "
-    "WHERE text IS NOT NULL), "
+    # empty-text agreement: DuckDB's list_sum([]) and a [1:0] slice
+    # are NULL, but a valid 0-sample WAV decodes to energy=0 and an
+    # empty prefix — coalesce keeps both engines on the decoder's
+    # answer (latent until a fixture carries an empty document)
+    f"WITH tb AS (SELECT doc_id, substr(text, 1, {_THUMB_BYTES}) AS t "
+    "FROM documents WHERE text IS NOT NULL), "
     "s AS (SELECT doc_id, length(t) AS n, list_transform("
     "range(1, length(t) + 1), i -> unicode(substr(t, i, 1)) - 128) AS ss "
     "FROM tb) "
     "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, "
     "CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_samples, "
-    "CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS energy, "
-    "array_to_string(ss[1:least(n, 16)], ',') AS prefix_csv "
+    "CAST(coalesce(list_sum(list_transform(ss, x -> x * x)), 0) AS BIGINT) "
+    "AS energy, "
+    "coalesce(array_to_string(ss[1:least(n, 16)], ','), '') AS prefix_csv "
     "FROM s ORDER BY doc_id",
 )
 def docs_audio_wav_roundtrip(spark, sf_dir):
@@ -2323,7 +2342,7 @@ def docs_audio_wav_roundtrip(spark, sf_dir):
         return F.unhex(F.concat(*parts))
 
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.substring("text", 1, 216)
+    t = F.substring("text", 1, _THUMB_BYTES)
     n = F.octet_length(F.encode(t, "UTF-8"))
     wav = F.concat(
         F.encode(F.lit("RIFF"), "UTF-8"), le_bytes(n + F.lit(36), 4),
@@ -8271,7 +8290,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
         "docs_fingerprint", "docs_hash_sample",
         "docs_lang_id", "docs_media_meta", "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
-        "docs_quality", "docs_simhash", "docs_simhash_neardup",
+        "docs_quality", "docs_simhash",
         "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
         "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
         "events_approx_distinct", "events_asof_order",
@@ -8371,6 +8390,10 @@ _WINDOW_PRIORITY: list[str] = [
     # (errno set) re-raise instead of mislabeling rows corrupt —
     # conservative eviction of the module's gated pipelines
     "docs_media_pipeline", "docs_frame_sample",
+    # dedup.hamming_pairs gained the two-sided (other=) mode for the
+    # incremental image path; self-mode is behavior-identical but the
+    # function changed, so its one checked consumer re-verifies
+    "docs_simhash_neardup",
 ]
 
 

@@ -167,19 +167,10 @@ def test_bench_stdout_line_stays_small():
     """The round driver tail-captures bench.py's stdout with a bounded
     buffer: the final JSON line must stay under 200 bytes even at
     worst-case field widths (the per-query map lives in
-    bench_queries.json for exactly this reason). Guards field creep —
-    r6 added the loadavg pair."""
-    import json
+    bench_queries.json for exactly this reason). Asserts on the REAL
+    builder bench.py prints through, so any future field creep fails
+    here — r6 added the loadavg pair."""
+    import bench
 
-    line = json.dumps(
-        {
-            "metric": "declared_suite_wall_seconds",
-            "value": 99999.9999,
-            "unit": "sec",
-            "sf": "0.001",
-            "n_queries": 99999,
-            "load": [999.99, 999.99],
-            "queries": {"see": "bench_queries.json"},
-        }
-    )
+    line = bench.stdout_line(99999.9999, "0.001", 99999, [999.99, 999.99])
     assert len(line) < 200
