@@ -161,6 +161,35 @@ def test_hamming_pairs_complete_vs_brute_force(spark, docs):
         dedup.hamming_pairs(sk, max_hamming=7, blocks=4)  # blocks < d+1 rejected
 
 
+def test_hamming_pairs_two_sided_matches_cross_filter(spark, docs):
+    """The two-sided mode (other=) must equal the self-mode relation
+    restricted to cross-side pairs (oriented left->right): blocking a
+    new drop against an index finds exactly the pairs the union-and-
+    filter spelling finds, for every left/right split — completeness
+    is split-invariant."""
+    sk = dedup.simhash(docs).cache()
+    for d, blocks in ((3, 4), (7, 8)):
+        left = sk.where(F.col("id") % 2 == 1)
+        right = sk.where(F.col("id") % 2 == 0)
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_pairs(
+                left, max_hamming=d, blocks=blocks, other=right
+            ).collect()
+        }
+        ordered = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_pairs(sk, max_hamming=d, blocks=blocks)
+            .where((F.col("id_a") % 2) != (F.col("id_b") % 2))
+            .collect()
+        }
+        # orient the unordered self-mode pairs as (left_id, right_id)
+        want = {
+            (a, b, h) if a % 2 == 1 else (b, a, h) for a, b, h in ordered
+        }
+        assert got == want, f"two-sided mismatch at d={d}, blocks={blocks}"
+
+
 def test_exact_dedup_on_synthetic_dupes(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],
