@@ -8285,25 +8285,10 @@ def emb_truncated_dim_overlap(spark, sf_dir):
 # (tools/digest_manifest.py computes the closure: query source +
 # oracle SQL + referenced proglog_spark module/helper sources).
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
-    # CORRECTNESS_r01/r02 greens whose latest check is still r1/r2
-    ("r1r2", (
-        "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
-        "docs_fingerprint", "docs_hash_sample",
-        "docs_lang_id", "docs_media_meta", "docs_median_length", "docs_minhash_lsh", "docs_neardup_jaccard",
-        "docs_quality", "docs_simhash",
-        "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
-        "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
-        "events_approx_distinct", "events_asof_order",
-        "events_attribution_window", "events_extremes", "events_inactive_users",
-        "events_json_sum", "events_running_count", "events_sessionize",
-        "events_user_topk", "tpch_q1_pricing", "tpch_q3_shipping",
-        "tpch_q5_nation_revenue",
-    )),
     # CORRECTNESS_r03 greens whose latest check is still r3
     ("r3", (
         "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
-        "events_cms_join_estimate", "docs_epoch_shuffle",
-        "docs_lm_transition_score", "docs_lm_interpolated",
+        "events_cms_join_estimate",
         "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
         "docs_cluster_safe_split", "emb_cosine_topk", "tpch_q6_forecast",
         "tpch_q18_big_orders", "tpch_q4_late_orders", "tpch_q2_top_supplier",
@@ -8365,6 +8350,32 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_hourly_counts", "events_hourly_counts_streamed",
         "events_sliding_counts",
     )),
+    # CORRECTNESS_r06 window: 50/50 green — the 8 digest-forced
+    # evictions, the 9 r6 additions, the whole former r1/r2 group (30),
+    # and the r3 head trio
+    ("r6", (
+        "docs_dsir_selection", "docs_dsir_from_model",
+        "events_sessionize_streamed", "events_asof_order_streamed",
+        "events_dedup_streamed", "docs_media_pipeline", "docs_frame_sample",
+        "docs_simhash_neardup",
+        "docs_dsir_score_new", "docs_image_dhash", "docs_image_neardup",
+        "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+        "docs_image_feature_topk", "docs_video_frame_containment",
+        "docs_multimodal_curation", "docs_audio_wav_roundtrip",
+        "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
+        "docs_fingerprint", "docs_hash_sample",
+        "docs_lang_id", "docs_media_meta", "docs_median_length",
+        "docs_minhash_lsh", "docs_neardup_jaccard",
+        "docs_quality", "docs_simhash",
+        "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
+        "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
+        "events_approx_distinct", "events_asof_order",
+        "events_attribution_window", "events_extremes", "events_inactive_users",
+        "events_json_sum", "events_running_count", "events_sessionize",
+        "events_user_topk", "tpch_q1_pricing", "tpch_q3_shipping",
+        "tpch_q5_nation_revenue",
+        "docs_epoch_shuffle", "docs_lm_transition_score", "docs_lm_interpolated",
+    )),
 )
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
@@ -8372,29 +8383,10 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 
-# r6 window: evictions forced by this round's edits (the digest test
+# r7 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
-# oldest-checked names (r1/r2-era core set leads the refill).
-_WINDOW_PRIORITY: list[str] = [
-    # r6 evictions (digest-manifest enforced — tools/digest_manifest.py):
-    # DSIR write/score path reworked to return + reuse the featurize
-    # table (operators/text.py), so both DSIR gates re-verify
-    "docs_dsir_selection", "docs_dsir_from_model",
-    # NULL-sentinel band guard added to the bucketed state engines
-    # (streaming/sessions.py guarded_null_key, wired into asof too)
-    "events_sessionize_streamed", "events_asof_order_streamed",
-    # dedup horizon now derived from the fixture's event-time span
-    # (ADVICE r5: no dependence on single-micro-batch delivery)
-    "events_dedup_streamed",
-    # multimodal/media.py Pillow decoder: environmental OSErrors
-    # (errno set) re-raise instead of mislabeling rows corrupt —
-    # conservative eviction of the module's gated pipelines
-    "docs_media_pipeline", "docs_frame_sample",
-    # dedup.hamming_pairs gained the two-sided (other=) mode for the
-    # incremental image path; self-mode is behavior-identical but the
-    # function changed, so its one checked consumer re-verifies
-    "docs_simhash_neardup",
-]
+# oldest-checked names (the 39-name r3 cohort leads the refill).
+_WINDOW_PRIORITY: list[str] = []
 
 
 def _rotated_names() -> list[str]:
