@@ -89,14 +89,22 @@ def _pillow_luma_decoder(data: bytes):
         # truncated" / "broken data stream" raised during convert/
         # load); DecompressionBombError (oversized declared dims)
         # subclasses plain Exception — NOT ValueError — so it must be
-        # named explicitly. ENVIRONMENTAL OSErrors (EMFILE/ENOMEM
-        # under executor pressure — these carry a real errno, while
-        # Pillow's data-corruption OSErrors are raised bare) re-raise:
+        # named explicitly. ENVIRONMENTAL OSErrors (the resource-
+        # exhaustion errnos below, under executor pressure) re-raise:
         # a transient resource failure must fail the task for Spark to
-        # retry, not mislabel a good payload as corrupt.
+        # retry, not mislabel a good payload as corrupt. The errnos
+        # are WHITELISTED rather than "any errno set": a codec path
+        # that attaches an errno to a corrupt-payload OSError (e.g.
+        # EINVAL from a native decoder) must still map to corrupt,
+        # not crash-loop the task across Spark's retries.
+        import errno as _errno
+
+        _environmental = (
+            _errno.ENOMEM, _errno.EMFILE, _errno.ENFILE, _errno.EAGAIN,
+        )
         if isinstance(e, OSError) and not isinstance(
             e, UnidentifiedImageError
-        ) and e.errno is not None:
+        ) and e.errno in _environmental:
             raise
         raise ValueError(str(e)) from e
     return grid.shape[0], grid.shape[1], channels, grid.reshape(-1)

@@ -492,6 +492,11 @@ def hamming_pairs(
     cands = a.join(b, on=["blk", "blk_val"])
     if other is None:
         cands = cands.where(F.col("id_a") < F.col("id_b"))
+    else:
+        # the two sides' id spaces may overlap (a drop re-run against
+        # an index that already absorbed it); a shared id would emit a
+        # (x, x) hamming-0 pair — a doc reported as its own duplicate
+        cands = cands.where(F.col("id_a") != F.col("id_b"))
     cands = cands.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     wa = sketches.select(
         F.col("id").alias("id_a"),

@@ -51,6 +51,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None):
+    """Query-authoring rules (enforced by the digest manifest):
+
+    1. Alias every computed column identically in the Spark plan and
+       the oracle SQL — the driver compares column-sorted value hashes.
+    2. Reach package helpers through BARE NAMES or explicit
+       ``proglog_spark`` imports (module- or function-level). The
+       digest closure (tools/digest_manifest.py) walks ast.Name
+       globals and package import statements ONLY; a helper reached
+       purely through container/attribute indirection (a dict of
+       callables, class-attribute dispatch defined elsewhere with no
+       module-level reference) escapes the digest and could drift
+       silently after a driver check. If you need a dispatch table,
+       also name the dispatched functions (or their module) directly
+       in the query body so the closure sees them.
+    """
+
     def deco(fn):
         REGISTRY[name] = (fn, oracle)
         return fn
@@ -387,7 +403,8 @@ def events_dedup_streamed(spark, sf_dir):
         doubled,
         key_cols=["event_id"],
         event_time_col="ts",
-        watermark=f"{int(span) + 1} days",
+        # empty table / all-NULL ts => span is None; default to 1 day
+        watermark=f"{int(span or 0) + 1} days",
     ).select(
         "event_id",
         "user_id",
@@ -8356,10 +8373,10 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("r6", (
         "docs_dsir_selection", "docs_dsir_from_model",
         "events_sessionize_streamed", "events_asof_order_streamed",
-        "events_dedup_streamed", "docs_media_pipeline", "docs_frame_sample",
+        "docs_media_pipeline", "docs_frame_sample",
         "docs_simhash_neardup",
         "docs_dsir_score_new", "docs_image_dhash", "docs_image_neardup",
-        "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+        "docs_image_dedup_keepers",
         "docs_image_feature_topk", "docs_video_frame_containment",
         "docs_multimodal_curation", "docs_audio_wav_roundtrip",
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
@@ -8386,7 +8403,14 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # r7 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
 # oldest-checked names (the 39-name r3 cohort leads the refill).
-_WINDOW_PRIORITY: list[str] = []
+_WINDOW_PRIORITY: list[str] = [
+    # ADVICE-r6: dedup horizon now coalesces a None fixture span
+    # (empty/all-NULL events) to 0 — direct body edit, re-verify
+    "events_dedup_streamed",
+    # ADVICE-r6: two-sided hamming_pairs now drops shared-id (x, x)
+    # self-pairs — the incremental index path is the two-sided consumer
+    "docs_image_dedup_incremental",
+]
 
 
 def _rotated_names() -> list[str]:

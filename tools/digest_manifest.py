@@ -116,7 +116,16 @@ def _pkg_module_closure(name: str, mods: dict) -> None:
 
 def _fn_closure(fn, fn_srcs: dict, mods: dict) -> None:
     """Collect fn's source plus every proglog_spark function/class/module
-    its source references (by global name or import statement)."""
+    its source references (by global name or import statement).
+
+    CLOSURE CONVENTION (mirrored in queries.register's docstring):
+    only bare ast.Name globals and explicit proglog_spark imports are
+    walked. A helper reached purely through container/attribute
+    indirection (a dict of callables, class-attribute dispatch with no
+    module-level reference) is INVISIBLE to the digest — query authors
+    must name dispatched functions (or their module) directly in the
+    query body. This is a documented authoring requirement, not an
+    attempted static analysis of arbitrary dispatch."""
     key = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', '?')}"
     if key in fn_srcs:
         return
