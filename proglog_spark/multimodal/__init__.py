@@ -20,6 +20,11 @@ from proglog_spark.multimodal.media import (
     sniff_media_format,
 )
 
+# imported AFTER media so its register_image_decoder("png", ...) call
+# overrides the Pillow auto-hook when Pillow is present (png.py
+# docstring has the override contract)
+from proglog_spark.multimodal.png import decode_png, encode_png
+
 __all__ = [
     "AUDIO_DECODE_SCHEMA",
     "DECODE_SCHEMA",
@@ -40,4 +45,6 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "sniff_media_format",
+    "decode_png",
+    "encode_png",
 ]

@@ -448,7 +448,10 @@ def test_registered_decoder_closes_the_compressed_boundary(spark):
                         (1, b"\xff\xd8\xff" + bytes([10, 20, 30])),
                         (2, b"\xff\xd8\xff" + b"\xff rest"),
                         (3, b"\xff\xd8\xff" + b"\xfe rest"),
-                        (4, b"\x89PNG\r\n\x1a\n...."),  # sniffed, no decoder
+                        # sniffed format with no registered decoder
+                        # (png no longer qualifies — the stdlib codec
+                        # registers for it at package import)
+                        (4, b"ID3 mp3-ish bytes"),
                     ],
                     "doc_id LONG, payload BINARY",
                 )
@@ -460,7 +463,7 @@ def test_registered_decoder_closes_the_compressed_boundary(spark):
     assert list(rows[1].pixels) == [10, 20, 30]
     assert rows[2].format == "corrupt:jpeg" and rows[2].pixels is None
     assert rows[3].format == "unsupported:jpeg" and rows[3].pixels is None
-    assert rows[4].format == "png" and rows[4].pixels is None
+    assert rows[4].format == "mp3" and rows[4].pixels is None
 
 
 def test_pillow_auto_hook_decodes_real_png(spark):
@@ -470,13 +473,21 @@ def test_pillow_auto_hook_decodes_real_png(spark):
     through the same decode_images path as the built-ins, and a
     corrupt body (valid PNG header, truncated stream — Pillow raises
     OSError, not UnidentifiedImageError) maps to corrupt:png instead
-    of killing the job (the decoder-contract exception set)."""
+    of killing the job (the decoder-contract exception set). The
+    stdlib PNG codec overrides the auto-hook's "png" slot at package
+    import, so this test re-registers the Pillow decoder explicitly
+    to exercise the Pillow path."""
     import io
 
     PIL_Image = pytest.importorskip("PIL.Image")
-    from proglog_spark.multimodal.media import _IMAGE_DECODERS, decode_images
+    from proglog_spark.multimodal.media import (
+        _IMAGE_DECODERS,
+        _pillow_luma_decoder,
+        decode_images,
+    )
+    from proglog_spark.multimodal.png import decode_png
 
-    assert "png" in _IMAGE_DECODERS and "jpeg" in _IMAGE_DECODERS
+    assert "jpeg" in _IMAGE_DECODERS  # the auto-hook's slot survives
 
     # a real 2x3 grayscale PNG with known pixel values
     im = PIL_Image.new("L", (3, 2))
@@ -486,17 +497,26 @@ def test_pillow_auto_hook_decodes_real_png(spark):
     good = buf.getvalue()
     truncated = good[: len(good) // 2]  # valid header, corrupt body
 
-    rows = {
-        r.doc_id: r
-        for r in decode_images(
-            spark.createDataFrame(
-                [(1, good), (2, truncated)], "doc_id LONG, payload BINARY"
-            )
-        ).collect()
-    }
+    _IMAGE_DECODERS["png"] = _pillow_luma_decoder
+    try:
+        rows = {
+            r.doc_id: r
+            for r in decode_images(
+                spark.createDataFrame(
+                    [(1, good), (2, truncated)], "doc_id LONG, payload BINARY"
+                )
+            ).collect()
+        }
+    finally:
+        _IMAGE_DECODERS["png"] = decode_png
     assert (rows[1].format, rows[1].height, rows[1].width) == ("png", 2, 3)
     assert list(rows[1].pixels) == [0, 128, 255, 10, 20, 30]
     assert rows[2].format == "corrupt:png" and rows[2].pixels is None
+
+    # cross-codec agreement: the stdlib decoder reads Pillow's bytes
+    h, w, ch, px = decode_png(good)
+    assert (h, w, ch) == (2, 3, 1)
+    assert list(px) == [0, 128, 255, 10, 20, 30]
 
 
 def test_dhash64_bit_rule_and_nulls(spark):
@@ -602,11 +622,11 @@ def test_decode_audio_null_payload_and_bad_wav(spark):
 def test_pillow_png_through_resize_and_dhash(spark):
     """ENV-GATED (skips where Pillow is absent — this container): the
     REAL-decoder composition a deployment runs for image dedup —
-    decode_images (Pillow luma grid) → resize_media to 8x9 →
-    dhash64 — produces exactly the hash computed independently from
-    the PNG's known pixels with the same nearest-neighbor index math
-    and bit rule. Covers the real-pixels path the fixture gates
-    exercise only through the deterministic fake."""
+    decode_images (PILLOW-ENCODED bytes through the stdlib PNG codec,
+    a cross-codec check) → resize_media to 8x9 → dhash64 — produces
+    exactly the hash computed independently from the PNG's known
+    pixels with the same nearest-neighbor index math and bit rule.
+    The always-run twin over encode_png lives in test_png.py."""
     import io
 
     import numpy as np
