@@ -8302,32 +8302,10 @@ def emb_truncated_dim_overlap(spark, sf_dir):
 # (tools/digest_manifest.py computes the closure: query source +
 # oracle SQL + referenced proglog_spark module/helper sources).
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
-    # CORRECTNESS_r03 greens whose latest check is still r3
-    ("r3", (
-        "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
-        "events_cms_join_estimate",
-        "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
-        "docs_cluster_safe_split", "emb_cosine_topk", "tpch_q6_forecast",
-        "tpch_q18_big_orders", "tpch_q4_late_orders", "tpch_q2_top_supplier",
-        "tpch_q14_promo_share", "tpch_q16_supplier_variety",
-        "tpch_salted_priority_revenue", "docs_length_quantiles",
-        "events_heavy_users", "events_cube_counts", "events_pivot_counts",
-        "events_trailing_hour_count", "events_rollup_counts",
-        "tpch_q12_priority_lines", "tpch_q13_custdist", "tpch_q16_part_suppliers",
-        "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
-        "tpch_q22_idle_customers", "tpch_q10_returned_revenue",
-        "events_gap_stats", "events_decile_value", "events_first_last_touch",
-        "events_same_day_conversion", "docs_top_terms", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "tpch_q9_product_profit", "tpch_q15_top_supplier",
-        "tpch_q20_promo_shippers",
-    )),
     # CORRECTNESS_r04 greens whose latest check is still r4
     ("r4", (
-        "emb_knn_join_ivf", "docs_bpe_train_merges",
-        "events_heavy_hitters_streamed", "docs_bm25_decontamination",
-        "tpch_q21_last_shipper", "events_retention_cohorts",
-        "events_funnel_conversion", "events_value_histogram",
-        "events_daily_active", "events_pareto_users", "docs_bigram_counts",
+        "docs_bpe_train_merges",
+        "events_heavy_hitters_streamed",
         "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
         "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
         "events_user_value_percentiles", "events_halves_full_outer",
@@ -8393,6 +8371,31 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "tpch_q5_nation_revenue",
         "docs_epoch_shuffle", "docs_lm_transition_score", "docs_lm_interpolated",
     )),
+    # CORRECTNESS_r07 window: 50/50 green — the 2 ADVICE-r6 evictions,
+    # the whole former r3 cohort (39), and the r4 head (9)
+    ("r7", (
+        "events_dedup_streamed", "docs_image_dedup_incremental",
+        "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
+        "events_cms_join_estimate",
+        "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
+        "docs_cluster_safe_split", "emb_cosine_topk", "tpch_q6_forecast",
+        "tpch_q18_big_orders", "tpch_q4_late_orders", "tpch_q2_top_supplier",
+        "tpch_q14_promo_share", "tpch_q16_supplier_variety",
+        "tpch_salted_priority_revenue", "docs_length_quantiles",
+        "events_heavy_users", "events_cube_counts", "events_pivot_counts",
+        "events_trailing_hour_count", "events_rollup_counts",
+        "tpch_q12_priority_lines", "tpch_q13_custdist", "tpch_q16_part_suppliers",
+        "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
+        "tpch_q22_idle_customers", "tpch_q10_returned_revenue",
+        "events_gap_stats", "events_decile_value", "events_first_last_touch",
+        "events_same_day_conversion", "docs_top_terms", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit", "tpch_q15_top_supplier",
+        "tpch_q20_promo_shippers",
+        "docs_bm25_decontamination", "emb_knn_join_ivf",
+        "tpch_q21_last_shipper", "events_retention_cohorts",
+        "events_funnel_conversion", "events_value_histogram",
+        "events_daily_active", "events_pareto_users", "docs_bigram_counts",
+    )),
 )
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
@@ -8400,17 +8403,10 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 
-# r7 window: evictions forced by this round's edits (the digest test
+# r8 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
-# oldest-checked names (the 39-name r3 cohort leads the refill).
-_WINDOW_PRIORITY: list[str] = [
-    # ADVICE-r6: dedup horizon now coalesces a None fixture span
-    # (empty/all-NULL events) to 0 — direct body edit, re-verify
-    "events_dedup_streamed",
-    # ADVICE-r6: two-sided hamming_pairs now drops shared-id (x, x)
-    # self-pairs — the incremental index path is the two-sided consumer
-    "docs_image_dedup_incremental",
-]
+# oldest-checked names (the 38-name r4 cohort leads the refill).
+_WINDOW_PRIORITY: list[str] = []
 
 
 def _rotated_names() -> list[str]:
