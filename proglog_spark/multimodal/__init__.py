@@ -23,7 +23,7 @@ from proglog_spark.multimodal.media import (
 # imported AFTER media so its register_image_decoder("png", ...) call
 # overrides the Pillow auto-hook when Pillow is present (png.py
 # docstring has the override contract)
-from proglog_spark.multimodal.png import decode_png, encode_png
+from proglog_spark.multimodal.png import decode_png, encode_png, png_roundtrip
 
 __all__ = [
     "AUDIO_DECODE_SCHEMA",
@@ -47,4 +47,5 @@ __all__ = [
     "sniff_media_format",
     "decode_png",
     "encode_png",
+    "png_roundtrip",
 ]

