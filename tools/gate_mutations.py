@@ -101,6 +101,24 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "FROM g JOIN (SELECT doc_id, hi AS lo, lo AS hi FROM dh) dh "
         "USING (doc_id)",
     ),
+    # NOTE: an ma/mb side-swap mutation is NOT discriminable on this
+    # fixture — prefix-family near-dups match frame-for-frame, so
+    # ma == mb on every qualifying pair; the denominator-side mutation
+    # below catches the same wrong-side bug class through the sizes.
+    (
+        "docs_video_perceptual_containment",
+        "containment normalized by the LARGER clip's frame count",
+        "/ least(sa.n, sb.n)",
+        "/ greatest(sa.n, sb.n)",
+    ),
+    (
+        "docs_video_perceptual_containment",
+        "Hamming verify lost on the frame hashes (far frames matched)",
+        "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3), "
+        "agg AS",
+        "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 12), "
+        "agg AS",
+    ),
     (
         "docs_image_dedup_incremental",
         "orientation swapped (index ids reported as new ids)",
