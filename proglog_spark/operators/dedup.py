@@ -113,6 +113,8 @@ def jaccard_pairs(
     The compact per-doc array form is cached (not the exploded rows:
     ~n× smaller) so tokenize/distinct runs once, not per join side.
     """
+    # cache: both join sides read the compact shingle arrays once
+    # (lifecycle = the module Cache note: session-scoped, LRU-evicted)
     ss = shingle_sets(df, id_col, text_col, n).cache()
     # join key = xxhash64(shingle): 8-byte keys through the shuffle
     # instead of n-word strings. Set algebra is unchanged unless two
@@ -195,6 +197,8 @@ def containment_pairs(
     the documented sub-quadratic path when even blocked candidate
     generation is too wide.
     """
+    # cache: both join sides read the compact shingle arrays once
+    # (lifecycle = the module Cache note: session-scoped, LRU-evicted)
     ss = shingle_sets(df, id_col, text_col, n).cache()
     sh = ss.select("id", "n_sh", F.explode("sh_arr").alias("sh_str")).select(
         "id", "n_sh", F.xxhash64("sh_str").alias("shingle")
@@ -216,6 +220,8 @@ def containment_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        # cache: the verified undirected pairs feed BOTH directed rows
+        # (union below) — tiny table, full shingle self-join to build
         .cache()
     )
     directed = common.unionByName(
@@ -337,6 +343,8 @@ def minhash_lsh_pairs(
         # silently band only a prefix of the signature)
         raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
     rows_per_band = num_hashes // bands
+    # cache: signatures feed the band build AND the verify join-back
+    # (lifecycle = the module Cache note: session-scoped, LRU-evicted)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     # narrow band table: (id, band, band_hash) only — the 64-element
     # signature arrays never travel through the self-join; they join
@@ -359,6 +367,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_hash"),
+        # cache: both sides of the candidate self-join scan this band
+        # table (module Cache note lifecycle)
     ).cache()
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
@@ -485,6 +495,9 @@ def hamming_pairs(
             ),
         )
 
+    # cache: each sketch table feeds its block-explode AND the verify
+    # join-back, so the (often UDF-backed) sketch pass runs once per
+    # call (lifecycle = dedup module Cache note; docstring contract)
     sketches = sketches.cache()
     right = sketches if other is None else other.cache()
     a = blocked_of(sketches).select(F.col("id").alias("id_a"), "blk", "blk_val")

@@ -5131,6 +5131,8 @@ def _doc_gram_sets(spark, sf_dir) -> DataFrame:
             "i -> concat_ws(' ', slice(w, i, 5)))"
         ),
     ).otherwise(F.expr("array()"))
+    # cache: shared across the two callers named in the docstring
+    # (session-scoped, LRU-evicted — the dedup module Cache note)
     return w.select("doc_id", F.array_distinct(grams).alias("gs")).cache()
 
 
@@ -7801,6 +7803,8 @@ def events_type_pagerank(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     outw = tr.groupBy("src").agg(F.sum("n").alias("ow"))
+    # persisted: read every iteration; released via unpersist() after
+    # the eager localCheckpoint loop below
     edges = tr.join(outw, "src").persist()
     nodes = e.select(F.col("event_type").alias("node")).distinct().persist()
     n_nodes = nodes.count()
