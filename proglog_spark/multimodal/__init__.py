@@ -6,6 +6,7 @@ from proglog_spark.multimodal.media import (
     PIXEL_HIST_SCHEMA,
     FRAME_SCHEMA,
     MEDIA_META_SCHEMA,
+    audio_ahash64,
     decode_audio,
     decode_image_stub,
     decode_images,
@@ -33,6 +34,7 @@ __all__ = [
     "PIXEL_HIST_SCHEMA",
     "FRAME_SCHEMA",
     "MEDIA_META_SCHEMA",
+    "audio_ahash64",
     "decode_audio",
     "decode_image_stub",
     "decode_images",

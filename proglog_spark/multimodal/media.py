@@ -774,3 +774,73 @@ def dhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         guarded(word(0), "simhash_lo"),
         guarded(word(32), "simhash_hi"),
     )
+
+
+def audio_ahash64(
+    df: DataFrame,
+    frame_len: int = 3,
+    id_col: str = "doc_id",
+    samples_col: str = "sample_prefix",
+) -> DataFrame:
+    """64-bit perceptual AUDIO fingerprint over decoded PCM samples —
+    the dHash idea applied to the signal's short-time energy envelope
+    (the core of real audio fingerprints like Chromaprint/Shazam:
+    hash the SIGN of energy differences between adjacent analysis
+    frames, which survives gain changes, requantization, and codec
+    noise far better than the raw samples).
+
+    Input is :func:`decode_audio` output (or any (id, array<int>
+    samples) table): the sample array is cut into 65 consecutive
+    frames of ``frame_len`` samples; frame k's energy is the integer
+    Σs² over its samples (missing samples past a short clip's end
+    contribute 0 — empty-slice aggregate); bit k (k = 0..63) is set
+    iff energy[k+1] > energy[k]. Integer-exact end to end, so the
+    whole hash is replayable in ANSI SQL for the oracle gate.
+
+    Output is (id, simhash_lo, simhash_hi) — the hash split into the
+    two 32-bit words :func:`proglog_spark.operators.dedup.
+    hamming_pairs` banding expects, so the SimHash/dHash pigeonhole
+    blocking + exact-Hamming-verify machinery does audio near-dup
+    with ZERO new join code (the same reuse dhash64 bought images).
+    The computation is built-in column expressions on the decoded
+    array: 65 slice-aggregates + static bit arithmetic, whole-stage
+    codegen, no Python in this stage, no shuffle.
+
+    NULL sample rows (null payloads / non-WAV / corrupt headers
+    upstream) drop — a row with no decoded signal has no perceptual
+    identity to dedup on.
+
+    Reference parity note: the reference has no media operators
+    (payloads are opaque bytes, api/v1/log.proto:8); this extends its
+    duplication motif (internal/log/replicator.go — O32) to the audio
+    tier, completing the perceptual-dedup matrix (text SimHash, image
+    dHash, video frame-dHash, audio energy-hash).
+    """
+    zero = F.lit(0).cast("long")
+
+    def energy(k: int):
+        frame = F.slice(F.col(samples_col), k * frame_len + 1, frame_len)
+        return F.aggregate(
+            frame, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
+        )
+
+    energies = F.array(*[energy(k) for k in range(65)])
+
+    def word(lo_bit: int):
+        w = zero
+        for k in range(lo_bit, lo_bit + 32):
+            bit = (
+                F.col("_e").getItem(k + 1) > F.col("_e").getItem(k)
+            ).cast("long")
+            w = w + F.shiftleft(bit, k - lo_bit)
+        return w
+
+    return (
+        df.where(F.col(samples_col).isNotNull())
+        .select(F.col(id_col).alias("id"), energies.alias("_e"))
+        .select(
+            "id",
+            word(0).alias("simhash_lo"),
+            word(32).alias("simhash_hi"),
+        )
+    )

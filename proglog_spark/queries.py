@@ -2507,6 +2507,40 @@ def docs_multimodal_curation(spark, sf_dir):
     )
 
 
+def _wav8_mono_payloads(spark, sf_dir):
+    """(doc_id, payload) where payload is a genuine 8-bit mono 8 kHz
+    RIFF/WAVE file whose sample stream is the doc's first
+    ``_THUMB_BYTES`` bytes, CONSTRUCTED ENTIRELY JVM-SIDE (fixed
+    header fields as unhex literals, the two length fields as per-row
+    little-endian hex arithmetic — built-in functions only, no Python
+    on the build side). Shared by the audio round-trip gate and the
+    audio fingerprint/near-dup family, so every audio query exercises
+    the REAL codec path end to end."""
+
+    def le_bytes(col, n_bytes):
+        # little-endian byte string of an int column, via hex+unhex
+        # (char() would UTF-8-expand code points >= 128)
+        parts = [
+            F.lpad(F.hex((col / (256**i)).cast("long") % 256), 2, "0")
+            for i in range(n_bytes)
+        ]
+        return F.unhex(F.concat(*parts))
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.substring("text", 1, _THUMB_BYTES)
+    n = F.octet_length(F.encode(t, "UTF-8"))
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"), le_bytes(n + F.lit(36), 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"), le_bytes(F.lit(16), 4),
+        F.unhex(F.lit("01000100")),        # PCM=1, channels=1 (LE16 x2)
+        le_bytes(F.lit(8000), 4), le_bytes(F.lit(8000), 4),  # rate, byterate
+        F.unhex(F.lit("01000800")),        # block align=1, bits=8 (LE16 x2)
+        F.encode(F.lit("data"), "UTF-8"), le_bytes(n, 4),
+        F.encode(t, "UTF-8"),
+    )
+    return d.select("doc_id", wav.alias("payload"))
+
+
 @register(
     "docs_audio_wav_roundtrip",
     # empty-text agreement: DuckDB's list_sum([]) and a [1:0] slice
@@ -2527,46 +2561,22 @@ def docs_multimodal_curation(spark, sf_dir):
 )
 def docs_audio_wav_roundtrip(spark, sf_dir):
     """REAL audio-format round-trip inside the hash gate: each doc's
-    first 216 bytes become the sample stream of a genuine 8-bit mono
-    8 kHz RIFF/WAVE file CONSTRUCTED ENTIRELY JVM-SIDE (fixed header
-    fields as unhex literals, the two length fields as per-row
-    little-endian hex arithmetic — built-in functions only, no
-    Python on the build side), then `multimodal.decode_audio` parses
-    it with the stdlib ``wave`` reader + numpy and emits integer
-    sample facts. The oracle recomputes those facts straight from
-    the characters (byte value = code point on the ASCII corpus, 8-
-    bit PCM centers at 128), so ANY header-math error (RIFF/data
-    chunk sizes, LE encoding), sampwidth mishandling, truncation, or
-    centering bug goes RED. This moves the WAV decoder — previously
-    property-tested only — into the driver's oracle gate, and
-    completes the multimodal tier trio: image (dHash family), audio
-    (this), video-style frame sampling (`docs_frame_sample`).
-    Embarrassingly parallel: one projection + one mapInPandas, no
-    shuffle before the final sort."""
+    first 216 bytes become the sample stream of a genuine RIFF/WAVE
+    file built JVM-side (`_wav8_mono_payloads`), then
+    `multimodal.decode_audio` parses it with the stdlib ``wave``
+    reader + numpy and emits integer sample facts. The oracle
+    recomputes those facts straight from the characters (byte value =
+    code point on the ASCII corpus, 8-bit PCM centers at 128), so ANY
+    header-math error (RIFF/data chunk sizes, LE encoding),
+    sampwidth mishandling, truncation, or centering bug goes RED.
+    This moves the WAV decoder — previously property-tested only —
+    into the driver's oracle gate, and completes the multimodal tier
+    trio: image (dHash family), audio (this), video-style frame
+    sampling (`docs_frame_sample`). Embarrassingly parallel: one
+    projection + one mapInPandas, no shuffle before the final sort."""
     from proglog_spark.multimodal import decode_audio
 
-    def le_bytes(col, n_bytes):
-        """Little-endian byte string of an int column, via hex+unhex
-        (char() would UTF-8-expand code points >= 128)."""
-        parts = [
-            F.lpad(F.hex((col / (256**i)).cast("long") % 256), 2, "0")
-            for i in range(n_bytes)
-        ]
-        return F.unhex(F.concat(*parts))
-
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.substring("text", 1, _THUMB_BYTES)
-    n = F.octet_length(F.encode(t, "UTF-8"))
-    wav = F.concat(
-        F.encode(F.lit("RIFF"), "UTF-8"), le_bytes(n + F.lit(36), 4),
-        F.encode(F.lit("WAVEfmt "), "UTF-8"), le_bytes(F.lit(16), 4),
-        F.unhex(F.lit("01000100")),        # PCM=1, channels=1 (LE16 x2)
-        le_bytes(F.lit(8000), 4), le_bytes(F.lit(8000), 4),  # rate, byterate
-        F.unhex(F.lit("01000800")),        # block align=1, bits=8 (LE16 x2)
-        F.encode(F.lit("data"), "UTF-8"), le_bytes(n, 4),
-        F.encode(t, "UTF-8"),
-    )
-    dec = decode_audio(d.select("doc_id", wav.alias("payload")), prefix=16)
+    dec = decode_audio(_wav8_mono_payloads(spark, sf_dir), prefix=16)
     return dec.select(
         "doc_id",
         "sample_rate",
@@ -2575,6 +2585,106 @@ def docs_audio_wav_roundtrip(spark, sf_dir):
         "energy",
         F.array_join("sample_prefix", ",").alias("prefix_csv"),
     ).orderBy("doc_id")
+
+
+# Oracle replay of the audio perceptual-hash pipeline: samples = the
+# doc's first 216 bytes centered at 128 (what the real WAV round-trip
+# decodes to on the ASCII corpus), 65 frames of 3 samples, frame
+# energy = integer Σs² (missing samples past a short clip contribute
+# 0), bit k set iff energy[k+1] > energy[k]. Pure integer math end to
+# end, so both the per-doc hash and the near-dup pair set hash-gate.
+# The 216-sample window is the same fixture-honest choice the image
+# dHash documents above: the corpus' near-dup families share long
+# PREFIXES, and a positional hash over the FULL stream is
+# shift-sensitive; real audio fingerprints run this per overlapping
+# analysis window over the whole signal.
+_AHASH_CTES = (
+    f"atb AS (SELECT doc_id, substr(text, 1, {_THUMB_BYTES}) AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "asg AS (SELECT doc_id, list_transform(range(1, length(t) + 1), "
+    "i -> unicode(substr(t, i, 1)) - 128) AS ss FROM atb), "
+    "aen AS (SELECT doc_id, list_transform(range(0, 65), k -> "
+    "coalesce(list_sum(list_transform(ss[k*3+1:k*3+3], x -> x * x)), 0)) AS e "
+    "FROM asg), "
+    "ah AS (SELECT doc_id, "
+    "CAST(list_sum(list_transform(range(0, 32), k -> CASE WHEN e[k+2] > e[k+1] "
+    "THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS ahash_lo, "
+    "CAST(list_sum(list_transform(range(32, 64), k -> CASE WHEN e[k+2] > e[k+1] "
+    "THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT) AS ahash_hi FROM aen)"
+)
+
+
+def _audio_fingerprints(spark, sf_dir):
+    """(id, simhash_lo, simhash_hi) audio fingerprints through the
+    REAL codec path: JVM-built WAV bytes → stdlib ``wave`` decode
+    (mapInPandas) → `multimodal.audio_ahash64` frame-energy
+    differential hash (built-in expressions, codegen). Shared by the
+    fingerprint query and the perceptual near-dup query."""
+    from proglog_spark.multimodal import audio_ahash64, decode_audio
+
+    dec = decode_audio(_wav8_mono_payloads(spark, sf_dir), prefix=_THUMB_BYTES)
+    return audio_ahash64(dec)
+
+
+@register(
+    "docs_audio_fingerprint",
+    "WITH " + _AHASH_CTES
+    + " SELECT doc_id, ahash_lo, ahash_hi FROM ah ORDER BY doc_id",
+)
+def docs_audio_fingerprint(spark, sf_dir):
+    """64-bit perceptual AUDIO fingerprint inside the hash gate, via
+    the REAL codec round-trip: JVM-built RIFF/WAVE bytes → stdlib
+    ``wave`` parse → frame-energy differential hash (the dHash idea
+    on the short-time energy envelope — the sign-of-band-difference
+    core of Chromaprint/Shazam-style fingerprints). The oracle
+    recomputes the hash straight from the characters, so a decode,
+    centering, framing, or bit-packing bug anywhere in the chain
+    goes RED. Per-row only: one projection (WAV build) + one
+    mapInPandas (decode) + codegen'd bit arithmetic, no shuffle
+    before the final sort — embarrassingly parallel at any corpus
+    size."""
+    return (
+        _audio_fingerprints(spark, sf_dir)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("simhash_lo").alias("ahash_lo"),
+            F.col("simhash_hi").alias("ahash_hi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_audio_perceptual_neardup",
+    "WITH " + _AHASH_CTES
+    + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.ahash_lo, b.ahash_lo)) + "
+    "bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hamming "
+    "FROM ah a JOIN ah b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.ahash_lo, b.ahash_lo)) + "
+    "bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3 "
+    "ORDER BY id_a, id_b",
+)
+def docs_audio_perceptual_neardup(spark, sf_dir):
+    """Perceptual audio near-duplicate pairs — completes the
+    perceptual-dedup tier MATRIX (text SimHash, image dHash, video
+    frame-dHash, audio energy-hash), all four riding the SAME
+    verified pigeonhole machinery: `audio_ahash64` fingerprints
+    (real WAV decode upstream) → `dedup.hamming_pairs` radius-3
+    blocking (4 x 16-bit blocks, candidate generation COMPLETE for
+    the radius, exact Hamming verify) → the pair set the SQL oracle
+    computes all-pairs. The shuffle carries (id, two 32-bit words)
+    only — never samples or payloads; at 10^10 clips the blocking
+    join is the same sub-quadratic scale path the text/image tiers
+    measured (SCALING §17)."""
+    fp = _audio_fingerprints(spark, sf_dir)
+    # hamming_pairs caches both sketch feeds (decode runs once per
+    # call; lifecycle = the dedup module Cache note)
+    return (
+        dedup.hamming_pairs(fp, max_hamming=3, blocks=4)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8551,12 +8661,8 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("r6", (
         "docs_dsir_selection", "docs_dsir_from_model",
         "events_sessionize_streamed", "events_asof_order_streamed",
-        "docs_media_pipeline", "docs_frame_sample",
         "docs_simhash_neardup",
-        "docs_dsir_score_new", "docs_image_dhash", "docs_image_neardup",
-        "docs_image_dedup_keepers",
-        "docs_image_feature_topk", "docs_video_frame_containment",
-        "docs_multimodal_curation", "docs_audio_wav_roundtrip",
+        "docs_dsir_score_new",
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
         "docs_fingerprint", "docs_hash_sample",
         "docs_lang_id", "docs_media_meta", "docs_median_length",
@@ -8574,7 +8680,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # CORRECTNESS_r07 window: 50/50 green — the 2 ADVICE-r6 evictions,
     # the whole former r3 cohort (39), and the r4 head (9)
     ("r7", (
-        "events_dedup_streamed", "docs_image_dedup_incremental",
+        "events_dedup_streamed",
         "events_cms_user_counts", "events_cms_merge", "events_cms_streamed",
         "events_cms_join_estimate",
         "docs_lm_quality_filter", "docs_bm25_topk", "docs_containment_dedup",
@@ -8606,7 +8712,16 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # r8 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
 # oldest-checked names (the 38-name r4 cohort leads the refill).
-_WINDOW_PRIORITY: list[str] = []
+# The 10 names below are the multimodal-closure family evicted by the
+# r8 media.py additions (audio_ahash64) + the WAV-builder refactor —
+# the conservative full-module drift the digest tool documents.
+_WINDOW_PRIORITY: list[str] = [
+    "docs_audio_wav_roundtrip", "docs_frame_sample",
+    "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+    "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
+    "docs_media_pipeline", "docs_multimodal_curation",
+    "docs_video_frame_containment",
+]
 
 
 def _rotated_names() -> list[str]:

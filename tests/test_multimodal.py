@@ -663,3 +663,95 @@ def test_pillow_png_through_resize_and_dhash(spark):
         else:
             hi |= bit << (k - 32)
     assert (row.simhash_lo, row.simhash_hi) == (lo, hi)
+
+
+def _ahash_model(samples):
+    """Pure-Python twin of audio_ahash64's frame-energy bit rule: 65
+    frames of 3 samples (missing samples past the end contribute 0),
+    bit k set iff energy[k+1] > energy[k]."""
+    e = [sum(x * x for x in samples[k * 3:k * 3 + 3]) for k in range(65)]
+    lo = hi = 0
+    for k in range(64):
+        bit = int(e[k + 1] > e[k])
+        if k < 32:
+            lo |= bit << k
+        else:
+            hi |= bit << (k - 32)
+    return lo, hi
+
+
+def test_audio_ahash64_bit_rule_and_nulls(spark):
+    """audio_ahash64 on hand-built sample arrays: a ramp of strictly
+    increasing |amplitude| sets every bit, a constant signal sets
+    none, NULL sample rows drop, empty/short clips pad with
+    zero-energy frames — all pinned against the pure-Python model."""
+    from proglog_spark.multimodal import audio_ahash64
+
+    ramp = list(range(1, 196))          # 65 full frames, rising energy
+    flat = [5] * 195
+    short = [3, -4, 12, 7]              # 2 frames, then zero-energy pad
+    df = spark.createDataFrame(
+        [(1, ramp), (2, flat), (3, None), (4, []), (5, short)],
+        "doc_id LONG, sample_prefix ARRAY<INT>",
+    )
+    out = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in audio_ahash64(df).collect()
+    }
+    assert set(out) == {1, 2, 4, 5}     # NULL row dropped, empty kept
+    assert out[1] == ((1 << 32) - 1, (1 << 32) - 1)
+    assert out[2] == (0, 0)             # equal energies: strict > fails
+    assert out[4] == (0, 0)
+    assert out[5] == _ahash_model(short)
+    # bit 0 only: frame 1 louder than frame 0, silence after
+    one = [0, 0, 0, 9, 0, 0]
+    (row,) = audio_ahash64(
+        spark.createDataFrame([(9, one)], "doc_id LONG, sample_prefix ARRAY<INT>")
+    ).collect()
+    assert (row.simhash_lo, row.simhash_hi) == (1, 0)
+
+
+def test_audio_ahash64_through_real_wav_decode(spark):
+    """End-to-end audio fingerprint through the REAL codec path: WAV
+    bytes built with the stdlib writer -> decode_audio -> ahash, vs
+    the model over the known (centered) samples — plus the near-dup
+    composition: a 1-sample edit in one frame stays within a small
+    Hamming radius of the original while a scrambled clip does not."""
+    import random
+
+    from proglog_spark.multimodal import audio_ahash64, decode_audio
+    from proglog_spark.operators import dedup
+
+    rng = random.Random(42)
+    orig = [rng.randrange(-128, 128) for _ in range(216)]
+    edited = list(orig)
+    edited[30] = 127                    # one loud sample: few bits flip
+    scrambled = orig[::-1]
+    rows = [
+        (1, _wav(orig, width=1)),
+        (2, _wav(edited, width=1)),
+        (3, _wav(scrambled, width=1)),
+    ]
+    dec = decode_audio(
+        spark.createDataFrame(rows, "doc_id LONG, payload BINARY"), prefix=216
+    )
+    out = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in audio_ahash64(dec).collect()
+    }
+    assert out[1] == _ahash_model(orig)
+    assert out[2] == _ahash_model(edited)
+    assert out[3] == _ahash_model(scrambled)
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    assert 0 < ham(out[1], out[2]) <= 3    # near-dup: a frame-local edit
+    assert ham(out[1], out[3]) > 3         # reversal: different envelope
+    # and the blocking machinery finds exactly the near pair
+    fp = audio_ahash64(dec)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_pairs(fp, max_hamming=3, blocks=4).collect()
+    }
+    assert set(pairs) == {(1, 2)}
