@@ -419,6 +419,119 @@ def quantized_lsh_ann_topk(
     ).select("query_id", id_col, "cos2_pico", "rank")
 
 
+def sq8_encode(
+    vectors: DataFrame,
+    minmax: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar (SQ8-style) quantization of float vectors to per-dim
+    uint8 codes on the shared floor(x·scale) integer grid: code[i] =
+    clamp(((xi - mn[i]) · (levels-1)) div (mx[i] - mn[i]), 0,
+    levels-1), where (mn, mx) are the per-dimension corpus bounds in
+    ``minmax`` (one broadcast row from :func:`sq8_train`). Output is
+    (id, code ARRAY<BIGINT>, dq ARRAY<BIGINT>): ``code`` is the
+    64-byte artifact a deployment persists (8× smaller than float64,
+    the memory-bandwidth scale path), ``dq`` the exact integer
+    dequantization dq[i] = mn[i]·(levels-1) + code[i]·(mx[i]-mn[i])
+    — the reconstructed component scaled by (levels-1), so ADC
+    scoring stays BIGINT-exact and SQL-replayable. Constant-range
+    dims (mx = mn) code to 0 and reconstruct to the constant.
+    All built-in array expressions (transform with index), codegen,
+    no Python, no shuffle."""
+    lv = levels - 1
+    qz = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    # NB: SQL bracket indexing on arrays is 0-based in Spark (unlike
+    # 1-based element_at), so the transform index i is used directly
+    code = (
+        "transform(_xq, (x, i) -> CASE WHEN _mx[i] = _mn[i] "
+        "THEN CAST(0 AS BIGINT) ELSE least(greatest("
+        f"((x - _mn[i]) * {lv}) div (_mx[i] - _mn[i]), "
+        f"CAST(0 AS BIGINT)), CAST({lv} AS BIGINT)) END)"
+    )
+    dq = (
+        f"transform(code, (c, i) -> _mn[i] * {lv} + c * (_mx[i] - _mn[i]))"
+    )
+    return (
+        vectors.select(id_col, qz.alias("_xq"))
+        .crossJoin(F.broadcast(minmax))
+        .select(id_col, F.expr(code).alias("code"), "_mn", "_mx")
+        .select(id_col, "code", F.expr(dq).alias("dq"))
+    )
+
+
+def sq8_train(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """Per-dimension (min, max) bounds of the corpus on the
+    floor(x·scale) grid — SQ8's entire 'training': one
+    partial-aggregated reduce to a single (_mn ARRAY, _mx ARRAY) row,
+    broadcast into :func:`sq8_encode`. At any corpus size this is a
+    map-side-combined scan; nothing is collected to the driver."""
+    qz = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    xq = corpus.select(qz.alias("_xq"))
+    return xq.agg(
+        F.array(*[F.min(F.element_at("_xq", i + 1)) for i in range(dim)]).alias("_mn"),
+        F.array(*[F.max(F.element_at("_xq", i + 1)) for i in range(dim)]).alias("_mx"),
+    )
+
+
+def quantized_sq8_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) brute-force top-k — the fourth ANN
+    family next to LSH / IVF / PQ: per-dim uint8 codes (8× memory
+    compression; at serving scale the scan is memory-bandwidth-bound,
+    so 8× smaller codes ≈ 8× faster exhaustive scan), scored by the
+    exact integer dot of the DEQUANTIZED reconstructions (asymmetric
+    'ADC with reconstruction' — rank-faithful where raw code·code
+    dots are not, because the affine zero-point is restored).
+    Deterministic BIGINT end to end: the approximation (quantization
+    loss) is reproduced bit-for-bit by an ANSI SQL oracle. Bounds:
+    |dq| ≤ scale·(levels-1) = 255 000, so a 64-dim dot ≤ 4.2e12 —
+    comfortably BIGINT.
+
+    Plan shape = the emb_dot_topk posture: one training reduce
+    (broadcast single row), one encode projection per side, broadcast
+    queries, one corpus pass, per-query top-k moving only (ids,
+    score). Output: (query_id, vec_id, sq8_dot, rank)."""
+    mm = sq8_train(corpus, dim, vec_col, scale)
+    c = sq8_encode(corpus, mm, id_col, vec_col, scale, levels).select(id_col, "dq")
+    q = sq8_encode(queries, mm, id_col, vec_col, scale, levels).select(
+        F.col(id_col).alias("query_id"), F.col("dq").alias("q_dq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.zip_with("dq", "q_dq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq8_dot"),
+        )
+    )
+    return topk_per_key(
+        scored, ["query_id"], [F.col("sq8_dot").desc(), F.col(id_col)], k,
+        rank_col="rank",
+    ).select("query_id", id_col, "sq8_dot", "rank")
+
+
 def adaptive_lsh_bits(n: int, occupancy: int = 32, lo: int = 4, hi: int = 16) -> int:
     """Selectivity auto-sizing for corpus-scale LSH self-joins: the
     smallest bits in [lo, hi] keeping expected bucket occupancy

@@ -8527,6 +8527,84 @@ def emb_pq_recall_gate(spark, sf_dir):
     return _recall_vs_exact(exact, ann)
 
 
+def _sq8_ctes(query_pred: str) -> str:
+    """All-SQL replay of the SQ8 pipeline (`similarity.sq8_train` /
+    `sq8_encode` / `quantized_sq8_ann_topk`): per-dim corpus min/max
+    on the floor(x·1000) grid, uint8 codes with the same
+    clamp+floor-division rule, exact integer dequantization
+    (component · 255), and the ADC dot ranking — so even the
+    quantization LOSS is reproduced bit-for-bit. Ends at ``ranked``
+    (query_id, vec_id, sq8_dot, rank); defines ``qv`` for the shared
+    exact-side CTEs. ``query_pred`` selects the query vectors (on
+    alias ``b``)."""
+    return (
+        "qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings), "
+        "sdims AS (SELECT unnest(range(1, 65)) AS i), "
+        "smm AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx "
+        "FROM qv CROSS JOIN sdims GROUP BY i), "
+        "sml AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx "
+        "FROM smm), "
+        "scq AS (SELECT vec_id, list_transform(range(1, 65), i -> "
+        "CASE WHEN mx[i] = mn[i] THEN 0 ELSE "
+        "least(greatest(((q[i] - mn[i]) * 255) // (mx[i] - mn[i]), 0), 255) "
+        "END) AS c, mn, mx FROM qv CROSS JOIN sml), "
+        "sdq AS (SELECT vec_id, list_transform(range(1, 65), i -> "
+        "mn[i] * 255 + c[i] * (mx[i] - mn[i])) AS d FROM scq), "
+        "ssc AS (SELECT b.vec_id AS query_id, a.vec_id, "
+        "list_sum(list_transform(range(1, 65), i -> a.d[i] * b.d[i]))::BIGINT "
+        f"AS sq8_dot FROM sdq a CROSS JOIN sdq b WHERE {query_pred} "
+        "AND a.vec_id != b.vec_id), "
+        "ranked AS (SELECT query_id, vec_id, sq8_dot, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sq8_dot DESC, vec_id) AS rank FROM ssc)"
+    )
+
+
+@register(
+    "emb_sq8_ann_topk",
+    "WITH " + _sq8_ctes(f"b.vec_id IN {_QUERY_VECS}")
+    + " SELECT query_id, vec_id, sq8_dot, rank FROM ranked "
+    "WHERE rank <= 10 ORDER BY query_id, rank",
+)
+def emb_sq8_ann_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) similarity top-k — the fourth ANN
+    family (LSH, IVF, PQ, now SQ8): per-dim uint8 codes give 8×
+    memory compression, and at serving scale the exhaustive scan is
+    memory-bandwidth-bound, so smaller codes ≈ proportionally faster
+    scans (the trade every vector store's 'scalar quantization' tier
+    sells). Scoring dots the exact integer DEQUANTIZATIONS
+    (asymmetric ADC with the zero-point restored), so the
+    approximation is deterministic and the oracle replays it
+    bit-for-bit — quantization loss included. One training reduce +
+    broadcast, one encode projection, one corpus pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.quantized_sq8_ann_topk(e, q, dim=64, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "emb_sq8_recall_gate",
+    "WITH " + _sq8_ctes("b.vec_id < 16") + ", "
+    + _EXACT_RANK_CTES + _RECALL_TAIL,
+)
+def emb_sq8_recall_gate(spark, sf_dir):
+    """The fourth ANN family's recall audit: SQ8 dequantized-dot
+    top-10 vs the exact quantized-cosine top-10 over the same fixed
+    16-query sample — LSH, IVF, PQ, and SQ8 index quality are now
+    ALL hash-gated metrics. SQ8's recall shortfall is pure
+    quantization loss (256 levels per dim), the number a deployment
+    weighs against the 8× scan-bandwidth win; the oracle replays
+    training bounds, encoding, and the reconstruction dot for the
+    audit queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    exact = similarity.quantized_cosine_topk(e, q, k=10)
+    ann = similarity.quantized_sq8_ann_topk(e, q, dim=64, k=10)
+    return _recall_vs_exact(exact, ann)
+
+
 @register(
     "emb_truncated_dim_overlap",
     "WITH qv AS (SELECT vec_id, list_transform(embedding, "
@@ -8714,7 +8792,12 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # oldest-checked names (the 38-name r4 cohort leads the refill).
 # The 10 names below are the multimodal-closure family evicted by the
 # r8 media.py additions (audio_ahash64) + the WAV-builder refactor —
-# the conservative full-module drift the digest tool documents.
+# the conservative full-module drift the digest tool documents. The 26
+# similarity-closure names that drifted when sq8_train/sq8_encode/
+# quantized_sq8_ann_topk were ADDED to similarity.py were consciously
+# re-recorded instead (the tool's sanctioned path): `git diff` for
+# that edit shows zero existing lines changed, so no checked query's
+# executed code moved (verify: git log -p -- operators/similarity.py).
 _WINDOW_PRIORITY: list[str] = [
     "docs_audio_wav_roundtrip", "docs_frame_sample",
     "docs_image_dedup_incremental", "docs_image_dedup_keepers",

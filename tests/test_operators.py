@@ -1853,3 +1853,80 @@ def test_dsir_persisted_model_matches_direct_path(spark, docs, tmp_path):
     scored = {r.doc_id: r for r in dsir_model_score(spark, path, new).collect()}
     assert 10_001 in scored and scored[10_001].n_feats == 2
     assert 10_002 not in scored  # <2 words: no bigram features
+
+
+def test_sq8_encode_matches_numpy_model(spark, emb):
+    """sq8_encode's codes and dequantizations equal the pure-numpy
+    model of the documented rule (floor(x*1000) grid, per-dim corpus
+    min/max, clamp+floor-division codes, *255-scaled reconstruction)
+    on every fixture vector — including constant-range dims (code 0,
+    reconstruct the constant)."""
+    import numpy as np
+
+    mm = similarity.sq8_train(emb, dim=64)
+    out = similarity.sq8_encode(emb, mm).collect()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    grid = np.stack(list(vecs.values()))
+    mn, mx = grid.min(axis=0), grid.max(axis=0)
+    rng = mx - mn
+    for r in out:
+        x = vecs[r.vec_id]
+        want_code = np.where(
+            rng == 0, 0, np.clip((x - mn) * 255 // np.where(rng == 0, 1, rng), 0, 255)
+        )
+        want_dq = mn * 255 + want_code * rng
+        assert list(r.code) == want_code.tolist()
+        assert list(r.dq) == want_dq.tolist()
+
+
+def test_sq8_ann_recall_and_determinism(spark, emb):
+    """SQ8 reconstruction-dot top-10 must recover most of the exact
+    dot top-10 (256 levels per dim is a mild quantizer; floor 0.8),
+    rank densely, and be bit-identical across runs."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.quantized_dot_topk(emb, qs, k=10).collect()
+    }
+    rows = similarity.quantized_sq8_ann_topk(emb, qs, dim=64, k=10).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"SQ8 recall too low: {recall}"
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, 11))
+    again = similarity.quantized_sq8_ann_topk(emb, qs, dim=64, k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sq8_constant_dim_and_out_of_range_query(spark):
+    """A constant dimension codes to 0 and reconstructs exactly; a
+    query component OUTSIDE the trained corpus range clamps to the
+    nearest level instead of wrapping or erroring (the library
+    contract for encoding new data against a persisted grid)."""
+    corpus = spark.createDataFrame(
+        [(1, [0.5, 0.1]), (2, [0.5, 0.9])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    mm = similarity.sq8_train(corpus, dim=2)
+    enc = {
+        r.vec_id: (list(r.code), list(r.dq))
+        for r in similarity.sq8_encode(corpus, mm).collect()
+    }
+    assert enc[1][0][0] == 0 and enc[2][0][0] == 0       # constant dim
+    assert enc[1][1][0] == 500 * 255 == enc[2][1][0]     # exact constant
+    assert enc[1][0][1] == 0 and enc[2][0][1] == 255     # full-range ends
+    newbie = spark.createDataFrame(
+        [(9, [2.0, -3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    (r9,) = similarity.sq8_encode(newbie, mm).collect()
+    assert list(r9.code) == [0, 0]    # constant dim -> 0; below-min clamps
+    n2 = spark.createDataFrame(
+        [(8, [0.5, 99.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    (r8,) = similarity.sq8_encode(n2, mm).collect()
+    assert list(r8.code) == [0, 255]  # above-max clamps to the top level
