@@ -817,6 +817,48 @@ def audio_ahash64(
     dHash, video frame-dHash, audio energy-hash).
     """
     zero = F.lit(0).cast("long")
+    en = audio_frame_energies(
+        df, n_frames=65, frame_len=frame_len, id_col=id_col,
+        samples_col=samples_col,
+    )
+
+    def word(lo_bit: int):
+        w = zero
+        for k in range(lo_bit, lo_bit + 32):
+            bit = (
+                F.col("energies").getItem(k + 1) > F.col("energies").getItem(k)
+            ).cast("long")
+            w = w + F.shiftleft(bit, k - lo_bit)
+        return w
+
+    return en.select(
+        "id",
+        word(0).alias("simhash_lo"),
+        word(32).alias("simhash_hi"),
+    )
+
+
+def audio_frame_energies(
+    df: DataFrame,
+    n_frames: int = 65,
+    frame_len: int = 3,
+    id_col: str = "doc_id",
+    samples_col: str = "sample_prefix",
+) -> DataFrame:
+    """Short-time ENERGY ENVELOPE of decoded PCM: the sample array cut
+    into ``n_frames`` consecutive frames of ``frame_len`` samples,
+    each frame reduced to its integer energy Σs² (samples past a
+    short clip's end contribute 0 — empty-slice aggregate). Output is
+    (id, energies ARRAY<BIGINT>) — the audio tier's feature vector,
+    feeding both the perceptual fingerprint (:func:`audio_ahash64`
+    hashes the envelope's difference signs) and similarity search
+    (integer envelope dot products, the image-histogram-top-k posture
+    on audio). Bounds: a frame energy ≤ frame_len·32768² < 2³³, so
+    envelope dots of 65 frames stay well inside BIGINT for 8/16-bit
+    PCM. NULL sample rows drop (no decoded signal → no identity).
+    All built-in slice-aggregate expressions: codegen, no Python in
+    this stage, no shuffle."""
+    zero = F.lit(0).cast("long")
 
     def energy(k: int):
         frame = F.slice(F.col(samples_col), k * frame_len + 1, frame_len)
@@ -824,23 +866,7 @@ def audio_ahash64(
             frame, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
         )
 
-    energies = F.array(*[energy(k) for k in range(65)])
-
-    def word(lo_bit: int):
-        w = zero
-        for k in range(lo_bit, lo_bit + 32):
-            bit = (
-                F.col("_e").getItem(k + 1) > F.col("_e").getItem(k)
-            ).cast("long")
-            w = w + F.shiftleft(bit, k - lo_bit)
-        return w
-
-    return (
-        df.where(F.col(samples_col).isNotNull())
-        .select(F.col(id_col).alias("id"), energies.alias("_e"))
-        .select(
-            "id",
-            word(0).alias("simhash_lo"),
-            word(32).alias("simhash_hi"),
-        )
+    return df.where(F.col(samples_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.array(*[energy(k) for k in range(n_frames)]).alias("energies"),
     )

@@ -2687,6 +2687,65 @@ def docs_audio_perceptual_neardup(spark, sf_dir):
     )
 
 
+@register(
+    "docs_audio_energy_topk",
+    "WITH " + _AHASH_CTES
+    + ", aqs AS (SELECT doc_id AS qid, e AS qe FROM aen WHERE doc_id < 3), "
+    "adots AS (SELECT aqs.qid AS query_id, a.doc_id, "
+    "CAST(list_sum(list_transform(range(1, 66), i -> a.e[i] * aqs.qe[i])) "
+    "AS BIGINT) AS qdot FROM aen a CROSS JOIN aqs WHERE a.doc_id != aqs.qid), "
+    "aranked AS (SELECT query_id, doc_id, qdot, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY qdot DESC, doc_id) AS rank FROM adots) "
+    "SELECT query_id, doc_id, qdot, rank FROM aranked WHERE rank <= 10 "
+    "ORDER BY query_id, rank",
+)
+def docs_audio_energy_topk(spark, sf_dir):
+    """Audio SIMILARITY SEARCH over the decoded energy envelope — the
+    search half of the audio tier next to the perceptual-dedup half,
+    completing per-modality search (text BM25, embeddings ANN, image
+    histogram top-k, audio THIS): real WAV decode →
+    `audio_frame_energies` (65-frame integer Σs² envelope, the
+    feature vector audio fingerprinting quantizes) → brute-force
+    top-10 by integer envelope dot product. The emb_dot_topk posture
+    on audio features: broadcast the 3 query envelopes, one corpus
+    pass, per-query rank pushdown moving only (ids, score). At
+    billion-clip scale the envelope feeds the emb_* ANN families
+    (LSH/IVF/PQ/SQ8) exactly as image features do; this gate pins the
+    feature math and ranking semantics those compositions stand on."""
+    from proglog_spark.multimodal import audio_frame_energies, decode_audio
+    from proglog_spark.operators.topk import topk_per_key
+
+    dec = decode_audio(_wav8_mono_payloads(spark, sf_dir), prefix=_THUMB_BYTES)
+    # cache: the envelope table feeds both the corpus pass and the
+    # query selection, so the decode UDF pass runs once (session-
+    # scoped, LRU-evicted — the dedup module Cache note)
+    en = audio_frame_energies(dec).cache()
+    q = en.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("energies").alias("qe")
+    )
+    scored = (
+        en.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.aggregate(
+                F.zip_with("energies", "qe", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    return (
+        topk_per_key(
+            scored, ["query_id"], [F.col("qdot").desc(), F.col("doc_id")], 10,
+            rank_col="rank",
+        )
+        .select("query_id", "doc_id", "qdot", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search + hygiene
 # ---------------------------------------------------------------------------

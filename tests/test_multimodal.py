@@ -755,3 +755,23 @@ def test_audio_ahash64_through_real_wav_decode(spark):
         for r in dedup.hamming_pairs(fp, max_hamming=3, blocks=4).collect()
     }
     assert set(pairs) == {(1, 2)}
+
+
+def test_audio_frame_energies_values_and_nulls(spark):
+    """The envelope is the exact integer per-frame Σs²: known values
+    for a hand signal, zero-padding past short clips, NULL rows drop,
+    and the default geometry (65 frames of 3) matches what
+    audio_ahash64 and docs_audio_energy_topk consume."""
+    from proglog_spark.multimodal import audio_frame_energies
+
+    sig = [1, -2, 3, 0, 4, 0, 5]        # frames: 14, 16, 25, 0, 0...
+    df = spark.createDataFrame(
+        [(1, sig), (2, None), (3, [])],
+        "doc_id LONG, sample_prefix ARRAY<INT>",
+    )
+    out = {r.id: list(r.energies) for r in audio_frame_energies(df).collect()}
+    assert set(out) == {1, 3}
+    assert len(out[1]) == 65
+    assert out[1][:4] == [1 + 4 + 9, 16, 25, 0]
+    assert all(v == 0 for v in out[1][3:])
+    assert out[3] == [0] * 65
