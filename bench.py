@@ -73,8 +73,8 @@ COLD_FAMILIES: dict[str, list[str]] = {
         "docs_bm25_decontamination", "docs_bm25_index_topk", "docs_bm25_topk",
     ],
     "audio": [
-        "docs_audio_fingerprint", "docs_audio_perceptual_neardup",
-        "docs_audio_wav_roundtrip",
+        "docs_audio_energy_topk", "docs_audio_fingerprint",
+        "docs_audio_perceptual_neardup", "docs_audio_wav_roundtrip",
     ],
 }
 

@@ -127,6 +127,38 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END "
         "AS new_id",
     ),
+    (
+        "docs_audio_fingerprint",
+        "energy-difference bit rule inverted (>= instead of >)",
+        "CASE WHEN e[k+2] > e[k+1]",
+        "CASE WHEN e[k+2] >= e[k+1]",
+    ),
+    (
+        "docs_audio_perceptual_neardup",
+        "Hamming verify lost (blocking emits unverified far pairs)",
+        "WHERE bit_count(xor(a.ahash_lo, b.ahash_lo)) + "
+        "bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3",
+        "WHERE bit_count(xor(a.ahash_lo, b.ahash_lo)) + "
+        "bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 12",
+    ),
+    (
+        "docs_audio_energy_topk",
+        "envelope dot truncated to 64 of the 65 frames",
+        "list_sum(list_transform(range(1, 66), i -> a.e[i] * aqs.qe[i]))",
+        "list_sum(list_transform(range(1, 65), i -> a.e[i] * aqs.qe[i]))",
+    ),
+    (
+        "emb_sq8_ann_topk",
+        "dequantization zero-point dropped (raw code-scale dot)",
+        "mn[i] * 255 + c[i] * (mx[i] - mn[i])",
+        "c[i] * (mx[i] - mn[i])",
+    ),
+    (
+        "emb_sq8_recall_gate",
+        "dequantization zero-point dropped (raw code-scale dot)",
+        "mn[i] * 255 + c[i] * (mx[i] - mn[i])",
+        "c[i] * (mx[i] - mn[i])",
+    ),
 ]
 
 
