@@ -453,15 +453,114 @@ def sq8_encode(
         f"((x - _mn[i]) * {lv}) div (_mx[i] - _mn[i]), "
         f"CAST(0 AS BIGINT)), CAST({lv} AS BIGINT)) END)"
     )
-    dq = (
-        f"transform(code, (c, i) -> _mn[i] * {lv} + c * (_mx[i] - _mn[i]))"
-    )
     return (
         vectors.select(id_col, qz.alias("_xq"))
         .crossJoin(F.broadcast(minmax))
         .select(id_col, F.expr(code).alias("code"), "_mn", "_mx")
-        .select(id_col, "code", F.expr(dq).alias("dq"))
+        .select(id_col, "code", F.expr(_sq8_dq_expr(levels)).alias("dq"))
     )
+
+
+def _sq8_dq_expr(levels: int = 256, code_col: str = "code") -> str:
+    """The exact integer dequantization expression over a code array
+    with the broadcast (_mn, _mx) grid in scope: dq[i] =
+    mn[i]·(levels-1) + code[i]·(mx[i]-mn[i]) — the reconstructed
+    component scaled by (levels-1)."""
+    lv = levels - 1
+    return f"transform({code_col}, (c, i) -> _mn[i] * {lv} + c * (_mx[i] - _mn[i]))"
+
+
+def sq8_dequantize(
+    codes: DataFrame,
+    minmax: DataFrame,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    levels: int = 256,
+) -> DataFrame:
+    """Exact integer dequantization of PERSISTED SQ8 codes against
+    their training grid — the read side of the frozen-index path:
+    (id, dq ARRAY<BIGINT>) ready for ADC scoring. One broadcast join
+    + one array transform, codegen, no shuffle."""
+    return codes.crossJoin(F.broadcast(minmax)).select(
+        id_col, F.expr(_sq8_dq_expr(levels, code_col)).alias("dq")
+    )
+
+
+def _sq8_scored_topk(
+    corpus_dq: DataFrame, queries_dq: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared SQ8 ADC ranking: broadcast the query reconstructions,
+    one corpus pass, per-query top-k moving only (ids, score)."""
+    scored = (
+        corpus_dq.crossJoin(F.broadcast(queries_dq))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.zip_with("dq", "q_dq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq8_dot"),
+        )
+    )
+    return topk_per_key(
+        scored, ["query_id"], [F.col("sq8_dot").desc(), F.col(id_col)], k,
+        rank_col="rank",
+    ).select("query_id", id_col, "sq8_dot", "rank")
+
+
+def sq8_index_write(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    levels: int = 256,
+) -> None:
+    """Persist an SQ8 index: per-vector uint8 codes (``<path>/codes``
+    parquet — (levels-1 fits a byte; stored as BIGINT arrays for
+    oracle parity, 64 values/vector either way) plus the one-row
+    training grid (``<path>/meta`` — the per-dim (_mn, _mx) arrays).
+    The train-once/score-forever family's fourth member next to the
+    BM25 postings, IVF centroid, and DSIR model artifacts: at 10^10
+    vectors the code table is the only corpus-scale artifact and it
+    is 8× smaller than the raw floats — the scan-bandwidth story,
+    persisted. The meta row is an aggregate output (single JVM
+    partition) — NOT the createDataFrame().coalesce(1) trap BASELINE
+    documents."""
+    mm = sq8_train(corpus, dim, vec_col, scale)
+    sq8_encode(corpus, mm, id_col, vec_col, scale, levels).select(
+        id_col, "code"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    mm.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def sq8_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    levels: int = 256,
+) -> DataFrame:
+    """Answer SQ8 top-k from the FROZEN index: stored codes are
+    dequantized against the STORED grid (the corpus floats are never
+    re-read), incoming query vectors are encoded with that same grid,
+    and ranking is the shared ADC scorer — bit-identical to
+    :func:`quantized_sq8_ann_topk` run in-session, which is exactly
+    what the gate asserts (index staleness, a lost code row, or grid
+    drift all fail the hash)."""
+    mm = spark.read.parquet(f"{path}/meta")
+    codes = spark.read.parquet(f"{path}/codes")
+    c_dq = sq8_dequantize(codes, mm, id_col=id_col, levels=levels)
+    q_dq = sq8_encode(queries, mm, id_col, vec_col, scale, levels).select(
+        F.col(id_col).alias("query_id"), F.col("dq").alias("q_dq")
+    )
+    return _sq8_scored_topk(c_dq, q_dq, k, id_col)
 
 
 def sq8_train(
@@ -513,23 +612,7 @@ def quantized_sq8_ann_topk(
     q = sq8_encode(queries, mm, id_col, vec_col, scale, levels).select(
         F.col(id_col).alias("query_id"), F.col("dq").alias("q_dq")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.aggregate(
-                F.zip_with("dq", "q_dq", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sq8_dot"),
-        )
-    )
-    return topk_per_key(
-        scored, ["query_id"], [F.col("sq8_dot").desc(), F.col(id_col)], k,
-        rank_col="rank",
-    ).select("query_id", id_col, "sq8_dot", "rank")
+    return _sq8_scored_topk(c, q, k, id_col)
 
 
 def adaptive_lsh_bits(n: int, occupancy: int = 32, lo: int = 4, hi: int = 16) -> int:

@@ -8644,6 +8644,41 @@ def emb_sq8_ann_topk(spark, sf_dir):
 
 
 @register(
+    "emb_sq8_index_topk",
+    "WITH " + _sq8_ctes(f"b.vec_id IN {_QUERY_VECS}")
+    + " SELECT query_id, vec_id, sq8_dot, rank FROM ranked "
+    "WHERE rank <= 10 ORDER BY query_id, rank",
+)
+def emb_sq8_index_topk(spark, sf_dir):
+    """The PERSISTENT-INDEX path for SQ8 inside the hash gate —
+    completing the train-once/score-forever family (BM25 postings,
+    IVF centroids, DSIR model, now SQ8 codes): `sq8_index_write`
+    persists the uint8 code table + the one-row training grid,
+    `sq8_index_topk` answers from the FROZEN artifact (stored codes
+    dequantized against the stored grid; corpus floats never
+    re-read), and the oracle is IDENTICAL to `emb_sq8_ann_topk`'s —
+    so index staleness, a lost code row, or grid drift between write
+    and read all fail CORRECTNESS. At 10^10 vectors the code table
+    is the only corpus-scale artifact, 8× smaller than the floats."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    path = tempfile.mkdtemp(prefix="sq8_index_gate_")
+    try:
+        similarity.sq8_index_write(e, path, dim=64)
+        out = _materialize(
+            similarity.sq8_index_topk(spark, path, q, k=10).orderBy(
+                "query_id", "rank"
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+@register(
     "emb_sq8_recall_gate",
     "WITH " + _sq8_ctes("b.vec_id < 16") + ", "
     + _EXACT_RANK_CTES + _RECALL_TAIL,

@@ -1930,3 +1930,26 @@ def test_sq8_constant_dim_and_out_of_range_query(spark):
     )
     (r8,) = similarity.sq8_encode(n2, mm).collect()
     assert list(r8.code) == [0, 255]  # above-max clamps to the top level
+
+
+def test_sq8_index_roundtrip_matches_direct(spark, emb, tmp_path):
+    """The frozen SQ8 index answers bit-identically to the in-session
+    path (stored codes + stored grid vs train+encode+score in one
+    plan), and the persisted artifacts have the documented shapes:
+    one meta row with 64-dim grids, one code row per vector."""
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    path = str(tmp_path / "sq8idx")
+    similarity.sq8_index_write(emb, path, dim=64)
+    direct = sorted(
+        map(tuple, similarity.quantized_sq8_ann_topk(emb, qs, dim=64, k=10).collect())
+    )
+    frozen = sorted(
+        map(tuple, similarity.sq8_index_topk(spark, path, qs, k=10).collect())
+    )
+    assert frozen == direct
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    assert len(meta) == 1
+    assert len(meta[0]._mn) == 64 and len(meta[0]._mx) == 64
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    assert set(codes.columns) == {"vec_id", "code"}
