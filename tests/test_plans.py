@@ -715,3 +715,48 @@ def test_image_neardup_blocked_join_not_cartesian(spark, sf_dir):
     # InMemoryTableScan reprints its cached child plan; the execution
     # count is the InMemoryTableScan count, not that.)
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_audio_fingerprint_single_decode_no_pre_sort_shuffle(spark, sf_dir):
+    """docs_audio_fingerprint is ONE projection (JVM WAV build) + ONE
+    MapInPandas (stdlib wave decode) + codegen'd bit arithmetic: the
+    scan reads only (doc_id, text), exactly one Python stage, the hash
+    words are built-in expressions, and the only Exchange is the final
+    ORDER BY."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_audio_fingerprint"][0](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert read_schema.count(",") == 1
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1  # the orderBy only
+    assert "shiftleft" in plan  # bit packing is JVM-side
+
+
+def test_audio_energy_topk_broadcasts_queries_one_corpus_pass(spark, sf_dir):
+    """docs_audio_energy_topk: the 3 query envelopes broadcast (no
+    sort-merge join against the corpus), candidates never go through a
+    cartesian-without-broadcast, and the envelope table is cached so
+    the decode UDF pass runs once for the corpus scan AND the query
+    selection."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_audio_energy_topk"][0](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # corpus + query reads
+
+
+def test_sq8_train_broadcasts_grid_and_scan_stays_jvm(spark, sf_dir):
+    """emb_sq8_ann_topk: the one-row training grid and the query codes
+    reach the corpus pass as broadcasts; encode + dequantize + ADC dot
+    are all built-in array expressions (zero Python stages); no
+    cartesian product materializes row pairs."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["emb_sq8_ann_topk"][0](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # grid (x2 sides) + queries
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "transform" in plan and "aggregate" in plan  # array exprs, JVM
