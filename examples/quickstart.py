@@ -123,6 +123,38 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
         ).collect()
     ]
 
+    # 5c — the multimodal tier in two calls: a perceptual audio
+    # fingerprint through the REAL WAV codec path (decode -> energy
+    # envelope -> difference-sign hash, the Chromaprint idea), and the
+    # SQ8 uint8-quantized ANN scan (8x memory compression, ranked by
+    # exact integer dequantized dots) — both hash-checked suite
+    # entries (docs_audio_fingerprint, emb_sq8_ann_topk)
+    import io
+    import wave
+
+    from proglog_spark.multimodal import audio_ahash64, decode_audio
+    from proglog_spark.operators import similarity
+
+    def tiny_wav(seed: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes((seed * k * 37 + 128) % 256 for k in range(200)))
+        return buf.getvalue()
+
+    clips = spark.createDataFrame(
+        [(i, tiny_wav(i)) for i in range(3)], "doc_id LONG, payload BINARY"
+    )
+    fp = audio_ahash64(decode_audio(clips, prefix=216))
+    out["audio_fingerprints"] = fp.count()
+
+    sq8 = similarity.quantized_sq8_ann_topk(
+        emb, emb.where(F.col("vec_id") == 0), dim=64, k=3
+    )
+    out["sq8_neighbors"] = [r.vec_id for r in sq8.collect()]
+
     # 6 — curation pipeline into training shards
     from proglog_spark.pipelines import curate_and_shard
     from proglog_spark.sources.tables import load_table
