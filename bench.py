@@ -84,6 +84,17 @@ def _run_cold(spark, sf_dir: str, sf: str, out_path: str) -> None:
     before each query, merge into bench_queries.json (keeping any
     in-suite numbers already there), and print one small JSON line."""
     fns = q.queries()
+    missing = [
+        n for ms in COLD_FAMILIES.values() for n in ms if n not in fns
+    ]
+    if missing:
+        # loud, but on stderr — stdout's LAST line is the driver
+        # contract. A renamed query silently vanishing from the cold
+        # report is the "silent cap reads as full coverage" failure.
+        print(
+            f"WARNING: cold families name unregistered queries: {missing}",
+            file=sys.stderr,
+        )
     cold: dict[str, float] = {}
     for fam, members in COLD_FAMILIES.items():
         for name in sorted(members):

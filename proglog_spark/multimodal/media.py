@@ -853,9 +853,15 @@ def audio_frame_energies(
     feeding both the perceptual fingerprint (:func:`audio_ahash64`
     hashes the envelope's difference signs) and similarity search
     (integer envelope dot products, the image-histogram-top-k posture
-    on audio). Bounds: a frame energy ≤ frame_len·32768² < 2³³, so
-    envelope dots of 65 frames stay well inside BIGINT for 8/16-bit
-    PCM. NULL sample rows drop (no decoded signal → no identity).
+    on audio). Bounds: a frame energy ≤ frame_len·32768² < 2³³ for
+    16-bit PCM, so the HASH path (sign comparisons) is always safe;
+    envelope DOT products are BIGINT-safe for 8-bit PCM
+    (65·(3·128²)² < 2⁴⁴) but can EXCEED 2⁶³ for loud 16-bit clips
+    (65·(3·32768²)² ≈ 10¹⁹) — under Spark's default ANSI mode such a
+    dot fails loudly with ARITHMETIC_OVERFLOW rather than wrapping;
+    to dot 16-bit envelopes, cast to DECIMAL(38,0) or rescale the
+    samples first (`docs_audio_energy_topk` rides the 8-bit path).
+    NULL sample rows drop (no decoded signal → no identity).
     All built-in slice-aggregate expressions: codegen, no Python in
     this stage, no shuffle."""
     zero = F.lit(0).cast("long")

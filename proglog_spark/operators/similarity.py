@@ -529,12 +529,27 @@ def sq8_index_write(
     is 8× smaller than the raw floats — the scan-bandwidth story,
     persisted. The meta row is an aggregate output (single JVM
     partition) — NOT the createDataFrame().coalesce(1) trap BASELINE
-    documents."""
+    documents.
+
+    Write order is correctness-bearing: the grid is persisted FIRST
+    and the codes are encoded against the READ-BACK grid, so (a) the
+    full-corpus training aggregate runs exactly once (the lazy `mm`
+    plan would otherwise re-scan the corpus for each of the two
+    writes), and (b) the persisted grid is the one the codes were
+    encoded with even if the corpus input changes between jobs (live
+    table, appended partition) — grid/code consistency is by
+    construction, not by rerun luck. The grid's (scale, levels) are
+    stored IN the meta row so a reader can never dequantize on the
+    wrong grid."""
     mm = sq8_train(corpus, dim, vec_col, scale)
-    sq8_encode(corpus, mm, id_col, vec_col, scale, levels).select(
+    mm.select(
+        "_mn", "_mx",
+        F.lit(scale).alias("_scale"), F.lit(levels).alias("_levels"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    stored = corpus.sparkSession.read.parquet(f"{path}/meta").select("_mn", "_mx")
+    sq8_encode(corpus, stored, id_col, vec_col, scale, levels).select(
         id_col, "code"
     ).write.mode("overwrite").parquet(f"{path}/codes")
-    mm.write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def sq8_index_topk(
@@ -544,8 +559,8 @@ def sq8_index_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: int = 1000,
-    levels: int = 256,
+    scale: int | None = None,
+    levels: int | None = None,
 ) -> DataFrame:
     """Answer SQ8 top-k from the FROZEN index: stored codes are
     dequantized against the STORED grid (the corpus floats are never
@@ -553,8 +568,28 @@ def sq8_index_topk(
     and ranking is the shared ADC scorer — bit-identical to
     :func:`quantized_sq8_ann_topk` run in-session, which is exactly
     what the gate asserts (index staleness, a lost code row, or grid
-    drift all fail the hash)."""
-    mm = spark.read.parquet(f"{path}/meta")
+    drift all fail the hash).
+
+    ``scale``/``levels`` default to the values PERSISTED in the meta
+    row (the only correct choice — a reader quantizing queries on a
+    different grid than the stored bounds were trained on gets
+    silently wrong rankings); passing them explicitly is a
+    consistency ASSERTION that raises on mismatch rather than
+    proceeding wrong."""
+    meta = spark.read.parquet(f"{path}/meta")
+    (mrow,) = meta.select("_scale", "_levels").collect()
+    if scale is not None and scale != mrow._scale:
+        raise ValueError(
+            f"sq8 index at {path} was trained with scale={mrow._scale}, "
+            f"caller asked for scale={scale}"
+        )
+    if levels is not None and levels != mrow._levels:
+        raise ValueError(
+            f"sq8 index at {path} was written with levels={mrow._levels}, "
+            f"caller asked for levels={levels}"
+        )
+    scale, levels = int(mrow._scale), int(mrow._levels)
+    mm = meta.select("_mn", "_mx")
     codes = spark.read.parquet(f"{path}/codes")
     c_dq = sq8_dequantize(codes, mm, id_col=id_col, levels=levels)
     q_dq = sq8_encode(queries, mm, id_col, vec_col, scale, levels).select(

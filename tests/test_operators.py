@@ -1950,6 +1950,13 @@ def test_sq8_index_roundtrip_matches_direct(spark, emb, tmp_path):
     meta = spark.read.parquet(f"{path}/meta").collect()
     assert len(meta) == 1
     assert len(meta[0]._mn) == 64 and len(meta[0]._mx) == 64
+    assert (meta[0]._scale, meta[0]._levels) == (1000, 256)
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.count() == emb.count()
     assert set(codes.columns) == {"vec_id", "code"}
+    # explicit grid params are consistency ASSERTIONS: a mismatching
+    # caller fails loudly instead of dequantizing on the wrong grid
+    with pytest.raises(ValueError, match="scale"):
+        similarity.sq8_index_topk(spark, path, qs, k=10, scale=500)
+    with pytest.raises(ValueError, match="levels"):
+        similarity.sq8_index_topk(spark, path, qs, k=10, levels=16)
