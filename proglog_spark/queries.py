@@ -1807,6 +1807,53 @@ def docs_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "docs_simhash_decontamination",
+    _SIMHASH_SQL
+    + ", cont AS (SELECT DISTINCT a.doc_id FROM sh a JOIN sh b "
+    "ON a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0 "
+    "AND bit_count(xor(a.simhash_lo, b.simhash_lo)) + "
+    "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3) "
+    "SELECT d.doc_id, (cont.doc_id IS NULL) AS is_kept "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+    "LEFT JOIN cont ON d.doc_id = cont.doc_id ORDER BY d.doc_id",
+)
+def docs_simhash_decontamination(spark, sf_dir):
+    """FUZZY benchmark decontamination — the near-duplicate
+    complement to the exact n-gram checks (`docs_contamination`,
+    `docs_bm25_decontamination`): a training document is dropped if
+    it is a SimHash radius-3 near-dup of ANY held-out benchmark doc
+    (doc_id % 97, the suite's benchmark convention) — the standard
+    large-pretraining practice, since light paraphrases and
+    whitespace edits defeat exact-gram matching but not a 64-bit
+    locality hash. Reuses the TWO-SIDED `hamming_pairs` blocking
+    (`other=` = the benchmark sketches): the big training side never
+    self-joins, each training block probes only the tiny benchmark
+    block table — at 10^10 training docs vs 10^5 benchmark items the
+    candidate mass is the docs_image_dedup_incremental shape, cost
+    proportional to true cross-side collisions (SCALING §18
+    asymmetry probe). Output is the per-doc keep/drop ledger the
+    curation pipeline consumes; the oracle recomputes the cross-side
+    Hamming relation all-pairs over the shared simhash CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    sk = dedup.simhash(d)
+    bench = sk.where(F.col("id") % 97 == 0)
+    train = sk.where(F.col("id") % 97 != 0)
+    hit = (
+        dedup.hamming_pairs(train, max_hamming=3, blocks=4, other=bench)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select("doc_id", F.col("hit").isNull().alias("is_kept"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "docs_media_meta",
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
     "hex(encode(substr(text, 1, 4))) AS header_hex FROM documents ORDER BY doc_id",

@@ -1960,3 +1960,33 @@ def test_sq8_index_roundtrip_matches_direct(spark, emb, tmp_path):
         similarity.sq8_index_topk(spark, path, qs, k=10, scale=500)
     with pytest.raises(ValueError, match="levels"):
         similarity.sq8_index_topk(spark, path, qs, k=10, levels=16)
+
+
+def test_simhash_decontamination_drops_planted_neardup(spark):
+    """The fuzzy-decontamination ledger's POSITIVE path, pinned with a
+    planted pair (the sf0.01 fixture has no cross-side near-dups, so
+    the driver gate alone would never exercise a drop): a training doc
+    that is a one-word edit of a benchmark doc (id % 97 == 0) is
+    dropped; an unrelated doc is kept."""
+    from proglog_spark.queries import REGISTRY
+    import tempfile
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = base + " extra"                # measured hamming 1
+    rows = [
+        (0, base, "s", len(base)),          # benchmark (0 % 97 == 0)
+        (1, edited, "s", len(edited)),      # train near-dup -> dropped
+        (2, " ".join(f"zz{i}" for i in range(120)), "s", 1),  # kept
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(f"{td}/documents.parquet")
+        out = {
+            r.doc_id: r.is_kept
+            for r in REGISTRY["docs_simhash_decontamination"][0](
+                spark, td
+            ).collect()
+        }
+    assert out == {1: False, 2: True}  # benchmark rows are not in the ledger

@@ -159,6 +159,17 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "mn[i] * 255 + c[i] * (mx[i] - mn[i])",
         "c[i] * (mx[i] - mn[i])",
     ),
+    # the sf0.01 fixture has NO cross-side pairs at radius 3 (min
+    # cross hamming 5), so this widened-radius mutation is exactly the
+    # "blocking emits far pairs" bug class the all-kept ledger would
+    # otherwise never distinguish (the positive drop path is pinned by
+    # test_simhash_decontamination_drops_planted_neardup)
+    (
+        "docs_simhash_decontamination",
+        "Hamming verify lost on the benchmark probe (radius 3 -> 12)",
+        "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3",
+        "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 12",
+    ),
 ]
 
 
