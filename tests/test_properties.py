@@ -735,3 +735,97 @@ def test_adaptive_block_params_ladder_invariants(n):
         assert n * w <= 550_000
     if p == 0:
         assert n <= _BLOCK_PREFIX_LADDER[0]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=230,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_audio_ahash64_matches_python_reference(spark, clips):
+    """The audio fingerprint on ARBITRARY sample arrays (any length,
+    full 16-bit range, empties included) equals the pure-Python model
+    of the documented rule — 65 frames of 3, zero-padded past the
+    clip end, bit k iff energy[k+1] > energy[k]. Randomization sweeps
+    the frame-boundary and padding edges the scenario tests pin only
+    pointwise."""
+
+    def model(samples):
+        e = [
+            sum(x * x for x in samples[k * 3 : k * 3 + 3]) for k in range(65)
+        ]
+        lo = hi = 0
+        for k in range(64):
+            bit = int(e[k + 1] > e[k])
+            if k < 32:
+                lo |= bit << k
+            else:
+                hi |= bit << (k - 32)
+        return lo, hi
+
+    from proglog_spark.multimodal import audio_ahash64
+
+    df = spark.createDataFrame(
+        list(enumerate(clips)), "doc_id LONG, sample_prefix ARRAY<INT>"
+    )
+    got = {
+        r.id: (r.simhash_lo, r.simhash_hi) for r in audio_ahash64(df).collect()
+    }
+    assert got == {i: model(c) for i, c in enumerate(clips)}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0, max_value=8.0, allow_nan=False, width=64
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_sq8_encode_matches_python_reference(spark, vecs):
+    """SQ8 training + encoding on ARBITRARY float vectors equals the
+    pure-Python model — per-dim min/max on the floor(x*1000) grid,
+    clamp+floor-division codes, exact integer dequantization.
+    Randomization sweeps the grid edges (components AT the per-dim
+    min/max, constant dims, negative ranges) that decide the clamp
+    and the mx==mn branch."""
+    import math
+
+    from proglog_spark.operators import similarity
+
+    grid = [[math.floor(x * 1000) for x in v] for v in vecs]
+    mn = [min(col) for col in zip(*grid)]
+    mx = [max(col) for col in zip(*grid)]
+
+    def model(q):
+        code = [
+            0
+            if mx[i] == mn[i]
+            else min(max(((q[i] - mn[i]) * 255) // (mx[i] - mn[i]), 0), 255)
+            for i in range(4)
+        ]
+        dq = [mn[i] * 255 + code[i] * (mx[i] - mn[i]) for i in range(4)]
+        return code, dq
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    mm = similarity.sq8_train(df, dim=4)
+    got = {
+        r.vec_id: (list(r.code), list(r.dq))
+        for r in similarity.sq8_encode(df, mm).collect()
+    }
+    assert got == {i: tuple(model(g)) for i, g in enumerate(grid)}
