@@ -139,3 +139,74 @@ def epoch_shuffle_key(key_col, epoch: int, salt: str = "shuffle") -> "F.Column":
     no RNG state. NULL keys use the family's shared sentinel."""
     keyed = F.coalesce(key_col.cast("string"), F.lit("\x00<null>"))
     return token_hash32(keyed, f"{salt}:{epoch}:")
+
+
+def ppswor_bottom_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability proportional
+    to an integer weight, as an exact-integer bottom-k sketch.
+
+    Each row gets ``weight`` independent 60-bit md5 tickets (one per
+    integer unit of weight); a row's priority is its MINIMUM ticket,
+    and the sample is the k smallest priorities. Pairwise this gives
+    the classic successive-sampling odds — P(a beats b) = w_a/(w_a+w_b)
+    — i.e. PPSWOR (the bottom-k sketch with weights as multiplicities;
+    the integer-exact twin of Efraimidis-Spirakis u^(1/w) keys, chosen
+    here because u^(1/w) needs transcendental floats whose last-ulp
+    rounding differs across engines, while min-of-integer-hashes is
+    bit-identical everywhere).
+
+    Cost: one explode proportional to TOTAL WEIGHT (callers quantize
+    weights so this is ~rows x small constant), a map-side-combining
+    min per key, and a global top-k (Spark's TakeOrderedAndProject —
+    per-partition heaps, never a full sort). On a real cluster the
+    explode is the same linear pass any tokenizer makes; a deployment
+    with huge weights swaps in E-S float keys and accepts RNG-parity
+    loss — this operator is the oracle-checkable gate variant.
+
+    Output: (key, weight, ticket, rank) — rank 1..k by (ticket, key).
+    NULL/zero/negative weights contribute no tickets (excluded, the
+    only sensible reading of "probability proportional to w<=0").
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null>"))
+    w = F.col(weight_col).cast("long")
+    tickets = df.where(w > 0).select(
+        F.col(key_col).alias("key"),
+        w.alias("weight"),
+        F.explode(F.sequence(F.lit(0).cast("long"), w - 1)).alias("_i"),
+        key_s.alias("_ks"),
+    )
+    from proglog_spark.operators.placement import hash60
+
+    pri = (
+        tickets.select(
+            "key",
+            "weight",
+            hash60(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col("_ks"), F.lit(":"),
+                    F.col("_i").cast("string"),
+                )
+            ).alias("_t"),
+        )
+        .groupBy("key", "weight")
+        .agg(F.min("_t").alias("ticket"))
+        .orderBy("ticket", "key")
+        .limit(k)
+    )
+    return pri.select(
+        "key",
+        "weight",
+        "ticket",
+        F.row_number()
+        .over(Window.orderBy("ticket", "key"))
+        .cast("long")
+        .alias("rank"),
+    )

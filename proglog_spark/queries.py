@@ -8810,6 +8810,365 @@ def emb_truncated_dim_overlap(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r8 second wave: data placement (rendezvous sharding, Z-order layout),
+# declarative quality audit, exact-integer weighted sampling, and
+# perceptual video scene segmentation (operators/placement.py,
+# operators/audit.py, operators/sampling.ppswor_bottom_k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_shard_assignment",
+    "WITH s AS (SELECT doc_id, i AS shard, "
+    "CAST(('0x' || substr(md5('hrw:' || CAST(i AS VARCHAR) || ':' "
+    "|| CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS score "
+    "FROM documents CROSS JOIN (SELECT unnest(range(17)) AS i) ii), "
+    "a16 AS (SELECT doc_id, arg_max(shard, score) AS sh FROM s "
+    "WHERE shard < 16 GROUP BY 1), "
+    "a17 AS (SELECT doc_id, arg_max(shard, score) AS sh17 FROM s GROUP BY 1), "
+    "g AS (SELECT a16.sh AS shard, count(*) AS n_docs, "
+    "sum(CASE WHEN a17.sh17 = 16 THEN 1 ELSE 0 END) AS n_moved "
+    "FROM a16 JOIN a17 ON a16.doc_id = a17.doc_id GROUP BY 1) "
+    "SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(floor(1000000.0 * n_docs / sum(n_docs) OVER ()) AS BIGINT) "
+    "AS pct_micro, CAST(n_moved AS BIGINT) AS n_moved "
+    "FROM g ORDER BY shard",
+)
+def docs_shard_assignment(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment for the ingest/writer tier —
+    operators/placement.rendezvous_shard. Each doc's owning shard is
+    argmax over 16 salted md5 scores, computed as ONE codegen'd
+    projection (array_max over (score, shard) structs — no explode, no
+    window, no shuffle); the only exchange is the 16-row count agg.
+    The query also MEASURES the property that makes HRW the right
+    placement function: re-deriving the argmax with a 17th shard added
+    shows exactly the ~1/17 of each shard's keys that move (n_moved) —
+    under modulo hashing nearly every key would move. Scale: placement
+    is per-row map work; a 1000-writer fleet computes it inline at
+    write time with zero coordination (no directory service, no
+    rebalance job). Reference parity: scale-out analog of the
+    reference's offset->segment routing (internal/log/log.go) — the
+    decision "which physical home owns this key" made pure and stable.
+    """
+    from proglog_spark.operators import placement
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        placement.rendezvous_shard(F.col("doc_id"), 16).alias("shard"),
+        placement.rendezvous_shard(F.col("doc_id"), 17).alias("shard17"),
+    )
+    g = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("shard17") == 16).cast("long")).alias("n_moved"),
+    )
+    return g.select(
+        "shard",
+        "n_docs",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy())
+        )
+        .cast("long")
+        .alias("pct_micro"),
+        "n_moved",
+    ).orderBy("shard")
+
+
+@register(
+    "events_zorder_layout",
+    "WITH b AS (SELECT (user_id & 255) AS ub, "
+    "CAST(least(255, floor(value / 2)) AS BIGINT) AS vb FROM events "
+    "WHERE user_id IS NOT NULL AND value IS NOT NULL AND value >= 0), "
+    "z AS (SELECT ub, vb, CAST(list_sum(list_transform(range(8), k -> "
+    "(((ub >> k) & 1) << (2 * k)) + (((vb >> k) & 1) << (2 * k + 1)))) "
+    "AS BIGINT) AS zv FROM b) "
+    "SELECT CAST(zv >> 10 AS BIGINT) AS file_id, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(min(ub) AS BIGINT) AS min_ub, CAST(max(ub) AS BIGINT) AS max_ub, "
+    "CAST(min(vb) AS BIGINT) AS min_vb, CAST(max(vb) AS BIGINT) AS max_vb "
+    "FROM z GROUP BY 1 ORDER BY 1",
+)
+def events_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout keys for multi-dimensional data
+    skipping — operators/placement.zorder_key. Both dimensions are
+    bucketed to 8 bits (user bucket = low byte of user_id; value
+    bucket = floor(value/2) clamped — /2 is exact IEEE scaling, so the
+    bucket is bit-identical cross-engine), interleaved into a 16-bit
+    Morton code, and cut into 64 files of contiguous z-ranges
+    (file_id = z >> 10). The emitted per-file min/max of EACH
+    dimension are the zone maps a scan prunes on: under z-layout both
+    spans are ~width/8 per file, so a predicate on EITHER dimension
+    touches ~1/8 of files — a linear (single-column-sorted) layout
+    gives that pruning on one dimension and NONE on the other. The
+    whole key is codegen'd bit arithmetic (no UDF); the only shuffle
+    is the 64-row stats agg — in a real writer the sort-by-z replaces
+    the write-side repartition the pipeline already pays. Reference
+    parity: the layout-for-pruning generalization of the reference's
+    per-segment index file (internal/log/index.go) from one dimension
+    (offset) to two."""
+    from proglog_spark.operators import placement
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+    )
+    b = e.select(
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("ub"),
+        F.least(F.lit(255), F.floor(F.col("value") / 2)).cast("long").alias("vb"),
+    )
+    z = b.select(
+        "ub", "vb", placement.zorder_key(F.col("ub"), F.col("vb"), bits=8).alias("zv")
+    )
+    return (
+        z.groupBy(F.shiftright("zv", 10).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@register(
+    "docs_constraint_audit",
+    "WITH m AS (SELECT "
+    "CAST(floor(1000000.0 * sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 "
+    "END) / count(*)) AS BIGINT) AS completeness_text, "
+    "CAST(floor(1000000.0 * count(DISTINCT doc_id) / count(doc_id)) "
+    "AS BIGINT) AS uniqueness_doc_id, "
+    "CAST(floor(1000000.0 * sum(CASE WHEN lang IN ('en','de','fr','es','zh') "
+    "THEN 1 ELSE 0 END) / count(lang)) AS BIGINT) AS lang_in_set, "
+    "CAST(min(n_chars) AS BIGINT) AS min_n_chars, "
+    "CAST(floor(avg(n_chars)) AS BIGINT) AS mean_n_chars, "
+    "CAST(floor(1000000.0 * sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 "
+    "END) / count(*)) AS BIGINT) AS completeness_source "
+    "FROM documents) "
+    "SELECT check_name, observed, passed FROM ("
+    "SELECT 'completeness_text' AS check_name, completeness_text AS observed, "
+    "completeness_text >= 990000 AS passed FROM m "
+    "UNION ALL SELECT 'uniqueness_doc_id', uniqueness_doc_id, "
+    "uniqueness_doc_id >= 1000000 FROM m "
+    "UNION ALL SELECT 'lang_in_allowed_set', lang_in_set, "
+    "lang_in_set >= 950000 FROM m "
+    "UNION ALL SELECT 'min_n_chars', min_n_chars, min_n_chars >= 1 FROM m "
+    "UNION ALL SELECT 'mean_n_chars_band', mean_n_chars, "
+    "mean_n_chars >= 50 AND mean_n_chars <= 100000 FROM m "
+    "UNION ALL SELECT 'completeness_source', completeness_source, "
+    "completeness_source >= 990000 FROM m) t ORDER BY check_name",
+)
+def docs_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit (the Deequ motif) —
+    operators/audit.audit. Six constraints over the documents drop
+    (text/source completeness, doc_id uniqueness, lang set membership,
+    min and mean length bands) are declared as (name, metric, lo, hi)
+    and verified in ONE aggregation pass: all six backing metrics ride
+    a single partial-agg tree (map-side combine, one exchange — N
+    constraints never means N scans), then explode into per-constraint
+    verdict rows. Ratios are micro fixed-point so verdicts hash
+    identically cross-engine. This is the ingest gate a training
+    pipeline runs on every incoming drop BEFORE dedup/selection; at
+    100 TB it costs exactly one pass over the scan it already pays.
+    Reference parity: generalizes the reference's fail-loudly config
+    validation (internal/server/server.go option checks) from config
+    to data."""
+    from proglog_spark.operators import audit as _audit
+
+    d = load_table(spark, sf_dir, "documents")
+    checks = [
+        (
+            "completeness_text",
+            _audit.completeness_micro(F.col("text")),
+            990000,
+            None,
+        ),
+        (
+            "uniqueness_doc_id",
+            _audit.uniqueness_micro(F.col("doc_id")),
+            1000000,
+            None,
+        ),
+        (
+            "lang_in_allowed_set",
+            _audit.membership_micro(F.col("lang"), ("en", "de", "fr", "es", "zh")),
+            950000,
+            None,
+        ),
+        ("min_n_chars", F.min("n_chars"), 1, None),
+        ("mean_n_chars_band", F.floor(F.avg("n_chars")), 50, 100000),
+        (
+            "completeness_source",
+            _audit.completeness_micro(F.col("source")),
+            990000,
+            None,
+        ),
+    ]
+    return _audit.audit(d, checks)
+
+
+@register(
+    "docs_weighted_sample",
+    "WITH w AS (SELECT doc_id, 1 + coalesce(n_chars, 0) // 64 AS weight "
+    "FROM documents WHERE coalesce(n_chars, 0) >= 0), "
+    "t AS (SELECT doc_id, weight, unnest(range(weight)) AS i FROM w), "
+    "h AS (SELECT doc_id, weight, CAST(('0x' || substr(md5('ws:' || "
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) AS th FROM t), "
+    "m AS (SELECT doc_id, weight, min(th) AS ticket FROM h GROUP BY 1, 2), "
+    "k AS (SELECT doc_id AS key, weight, ticket FROM m "
+    "ORDER BY ticket, key LIMIT 100) "
+    "SELECT key, CAST(weight AS BIGINT) AS weight, ticket, "
+    "CAST(row_number() OVER (ORDER BY ticket, key) AS BIGINT) AS rank "
+    "FROM k ORDER BY rank",
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Length-weighted sampling WITHOUT replacement (PPSWOR bottom-k)
+    — operators/sampling.ppswor_bottom_k. Sampling 100 docs with
+    probability ~ document length is the quality-weighted subset step
+    of a data-selection pipeline; the exact-integer bottom-k scheme
+    (min of `weight` md5 tickets per doc; see the operator docstring
+    for why not Efraimidis-Spirakis floats) makes the draw
+    reproducible AND oracle-checkable bit-for-bit. Plan shape: the
+    ticket explode is linear in total weight (weights quantized to
+    1 + n_chars/64, so ~rows x 9 at this fixture), the per-doc min
+    partial-aggregates map-side, and the global top-100 is
+    TakeOrderedAndProject (per-partition heaps — no full sort, no
+    single-partition window until the 100-row final ranking)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.coalesce(F.col("n_chars"), F.lit(0)) >= 0
+    )
+    weighted = d.select(
+        "doc_id",
+        (F.lit(1) + F.coalesce(F.col("n_chars"), F.lit(0)) / F.lit(64))
+        .cast("long")
+        .alias("w"),
+    )
+    return sampling.ppswor_bottom_k(
+        weighted, key_col="doc_id", weight_col="w", k=100, salt="ws"
+    ).orderBy("rank")
+
+
+@register(
+    "docs_video_scene_cuts",
+    "WITH " + _FRAME_DHASH_CTES
+    + ", lagd AS (SELECT doc_id, k, lo, hi, "
+    "lag(lo) OVER (PARTITION BY doc_id ORDER BY k) AS plo, "
+    "lag(hi) OVER (PARTITION BY doc_id ORDER BY k) AS phi FROM dh), "
+    "cuts AS (SELECT doc_id, k, CASE WHEN plo IS NULL THEN 1 "
+    "WHEN bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) >= 12 "
+    "THEN 1 ELSE 0 END AS cut FROM lagd), "
+    "scenes AS (SELECT doc_id, k, sum(cut) OVER (PARTITION BY doc_id "
+    "ORDER BY k ROWS UNBOUNDED PRECEDING) AS scene_id FROM cuts), "
+    "sl AS (SELECT doc_id, scene_id, count(*) AS slen FROM scenes "
+    "GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames, "
+    "CAST(count(*) AS BIGINT) AS n_scenes, "
+    "CAST(max(slen) AS BIGINT) AS longest_scene "
+    "FROM sl GROUP BY doc_id ORDER BY doc_id",
+)
+def docs_video_scene_cuts(spark, sf_dir):
+    """Perceptual scene-cut detection over sampled video frames — the
+    keyframe-segmentation step a video training pipeline runs before
+    captioning/sampling (pick one representative frame per scene
+    instead of N-per-second everywhere). Composes the gate-verified
+    frame chunking + per-frame dHash (docs_video_perceptual_
+    containment's machinery) with a per-clip LAG: a frame opens a new
+    scene iff it is the clip's first or its dHash sits >= 12 Hamming
+    bits from its predecessor (near-identical consecutive frames run
+    0-3 bits; unrelated content ~32). Scene ids are a running sum of
+    cut flags; output is per-clip scene accounting (n_frames,
+    n_scenes, longest_scene). Scale posture: the shuffle carries
+    (doc_id, k, two 32-bit words) — never frame payloads; both windows
+    partition by clip (no global window), and the per-scene reduce is
+    a narrow two-key agg. A deployment feeds real keyframe rasters
+    through register_image_decoder and this stage is unchanged."""
+    from proglog_spark.multimodal import decode_media, dhash64
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    k = F.col("k")
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.length("text") / F.lit(72.0)).cast("long") - 1,
+            )
+        ).alias("k"),
+        "text",
+    ).select(
+        F.when(
+            k < F.lit(1 << 20),
+            F.col("doc_id") * F.lit(1 << 20).cast("long") + k,
+        )
+        .otherwise(
+            F.raise_error(F.lit("frame index >= 2^20 would alias frame_uid"))
+        )
+        .alias("frame_uid"),
+        F.encode(
+            F.substring(F.col("text"), (k * 72 + 1).cast("int"), F.lit(72)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    sk = dhash64(
+        decode_media(frames, height=8, width=9, id_col="frame_uid")
+    ).select(
+        F.shiftright("id", 20).alias("doc_id"),
+        (F.col("id") % F.lit(1 << 20)).alias("k"),
+        "simhash_lo",
+        "simhash_hi",
+    )
+    wk = Window.partitionBy("doc_id").orderBy("k")
+    lagd = sk.select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.lag("simhash_lo").over(wk).alias("plo"),
+        F.lag("simhash_hi").over(wk).alias("phi"),
+    )
+    cuts = lagd.select(
+        "doc_id",
+        "k",
+        F.when(F.col("plo").isNull(), F.lit(1))
+        .when(
+            F.bit_count(
+                F.col("simhash_lo").bitwiseXOR(F.col("plo"))
+            )
+            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
+            >= 12,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        "k",
+        F.sum("cut")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("scene_id"),
+    )
+    sl = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("slen")
+    )
+    return (
+        sl.groupBy("doc_id")
+        .agg(
+            F.sum("slen").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.max("slen").alias("longest_scene"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (consumed by __spark_entry__)
 # ---------------------------------------------------------------------------
 

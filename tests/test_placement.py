@@ -1,0 +1,268 @@
+"""Placement, audit, weighted-sampling, and scene-cut operator tests
+— pure-Python model comparisons plus the properties each operator
+sells (HRW minimal disruption, z-order per-file span bounds, one-pass
+audit verdicts, PPSWOR weighted odds, perceptual scene segmentation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from proglog_spark.operators import audit, placement, sampling
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _hrw_model(key, n: int, salt: str = "hrw") -> int:
+    return max(range(n), key=lambda s: (_h60(f"{salt}:{s}:{key}"), s))
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) sharding
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_matches_md5_argmax_model(spark):
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    got = {
+        r.k: r.s
+        for r in df.select(
+            "k", placement.rendezvous_shard(F.col("k"), 16).alias("s")
+        ).collect()
+    }
+    assert got == {k: _hrw_model(k, 16) for k in range(200)}
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """THE property HRW is for: growing 16 -> 17 shards only ever
+    moves a key TO the new shard (never between old shards), and the
+    moved fraction is ~1/17 of keys."""
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    both = df.select(
+        placement.rendezvous_shard(F.col("k"), 16).alias("a"),
+        placement.rendezvous_shard(F.col("k"), 17).alias("b"),
+    ).collect()
+    moved = [r for r in both if r.a != r.b]
+    assert all(r.b == 16 for r in moved)
+    # E[moved] = 2000/17 ~ 118; loose 3-sigma-ish band
+    assert 60 <= len(moved) <= 190
+
+
+def test_rendezvous_null_key_deterministic(spark):
+    df = spark.createDataFrame([(None,), (None,)], "k STRING")
+    vals = {
+        r.s
+        for r in df.select(
+            placement.rendezvous_shard(F.col("k"), 16).alias("s")
+        ).collect()
+    }
+    assert len(vals) == 1  # sentinel-hashed, not NULL-propagated
+
+    with pytest.raises(ValueError, match="n_shards"):
+        placement.rendezvous_shard(F.col("k"), 0)
+
+
+# ---------------------------------------------------------------------------
+# z-order layout keys
+# ---------------------------------------------------------------------------
+
+
+def _z_model(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((a >> k) & 1) << (2 * k)
+        z |= ((b >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_matches_bit_interleave_model(spark):
+    rows = [(a, b) for a in (0, 1, 5, 127, 128, 255) for b in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", placement.zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): _z_model(a, b) for a, b in rows}
+
+
+def test_zorder_out_of_range_fails_loudly(spark):
+    df = spark.createDataFrame([(256, 0)], "a LONG, b LONG")
+    with pytest.raises(Exception, match="zorder_key"):
+        df.select(placement.zorder_key(F.col("a"), F.col("b"))).collect()
+    with pytest.raises(ValueError, match="bits"):
+        placement.zorder_key(F.col("a"), F.col("b"), bits=0)
+
+
+def test_zorder_file_spans_bound_both_dims(spark, sf_dir):
+    """The pruning guarantee made executable: cutting files on z >> 10
+    leaves each 8-bit dimension spanning at most a 32-bucket block
+    inside any file (bits 0-4 of each dim live below the cut), so
+    zone-map min/max prune on EITHER dimension."""
+    from proglog_spark.queries import REGISTRY
+
+    out = REGISTRY["events_zorder_layout"][0](spark, sf_dir).collect()
+    assert out, "expected at least one file bucket"
+    for r in out:
+        assert r.max_ub - r.min_ub <= 31
+        assert r.max_vb - r.min_vb <= 31
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint audit
+# ---------------------------------------------------------------------------
+
+
+def test_audit_one_pass_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (4, "c")], "id LONG, s STRING"
+    )
+    out = audit.audit(
+        df,
+        [
+            ("completeness_s", audit.completeness_micro(F.col("s")), 900000, None),
+            ("uniqueness_id", audit.uniqueness_micro(F.col("id")), 1000000, None),
+            ("min_id", F.min("id"), 1, 3),
+            ("member_s", audit.membership_micro(F.col("s"), ("a", "b")), None, None),
+        ],
+    ).collect()
+    got = {r.check_name: (r.observed, r.passed) for r in out}
+    assert got == {
+        "completeness_s": (750000, False),   # 3/4 non-null
+        "uniqueness_id": (750000, False),    # 3 distinct / 4 rows
+        "min_id": (1, True),
+        "member_s": (666666, True),          # 2/3 non-null in set, unbounded
+    }
+    # output is ordered by name (total order for the hash gate)
+    assert [r.check_name for r in out] == sorted(got)
+
+
+def test_audit_empty_input_fails_bounded_constraints(spark):
+    df = spark.createDataFrame([], "id LONG")
+    out = audit.audit(
+        df, [("completeness_id", audit.completeness_micro(F.col("id")), 1, None)]
+    ).collect()
+    assert out[0].observed is None and out[0].passed is False
+
+
+def test_audit_duplicate_names_rejected(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unique"):
+        audit.audit(df, [("x", F.min("id"), None, None), ("x", F.max("id"), None, None)])
+
+
+# ---------------------------------------------------------------------------
+# PPSWOR bottom-k weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def _ppswor_model(rows, k, salt="ws"):
+    pri = []
+    for key, w in rows:
+        if w is None or w <= 0:
+            continue
+        t = min(_h60(f"{salt}:{key}:{i}") for i in range(w))
+        pri.append((t, key, w))
+    pri.sort()
+    return [(key, w, t, i + 1) for i, (t, key, w) in enumerate(pri[:k])]
+
+
+def test_ppswor_matches_md5_model(spark):
+    rows = [(i, 1 + i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc LONG, w LONG")
+    got = [
+        (r.key, r.weight, r.ticket, r.rank)
+        for r in sampling.ppswor_bottom_k(df, "doc", "w", k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _ppswor_model(rows, 10)
+
+
+def test_ppswor_bottom_k_is_nested_and_guards(spark):
+    rows = [(i, 1 + i % 5) for i in range(60)] + [(99, 0), (98, None)]
+    df = spark.createDataFrame(rows, "doc LONG, w LONG")
+    top10 = {r.key for r in sampling.ppswor_bottom_k(df, "doc", "w", 10).collect()}
+    top25 = {r.key for r in sampling.ppswor_bottom_k(df, "doc", "w", 25).collect()}
+    assert top10 <= top25          # bottom-k sketches nest
+    assert 99 not in top25 and 98 not in top25  # w<=0 / NULL excluded
+    with pytest.raises(ValueError, match="k"):
+        sampling.ppswor_bottom_k(df, "doc", "w", 0)
+
+
+def test_ppswor_weight_proportional_odds(spark):
+    """A weight-9 key should be sampled ~9x as often as a weight-1 key
+    across independent salts (pairwise odds w_a/(w_a+w_b) = 0.9)."""
+    rows = [(0, 9), (1, 1)]
+    df = spark.createDataFrame(rows, "doc LONG, w LONG")
+    wins = 0
+    n = 60
+    for s in range(n):
+        top = sampling.ppswor_bottom_k(df, "doc", "w", 1, salt=f"odds{s}").collect()
+        wins += top[0].key == 0
+    # Binomial(60, 0.9): P(wins < 44) < 1e-4
+    assert wins >= 44
+
+
+# ---------------------------------------------------------------------------
+# perceptual scene cuts
+# ---------------------------------------------------------------------------
+
+
+def _frame_dhash(frame: bytes) -> int:
+    # mirrors decode_media's slice-mean fake decode at 8x9 on a full
+    # 72-byte frame (one byte per pixel) + dhash64's bit rule
+    assert len(frame) == 72
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if frame[r * 9 + c + 1] > frame[r * 9 + c]:
+                h |= 1 << (r * 8 + c)
+    return h
+
+
+def _scene_model(text: str):
+    frames = [text[i : i + 72] for i in range(0, len(text), 72)]
+    # short final frames re-decode through slice means; this model only
+    # feeds full frames, enforced here
+    assert all(len(f) == 72 for f in frames)
+    hashes = [_frame_dhash(f.encode()) for f in frames]
+    cuts = [
+        1 if i == 0 or bin(hashes[i] ^ hashes[i - 1]).count("1") >= 12 else 0
+        for i in range(len(hashes))
+    ]
+    lens, cur = [], 0
+    for c in cuts:
+        if c and cur:
+            lens.append(cur)
+            cur = 0
+        cur += 1
+    lens.append(cur)
+    return len(frames), len(lens), max(lens)
+
+
+def test_scene_cuts_match_model_on_planted_clip(spark):
+    """A clip of 3 identical calm frames, then 2 frames of inverted
+    gradient (a hard cut), then 1 more calm frame (a second cut) must
+    segment exactly as the pure-Python model says."""
+    from proglog_spark.queries import REGISTRY
+
+    calm = "".join(chr(65 + (i % 3)) for i in range(72))       # ABCABC...
+    loud = "".join(chr(122 - (5 * i) % 50) for i in range(72))  # descending-ish
+    text = calm * 3 + loud * 2 + calm
+    model = _scene_model(text)
+    rows = [(7, text, "s", len(text))]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING, n_chars LONG")
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(f"{td}/documents.parquet")
+        out = REGISTRY["docs_video_scene_cuts"][0](spark, td).collect()
+    assert [(r.n_frames, r.n_scenes, r.longest_scene) for r in out] == [model]
+    # sanity: the planted cut structure is what we think it is
+    assert model[0] == 6 and model[1] >= 3

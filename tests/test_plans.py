@@ -760,3 +760,77 @@ def test_sq8_train_broadcasts_grid_and_scan_stays_jvm(spark, sf_dir):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "transform" in plan and "aggregate" in plan  # array exprs, JVM
+
+
+def test_shard_assignment_is_pure_projection_plus_tiny_agg(spark, sf_dir):
+    """docs_shard_assignment: the HRW argmax is array_max over struct
+    literals — a codegen'd projection. No explode, no per-key window,
+    no Python, no cartesian; the md5 scores are JVM expressions. The
+    only exchanges are the 16-row agg / final window / sort."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_shard_assignment"][0](spark, sf_dir))
+    assert "Generate" not in plan            # no explode-based argmax
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan                      # hash stays JVM-side
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_zorder_layout_codegen_bits_single_agg(spark, sf_dir):
+    """events_zorder_layout: the Morton key is shiftleft/and bit
+    arithmetic in whole-stage codegen over a 2-column scan; one agg
+    exchange plus the final sort, zero Python."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["events_zorder_layout"][0](spark, sf_dir))
+    assert "shiftleft" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read_schema and "value" in read_schema
+    assert read_schema.count(",") == 1        # exactly the two columns
+    assert plan.count("ReadSchema:") == 1     # one scan feeds everything
+
+
+def test_constraint_audit_single_scan_single_agg_tree(spark, sf_dir):
+    """docs_constraint_audit: N constraints, ONE pass — a single
+    parquet scan feeds one aggregate tree (count_distinct adds an
+    Expand, not a second scan), then the verdict explode runs on one
+    row. No Python anywhere."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_constraint_audit"][0](spark, sf_dir))
+    assert plan.count("ReadSchema:") == 1     # exactly one table scan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_take_ordered_not_global_sort(spark, sf_dir):
+    """docs_weighted_sample: the global bottom-100 must be
+    TakeOrderedAndProject (per-partition heaps), never a full sort of
+    the ticket table; tickets are md5 JVM expressions over an explode;
+    the ticket min partial-aggregates before its exchange."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_weighted_sample"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan                 # the weight explode
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_scene_cuts_one_decode_pass_windows_by_clip(spark, sf_dir):
+    """docs_video_scene_cuts: exactly one Python stage (the frame
+    decode); both windows partition by doc_id (hashpartitioning, not a
+    single-partition global window); shuffles carry only (doc_id, k,
+    two hash words) — never payloads (no `payload`/`text` column in
+    any Exchange's input list)."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_video_scene_cuts"][0](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    for chunk in plan.split("Arguments: hashpartitioning")[1:]:
+        header = chunk.splitlines()[0]
+        assert "payload" not in header and "text" not in header
