@@ -155,13 +155,44 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
     )
     out["sq8_neighbors"] = [r.vec_id for r in sq8.collect()]
 
-    # 6 — curation pipeline into training shards
-    from proglog_spark.pipelines import curate_and_shard
+    # 5d — the writer/curator side: stable HRW shard ownership (a
+    # pure projection — adding a shard moves ~1/n of keys), a one-pass
+    # declarative quality audit, and a reproducible length-weighted
+    # sample (all three are hash-checked suite entries:
+    # docs_shard_assignment, docs_constraint_audit,
+    # docs_weighted_sample)
+    from proglog_spark.operators import audit, placement, sampling
     from proglog_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
+    owned = docs.select(
+        placement.rendezvous_shard(F.col("doc_id"), 4).alias("shard")
+    )
+    out["shard_counts"] = sorted(
+        (r.shard, r.n) for r in owned.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    verdicts = audit.audit(
+        docs,
+        [
+            ("completeness_text", audit.completeness_micro(F.col("text")), 990000, None),
+            ("uniqueness_doc_id", audit.uniqueness_micro(F.col("doc_id")), 1000000, None),
+        ],
+    )
+    out["audit"] = [(r.check_name, r.passed) for r in verdicts.collect()]
+    weighted = docs.select(
+        "doc_id",
+        (F.lit(1) + F.coalesce(F.col("n_chars"), F.lit(0)) / F.lit(64))
+        .cast("long")
+        .alias("w"),
+    )
+    sample = sampling.ppswor_bottom_k(weighted, "doc_id", "w", k=5)
+    out["weighted_sample"] = [r.key for r in sample.orderBy("rank").collect()]
+
+    # 6 — curation pipeline into training shards
+    from proglog_spark.pipelines import curate_and_shard
+
     acct = curate_and_shard(spark, docs, f"{workdir}/shards", n_shards=2)
     out["shard_accounting"] = [tuple(r) for r in acct.collect()]
 
