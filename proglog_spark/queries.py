@@ -9052,9 +9052,52 @@ def docs_weighted_sample(spark, sf_dir):
     ).orderBy("rank")
 
 
+def _shot_frame_raster(w):
+    """72-byte frame raster from a 9-char shot window: 8 rows, row r =
+    the window rotated left by r characters (mirrors _SHOT_DHASH_CTES'
+    tb — a 2-D raster whose rows differ, so the frame hash carries 64
+    independent bits instead of 8 repeated ones). Spark's substring
+    clamps like DuckDB's substr, so short final windows agree too."""
+    rows = [w]
+    for r in range(1, 8):
+        rows.append(F.concat(F.substring(w, r + 1, 9), F.substring(w, 1, r)))
+    return F.concat(*rows)
+
+
+# Shot-structured frame synthesis for scene segmentation: each 9-char
+# window of the document is a 3-frame SHOT (the 72-byte frame is the
+# window repeated 8x — identical frames inside a shot, content change
+# at shot boundaries), which is the temporal structure real video has
+# and the flat 72-byte chunking lacks (measured: EVERY consecutive
+# chunk pair sits >= 19 Hamming bits apart at sf0.01, so a chunk-based
+# scene query degenerates to n_scenes == n_frames and its cut
+# threshold discriminates nothing). The dHash math is shared with
+# _FRAME_DHASH_CTES verbatim (string-sliced from "b AS" so the bit
+# rule stays single-sourced).
+_SHOT_DHASH_CTES = (
+    "f AS (SELECT doc_id, unnest(range(0, "
+    "3 * CAST(ceil(length(text) / 9.0) AS BIGINT))) AS k, text "
+    "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+    "tb0 AS (SELECT doc_id, k, "
+    "substr(text, CAST((k // 3) * 9 + 1 AS BIGINT), 9) AS w FROM f), "
+    # the 72-byte frame is the window's 8 cyclic row rotations (a real
+    # 2-D raster: rows differ, so the two 32-bit hash words decouple —
+    # a repeated-row frame would make lo == hi identically and blind
+    # the gate to word-pairing bugs)
+    "tb AS (SELECT doc_id, k, w "
+    "|| substr(w, 2) || substr(w, 1, 1) || substr(w, 3) || substr(w, 1, 2) "
+    "|| substr(w, 4) || substr(w, 1, 3) || substr(w, 5) || substr(w, 1, 4) "
+    "|| substr(w, 6) || substr(w, 1, 5) || substr(w, 7) || substr(w, 1, 6) "
+    "|| substr(w, 8) || substr(w, 1, 7) AS t FROM tb0), "
+    + _FRAME_DHASH_CTES[
+        _FRAME_DHASH_CTES.index("b AS (SELECT doc_id, k, length(t)") :
+    ]
+)
+
+
 @register(
     "docs_video_scene_cuts",
-    "WITH " + _FRAME_DHASH_CTES
+    "WITH " + _SHOT_DHASH_CTES
     + ", lagd AS (SELECT doc_id, k, lo, hi, "
     "lag(lo) OVER (PARTITION BY doc_id ORDER BY k) AS plo, "
     "lag(hi) OVER (PARTITION BY doc_id ORDER BY k) AS phi FROM dh), "
@@ -9074,18 +9117,23 @@ def docs_video_scene_cuts(spark, sf_dir):
     """Perceptual scene-cut detection over sampled video frames — the
     keyframe-segmentation step a video training pipeline runs before
     captioning/sampling (pick one representative frame per scene
-    instead of N-per-second everywhere). Composes the gate-verified
-    frame chunking + per-frame dHash (docs_video_perceptual_
-    containment's machinery) with a per-clip LAG: a frame opens a new
-    scene iff it is the clip's first or its dHash sits >= 12 Hamming
-    bits from its predecessor (near-identical consecutive frames run
-    0-3 bits; unrelated content ~32). Scene ids are a running sum of
-    cut flags; output is per-clip scene accounting (n_frames,
-    n_scenes, longest_scene). Scale posture: the shuffle carries
-    (doc_id, k, two 32-bit words) — never frame payloads; both windows
-    partition by clip (no global window), and the per-scene reduce is
-    a narrow two-key agg. A deployment feeds real keyframe rasters
-    through register_image_decoder and this stage is unchanged."""
+    instead of N-per-second everywhere). Clips are synthesized with
+    real temporal structure — every 9-char document window is a
+    3-frame SHOT (identical frames within, content change at
+    boundaries; see _SHOT_DHASH_CTES for why flat chunking
+    degenerates) — then segmented with the gate-verified per-frame
+    dHash + a per-clip LAG: a frame opens a new scene iff it is the
+    clip's first or its dHash sits >= 12 Hamming bits from its
+    predecessor (within-shot repeats run 0 bits; hard content changes
+    ~32; similar neighboring windows — slow pans — merge shots into
+    longer scenes, making longest_scene a real signal). Scene ids are
+    a running sum of cut flags; output is per-clip scene accounting
+    (n_frames, n_scenes, longest_scene). Scale posture: the shuffle
+    carries (doc_id, k, two 32-bit words) — never frame payloads;
+    both windows partition by clip (no global window), and the
+    per-scene reduce is a narrow two-key agg. A deployment feeds real
+    keyframe rasters through register_image_decoder and this stage is
+    unchanged."""
     from proglog_spark.multimodal import decode_media, dhash64
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -9097,7 +9145,8 @@ def docs_video_scene_cuts(spark, sf_dir):
         F.explode(
             F.sequence(
                 F.lit(0).cast("long"),
-                F.ceil(F.length("text") / F.lit(72.0)).cast("long") - 1,
+                F.lit(3) * F.ceil(F.length("text") / F.lit(9.0)).cast("long")
+                - 1,
             )
         ).alias("k"),
         "text",
@@ -9111,7 +9160,13 @@ def docs_video_scene_cuts(spark, sf_dir):
         )
         .alias("frame_uid"),
         F.encode(
-            F.substring(F.col("text"), (k * 72 + 1).cast("int"), F.lit(72)),
+            _shot_frame_raster(
+                F.substring(
+                    F.col("text"),
+                    ((k / F.lit(3)).cast("long") * 9 + 1).cast("int"),
+                    F.lit(9),
+                )
+            ),
             "UTF-8",
         ).alias("payload"),
     )

@@ -229,9 +229,15 @@ def _frame_dhash(frame: bytes) -> int:
 
 
 def _scene_model(text: str):
-    frames = [text[i : i + 72] for i in range(0, len(text), 72)]
-    # short final frames re-decode through slice means; this model only
-    # feeds full frames, enforced here
+    # shot synthesis mirror: every 9-char window is a 3-frame shot,
+    # frame payload = the window's 8 cyclic rotations (72 bytes when
+    # full-width) — rows differ, hash words decouple
+    import math
+
+    windows = [text[9 * i : 9 * i + 9] for i in range(math.ceil(len(text) / 9))]
+    frames = [
+        "".join(w[r:] + w[:r] for r in range(8)) for w in windows for _ in range(3)
+    ]
     assert all(len(f) == 72 for f in frames)
     hashes = [_frame_dhash(f.encode()) for f in frames]
     cuts = [
@@ -249,14 +255,16 @@ def _scene_model(text: str):
 
 
 def test_scene_cuts_match_model_on_planted_clip(spark):
-    """A clip of 3 identical calm frames, then 2 frames of inverted
-    gradient (a hard cut), then 1 more calm frame (a second cut) must
-    segment exactly as the pure-Python model says."""
+    """A clip built from 9-char shots — three repeats of a calm
+    window (a long 9-frame scene: identical windows merge), one hard
+    content change, then a near-identical window (a slow pan that
+    must NOT cut) — segments exactly as the pure-Python model says."""
     from proglog_spark.queries import REGISTRY
 
-    calm = "".join(chr(65 + (i % 3)) for i in range(72))       # ABCABC...
-    loud = "".join(chr(122 - (5 * i) % 50) for i in range(72))  # descending-ish
-    text = calm * 3 + loud * 2 + calm
+    calm = "ABCABCABC"
+    loud = "zrjqxwvut"
+    pan = "rrjqxwvut"  # one char off loud: 7 bits — sub-threshold, merges
+    text = calm * 3 + loud + pan
     model = _scene_model(text)
     rows = [(7, text, "s", len(text))]
     d = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING, n_chars LONG")
@@ -264,5 +272,5 @@ def test_scene_cuts_match_model_on_planted_clip(spark):
         d.write.parquet(f"{td}/documents.parquet")
         out = REGISTRY["docs_video_scene_cuts"][0](spark, td).collect()
     assert [(r.n_frames, r.n_scenes, r.longest_scene) for r in out] == [model]
-    # sanity: the planted cut structure is what we think it is
-    assert model[0] == 6 and model[1] >= 3
+    # sanity: 15 frames, the calm run merged (scene of 9), pan merged
+    assert model == (15, 2, 9)

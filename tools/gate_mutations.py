@@ -170,6 +170,42 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3",
         "bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 12",
     ),
+    (
+        "docs_shard_assignment",
+        "one shard silently missing from the HRW candidate set",
+        "WHERE shard < 16 GROUP BY 1",
+        "WHERE shard < 15 GROUP BY 1",
+    ),
+    (
+        "events_zorder_layout",
+        "interleave order swapped (dim A at odd bit positions)",
+        "(((ub >> k) & 1) << (2 * k)) + (((vb >> k) & 1) << (2 * k + 1))",
+        "(((ub >> k) & 1) << (2 * k + 1)) + (((vb >> k) & 1) << (2 * k))",
+    ),
+    (
+        "docs_constraint_audit",
+        "metric rounding rule wrong (ceil instead of floor on the mean)",
+        "CAST(floor(avg(n_chars)) AS BIGINT) AS mean_n_chars",
+        "CAST(ceil(avg(n_chars)) AS BIGINT) AS mean_n_chars",
+    ),
+    (
+        "docs_weighted_sample",
+        "weight off by one (zero-weight shorts dropped, tickets shifted)",
+        "1 + coalesce(n_chars, 0) // 64 AS weight",
+        "coalesce(n_chars, 0) // 64 AS weight",
+    ),
+    (
+        "docs_video_scene_cuts",
+        "cut threshold confused with unrelated-content mean (12 -> 40)",
+        "+ bit_count(xor(hi, phi)) >= 12",
+        "+ bit_count(xor(hi, phi)) >= 40",
+    ),
+    (
+        "docs_video_scene_cuts",
+        "hash-word pairing bug (hi compared against the lagged LO word)",
+        "bit_count(xor(lo, plo)) + bit_count(xor(hi, phi))",
+        "bit_count(xor(lo, plo)) + bit_count(xor(hi, plo))",
+    ),
 ]
 
 
