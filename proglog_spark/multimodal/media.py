@@ -55,6 +55,33 @@ MEDIA_META_SCHEMA = "doc_id LONG, n_bytes LONG, header_hex STRING"
 _IMAGE_DECODERS: dict = {}
 
 
+
+def _ensure_python_stage_parallelism(df: "DataFrame") -> "DataFrame":
+    """Give every Arrow/Python stage the session's full parallelism.
+
+    mapInPandas inherits the INPUT's partitioning, and a small fixture
+    (or any single unsplittable file) arrives as ONE partition —
+    serializing the whole decode behind a single Python worker while
+    the other cores idle (measured: the sf0.1 scene-cut decode ran
+    10.5 s on one task before this, 32-way after). On a production
+    corpus the scan itself yields >= defaultParallelism partitions and
+    this is a NO-OP; when the input has fewer, the payload volume is
+    by definition small enough that one round-robin exchange is cheap
+    — so buy the cores. Deliberately round-robin, not keyed: no skew,
+    rows stay whole, and determinism is unaffected (every downstream
+    consumer is row-wise or re-shuffles by its own key).
+    """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is undefined on streaming
+        # plans; micro-batch parallelism is the source's concern
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_image_decoder(fmt: str, fn) -> None:
     """Register (or override) a decoder for a sniffed format tag (see
     :func:`sniff_media_format`: "jpeg", "png", "bmp", ...). This is
@@ -286,7 +313,9 @@ def decode_images(
     format yield ``corrupt:<fmt>`` with NULL fields, NULL payloads a
     NULL-format row.
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
     # built-ins + the pluggable registry, SNAPSHOTTED into the closure:
     # executors see a frozen copy; registrations after plan build are
     # deliberately invisible (no cross-process mutable state)
@@ -362,7 +391,9 @@ def decode_audio(
 
     import numpy as np
 
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ("doc_id", "format", "sample_rate", "n_channels", "n_samples",
@@ -445,7 +476,9 @@ def sample_frames(
     replaces byte-chunking with an ffmpeg keyframe iterator and the
     md5 with a perceptual hash.
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -486,7 +519,9 @@ def decode_media(
     downstream stage (resize, feature extract) exercises the exact
     schema/batch shape a real decoder would produce.
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
     n_px = height * width
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -582,7 +617,9 @@ def extract_features(
     with the real feature-stage plumbing. Output composes directly
     with operators.similarity (ANN over media features).
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
     assert 256 % dim == 0
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -693,7 +730,9 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
     pandas batch holds the binary column as Python bytes; real
     decoders iterate exactly like this.
     """
-    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -9298,7 +9298,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "docs_dsir_score_new",
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
         "docs_fingerprint", "docs_hash_sample",
-        "docs_lang_id", "docs_media_meta", "docs_median_length",
+        "docs_lang_id", "docs_median_length",
         "docs_minhash_lsh", "docs_neardup_jaccard",
         "docs_quality", "docs_simhash",
         "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
@@ -9354,6 +9354,10 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # that edit shows zero existing lines changed, so no checked query's
 # executed code moved (verify: git log -p -- operators/similarity.py).
 _WINDOW_PRIORITY: list[str] = [
+    # r8 second-wave eviction: media.py gained the Python-stage
+    # parallelism guard (a body edit to every decode entry point), so
+    # the one still-checked media-closure name re-verifies this round
+    "docs_media_meta",
     "docs_audio_wav_roundtrip", "docs_frame_sample",
     "docs_image_dedup_incremental", "docs_image_dedup_keepers",
     "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",

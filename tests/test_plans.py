@@ -131,7 +131,11 @@ def test_media_pipeline_is_shuffle_free(spark, sf_dir):
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     resized = resize_media(decode_media(payload, height=8, width=8), out_h=4, out_w=4)
     plan = plan_of(extract_pixel_histogram(resized.select("doc_id", "pixels")))
-    assert "Exchange" not in plan
+    # the ONLY exchange allowed is the decode-parallelism round-robin
+    # (media._ensure_python_stage_parallelism — a no-op on well-
+    # partitioned production scans); never a keyed shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_scan_range_prunes_with_filter(spark, sf_dir):
@@ -694,7 +698,11 @@ def test_image_dhash_single_pass_no_pre_sort_shuffle(spark, sf_dir):
     assert "doc_id" in read_schema and "text" in read_schema
     assert read_schema.count(",") == 1  # exactly the two columns
     assert plan.count("MapInPandas") == 1
-    assert plan.count("Exchange") == 1  # the orderBy only
+    # exchanges: the decode-parallelism round-robin + the final ORDER
+    # BY range — never a keyed mid-plan shuffle
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("rangepartitioning") == 1
+    assert "hashpartitioning" not in plan
     assert "shiftleft" in plan  # hash is JVM-side, not Python
 
 
@@ -730,7 +738,11 @@ def test_audio_fingerprint_single_decode_no_pre_sort_shuffle(spark, sf_dir):
     assert "doc_id" in read_schema and "text" in read_schema
     assert read_schema.count(",") == 1
     assert plan.count("MapInPandas") == 1
-    assert plan.count("Exchange") == 1  # the orderBy only
+    # exchanges: the decode-parallelism round-robin + the final ORDER
+    # BY range — never a keyed mid-plan shuffle
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("rangepartitioning") == 1
+    assert "hashpartitioning" not in plan
     assert "shiftleft" in plan  # bit packing is JVM-side
 
 

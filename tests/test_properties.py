@@ -829,3 +829,114 @@ def test_sq8_encode_matches_python_reference(spark, vecs):
         for r in similarity.sq8_encode(df, mm).collect()
     }
     assert got == {i: tuple(model(g)) for i, g in enumerate(grid)}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(st.integers(-(10**9), 10**9), st.text(max_size=12), st.none()),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    st.integers(1, 12),
+)
+def test_rendezvous_matches_model_on_arbitrary_keys(spark, keys, n):
+    """HRW assignment == the pure-Python md5 argmax for arbitrary
+    key types (ints, unicode text, NULL) and any shard count."""
+    import hashlib
+
+    from proglog_spark.operators.placement import rendezvous_shard
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def model(key) -> int:
+        ks = "\x00<null>" if key is None else str(key)
+        return max(range(n), key=lambda s: (h60(f"hrw:{s}:{ks}"), s))
+
+    df = spark.createDataFrame(
+        [(i, None if k is None else str(k)) for i, k in enumerate(keys)],
+        "i LONG, k STRING",
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", rendezvous_shard(F.col("k"), n).alias("s")
+        ).collect()
+    }
+    want = {i: model(None if k is None else str(k)) for i, k in enumerate(keys)}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_is_invertible_and_local(spark, dims):
+    """The Morton code is a BIJECTION on (a, b) — decoding the
+    interleave recovers both dimensions exactly — and sharing a
+    2k-bit z-prefix implies agreement on the top k bits of BOTH
+    dims (the locality the layout's pruning rests on)."""
+    from proglog_spark.operators.placement import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(dims)], "i LONG, a LONG, b LONG"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(dims):
+        z = got[i]
+        da = sum(((z >> (2 * k)) & 1) << k for k in range(8))
+        db = sum(((z >> (2 * k + 1)) & 1) << k for k in range(8))
+        assert (da, db) == (a, b)  # invertible
+        # prefix locality: top 2k z-bits pin the top k bits of each dim
+        for k in (2, 4):
+            assert (z >> (16 - 2 * k)) == (
+                sum(((a >> (8 - k + j)) & 1) << (2 * j) for j in range(k))
+                + sum(((b >> (8 - k + j)) & 1) << (2 * j + 1) for j in range(k))
+            )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-2, 6)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+def test_ppswor_matches_model_on_arbitrary_weights(spark, rows, k):
+    """PPSWOR bottom-k == the pure-Python min-ticket model for
+    arbitrary (key, weight) inputs, including zero/negative weights
+    (excluded) and k larger than the eligible population."""
+    import hashlib
+
+    from proglog_spark.operators.sampling import ppswor_bottom_k
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pri = sorted(
+        (min(h60(f"ws:{key}:{i}") for i in range(w)), key, w)
+        for key, w in rows
+        if w > 0
+    )
+    want = [(key, w, t, i + 1) for i, (t, key, w) in enumerate(pri[:k])]
+
+    df = spark.createDataFrame(rows, "doc LONG, w LONG")
+    got = [
+        (r.key, r.weight, r.ticket, r.rank)
+        for r in ppswor_bottom_k(df, "doc", "w", k=k).orderBy("rank").collect()
+    ]
+    assert got == want
