@@ -9095,9 +9095,11 @@ _SHOT_DHASH_CTES = (
 )
 
 
-@register(
-    "docs_video_scene_cuts",
-    "WITH " + _SHOT_DHASH_CTES
+# Shared scene-id pipeline (oracle side): shot frames -> per-frame
+# dHash -> per-clip LAG cut detection -> running scene ids. Both the
+# segmentation accounting and the keyframe selection consume it.
+_SCENE_CTES = (
+    _SHOT_DHASH_CTES
     + ", lagd AS (SELECT doc_id, k, lo, hi, "
     "lag(lo) OVER (PARTITION BY doc_id ORDER BY k) AS plo, "
     "lag(hi) OVER (PARTITION BY doc_id ORDER BY k) AS phi FROM dh), "
@@ -9105,35 +9107,14 @@ _SHOT_DHASH_CTES = (
     "WHEN bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) >= 12 "
     "THEN 1 ELSE 0 END AS cut FROM lagd), "
     "scenes AS (SELECT doc_id, k, sum(cut) OVER (PARTITION BY doc_id "
-    "ORDER BY k ROWS UNBOUNDED PRECEDING) AS scene_id FROM cuts), "
-    "sl AS (SELECT doc_id, scene_id, count(*) AS slen FROM scenes "
-    "GROUP BY 1, 2) "
-    "SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames, "
-    "CAST(count(*) AS BIGINT) AS n_scenes, "
-    "CAST(max(slen) AS BIGINT) AS longest_scene "
-    "FROM sl GROUP BY doc_id ORDER BY doc_id",
+    "ORDER BY k ROWS UNBOUNDED PRECEDING) AS scene_id FROM cuts)"
 )
-def docs_video_scene_cuts(spark, sf_dir):
-    """Perceptual scene-cut detection over sampled video frames — the
-    keyframe-segmentation step a video training pipeline runs before
-    captioning/sampling (pick one representative frame per scene
-    instead of N-per-second everywhere). Clips are synthesized with
-    real temporal structure — every 9-char document window is a
-    3-frame SHOT (identical frames within, content change at
-    boundaries; see _SHOT_DHASH_CTES for why flat chunking
-    degenerates) — then segmented with the gate-verified per-frame
-    dHash + a per-clip LAG: a frame opens a new scene iff it is the
-    clip's first or its dHash sits >= 12 Hamming bits from its
-    predecessor (within-shot repeats run 0 bits; hard content changes
-    ~32; similar neighboring windows — slow pans — merge shots into
-    longer scenes, making longest_scene a real signal). Scene ids are
-    a running sum of cut flags; output is per-clip scene accounting
-    (n_frames, n_scenes, longest_scene). Scale posture: the shuffle
-    carries (doc_id, k, two 32-bit words) — never frame payloads;
-    both windows partition by clip (no global window), and the
-    per-scene reduce is a narrow two-key agg. A deployment feeds real
-    keyframe rasters through register_image_decoder and this stage is
-    unchanged."""
+
+
+def _scene_frame_ids(spark, sf_dir) -> DataFrame:
+    """Spark twin of _SCENE_CTES: (doc_id, k, scene_id) per shot
+    frame. One decode pass, per-clip windows, hash-only shuffles —
+    see docs_video_scene_cuts for the full posture notes."""
     from proglog_spark.multimodal import decode_media, dhash64
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -9202,13 +9183,47 @@ def docs_video_scene_cuts(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("cut"),
     )
-    scenes = cuts.select(
+    return cuts.select(
         "doc_id",
         "k",
         F.sum("cut")
         .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("scene_id"),
     )
+
+
+@register(
+    "docs_video_scene_cuts",
+    "WITH " + _SCENE_CTES
+    + ", sl AS (SELECT doc_id, scene_id, count(*) AS slen FROM scenes "
+    "GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames, "
+    "CAST(count(*) AS BIGINT) AS n_scenes, "
+    "CAST(max(slen) AS BIGINT) AS longest_scene "
+    "FROM sl GROUP BY doc_id ORDER BY doc_id",
+)
+def docs_video_scene_cuts(spark, sf_dir):
+    """Perceptual scene-cut detection over sampled video frames — the
+    keyframe-segmentation step a video training pipeline runs before
+    captioning/sampling (pick one representative frame per scene
+    instead of N-per-second everywhere). Clips are synthesized with
+    real temporal structure — every 9-char document window is a
+    3-frame SHOT (identical frames within, content change at
+    boundaries; see _SHOT_DHASH_CTES for why flat chunking
+    degenerates) — then segmented with the gate-verified per-frame
+    dHash + a per-clip LAG: a frame opens a new scene iff it is the
+    clip's first or its dHash sits >= 12 Hamming bits from its
+    predecessor (within-shot repeats run 0 bits; hard content changes
+    ~32; similar neighboring windows — slow pans — merge shots into
+    longer scenes, making longest_scene a real signal). Scene ids are
+    a running sum of cut flags; output is per-clip scene accounting
+    (n_frames, n_scenes, longest_scene). Scale posture: the shuffle
+    carries (doc_id, k, two 32-bit words) — never frame payloads;
+    both windows partition by clip (no global window), and the
+    per-scene reduce is a narrow two-key agg. A deployment feeds real
+    keyframe rasters through register_image_decoder and this stage is
+    unchanged."""
+    scenes = _scene_frame_ids(spark, sf_dir)
     sl = scenes.groupBy("doc_id", "scene_id").agg(
         F.count(F.lit(1)).alias("slen")
     )
@@ -9220,6 +9235,41 @@ def docs_video_scene_cuts(spark, sf_dir):
             F.max("slen").alias("longest_scene"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_scene_keyframes",
+    "WITH " + _SCENE_CTES
+    + " SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id, "
+    "CAST(min(k) AS BIGINT) AS start_k, "
+    "CAST(count(*) AS BIGINT) AS scene_len, "
+    "CAST(min(k) + (count(*) - 1) // 2 AS BIGINT) AS keyframe_k "
+    "FROM scenes GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id",
+)
+def docs_scene_keyframes(spark, sf_dir):
+    """Keyframe selection — the consumer of scene segmentation: one
+    representative frame per scene (its MIDDLE frame — first frames
+    straddle the cut and are the worst representative; scenes are
+    contiguous k-runs so the middle is min(k) + (len-1)/2 with no
+    second window pass). This is the step that turns N-per-second
+    video into the captioning/embedding work list of a multimodal
+    training pipeline: downstream decodes |scenes| frames instead of
+    |frames| (at sf0.01: 15.9k instead of 50.4k). Shares the entire
+    scene-id pipeline with docs_video_scene_cuts (`_scene_frame_ids` /
+    `_SCENE_CTES` — one decode pass, per-clip windows, hash-only
+    shuffles); the selection itself is one narrow two-key agg."""
+    scenes = _scene_frame_ids(spark, sf_dir)
+    return (
+        scenes.groupBy("doc_id", F.col("scene_id").cast("long").alias("scene_id"))
+        .agg(
+            F.min("k").alias("start_k"),
+            F.count(F.lit(1)).alias("scene_len"),
+            (F.min("k") + F.floor((F.count(F.lit(1)) - 1) / 2))
+            .cast("long")
+            .alias("keyframe_k"),
+        )
+        .orderBy("doc_id", "scene_id")
     )
 
 

@@ -271,6 +271,13 @@ def test_scene_cuts_match_model_on_planted_clip(spark):
     with tempfile.TemporaryDirectory() as td:
         d.write.parquet(f"{td}/documents.parquet")
         out = REGISTRY["docs_video_scene_cuts"][0](spark, td).collect()
+        kf = REGISTRY["docs_scene_keyframes"][0](spark, td).collect()
     assert [(r.n_frames, r.n_scenes, r.longest_scene) for r in out] == [model]
     # sanity: 15 frames, the calm run merged (scene of 9), pan merged
     assert model == (15, 2, 9)
+    # keyframes: scene 1 = frames 0-8 (middle 4), scene 2 = frames
+    # 9-14 (middle 11) — mid-scene, never the cut-boundary frame
+    assert [(r.scene_id, r.start_k, r.scene_len, r.keyframe_k) for r in kf] == [
+        (1, 0, 9, 4),
+        (2, 9, 6, 11),
+    ]

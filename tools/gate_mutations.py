@@ -206,6 +206,12 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "bit_count(xor(lo, plo)) + bit_count(xor(hi, phi))",
         "bit_count(xor(lo, plo)) + bit_count(xor(hi, plo))",
     ),
+    (
+        "docs_scene_keyframes",
+        "keyframe picked at the cut boundary instead of mid-scene",
+        "CAST(min(k) + (count(*) - 1) // 2 AS BIGINT) AS keyframe_k",
+        "CAST(min(k) AS BIGINT) AS keyframe_k",
+    ),
 ]
 
 
