@@ -75,6 +75,27 @@ def _ensure_python_stage_parallelism(df: "DataFrame") -> "DataFrame":
         # partition introspection (df.rdd) is undefined on streaming
         # plans; micro-batch parallelism is the source's concern
         return df
+    # Only scan-shaped lineages can be under-partitioned: any upstream
+    # shuffle (join/agg/window/sort/distinct/repartition) already
+    # widens the stage to spark.sql.shuffle.partitions. Checking the
+    # ANALYZED logical plan costs nothing — whereas touching df.rdd on
+    # a plan WITH exchanges eagerly executes those stages under AQE
+    # (measured: a join+groupBy input ran 2 real jobs at
+    # plan-construction time), and DataFrame.rdd does not exist at all
+    # under Spark Connect, so the probe is gated to the safe shape and
+    # failure falls back to leaving the partitioning alone.
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return df
+    if any(
+        tok in analyzed
+        for tok in (
+            "Join", "Aggregate", "Window", "Sort", "Distinct",
+            "Deduplicate", "Repartition",
+        )
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

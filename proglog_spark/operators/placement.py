@@ -49,7 +49,9 @@ def rendezvous_scores(key_col: Column, n_shards: int, salt: str = "hrw") -> Colu
     also rank (e.g. primary + replica = top-2 shards)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    key_s = F.coalesce(key_col.cast("string"), F.lit("\x00<null>"))
+    from proglog_spark.operators.text import keyed_string
+
+    key_s = keyed_string(key_col)
     return F.array(
         *[
             F.struct(

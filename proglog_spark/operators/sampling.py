@@ -175,13 +175,28 @@ def ppswor_bottom_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null>"))
+    from proglog_spark.operators.text import keyed_string
+
     w = F.col(weight_col).cast("long")
-    tickets = df.where(w > 0).select(
-        F.col(key_col).alias("key"),
-        w.alias("weight"),
-        F.explode(F.sequence(F.lit(0).cast("long"), w - 1)).alias("_i"),
-        key_s.alias("_ks"),
+    # duplicate keys: probability mass ADDS (rows of the same key are
+    # one population unit with summed weight). Without this pre-agg a
+    # duplicated key would keep per-row entries — sharing one ticket
+    # stream, so the same key could appear TWICE in a "without
+    # replacement" sample. Negative/NULL weights are excluded BEFORE
+    # the sum (they carry no mass, they don't cancel other rows').
+    keyed = (
+        df.where(w > 0)
+        .select(F.col(key_col).alias("key"), w.alias("_w"))
+        .groupBy("key")
+        .agg(F.sum("_w").alias("weight"))
+    )
+    tickets = keyed.select(
+        "key",
+        "weight",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("weight") - 1)
+        ).alias("_i"),
+        keyed_string(F.col("key")).alias("_ks"),
     )
     from proglog_spark.operators.placement import hash60
 

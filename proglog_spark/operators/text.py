@@ -833,3 +833,16 @@ def dsir_model_score(
     if k is None:
         return scored
     return scored.orderBy(F.col("dsir_micro").desc(), id_col).limit(k)
+
+
+def keyed_string(key_col: Column) -> Column:
+    """The family-wide NULL-key sentinel: cast to string with NULL
+    mapped to an explicit out-of-band value, so every hash-keyed
+    operator (sampling, splits, placement, dedup) treats NULL keys the
+    SAME deterministic way — a bare hash of NULL is NULL, which would
+    silently drop or mis-route null-key rows differently per operator.
+    Single-sources the expression that several operators previously
+    inlined verbatim (the cross-engine determinism contract lives
+    here; DuckDB replay: ``coalesce(CAST(k AS VARCHAR), chr(0) ||
+    '<null>')``)."""
+    return F.coalesce(key_col.cast("string"), F.lit("\x00<null>"))

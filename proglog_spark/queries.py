@@ -8948,18 +8948,23 @@ def events_zorder_layout(spark, sf_dir):
     "CAST(floor(1000000.0 * sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 "
     "END) / count(*)) AS BIGINT) AS completeness_source "
     "FROM documents) "
+    # every verdict is coalesce(..., FALSE): a NULL metric (empty
+    # input) must FAIL the constraint on both engines — bare `NULL >=
+    # bound` is NULL in SQL while the Spark side is NULL-strict false
     "SELECT check_name, observed, passed FROM ("
     "SELECT 'completeness_text' AS check_name, completeness_text AS observed, "
-    "completeness_text >= 990000 AS passed FROM m "
+    "coalesce(completeness_text >= 990000, FALSE) AS passed FROM m "
     "UNION ALL SELECT 'uniqueness_doc_id', uniqueness_doc_id, "
-    "uniqueness_doc_id >= 1000000 FROM m "
+    "coalesce(uniqueness_doc_id >= 1000000, FALSE) FROM m "
     "UNION ALL SELECT 'lang_in_allowed_set', lang_in_set, "
-    "lang_in_set >= 950000 FROM m "
-    "UNION ALL SELECT 'min_n_chars', min_n_chars, min_n_chars >= 1 FROM m "
+    "coalesce(lang_in_set >= 950000, FALSE) FROM m "
+    "UNION ALL SELECT 'min_n_chars', min_n_chars, "
+    "coalesce(min_n_chars >= 1, FALSE) FROM m "
     "UNION ALL SELECT 'mean_n_chars_band', mean_n_chars, "
-    "mean_n_chars >= 50 AND mean_n_chars <= 100000 FROM m "
+    "coalesce(mean_n_chars >= 50 AND mean_n_chars <= 100000, FALSE) FROM m "
     "UNION ALL SELECT 'completeness_source', completeness_source, "
-    "completeness_source >= 990000 FROM m) t ORDER BY check_name",
+    "coalesce(completeness_source >= 990000, FALSE) FROM m) t "
+    "ORDER BY check_name",
 )
 def docs_constraint_audit(spark, sf_dir):
     """Declarative data-quality audit (the Deequ motif) —

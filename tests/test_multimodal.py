@@ -775,3 +775,29 @@ def test_audio_frame_energies_values_and_nulls(spark):
     assert out[1][:4] == [1 + 4 + 9, 16, 25, 0]
     assert all(v == 0 for v in out[1][3:])
     assert out[3] == [0] * 65
+
+
+def test_parallelism_guard_skips_shuffled_and_streaming_inputs(spark, sf_dir):
+    """_ensure_python_stage_parallelism must (a) widen a scan-shaped
+    under-partitioned input, (b) return a shuffle-shaped input
+    UNCHANGED without touching df.rdd (touching it executes the
+    upstream stages eagerly under AQE), and (c) pass streaming plans
+    through untouched."""
+    from proglog_spark.multimodal.media import _ensure_python_stage_parallelism
+    from proglog_spark.sources.tables import load_table
+
+    scan = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    widened = _ensure_python_stage_parallelism(scan)
+    assert (
+        widened.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    joined = d.groupBy("source").count().join(d, "source")
+    assert _ensure_python_stage_parallelism(joined) is joined  # untouched
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    assert _ensure_python_stage_parallelism(stream) is stream

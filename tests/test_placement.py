@@ -197,6 +197,26 @@ def test_ppswor_bottom_k_is_nested_and_guards(spark):
         sampling.ppswor_bottom_k(df, "doc", "w", 0)
 
 
+def test_ppswor_duplicate_keys_mass_adds(spark):
+    """Duplicate key rows are ONE population unit with summed weight —
+    the sample can never contain the same key twice, and the summed
+    row matches the model of a single pre-summed row."""
+    dup = [(7, 2), (7, 3), (8, 1), (9, None), (9, 4)]
+    df = spark.createDataFrame(dup, "doc LONG, w LONG")
+    out = sampling.ppswor_bottom_k(df, "doc", "w", k=10).collect()
+    got = {r.key: r.weight for r in out}
+    assert got == {7: 5, 8: 1, 9: 4}          # summed; NULL row adds nothing
+    assert len(out) == len(got)               # no key twice
+    merged = spark.createDataFrame([(7, 5), (8, 1), (9, 4)], "doc LONG, w LONG")
+    want = [
+        (r.key, r.weight, r.ticket, r.rank)
+        for r in sampling.ppswor_bottom_k(merged, "doc", "w", 10)
+        .orderBy("rank").collect()
+    ]
+    assert [(r.key, r.weight, r.ticket, r.rank)
+            for r in sorted(out, key=lambda r: r.rank)] == want
+
+
 def test_ppswor_weight_proportional_odds(spark):
     """A weight-9 key should be sampled ~9x as often as a weight-1 key
     across independent salts (pairwise odds w_a/(w_a+w_b) = 0.9)."""
