@@ -8876,6 +8876,61 @@ def docs_shard_assignment(spark, sf_dir):
 
 
 @register(
+    "docs_replica_placement",
+    "WITH s AS (SELECT doc_id, i AS shard, "
+    "CAST(('0x' || substr(md5('hrw:' || CAST(i AS VARCHAR) || ':' "
+    "|| CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS score "
+    "FROM documents CROSS JOIN (SELECT unnest(range(16)) AS i) ii), "
+    "r AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, shard DESC) AS rn FROM s) "
+    "SELECT CAST(shard AS BIGINT) AS shard, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary, "
+    "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
+    "FROM r WHERE rn <= 2 GROUP BY shard ORDER BY shard",
+)
+def docs_replica_placement(spark, sf_dir):
+    """Primary + replica ownership under rendezvous hashing — the
+    top-2 of the same per-key HRW score table `docs_shard_assignment`
+    takes the argmax of (operators/placement.rendezvous_scores; the
+    docstring's advertised rank use). The replica is the
+    SECOND-highest score, which inherits every HRW property: it is
+    never the primary (distinct shards by construction), it is stable
+    under shard-set growth (only keys whose top-2 involve the new
+    shard move), and when the primary dies its keys' replicas are
+    ALREADY spread across all other shards — no rebalance storm, the
+    property a mod-N replica scheme ((h+1) mod N) lacks. Plan: one
+    codegen'd array_sort projection per row (no window, no per-key
+    shuffle), a 2-element role explode, one 16-row agg. Reference
+    parity: the placement analog of the reference's Raft replication
+    (internal/log/distributed.go — O26/O27): who OWNS the second copy,
+    decided purely and locally."""
+    from proglog_spark.operators import placement
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = F.array_sort(placement.rendezvous_scores(F.col("doc_id"), 16))
+    pr = d.select(
+        F.element_at(ranked, -1).getField("shard").alias("p"),
+        F.element_at(ranked, -2).getField("shard").alias("r"),
+    )
+    roles = pr.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p").alias("shard"), F.lit(1).alias("is_p")),
+                F.struct(F.col("r").alias("shard"), F.lit(0).alias("is_p")),
+            )
+        ).alias("x")
+    ).select("x.shard", "x.is_p")
+    return (
+        roles.groupBy("shard")
+        .agg(
+            F.sum("is_p").cast("long").alias("n_primary"),
+            F.sum(F.lit(1) - F.col("is_p")).cast("long").alias("n_replica"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "events_zorder_layout",
     "WITH b AS (SELECT (user_id & 255) AS ub, "
     "CAST(least(255, floor(value / 2)) AS BIGINT) AS vb FROM events "

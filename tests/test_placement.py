@@ -68,6 +68,37 @@ def test_rendezvous_null_key_deterministic(spark):
         placement.rendezvous_shard(F.col("k"), 0)
 
 
+def test_replica_placement_top2_properties(spark):
+    """Replica = second-highest HRW score: never equals the primary,
+    matches the pure-Python top-2 model, and a primary's keys have
+    their replicas SPREAD over many other shards (no mod-N pairing)."""
+    import hashlib
+
+    from proglog_spark.operators.placement import rendezvous_scores
+
+    def top2(key, n=16):
+        scored = sorted(
+            ((_h60(f"hrw:{s}:{key}"), s) for s in range(n)), reverse=True
+        )
+        return scored[0][1], scored[1][1]
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    ranked = F.array_sort(rendezvous_scores(F.col("k"), 16))
+    got = {
+        r.k: (r.p, r.r)
+        for r in df.select(
+            "k",
+            F.element_at(ranked, -1).getField("shard").alias("p"),
+            F.element_at(ranked, -2).getField("shard").alias("r"),
+        ).collect()
+    }
+    assert got == {k: top2(k) for k in range(500)}
+    assert all(p != r for p, r in got.values())
+    # replicas of shard-0 primaries spread across >= 8 distinct shards
+    spread = {r for p, r in got.values() if p == 0}
+    assert len(spread) >= 8
+
+
 # ---------------------------------------------------------------------------
 # z-order layout keys
 # ---------------------------------------------------------------------------

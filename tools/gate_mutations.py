@@ -212,6 +212,14 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "CAST(min(k) + (count(*) - 1) // 2 AS BIGINT) AS keyframe_k",
         "CAST(min(k) AS BIGINT) AS keyframe_k",
     ),
+    (
+        "docs_replica_placement",
+        "replica picked as the LOWEST score instead of second-highest",
+        "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
+        "FROM r WHERE rn <= 2",
+        "CAST(sum(CASE WHEN rn = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
+        "FROM r WHERE rn = 1 OR rn = 16",
+    ),
 ]
 
 
