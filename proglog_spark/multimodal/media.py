@@ -55,6 +55,14 @@ MEDIA_META_SCHEMA = "doc_id LONG, n_bytes LONG, header_hex STRING"
 _IMAGE_DECODERS: dict = {}
 
 
+def _id_payload(df: "DataFrame", id_col: str, payload_col: str) -> "DataFrame":
+    """The shared entry projection of every decode/extract stage:
+    (id -> doc_id, payload), routed through the parallelism guard so
+    any new entry point inherits it by construction."""
+    return _ensure_python_stage_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+
 
 def _ensure_python_stage_parallelism(df: "DataFrame") -> "DataFrame":
     """Give every Arrow/Python stage the session's full parallelism.
@@ -334,9 +342,7 @@ def decode_images(
     format yield ``corrupt:<fmt>`` with NULL fields, NULL payloads a
     NULL-format row.
     """
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
     # built-ins + the pluggable registry, SNAPSHOTTED into the closure:
     # executors see a frozen copy; registrations after plan build are
     # deliberately invisible (no cross-process mutable state)
@@ -412,9 +418,7 @@ def decode_audio(
 
     import numpy as np
 
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ("doc_id", "format", "sample_rate", "n_channels", "n_samples",
@@ -497,9 +501,7 @@ def sample_frames(
     replaces byte-chunking with an ffmpeg keyframe iterator and the
     md5 with a perceptual hash.
     """
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -540,9 +542,7 @@ def decode_media(
     downstream stage (resize, feature extract) exercises the exact
     schema/batch shape a real decoder would produce.
     """
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
     n_px = height * width
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -638,9 +638,7 @@ def extract_features(
     with the real feature-stage plumbing. Output composes directly
     with operators.similarity (ANN over media features).
     """
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
     assert 256 % dim == 0
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -751,9 +749,7 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
     pandas batch holds the binary column as Python bytes; real
     decoders iterate exactly like this.
     """
-    cols = _ensure_python_stage_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
+    cols = _id_payload(df, id_col, payload_col)
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
