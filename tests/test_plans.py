@@ -846,3 +846,18 @@ def test_scene_cuts_one_decode_pass_windows_by_clip(spark, sf_dir):
     for chunk in plan.split("Arguments: hashpartitioning")[1:]:
         header = chunk.splitlines()[0]
         assert "payload" not in header and "text" not in header
+
+
+def test_replica_placement_no_window_no_python(spark, sf_dir):
+    """docs_replica_placement: the top-2 is an array_sort projection —
+    no per-key window, no Python stage, no cartesian; the only
+    Generate is the 2-element role explode and the only keyed shuffle
+    is the 16-row shard agg."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_replica_placement"][0](spark, sf_dir))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 1     # the role explode only
+    assert "md5" in plan and "array_max" not in plan  # rank, not argmax
