@@ -940,3 +940,128 @@ def test_ppswor_matches_model_on_arbitrary_weights(spark, rows, k):
         for r in ppswor_bottom_k(df, "doc", "w", k=k).orderBy("rank").collect()
     ]
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.integers(0, 5), st.none()),
+            st.one_of(st.sampled_from(["a", "b", "c"]), st.none()),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_audit_metrics_match_pandas_model(spark, rows):
+    """The one-pass audit metrics (completeness / uniqueness / set
+    membership in micro fixed-point) equal a pure-pandas model on
+    arbitrary NULL-ridden inputs, and bounded verdicts are NULL-strict."""
+    import math
+
+    from proglog_spark.operators import audit
+
+    df = spark.createDataFrame(rows, "i LONG, s STRING")
+    out = {
+        r.check_name: (r.observed, r.passed)
+        for r in audit.audit(
+            df,
+            [
+                ("comp_i", audit.completeness_micro(F.col("i")), 500000, None),
+                ("uniq_i", audit.uniqueness_micro(F.col("i")), None, 999999),
+                ("mem_s", audit.membership_micro(F.col("s"), ("a", "b")), 1, 1000000),
+            ],
+        ).collect()
+    }
+    n = len(rows)
+    ints = [i for i, _ in rows if i is not None]
+    strs = [s for _, s in rows if s is not None]
+
+    def micro(a, b):
+        return None if b == 0 else math.floor(1_000_000 * a / b)
+
+    want_comp = micro(len(ints), n)
+    want_uniq = micro(len(set(ints)), len(ints))
+    want_mem = micro(sum(s in ("a", "b") for s in strs), len(strs))
+    assert out["comp_i"][0] == want_comp
+    assert out["uniq_i"][0] == want_uniq
+    assert out["mem_s"][0] == want_mem
+    assert out["comp_i"][1] == (want_comp is not None and want_comp >= 500000)
+    assert out["uniq_i"][1] == (want_uniq is not None and want_uniq <= 999999)
+    assert out["mem_s"][1] == (
+        want_mem is not None and 1 <= want_mem <= 1000000
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scene_cuts_match_model_on_random_clips(spark, tmp_path_factory, texts):
+    """docs_video_scene_cuts == the pure-Python shot/dHash/LAG model on
+    arbitrary printable-ASCII clips, including short final windows —
+    the randomized generalization of the planted-clip scenario."""
+    import math
+
+    from proglog_spark.queries import REGISTRY
+
+    def dhash(frame: bytes) -> int:
+        # decode_media's general slice-mean at 8x9 (covers len != 72)
+        n = len(frame)
+        px = []
+        for p in range(72):
+            s, e = (p * n) // 72, ((p + 1) * n) // 72
+            px.append(
+                frame[min(s, n - 1)] if e == s
+                else sum(frame[s:e]) // (e - s)
+            )
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                if px[r * 9 + c + 1] > px[r * 9 + c]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    def model(text: str):
+        windows = [
+            text[9 * i : 9 * i + 9] for i in range(math.ceil(len(text) / 9))
+        ]
+        frames = [
+            "".join(w[r:] + w[:r] for r in range(8)).encode()
+            for w in windows
+            for _ in range(3)
+        ]
+        hashes = [dhash(f) for f in frames]
+        cuts = [
+            1 if i == 0 or bin(hashes[i] ^ hashes[i - 1]).count("1") >= 12
+            else 0
+            for i in range(len(hashes))
+        ]
+        lens, cur = [], 0
+        for c in cuts:
+            if c and cur:
+                lens.append(cur)
+                cur = 0
+            cur += 1
+        lens.append(cur)
+        return len(frames), len(lens), max(lens)
+
+    rows = [(i, t, "s", len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    td = str(tmp_path_factory.mktemp("scenes"))
+    d.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_frames, r.n_scenes, r.longest_scene)
+        for r in REGISTRY["docs_video_scene_cuts"][0](spark, td).collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(texts)}
