@@ -309,9 +309,15 @@ def test_heartbeat_keeps_idle_writer_alive_through_long_jobs(spark, tmp_path):
 
     path = str(tmp_path / "log")
     log = LogTable.create(spark, path, bucket_size=8)
-    log.lease_seconds = 0.5
+    # 2 s lease (1 s heartbeat half-life): a 0.5 s lease flaked once
+    # under external CPU throttling (a >0.25 s scheduler stall between
+    # renewal and the on-disk read) — the property under test is
+    # "renewal happens during idle gaps", not "renewal survives
+    # sub-second starvation", so give the daemon a starvation-tolerant
+    # margin while still sleeping > 3 lease lifetimes
+    log.lease_seconds = 2.0
     log.append(["a"])
-    time.sleep(1.8)  # > 3 lease lifetimes with no mutating calls
+    time.sleep(7.0)  # > 3 lease lifetimes with no mutating calls
     owner = json.load(open(_lock_path(path)))
     assert owner["lease_expires_at"] > time.time()
     other = LogTable.open(spark, path)
