@@ -9171,10 +9171,11 @@ _SCENE_CTES = (
 )
 
 
-def _scene_frame_ids(spark, sf_dir) -> DataFrame:
-    """Spark twin of _SCENE_CTES: (doc_id, k, scene_id) per shot
-    frame. One decode pass, per-clip windows, hash-only shuffles —
-    see docs_video_scene_cuts for the full posture notes."""
+def _shot_frame_hashes(spark, sf_dir) -> DataFrame:
+    """The scene pipeline's hash table: (doc_id, k, simhash_lo,
+    simhash_hi) per shot frame — the shot synthesis + one decode pass
+    + dHash, shared by the batch LAG segmentation AND the streaming
+    engine's source."""
     from proglog_spark.multimodal import decode_media, dhash64
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -9211,7 +9212,7 @@ def _scene_frame_ids(spark, sf_dir) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    sk = dhash64(
+    return dhash64(
         decode_media(frames, height=8, width=9, id_col="frame_uid")
     ).select(
         F.shiftright("id", 20).alias("doc_id"),
@@ -9219,6 +9220,13 @@ def _scene_frame_ids(spark, sf_dir) -> DataFrame:
         "simhash_lo",
         "simhash_hi",
     )
+
+
+def _scene_frame_ids(spark, sf_dir) -> DataFrame:
+    """Spark twin of _SCENE_CTES: (doc_id, k, scene_id) per shot
+    frame. One decode pass, per-clip windows, hash-only shuffles —
+    see docs_video_scene_cuts for the full posture notes."""
+    sk = _shot_frame_hashes(spark, sf_dir)
     wk = Window.partitionBy("doc_id").orderBy("k")
     lagd = sk.select(
         "doc_id",
@@ -9330,6 +9338,114 @@ def docs_scene_keyframes(spark, sf_dir):
             .alias("keyframe_k"),
         )
         .orderBy("doc_id", "scene_id")
+    )
+
+
+@register(
+    "docs_scene_cuts_streamed",
+    # the streamed engine must hash-match the BATCH segmentation —
+    # same oracle as docs_video_scene_cuts
+    "WITH " + _SCENE_CTES
+    + ", sl AS (SELECT doc_id, scene_id, count(*) AS slen FROM scenes "
+    "GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames, "
+    "CAST(count(*) AS BIGINT) AS n_scenes, "
+    "CAST(max(slen) AS BIGINT) AS longest_scene "
+    "FROM sl GROUP BY doc_id ORDER BY doc_id",
+)
+def docs_scene_cuts_streamed(spark, sf_dir):
+    """Scene segmentation through the REAL stateful streaming engine —
+    the round's ONE new streamed gate, and a genuinely new
+    state-machine kind: the cut rule is CONTENT-dependent (Hamming
+    distance between consecutive frame hashes), so the carried state
+    is a per-clip SCENE PIECE — boundary hashes + head/tail run
+    lengths — whose merge is the associative algebra of a segmented
+    tree-reduce (streaming/scenes.py; 3000-split fold equivalence is
+    property-tested). The fixture's frame hashes stream in TWO
+    micro-batches split at each clip's median frame index (per-clip
+    k-order preserved across batches — the at-least-once-then-ordered
+    contract a frame extractor provides), a +30-day sentinel advances
+    the watermark so every clip's event-time timeout fires, and the
+    emitted set must hash-match the batch LAG oracle — the stateful
+    convergence contract. Bucketed state groups (64 clip buckets,
+    same O(buckets)-invocations recipe as the sessionizer)."""
+    import datetime
+    import tempfile
+
+    from proglog_spark.streaming.scenes import streaming_scene_segments
+
+    base_s = 1_600_000_000
+    sk = _shot_frame_hashes(spark, sf_dir).select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.timestamp_seconds(F.lit(base_s) + F.col("k")).alias("ts"),
+    )
+    mid = sk.groupBy("doc_id").agg(
+        F.floor(F.max("k") / 2).alias("mid_k")
+    )
+    # cached: the two half-writes would otherwise each re-run the
+    # whole decode+hash pipeline; unpersisted in the finally below
+    # (cache ownership stays in this function)
+    halves = sk.join(mid, "doc_id").cache()
+    stream_dir = tempfile.mkdtemp(prefix="scene_stream_")
+    ckpt = tempfile.mkdtemp(prefix="scene_ckpt_")
+    cols = ["doc_id", "k", "simhash_lo", "simhash_hi", "ts"]
+    halves.where(F.col("k") <= F.col("mid_k")).select(*cols).write.mode(
+        "append"
+    ).parquet(stream_dir)
+
+    schema = (
+        "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG, "
+        "ts TIMESTAMP"
+    )
+    frames_stream = spark.readStream.schema(schema).parquet(stream_dir)
+    name = _sink_name("scene_streamed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            # watermark delay must exceed the whole frame-time SPAN:
+            # ts = base + k, so after batch 1 the GLOBAL watermark sits
+            # at (base + longest clip's mid-k - delay) — with a short
+            # delay that is already past a SHORT clip's batch-2 frame
+            # times and the engine drops them as late (observed: 3
+            # clips undercounted at sf0.001 with delay "1 minute").
+            # Clips span <= ~1200 frame-seconds; "2 hours" clears any
+            # fixture scale while the +30-day sentinel still seals
+            streaming_scene_segments(
+                frames_stream, gap_seconds=3600, watermark="2 hours"
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # second half + the watermark sentinel clip
+            second = halves.where(F.col("k") > F.col("mid_k")).select(*cols)
+            sentinel_ts = datetime.datetime.fromtimestamp(
+                base_s, datetime.timezone.utc
+            ) + datetime.timedelta(days=30)
+            sentinel = spark.createDataFrame(
+                [(999_999_999, 0, 0, 0, sentinel_ts)], schema
+            )
+            second.unionByName(sentinel).write.mode("append").parquet(
+                stream_dir
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        halves.unpersist()
+    return (
+        _drain_memory_sink(spark, name)
+        .where(F.col("doc_id") != 999_999_999)
+        .orderBy("doc_id")
     )
 
 

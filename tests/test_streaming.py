@@ -1323,3 +1323,151 @@ def test_guarded_null_key_sentinel_band(spark):
             poisoned.select(
                 guarded_null_key(F.col("k"), sentinel=NULL_KEY + 1).alias("g")
             ).collect()
+
+
+# ---------------------------------------------------------------------------
+# streaming scene segmentation (streaming/scenes.py): the piece
+# algebra (tree-reduce monoid) and the engine across out-of-order
+# micro-batch fragments
+# ---------------------------------------------------------------------------
+
+
+def test_scene_piece_algebra_matches_flat_model():
+    """Folding ANY fragmentation of a clip, arriving in ANY order,
+    through coalesce-then-seal equals the flat single-pass model —
+    the invariant that makes the streamed engine batch-equivalent."""
+    import random
+
+    from proglog_spark.streaming.scenes import (
+        _coalesce,
+        _seal,
+        piece_from_frames,
+    )
+
+    rng = random.Random(11)
+    for _ in range(400):
+        n = rng.randint(1, 30)
+        los = [rng.getrandbits(32) for _ in range(n)]
+        his = [rng.getrandbits(32) for _ in range(n)]
+        for i in range(1, n):
+            if rng.random() < 0.5:  # make merged runs common
+                los[i], his[i] = los[i - 1], his[i - 1]
+        flat = piece_from_frames(list(range(n)), los, his)
+        cuts = (
+            sorted(rng.sample(range(1, n), rng.randint(0, min(6, n - 1))))
+            if n > 1
+            else []
+        )
+        bounds = [0] + cuts + [n]
+        frags = list(zip(bounds, bounds[1:]))
+        rng.shuffle(frags)
+        pieces: list = []
+        for a, b in frags:
+            pieces.append(piece_from_frames(list(range(a, b)), los[a:b], his[a:b]))
+            pieces = _coalesce(pieces)  # incremental arrival
+        assert _seal(pieces) == flat
+
+
+def test_scene_piece_overlap_fails_loudly():
+    """Duplicate frames (overlapping k ranges) are a source-contract
+    violation, not something to silently dedup."""
+    import pytest as _pytest
+
+    from proglog_spark.streaming.scenes import _coalesce, piece_from_frames
+
+    a = piece_from_frames([0, 1], [1, 1], [2, 2])
+    b = piece_from_frames([1, 2], [1, 1], [2, 2])
+    with _pytest.raises(ValueError, match="overlapping"):
+        _coalesce([a, b])
+
+
+def test_streaming_scene_segments_across_shuffled_batches(spark, tmp_path):
+    """Two clips stream in two micro-batches whose fragments are
+    deliberately OUT OF k-ORDER (batch 1 carries clip A's tail and
+    clip B's head; batch 2 the complements + the sentinel): sealed
+    output must equal the flat model per clip."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from proglog_spark.streaming.scenes import (
+        piece_from_frames,
+        streaming_scene_segments,
+    )
+
+    base = 1_600_000_000
+    # clip 7: three identical frames, a hard cut, two identical frames
+    a_los = [5, 5, 5, 9999, 9999]
+    a_his = [3, 3, 3, 7777, 7777]
+    # clip 8: alternating far frames — every frame its own scene
+    b_los = [1, 60000, 1, 60000]
+    b_his = [2, 50000, 2, 50000]
+
+    def rows(doc, los, his, ks):
+        return [
+            (
+                doc,
+                k,
+                los[k],
+                his[k],
+                datetime.datetime.fromtimestamp(
+                    base + k, datetime.timezone.utc
+                ),
+            )
+            for k in ks
+        ]
+
+    schema = (
+        "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG, ts TIMESTAMP"
+    )
+    stream_dir = str(tmp_path / "frames")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = rows(7, a_los, a_his, [3, 4]) + rows(8, b_los, b_his, [0, 1])
+    batch2 = rows(7, a_los, a_his, [0, 1, 2]) + rows(8, b_los, b_his, [2, 3])
+    sentinel = [
+        (
+            999,
+            0,
+            0,
+            0,
+            datetime.datetime.fromtimestamp(
+                base, datetime.timezone.utc
+            )
+            + datetime.timedelta(days=30),
+        )
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        stream_dir
+    )
+    q = (
+        streaming_scene_segments(
+            spark.readStream.schema(schema).parquet(stream_dir),
+            gap_seconds=3600,
+            watermark="2 hours",
+            n_buckets=4,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scene_seg_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2 + sentinel, schema).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.n_frames, r.n_scenes, r.longest_scene)
+        for r in spark.table("scene_seg_test").collect()
+        if r.doc_id != 999
+    }
+    spark.catalog.dropTempView("scene_seg_test")
+    want = {
+        7: piece_from_frames(range(5), a_los, a_his)[6:9],
+        8: piece_from_frames(range(4), b_los, b_his)[6:9],
+    }
+    assert got == {d: tuple(v) for d, v in want.items()}

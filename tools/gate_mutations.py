@@ -213,6 +213,12 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "CAST(min(k) AS BIGINT) AS keyframe_k",
     ),
     (
+        "docs_scene_cuts_streamed",
+        "cut threshold confused with unrelated-content mean (12 -> 40)",
+        "+ bit_count(xor(hi, phi)) >= 12",
+        "+ bit_count(xor(hi, phi)) >= 40",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
