@@ -9471,18 +9471,12 @@ def docs_scene_cuts_streamed(spark, sf_dir):
 # (tools/digest_manifest.py computes the closure: query source +
 # oracle SQL + referenced proglog_spark module/helper sources).
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
-    # CORRECTNESS_r04 greens whose latest check is still r4
+    # CORRECTNESS_r04 greens whose latest check is still r4 (the
+    # 17-name remnant after the r8 window re-verified 22 of the cohort;
+    # this remnant LEADS the r9 refill per rotation hygiene)
     ("r4", (
         "docs_bpe_train_merges",
         "events_heavy_hitters_streamed",
-        "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
-        "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
-        "events_user_value_percentiles", "events_halves_full_outer",
-        "emb_pca_power", "docs_pii_redaction", "events_markov_transitions",
-        "docs_udtf_ngrams", "tpch_q11_important_parts", "lineitem_profile",
-        "events_value_moments", "docs_fuzzy_block_match", "events_minute_gapfill",
-        "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
-        "docs_weighted_mixture", "docs_curation_pipeline",
         "docs_incremental_dedup", "events_trailing_anomaly", "events_rolling_wau",
         "docs_length_quantiles_sketch", "orders_bucket_ranks",
         "orders_calendar_profile", "events_nullsafe_match",
@@ -9561,6 +9555,40 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_funnel_conversion", "events_value_histogram",
         "events_daily_active", "events_pareto_users", "docs_bigram_counts",
     )),
+    # CORRECTNESS_r08 window: 50/50 green — all 50 names below were
+    # RE-VERIFIED by the driver's side-by-side hash compare in r8 (not
+    # re-recorded-as-behavior-preserving; the ADVICE-r8 auditability
+    # distinction): the 11 media-closure evictions forced by the
+    # `media._ensure_python_stage_parallelism` body edit, the 17 r8
+    # additions (PNG round-trip, perceptual video containment, audio
+    # fingerprint/near-dup/envelope-top-k, SQ8 trio, SimHash
+    # decontamination, placement/replica/z-order/audit/weighted-sample,
+    # scene cuts/keyframes/streamed-scenes), and 22 refills from the
+    # oldest (r4) cohort.
+    ("r8", (
+        "docs_media_meta",
+        "docs_audio_wav_roundtrip", "docs_frame_sample",
+        "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+        "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
+        "docs_media_pipeline", "docs_multimodal_curation",
+        "docs_video_frame_containment",
+        "docs_simhash_decontamination", "docs_image_png_roundtrip",
+        "docs_video_perceptual_containment", "docs_audio_fingerprint",
+        "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
+        "emb_sq8_ann_topk", "emb_sq8_index_topk", "emb_sq8_recall_gate",
+        "docs_shard_assignment", "docs_replica_placement",
+        "events_zorder_layout", "docs_constraint_audit",
+        "docs_weighted_sample", "docs_video_scene_cuts",
+        "docs_scene_keyframes", "docs_scene_cuts_streamed",
+        "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
+        "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
+        "events_user_value_percentiles", "events_halves_full_outer",
+        "emb_pca_power", "docs_pii_redaction", "events_markov_transitions",
+        "docs_udtf_ngrams", "tpch_q11_important_parts", "lineitem_profile",
+        "events_value_moments", "docs_fuzzy_block_match", "events_minute_gapfill",
+        "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
+        "docs_weighted_mixture", "docs_curation_pipeline",
+    )),
 )
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
@@ -9568,28 +9596,12 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 
-# r8 window: evictions forced by this round's edits (the digest test
+# r9 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
-# oldest-checked names (the 38-name r4 cohort leads the refill).
-# The 10 names below are the multimodal-closure family evicted by the
-# r8 media.py additions (audio_ahash64) + the WAV-builder refactor —
-# the conservative full-module drift the digest tool documents. The 26
-# similarity-closure names that drifted when sq8_train/sq8_encode/
-# quantized_sq8_ann_topk were ADDED to similarity.py were consciously
-# re-recorded instead (the tool's sanctioned path): `git diff` for
-# that edit shows zero existing lines changed, so no checked query's
-# executed code moved (verify: git log -p -- operators/similarity.py).
-_WINDOW_PRIORITY: list[str] = [
-    # r8 second-wave eviction: media.py gained the Python-stage
-    # parallelism guard (a body edit to every decode entry point), so
-    # the one still-checked media-closure name re-verifies this round
-    "docs_media_meta",
-    "docs_audio_wav_roundtrip", "docs_frame_sample",
-    "docs_image_dedup_incremental", "docs_image_dedup_keepers",
-    "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
-    "docs_media_pipeline", "docs_multimodal_curation",
-    "docs_video_frame_containment",
-]
+# oldest-checked names (the 17-name r4 remnant leads the refill,
+# followed by the r5 cohort). Empty at round start — names are added
+# here as r9 edits drift checked closures.
+_WINDOW_PRIORITY: list[str] = []
 
 
 def _rotated_names() -> list[str]:
