@@ -76,7 +76,74 @@ COLD_FAMILIES: dict[str, list[str]] = {
         "docs_audio_energy_topk", "docs_audio_fingerprint",
         "docs_audio_perceptual_neardup", "docs_audio_wav_roundtrip",
     ],
+    # VERDICT-r8 #4: the three scene queries share the decoded-frame
+    # pipeline cache (_SCENE_CTES) — in-suite, the alphabetically first
+    # pays the ~500k-frame decode and the rest ride it
+    "scene": [
+        "docs_scene_cuts_streamed", "docs_scene_keyframes",
+        "docs_video_scene_cuts",
+    ],
+    # the ANN families share the quantized-corpus / trained-model
+    # prefix caches (IVF centroids, PQ codebooks, SQ8 bounds)
+    "emb_ann": [
+        "emb_ivf_ann_topk", "emb_ivfpq_ann_topk", "emb_knn_join_ivf",
+        "emb_lsh_ann_topk", "emb_pq_ann_topk", "emb_sq8_ann_topk",
+    ],
 }
+
+# CANARY INFLATION (VERDICT-r8 #2): the r8 artifact's per-query numbers
+# were ~2x quiet-class for code-untouched queries — external CPU
+# throttling, verified independently by builder and judge, but only
+# attributable through BASELINE prose archaeology. This makes the
+# correction IN-BAND: a fixed pure-JVM subset (no Python stage, no
+# streaming state, untouched since their quiet reference runs) is
+# timed at suite START and END; the artifact records
+#   canary_inflation = median(measured_sec / pinned_quiet_sec)
+# for each pass. A reviewer divides suite walls by the factor before
+# calling anything a regression. References are the per-query MIN of
+# the two recorded quiet-class runs (bench_queries.json at 78b7bd6,
+# the r8 quiet 257.9s/190 run, and e9a20e8, the r7 205.8s/182
+# artifact), pinned at sf0.1 — the canary is skipped at other SFs.
+CANARY_QUIET_REF: dict[str, float] = {
+    "tpch_q1_pricing": 0.45,
+    "tpch_q3_shipping": 0.61,
+    "tpch_q5_nation_revenue": 0.78,
+    "tpch_q9_product_profit": 0.63,
+    "events_markov_transitions": 0.50,
+    "events_hourly_counts": 0.39,
+}
+
+
+def _run_canary(spark, sf_dir: str, fns) -> dict[str, float]:
+    """Time the pinned pure-JVM canary subset once, in fixed name
+    order. None of these ride a family cache, so one timed pass
+    approximates their isolated-quiet cost on a quiet machine."""
+    out: dict[str, float] = {}
+    for name in sorted(CANARY_QUIET_REF):
+        if name not in fns:
+            continue
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).collect()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def _canary_inflation(measured: dict[str, float]) -> float | None:
+    """Median of measured/pinned ratios — robust to one outlier query."""
+    ratios = sorted(
+        measured[n] / CANARY_QUIET_REF[n]
+        for n in measured
+        if n in CANARY_QUIET_REF and CANARY_QUIET_REF[n] > 0
+    )
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 3)
 
 
 def _run_cold(spark, sf_dir: str, sf: str, out_path: str) -> None:
@@ -243,11 +310,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     fns = q.queries()
+    # canary pass 1 (references pinned at sf0.1; skip elsewhere and on
+    # SPARK_GRAFT_BENCH_ONLY subset runs, whose walls nobody trends)
+    run_canary = sf == "0.1" and not only
+    canary_start = _run_canary(spark, sf_dir, fns) if run_canary else {}
     for name in names:
         t0 = time.perf_counter()
         rows = fns[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         n_rows[name] = len(rows)
+    canary_end = _run_canary(spark, sf_dir, fns) if run_canary else {}
     load_end = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 4)
@@ -262,6 +334,20 @@ def main() -> None:
         "loadavg_1m": [load_start, load_end],
         "query_order": "alphabetical (see cache-order policy above)",
     }
+    if run_canary:
+        full["canary"] = {
+            "quiet_ref": CANARY_QUIET_REF,
+            "start": canary_start,
+            "end": canary_end,
+            "inflation_start": _canary_inflation(canary_start),
+            "inflation_end": _canary_inflation(canary_end),
+            "note": (
+                "measured/pinned-quiet median over a fixed pure-JVM "
+                "subset, timed before and after the suite; divide "
+                "suite walls by ~the midpoint before trending "
+                "round-over-round (VERDICT-r8 #2)"
+            ),
+        }
     # cold-attribution numbers from a prior SPARK_GRAFT_BENCH_COLD run
     # survive plain rewrites, so one artifact carries both views
     if os.path.exists(out_path):

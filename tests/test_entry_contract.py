@@ -174,3 +174,38 @@ def test_bench_stdout_line_stays_small():
 
     line = bench.stdout_line(99999.9999, "0.001", 99999, [999.99, 999.99])
     assert len(line) < 200
+
+
+def test_bench_canary_and_cold_families_name_real_queries():
+    """Every canary / cold-family member must be a registered query —
+    a rename that silently drops one from the inflation factor or the
+    cold report is the 'silent cap reads as full coverage' failure."""
+    import bench
+    from proglog_spark.queries import REGISTRY
+
+    for name, ref in bench.CANARY_QUIET_REF.items():
+        assert name in REGISTRY, name
+        assert ref > 0, name
+    for fam, members in bench.COLD_FAMILIES.items():
+        for name in members:
+            assert name in REGISTRY, f"{fam}:{name}"
+
+
+def test_bench_canary_inflation_median():
+    """The inflation factor is the MEDIAN of measured/pinned ratios
+    (robust to a single outlier canary), None when nothing measured."""
+    import bench
+
+    names = sorted(bench.CANARY_QUIET_REF)
+    refs = bench.CANARY_QUIET_REF
+    # all exactly at reference -> 1.0
+    assert bench._canary_inflation({n: refs[n] for n in names}) == 1.0
+    # one wild outlier barely moves the median
+    measured = {n: refs[n] for n in names}
+    measured[names[0]] = refs[names[0]] * 100
+    assert bench._canary_inflation(measured) == 1.0
+    # uniform 2x throttling -> 2.0
+    assert bench._canary_inflation(
+        {n: refs[n] * 2 for n in names}
+    ) == 2.0
+    assert bench._canary_inflation({}) is None
