@@ -1,0 +1,130 @@
+"""Persisted frame-fingerprint index for the video scene family.
+
+The scene queries' expensive stage is payload decode — every run of
+the direct path re-derives per-frame dHashes from the raw frames. At
+100 TB the honest posture is the train-once/score-forever pattern the
+engine already uses for BM25 postings, IVF centroids, and SQ8 codes
+(VERDICT-r8 #3): fingerprint each frame ONCE at ingest, persist
+``(doc_id, k, simhash_lo, simhash_hi)`` — three longs + a key per
+frame, ~10^4x smaller than the frames — and run segmentation, keyframe
+selection, and containment dedup from the frozen artifact forever
+after. Decode cost becomes a one-time ingest cost instead of a
+per-query one.
+
+Reference parity note: the reference stores opaque payloads and never
+interprets them (api/v1/log.proto:8); the fingerprint index is the
+derived-artifact tier a Spark deployment adds on top, same shape as
+its segment index files (index.go) — a small sidecar keyed by offset
+that makes reads cheap.
+
+Segmentation semantics are single-sourced here: the batch direct path
+(queries._scene_frame_ids), the from-index path, and the oracle CTEs
+all cut a scene where consecutive frames' 64-bit dHashes differ by
+>= ``cut_bits`` Hamming bits (first frame of a clip always opens a
+scene); scene ids are the running sum of cut flags within the clip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Hamming-distance threshold (over the two 32-bit dHash words) at or
+#: above which a frame opens a new scene. Within-shot repeats run 0
+#: bits; hard content changes ~32; slow pans land under the threshold
+#: and merge shots into longer scenes (the discriminative middle the
+#: fixture synthesis was tuned to exercise — see _SHOT_DHASH_CTES).
+SCENE_CUT_BITS = 12
+
+FRAME_FINGERPRINT_SCHEMA = (
+    "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG"
+)
+
+
+def scene_ids_from_hashes(
+    hashes: DataFrame, cut_bits: int = SCENE_CUT_BITS
+) -> DataFrame:
+    """(doc_id, k, simhash_lo, simhash_hi) -> (doc_id, k, scene_id).
+
+    Per-clip LAG cut detection + running scene ids. Both windows
+    partition by clip — no global window, so 10^9 clips scale out
+    linearly; the shuffle carries the clip key plus two 32-bit words,
+    never frame payloads.
+    """
+    wk = Window.partitionBy("doc_id").orderBy("k")
+    lagd = hashes.select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.lag("simhash_lo").over(wk).alias("plo"),
+        F.lag("simhash_hi").over(wk).alias("phi"),
+    )
+    cuts = lagd.select(
+        "doc_id",
+        "k",
+        F.when(F.col("plo").isNull(), F.lit(1))
+        .when(
+            F.bit_count(F.col("simhash_lo").bitwiseXOR(F.col("plo")))
+            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
+            >= cut_bits,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    return cuts.select(
+        "doc_id",
+        "k",
+        F.sum("cut")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("scene_id"),
+    )
+
+
+def frame_fingerprint_write(hashes: DataFrame, path: str) -> None:
+    """Persist the fingerprint table, clip-clustered.
+
+    ``repartition("doc_id")`` colocates a clip's frames in one file and
+    ``sortWithinPartitions`` lays them out in frame order, so every
+    consumer that windows by clip reads contiguous runs and parquet's
+    min/max footer stats prune doc_id point-lookups for free. The
+    artifact is 4 longs/frame — at 30 fps that is ~1 MB per video-hour
+    against ~1 GB of H.264, the 10^3x reduction that makes re-running
+    segmentation experiments (threshold sweeps, keyframe policies)
+    interactive instead of a decode fleet job.
+    """
+    (
+        hashes.select("doc_id", "k", "simhash_lo", "simhash_hi")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def frame_fingerprint_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read the frozen fingerprint table. Explicit schema: a reader
+    must fail loudly on an artifact written by a different engine
+    version rather than infer-and-mismatch downstream."""
+    return spark.read.schema(FRAME_FINGERPRINT_SCHEMA).parquet(path)
+
+
+def scene_cuts_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """Per-clip scene accounting answered ENTIRELY from the frozen
+    fingerprint artifact — no payload column in the plan at all.
+    Output schema matches the direct path (docs_video_scene_cuts):
+    (doc_id, n_frames, n_scenes, longest_scene)."""
+    scenes = scene_ids_from_hashes(frame_fingerprint_read(spark, path))
+    sl = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("slen")
+    )
+    return (
+        sl.groupBy("doc_id")
+        .agg(
+            F.sum("slen").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.max("slen").alias("longest_scene"),
+        )
+        .orderBy("doc_id")
+    )

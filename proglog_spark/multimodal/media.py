@@ -92,23 +92,55 @@ def _ensure_python_stage_parallelism(df: "DataFrame") -> "DataFrame":
     # plan-construction time), and DataFrame.rdd does not exist at all
     # under Spark Connect, so the probe is gated to the safe shape and
     # failure falls back to leaving the partitioning alone.
+    # The shape test walks the plan TREE and matches node CLASS names
+    # exactly (ADVICE-r8: the earlier raw substring scan over the plan
+    # string could be pacified by a column literally named "Join" —
+    # a false positive only skips the widening, but that silently
+    # reinstates the single-partition slow path this fix removes).
     try:
-        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if _plan_has_shuffle_node(df._jdf.queryExecution().analyzed()):
+            return df
     except Exception:
-        return df
-    if any(
-        tok in analyzed
-        for tok in (
-            "Join", "Aggregate", "Window", "Sort", "Distinct",
-            "Deduplicate", "Repartition",
-        )
-    ):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# Logical-plan node classes whose presence means the lineage already
+# shuffles (so the stage is already spark.sql.shuffle.partitions wide,
+# and probing df.rdd would eagerly execute those exchange stages under
+# AQE). Matched against TreeNode.nodeName() — the node's own class
+# name, never a column name or literal. Conservative supersets are
+# fine: a false positive only skips an optional widening.
+_SHUFFLE_NODE_NAMES = frozenset(
+    {
+        "Join", "Aggregate", "Window", "Sort", "Distinct", "Deduplicate",
+        "DeduplicateWithinWatermark", "Repartition",
+        "RepartitionByExpression", "Intersect", "Except", "CoGroup",
+        "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+    }
+)
+
+
+def _plan_has_shuffle_node(jplan) -> bool:
+    """True iff any node in the analyzed logical plan TREE (children
+    recursively, plus each node's correlated/IN subquery plans — their
+    exchanges execute with the main query, so they gate the df.rdd
+    probe just the same) is one of _SHUFFLE_NODE_NAMES by nodeName()."""
+    if jplan.nodeName() in _SHUFFLE_NODE_NAMES:
+        return True
+    it = jplan.children().iterator()
+    while it.hasNext():
+        if _plan_has_shuffle_node(it.next()):
+            return True
+    sub = jplan.subqueries().iterator()
+    while sub.hasNext():
+        if _plan_has_shuffle_node(sub.next()):
+            return True
+    return False
 
 
 def register_image_decoder(fmt: str, fn) -> None:

@@ -9212,52 +9212,34 @@ def _shot_frame_hashes(spark, sf_dir) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    return dhash64(
-        decode_media(frames, height=8, width=9, id_col="frame_uid")
-    ).select(
-        F.shiftright("id", 20).alias("doc_id"),
-        (F.col("id") % F.lit(1 << 20)).alias("k"),
-        "simhash_lo",
-        "simhash_hi",
+    # cached: four longs per frame (~16 MB at sf0.1 — the 10^4x-smaller
+    # fingerprint tier, never the frames), and all four scene-family
+    # consumers build byte-identical plans through here, so Spark's
+    # cache manager serves callers 2..n from the first materialization
+    # (measured: 11.2 s -> 1.8 s at sf0.01) — the same session-scoped
+    # reuse as _doc_gram_sets / the dedup shingle caches
+    return (
+        dhash64(decode_media(frames, height=8, width=9, id_col="frame_uid"))
+        .select(
+            F.shiftright("id", 20).alias("doc_id"),
+            (F.col("id") % F.lit(1 << 20)).alias("k"),
+            "simhash_lo",
+            "simhash_hi",
+        )
+        .cache()
     )
 
 
 def _scene_frame_ids(spark, sf_dir) -> DataFrame:
     """Spark twin of _SCENE_CTES: (doc_id, k, scene_id) per shot
     frame. One decode pass, per-clip windows, hash-only shuffles —
-    see docs_video_scene_cuts for the full posture notes."""
-    sk = _shot_frame_hashes(spark, sf_dir)
-    wk = Window.partitionBy("doc_id").orderBy("k")
-    lagd = sk.select(
-        "doc_id",
-        "k",
-        "simhash_lo",
-        "simhash_hi",
-        F.lag("simhash_lo").over(wk).alias("plo"),
-        F.lag("simhash_hi").over(wk).alias("phi"),
-    )
-    cuts = lagd.select(
-        "doc_id",
-        "k",
-        F.when(F.col("plo").isNull(), F.lit(1))
-        .when(
-            F.bit_count(
-                F.col("simhash_lo").bitwiseXOR(F.col("plo"))
-            )
-            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
-            >= 12,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("cut"),
-    )
-    return cuts.select(
-        "doc_id",
-        "k",
-        F.sum("cut")
-        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("scene_id"),
-    )
+    see docs_video_scene_cuts for the full posture notes. The
+    segmentation itself (LAG cut detection at SCENE_CUT_BITS, running
+    scene ids) is single-sourced in multimodal/frameindex.py so the
+    direct path and the persisted-fingerprint path can never drift."""
+    from proglog_spark.multimodal.frameindex import scene_ids_from_hashes
+
+    return scene_ids_from_hashes(_shot_frame_hashes(spark, sf_dir))
 
 
 @register(
@@ -9339,6 +9321,50 @@ def docs_scene_keyframes(spark, sf_dir):
         )
         .orderBy("doc_id", "scene_id")
     )
+
+
+@register(
+    "docs_scene_cuts_from_index",
+    # answered from the FROZEN fingerprint artifact — must hash-match
+    # the direct decode path, so the oracle is docs_video_scene_cuts's
+    "WITH " + _SCENE_CTES
+    + ", sl AS (SELECT doc_id, scene_id, count(*) AS slen FROM scenes "
+    "GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames, "
+    "CAST(count(*) AS BIGINT) AS n_scenes, "
+    "CAST(max(slen) AS BIGINT) AS longest_scene "
+    "FROM sl GROUP BY doc_id ORDER BY doc_id",
+)
+def docs_scene_cuts_from_index(spark, sf_dir):
+    """Scene segmentation from a PERSISTED frame-fingerprint index —
+    the train-once/score-forever tier for the video family (VERDICT-r8
+    #3), completing the pattern next to BM25 postings, IVF centroids,
+    and SQ8 codes: `frame_fingerprint_write` freezes (doc_id, k,
+    simhash_lo, simhash_hi) parquet — 4 longs/frame, clip-clustered,
+    ~10^3x smaller than the frames — and `scene_cuts_from_index`
+    answers with NO payload column anywhere in its plan (decode is an
+    ingest-time cost, paid once per corpus, not once per experiment).
+    The oracle is IDENTICAL to docs_video_scene_cuts's, so a stale
+    artifact, a lost fingerprint row, or drift between the single-
+    sourced segmentation (frameindex.scene_ids_from_hashes) and its
+    SQL twin all fail CORRECTNESS. At 100 TB this is the posture:
+    threshold sweeps and keyframe-policy experiments re-scan ~1 MB per
+    video-hour instead of re-decoding ~1 GB."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.multimodal.frameindex import (
+        frame_fingerprint_write,
+        scene_cuts_from_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="frame_fingerprint_gate_")
+    try:
+        frame_fingerprint_write(_shot_frame_hashes(spark, sf_dir), path)
+        out = _materialize(scene_cuts_from_index(spark, path))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 @register(
@@ -9565,21 +9591,15 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # decontamination, placement/replica/z-order/audit/weighted-sample,
     # scene cuts/keyframes/streamed-scenes), and 22 refills from the
     # oldest (r4) cohort.
+    # (the whole media/scene closure — 19 of the original 50 — was
+    # evicted into _WINDOW_PRIORITY by the r9 media.py node-class-walk
+    # edit and the scene-pipeline refactor; see the eviction comment)
     ("r8", (
-        "docs_media_meta",
-        "docs_audio_wav_roundtrip", "docs_frame_sample",
-        "docs_image_dedup_incremental", "docs_image_dedup_keepers",
-        "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
-        "docs_media_pipeline", "docs_multimodal_curation",
-        "docs_video_frame_containment",
-        "docs_simhash_decontamination", "docs_image_png_roundtrip",
-        "docs_video_perceptual_containment", "docs_audio_fingerprint",
-        "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
+        "docs_simhash_decontamination",
         "emb_sq8_ann_topk", "emb_sq8_index_topk", "emb_sq8_recall_gate",
         "docs_shard_assignment", "docs_replica_placement",
         "events_zorder_layout", "docs_constraint_audit",
-        "docs_weighted_sample", "docs_video_scene_cuts",
-        "docs_scene_keyframes", "docs_scene_cuts_streamed",
+        "docs_weighted_sample",
         "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
         "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
         "events_user_value_percentiles", "events_halves_full_outer",
@@ -9599,9 +9619,29 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # r9 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
 # oldest-checked names (the 17-name r4 remnant leads the refill,
-# followed by the r5 cohort). Empty at round start — names are added
-# here as r9 edits drift checked closures.
-_WINDOW_PRIORITY: list[str] = []
+# followed by the r5 cohort).
+# The 19 names below are the full media/scene closure, evicted by TWO
+# r9 BEHAVIORAL edits (ADVICE-r8 auditability note — these are
+# re-VERIFY evictions, not re-records): (a) media.py's
+# _ensure_python_stage_parallelism guard switched from plan-string
+# substring tokens to a structural node-class walk (changes which
+# inputs get the round-robin widening, i.e. the body of every decode
+# entry point), and (b) the scene pipeline refactor — _scene_frame_ids
+# now delegates to the single-sourced frameindex.scene_ids_from_hashes
+# and _shot_frame_hashes caches its 4-long fingerprint table
+# session-wide (plan shape of every scene consumer changes).
+_WINDOW_PRIORITY: list[str] = [
+    "docs_media_meta",
+    "docs_audio_wav_roundtrip", "docs_frame_sample",
+    "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+    "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
+    "docs_media_pipeline", "docs_multimodal_curation",
+    "docs_video_frame_containment", "docs_image_png_roundtrip",
+    "docs_video_perceptual_containment", "docs_audio_fingerprint",
+    "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
+    "docs_video_scene_cuts", "docs_scene_keyframes",
+    "docs_scene_cuts_streamed",
+]
 
 
 def _rotated_names() -> list[str]:

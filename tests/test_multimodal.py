@@ -801,3 +801,33 @@ def test_parallelism_guard_skips_shuffled_and_streaming_inputs(spark, sf_dir):
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     assert _ensure_python_stage_parallelism(stream) is stream
+
+
+def test_parallelism_guard_matches_plan_nodes_not_tokens(spark, sf_dir):
+    """ADVICE-r8: the shuffle-shape test matches plan NODE CLASSES, not
+    raw plan-string substrings — a scan whose column is literally named
+    "Join" (or whose filter literal says 'Sort') must still be widened
+    (the old substring scan silently skipped it, reinstating the
+    single-partition decode path), while a scan filtered through an
+    IN-subquery whose inner plan aggregates must be left alone (the
+    subquery's exchange would execute eagerly under the df.rdd probe)."""
+    from proglog_spark.multimodal.media import _ensure_python_stage_parallelism
+    from proglog_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    trap = d.select(
+        F.col("doc_id").alias("Join"), F.col("text").alias("Sort")
+    ).where(F.col("Sort") != "Window Aggregate Repartition")
+    widened = _ensure_python_stage_parallelism(trap)
+    assert (
+        widened.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+    d.createOrReplaceTempView("parallelism_guard_docs")
+    sub = spark.sql(
+        "SELECT doc_id, text FROM parallelism_guard_docs WHERE source IN "
+        "(SELECT source FROM parallelism_guard_docs "
+        "GROUP BY source HAVING count(*) > 1)"
+    )
+    assert _ensure_python_stage_parallelism(sub) is sub  # untouched

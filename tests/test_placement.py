@@ -332,3 +332,45 @@ def test_scene_cuts_match_model_on_planted_clip(spark):
         (1, 0, 9, 4),
         (2, 9, 6, 11),
     ]
+
+
+def test_scene_cuts_from_index_matches_direct_path(spark):
+    """The persisted-fingerprint path must agree with the direct
+    decode path row-for-row (same planted clip as the model test),
+    and the frozen artifact must carry ONLY the 4-long fingerprint
+    schema — never a payload column."""
+    from proglog_spark.multimodal.frameindex import (
+        FRAME_FINGERPRINT_SCHEMA,
+        frame_fingerprint_read,
+    )
+    from proglog_spark.queries import REGISTRY
+
+    calm = "ABCABCABC"
+    text = calm * 3 + "zrjqxwvut" + "rrjqxwvut"
+    rows = [(7, text, "s", len(text))]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(f"{td}/documents.parquet")
+        direct = REGISTRY["docs_video_scene_cuts"][0](spark, td).collect()
+        frozen = REGISTRY["docs_scene_cuts_from_index"][0](spark, td).collect()
+    assert [tuple(r) for r in frozen] == [tuple(r) for r in direct]
+
+    # artifact schema contract: write+read round-trips the fingerprint
+    # table exactly, clip-clustered
+    sk = spark.createDataFrame(
+        [(1, 0, 5, 9), (1, 1, 5, 9), (2, 0, 7, 7)],
+        FRAME_FINGERPRINT_SCHEMA,
+    )
+    from proglog_spark.multimodal.frameindex import frame_fingerprint_write
+
+    with tempfile.TemporaryDirectory() as td:
+        frame_fingerprint_write(sk, f"{td}/fp")
+        back = frame_fingerprint_read(spark, f"{td}/fp")
+        assert [f.name for f in back.schema.fields] == [
+            "doc_id", "k", "simhash_lo", "simhash_hi",
+        ]
+        assert sorted(tuple(r) for r in back.collect()) == [
+            (1, 0, 5, 9), (1, 1, 5, 9), (2, 0, 7, 7),
+        ]

@@ -138,6 +138,34 @@ def test_media_pipeline_is_shuffle_free(spark, sf_dir):
     assert plan.count("RoundRobinPartitioning") <= 1
 
 
+def test_scene_cuts_from_index_plan_never_touches_payloads(spark, sf_dir):
+    """The persisted-fingerprint path's whole point is that decode is
+    an ingest-time cost: its executed plan must contain NO Python
+    stage (no MapInPandas/ArrowEval — the decode UDF is absent) and
+    scan ONLY the 4-long fingerprint schema, never a payload/text
+    column."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.multimodal.frameindex import (
+        frame_fingerprint_write,
+        scene_cuts_from_index,
+    )
+    from proglog_spark.queries import _shot_frame_hashes
+
+    path = tempfile.mkdtemp(prefix="fp_plan_pin_")
+    try:
+        frame_fingerprint_write(_shot_frame_hashes(spark, sf_dir), path)
+        plan = plan_of(scene_cuts_from_index(spark, path))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "payload" not in plan and "text" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    for col in ("doc_id", "k", "simhash_lo", "simhash_hi"):
+        assert col in read_schema
+
+
 def test_scan_range_prunes_with_filter(spark, sf_dir):
     """L5 range scan: BETWEEN bounds push to the scan, mirroring
     segment-range routing (log.go:99-104)."""

@@ -219,6 +219,12 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "+ bit_count(xor(hi, phi)) >= 40",
     ),
     (
+        "docs_scene_cuts_from_index",
+        "from-index path's cut threshold drifts from the direct path's",
+        "+ bit_count(xor(hi, phi)) >= 12",
+        "+ bit_count(xor(hi, phi)) >= 40",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
