@@ -141,6 +141,14 @@ def epoch_shuffle_key(key_col, epoch: int, salt: str = "shuffle") -> "F.Column":
     return token_hash32(keyed, f"{salt}:{epoch}:")
 
 
+#: Per-key ticket cap for ppswor_bottom_k: the ticket array for one
+#: key materializes in ONE row before the explode, so this bounds a
+#: single row's memory at ~8 MB (1M longs) — far below executor
+#: pressure, far above any quantized weight (the gate's weights run
+#: ~9/doc). Exceeding it raises in-plan rather than OOMing a worker.
+PPSWOR_MAX_WEIGHT = 1_000_000
+
+
 def ppswor_bottom_k(
     df: DataFrame,
     key_col: str,
@@ -190,11 +198,32 @@ def ppswor_bottom_k(
         .groupBy("key")
         .agg(F.sum("_w").alias("weight"))
     )
+    # ADVICE-r8 guard: F.sequence materializes the FULL ticket array
+    # in one row before the explode, so a single un-quantized weight
+    # (say 1e8 from a caller passing raw byte counts) builds a giant
+    # in-memory array and OOMs an executor — a sharper failure than
+    # the documented linear-in-total-weight cost. Fail loudly at a
+    # per-key cap instead (same contract-check move as zorder_key):
+    # quantize weights (w // unit) before sampling, or swap in E-S
+    # float keys for genuinely huge dynamic ranges.
+    capped = F.when(
+        F.col("weight") > PPSWOR_MAX_WEIGHT,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ppswor_bottom_k: per-key weight exceeds "
+                    f"{PPSWOR_MAX_WEIGHT} tickets (got "
+                ),
+                F.col("weight").cast("string"),
+                F.lit(") — quantize the weight column first"),
+            )
+        ),
+    ).otherwise(F.col("weight"))
     tickets = keyed.select(
         "key",
-        "weight",
+        capped.alias("weight"),
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("weight") - 1)
+            F.sequence(F.lit(0).cast("long"), capped - 1)
         ).alias("_i"),
         keyed_string(F.col("key")).alias("_ks"),
     )

@@ -9415,6 +9415,21 @@ def docs_scene_cuts_streamed(spark, sf_dir):
     # whole decode+hash pipeline; unpersisted in the finally below
     # (cache ownership stays in this function)
     halves = sk.join(mid, "doc_id").cache()
+    # ADVICE-r8 guard: ts = base + k, so after batch 1 the GLOBAL
+    # watermark sits at base + max(mid_k) - 7200 s — a clip longer
+    # than ~2x the fixed "2 hours" delay would push it past a SHORT
+    # clip's batch-2 frame times and the engine would SILENTLY drop
+    # those as late (an undercount the gate only catches at that
+    # scale). Fail loudly at half the unsafe bound instead: a corpus
+    # that trips this needs the delay derived from max(k), not a
+    # bigger constant. One-row agg over the already-cached hashes.
+    max_k = halves.agg(F.max("k").alias("mk")).first()["mk"]
+    if max_k is not None and max_k > 7200:
+        raise ValueError(
+            f"scene stream: max frame index {max_k} > 7200 — the fixed "
+            "'2 hours' watermark delay no longer dominates the frame-"
+            "time span; derive the delay from max(k) before scaling"
+        )
     stream_dir = tempfile.mkdtemp(prefix="scene_stream_")
     ckpt = tempfile.mkdtemp(prefix="scene_ckpt_")
     cols = ["doc_id", "k", "simhash_lo", "simhash_hi", "ts"]
@@ -9599,7 +9614,6 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "emb_sq8_ann_topk", "emb_sq8_index_topk", "emb_sq8_recall_gate",
         "docs_shard_assignment", "docs_replica_placement",
         "events_zorder_layout", "docs_constraint_audit",
-        "docs_weighted_sample",
         "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
         "docs_train_split", "events_unpivot_extremes", "events_props_map_explode",
         "events_user_value_percentiles", "events_halves_full_outer",
@@ -9641,6 +9655,12 @@ _WINDOW_PRIORITY: list[str] = [
     "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
     "docs_video_scene_cuts", "docs_scene_keyframes",
     "docs_scene_cuts_streamed",
+    # evicted by the ADVICE-r8 PPSWOR weight-cap guard (an in-plan
+    # raise_error added to ppswor_bottom_k's ticket stage — this is
+    # the ONE sampling-closure name whose executed plan changed; the
+    # other 7 drifted names never call ppswor_bottom_k and were
+    # re-recorded as behavior-preserving, per the auditability rule)
+    "docs_weighted_sample",
 ]
 
 

@@ -228,6 +228,26 @@ def test_ppswor_bottom_k_is_nested_and_guards(spark):
         sampling.ppswor_bottom_k(df, "doc", "w", 0)
 
 
+def test_ppswor_unquantized_weight_fails_loudly(spark):
+    """ADVICE-r8: one un-quantized huge weight must raise in-plan
+    (USER_RAISED_EXCEPTION naming the cap), never silently build a
+    100M-long ticket array in a single row and OOM the executor; a
+    weight AT the cap still samples."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    big = spark.createDataFrame(
+        [(1, 10), (2, sampling.PPSWOR_MAX_WEIGHT + 1)], "doc LONG, w LONG"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e:
+        sampling.ppswor_bottom_k(big, "doc", "w", 5).collect()
+    assert "quantize" in str(e.value)
+    at_cap = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc LONG, w LONG"
+    )
+    assert len(sampling.ppswor_bottom_k(at_cap, "doc", "w", 5).collect()) == 2
+
+
 def test_ppswor_duplicate_keys_mass_adds(spark):
     """Duplicate key rows are ONE population unit with summed weight —
     the sample can never contain the same key twice, and the summed
