@@ -132,6 +132,68 @@ def test_jaccard_pairs_exact_vs_python(spark, texts):
     assert got == want
 
 
+_sketch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),          # id (overlap allowed)
+        st.booleans(),                                  # which base sketch
+        st.lists(                                       # bits to flip (0..63)
+            st.integers(min_value=0, max_value=63), max_size=5
+        ),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+def _sketch_rows(spec):
+    """Materialize a sketch spec into unique-id (id, lo, hi) rows:
+    perturbations of two fixed base words, so sub-radius pairs are
+    common instead of astronomically rare."""
+    bases = (0x5A5A_3C3C_0F0F_AAAA, 0x5A5A_3C3C_0F0F_AAAC)  # 2 bits apart
+    rows = {}
+    for doc_id, which, flips in spec:
+        word = bases[which]
+        for b in flips:
+            word ^= 1 << b
+        rows[doc_id] = (doc_id, word & 0xFFFF_FFFF, word >> 32)
+    return list(rows.values())
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_sketch_strategy, right=_sketch_strategy)
+def test_hamming_pairs_two_sided_matches_all_pairs_model(spark, left, right):
+    """VERDICT-r8 #6: TWO-SIDED hamming_pairs (the incremental-dedup
+    shape — a drop blocking against a persisted index that never
+    self-joins) must equal the pure-Python all-pairs scan exactly:
+    every cross pair with id_a != id_b and popcount distance <=
+    max_hamming, and nothing else (pigeonhole blocking is COMPLETE at
+    blocks >= d+1, so the model is equality, not containment).
+    Overlapping ids between the sides pin the (x, x) self-pair
+    exclusion; sketches are perturbations of two base words so
+    sub-radius pairs actually occur."""
+    from proglog_spark.operators.dedup import hamming_pairs
+
+    lrows, rrows = _sketch_rows(left), _sketch_rows(right)
+    schema = "id LONG, simhash_lo LONG, simhash_hi LONG"
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(
+            spark.createDataFrame(lrows, schema),
+            max_hamming=3,
+            other=spark.createDataFrame(rrows, schema),
+        ).collect()
+    }
+    want = {}
+    for ia, lo_a, hi_a in lrows:
+        for ib, lo_b, hi_b in rrows:
+            if ia == ib:
+                continue
+            d = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+            if d <= 3:
+                want[(ia, ib)] = d
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs_strategy)
 def test_minhash_estimates_bounded(spark, texts):
