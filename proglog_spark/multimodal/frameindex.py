@@ -110,6 +110,61 @@ def frame_fingerprint_read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(FRAME_FINGERPRINT_SCHEMA).parquet(path)
 
 
+def scene_count_sweep(hashes: DataFrame, thresholds: list[int]) -> DataFrame:
+    """Segmentation-sensitivity sweep from fingerprints alone: for each
+    candidate cut threshold, the corpus scene count and mean scene
+    length — the experiment a pipeline runs to TUNE ``cut_bits`` before
+    committing a keyframe budget. ONE window pass computes every
+    consecutive-frame Hamming distance; the threshold explode then
+    multiplies only (doc_id, distance) rows, so sweeping N thresholds
+    costs one pass + one N-row aggregate, not N pipeline runs — the
+    interactivity the persisted artifact exists to buy.
+
+    Output: (threshold, n_scenes, n_frames, mean_scene_len_micro),
+    one row per threshold.
+    """
+    wk = Window.partitionBy("doc_id").orderBy("k")
+    dist = hashes.select(
+        "doc_id",
+        (
+            F.bit_count(
+                F.col("simhash_lo").bitwiseXOR(F.lag("simhash_lo").over(wk))
+            )
+            + F.bit_count(
+                F.col("simhash_hi").bitwiseXOR(F.lag("simhash_hi").over(wk))
+            )
+        ).alias("d"),  # NULL for each clip's first frame (always a cut)
+    )
+    swept = dist.select(
+        "d",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in sorted(thresholds)])
+        ).alias("threshold"),
+    )
+    n_scenes = F.sum(
+        F.when(F.col("d").isNull() | (F.col("d") >= F.col("threshold")), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            n_scenes.alias("n_scenes"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select(
+            "threshold",
+            "n_scenes",
+            "n_frames",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_frames") / F.col("n_scenes")
+            )
+            .cast("long")
+            .alias("mean_scene_len_micro"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def scene_cuts_from_index(spark: SparkSession, path: str) -> DataFrame:
     """Per-clip scene accounting answered ENTIRELY from the frozen
     fingerprint artifact — no payload column in the plan at all.

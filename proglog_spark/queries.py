@@ -9368,6 +9368,61 @@ def docs_scene_cuts_from_index(spark, sf_dir):
 
 
 @register(
+    "docs_scene_threshold_sweep",
+    "WITH " + _SHOT_DHASH_CTES
+    + ", lagd AS (SELECT doc_id, k, lo, hi, "
+    "lag(lo) OVER (PARTITION BY doc_id ORDER BY k) AS plo, "
+    "lag(hi) OVER (PARTITION BY doc_id ORDER BY k) AS phi FROM dh), "
+    "dist AS (SELECT doc_id, k, CASE WHEN plo IS NULL THEN NULL "
+    "ELSE bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) END AS d "
+    "FROM lagd), "
+    "t AS (SELECT unnest([8, 12, 16, 20]) AS threshold) "
+    "SELECT CAST(threshold AS BIGINT) AS threshold, "
+    "CAST(sum(CASE WHEN d IS NULL OR d >= threshold THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_scenes, "
+    "CAST(count(*) AS BIGINT) AS n_frames, "
+    "CAST(floor(1000000.0 * count(*) / "
+    "sum(CASE WHEN d IS NULL OR d >= threshold THEN 1 ELSE 0 END)) "
+    "AS BIGINT) AS mean_scene_len_micro "
+    "FROM dist CROSS JOIN t GROUP BY threshold ORDER BY threshold",
+)
+def docs_scene_threshold_sweep(spark, sf_dir):
+    """Cut-threshold sensitivity sweep over the FROZEN fingerprint
+    artifact — the experiment the persisted tier exists to make cheap:
+    before committing a keyframe budget, a pipeline tunes cut_bits by
+    sweeping candidate thresholds and reading corpus scene counts /
+    mean scene lengths. One window pass computes every consecutive-
+    frame Hamming distance from the 4-long fingerprint table (no
+    payload anywhere downstream of the one-time artifact build), the
+    threshold explode multiplies only (doc_id, distance) rows, and
+    the whole 4-threshold sweep is ONE aggregate — vs four full
+    decode+segment pipeline runs without the artifact. Fixture
+    non-degeneracy verified up front: the four thresholds land on
+    four distinct scene totals (15966/15885/14268/14262 at sf0.01),
+    so a threshold-comparison bug cannot hide behind a flat fixture."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.multimodal.frameindex import (
+        frame_fingerprint_read,
+        frame_fingerprint_write,
+        scene_count_sweep,
+    )
+
+    path = tempfile.mkdtemp(prefix="frame_fingerprint_sweep_")
+    try:
+        frame_fingerprint_write(_shot_frame_hashes(spark, sf_dir), path)
+        out = _materialize(
+            scene_count_sweep(
+                frame_fingerprint_read(spark, path), [8, 12, 16, 20]
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+@register(
     "docs_scene_cuts_streamed",
     # the streamed engine must hash-match the BATCH segmentation —
     # same oracle as docs_video_scene_cuts

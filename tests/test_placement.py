@@ -354,6 +354,51 @@ def test_scene_cuts_match_model_on_planted_clip(spark):
     ]
 
 
+def test_scene_threshold_sweep_matches_model(spark):
+    """scene_count_sweep vs the pure-Python model on the planted clip,
+    across thresholds that straddle the fixture's distance spectrum
+    (the pan pair sits at 7 bits: threshold 4 must cut it, 12 must
+    merge it), plus the first-frame-is-always-a-cut rule."""
+    import math
+
+    from proglog_spark.multimodal.frameindex import scene_count_sweep
+
+    calm = "ABCABCABC"
+    text = calm * 3 + "zrjqxwvut" + "rrjqxwvut"
+    windows = [text[9 * i : 9 * i + 9] for i in range(math.ceil(len(text) / 9))]
+    frames = [
+        "".join(w[r:] + w[:r] for r in range(8)) for w in windows for _ in range(3)
+    ]
+    hashes = [_frame_dhash(f.encode()) for f in frames]
+    rows = [
+        (7, k, h & 0xFFFF_FFFF, h >> 32) for k, h in enumerate(hashes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG"
+    )
+    thresholds = [4, 12, 40]
+    got = [
+        (r.threshold, r.n_scenes, r.n_frames, r.mean_scene_len_micro)
+        for r in scene_count_sweep(df, thresholds).collect()
+    ]
+    want = []
+    for t in sorted(thresholds):
+        cuts = sum(
+            1
+            for i in range(len(hashes))
+            if i == 0
+            or bin(hashes[i] ^ hashes[i - 1]).count("1") >= t
+        )
+        want.append(
+            (t, cuts, len(hashes), 1_000_000 * len(hashes) // cuts)
+        )
+    assert got == want
+    # the spectrum really straddles: 4 cuts the 7-bit pan, 12 merges
+    # it, 40 merges everything but the hard change + first frame
+    by_t = {t: n for t, n, _, _ in got}
+    assert by_t[4] > by_t[12] > 1 and by_t[40] == 2
+
+
 def test_scene_cuts_from_index_matches_direct_path(spark):
     """The persisted-fingerprint path must agree with the direct
     decode path row-for-row (same planted clip as the model test),

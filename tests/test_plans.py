@@ -166,6 +166,35 @@ def test_scene_cuts_from_index_plan_never_touches_payloads(spark, sf_dir):
         assert col in read_schema
 
 
+def test_scene_threshold_sweep_is_one_pass(spark, sf_dir):
+    """The N-threshold sweep must cost ONE window pass over the frozen
+    fingerprints + one aggregate — never N pipeline runs: exactly one
+    clip-keyed hash shuffle (the window), no Python stage, and the
+    threshold explode downstream of the window (so it multiplies only
+    the narrow distance rows, not the windowed hash table)."""
+    import shutil
+    import tempfile
+
+    from proglog_spark.multimodal.frameindex import (
+        frame_fingerprint_read,
+        frame_fingerprint_write,
+        scene_count_sweep,
+    )
+    from proglog_spark.queries import _shot_frame_hashes
+
+    path = tempfile.mkdtemp(prefix="fp_sweep_plan_pin_")
+    try:
+        frame_fingerprint_write(_shot_frame_hashes(spark, sf_dir), path)
+        plan = plan_of(
+            scene_count_sweep(frame_fingerprint_read(spark, path), [8, 12])
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("hashpartitioning(doc_id") == 1
+
+
 def test_scan_range_prunes_with_filter(spark, sf_dir):
     """L5 range scan: BETWEEN bounds push to the scan, mirroring
     segment-range routing (log.go:99-104)."""

@@ -225,6 +225,12 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "+ bit_count(xor(hi, phi)) >= 40",
     ),
     (
+        "docs_scene_threshold_sweep",
+        "first frame not counted as a scene opener (NULL distance dropped)",
+        "CASE WHEN d IS NULL OR d >= threshold THEN 1 ELSE 0 END",
+        "CASE WHEN d >= threshold THEN 1 ELSE 0 END",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
