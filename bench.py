@@ -313,6 +313,14 @@ def main() -> None:
     # canary pass 1 (references pinned at sf0.1; skip elsewhere and on
     # SPARK_GRAFT_BENCH_ONLY subset runs, whose walls nobody trends)
     run_canary = sf == "0.1" and not only
+    if run_canary:
+        # untimed warm pass first: the pinned references are mid-suite
+        # numbers from warm sessions, so a cold first execution of the
+        # canary plans would bake one-time codegen into
+        # inflation_start (observed 3.68 vs 1.65 end in the first
+        # recorded run) — absorb it so both passes measure machine
+        # state, not compile state
+        _run_canary(spark, sf_dir, fns)
     canary_start = _run_canary(spark, sf_dir, fns) if run_canary else {}
     for name in names:
         t0 = time.perf_counter()
