@@ -194,6 +194,63 @@ def test_hamming_pairs_two_sided_matches_all_pairs_model(spark, left, right):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    clips=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scene_sweep_and_ids_agree_with_model(spark, clips):
+    """Three-way pin over RANDOM per-clip hash sequences: for each
+    threshold, scene_count_sweep's corpus n_scenes must equal the
+    distinct (clip, scene_id) count of scene_ids_from_hashes at that
+    cut_bits AND the pure-Python cut count — so the one-pass sweep,
+    the running-sum segmentation, and the spec can never drift apart.
+    Thresholds straddle the spectrum (1 cuts almost everywhere, 65 is
+    unreachable for 64-bit hashes so only first frames open scenes)."""
+    from proglog_spark.multimodal.frameindex import (
+        scene_count_sweep,
+        scene_ids_from_hashes,
+    )
+
+    rows = [
+        (ci, k, h & 0xFFFF_FFFF, h >> 32)
+        for ci, hs in enumerate(clips)
+        for k, h in enumerate(hs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG"
+    )
+    thresholds = [1, 12, 65]
+    swept = {
+        r.threshold: (r.n_scenes, r.n_frames)
+        for r in scene_count_sweep(df, thresholds).collect()
+    }
+    n_frames = sum(len(hs) for hs in clips)
+    for t in thresholds:
+        model = sum(
+            1
+            for hs in clips
+            for i in range(len(hs))
+            if i == 0 or bin(hs[i] ^ hs[i - 1]).count("1") >= t
+        )
+        ids = (
+            scene_ids_from_hashes(df, cut_bits=t)
+            .select("doc_id", "scene_id")
+            .distinct()
+            .count()
+        )
+        assert swept[t] == (model, n_frames)
+        assert ids == model
+    assert swept[65][0] == len(clips)  # only first frames open scenes
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs_strategy)
 def test_minhash_estimates_bounded(spark, texts):
