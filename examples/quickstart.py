@@ -190,6 +190,43 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
     sample = sampling.ppswor_bottom_k(weighted, "doc_id", "w", k=5)
     out["weighted_sample"] = [r.key for r in sample.orderBy("rank").collect()]
 
+    # 5e — the video fingerprint-index tier: decode once at ingest,
+    # persist 4 longs per frame, then segment scenes and sweep cut
+    # thresholds forever from the frozen artifact (the gate-checked
+    # docs_scene_cuts_from_index / docs_scene_threshold_sweep paths —
+    # their read plans never touch a payload column)
+    from proglog_spark.multimodal.frameindex import (
+        frame_fingerprint_read,
+        frame_fingerprint_write,
+        scene_count_sweep,
+        scene_cuts_from_index,
+    )
+
+    # two tiny clips: clip 0 = two 3-frame shots (one mid-clip cut),
+    # clip 1 = one steady shot (no cut after the opening frame)
+    hashes = spark.createDataFrame(
+        [(0, k, h & 0xFFFFFFFF, h >> 32)
+         for k, h in enumerate([7, 7, 7, 0xFFFF00FF] * 1)]
+        + [(0, 4, 0xFFFF00FF & 0xFFFFFFFF, 0xFFFF00FF >> 32),
+           (0, 5, 0xFFFF00FF & 0xFFFFFFFF, 0xFFFF00FF >> 32)]
+        + [(1, k, 42, 0) for k in range(4)],
+        "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG",
+    )
+    frame_fingerprint_write(hashes, f"{workdir}/frame_fp")
+    frozen = frame_fingerprint_read(spark, f"{workdir}/frame_fp")
+    out["scene_accounting"] = [
+        (r.doc_id, r.n_frames, r.n_scenes)
+        for r in scene_cuts_from_index(spark, f"{workdir}/frame_fp").collect()
+    ]
+    out["threshold_sweep"] = [
+        (r.threshold, r.n_scenes)
+        for r in scene_count_sweep(frozen, [4, 64]).collect()
+    ]
+    print(
+        "scene index:", out["scene_accounting"],
+        "sweep:", out["threshold_sweep"],
+    )
+
     # 6 — curation pipeline into training shards
     from proglog_spark.pipelines import curate_and_shard
 

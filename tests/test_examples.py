@@ -25,5 +25,10 @@ def test_quickstart_tour(spark, sf_dir, tmp_path):
     assert out["connector_rows"] == 11  # offsets 90..100
     assert len(out["scorecard"]) == 3
     assert out["bm25_index_top3"] == out["bm25_top3"]
+    # frame-fingerprint tier: clip 0 = 6 frames in 2 scenes (the 7->
+    # 0xFFFF00FF jump is the one mid-clip cut), clip 1 = 4 steady
+    # frames in 1 scene; the sweep merges everything at threshold 64
+    assert out["scene_accounting"] == [(0, 6, 2), (1, 4, 1)]
+    assert out["threshold_sweep"] == [(4, 3), (64, 2)]
     assert sum(n for *_k, n in out["shard_accounting"]) > 0
     assert out["http_read"] == "event-0"
