@@ -76,11 +76,14 @@ COLD_FAMILIES: dict[str, list[str]] = {
         "docs_audio_energy_topk", "docs_audio_fingerprint",
         "docs_audio_perceptual_neardup", "docs_audio_wav_roundtrip",
     ],
-    # VERDICT-r8 #4: the three scene queries share the decoded-frame
-    # pipeline cache (_SCENE_CTES) — in-suite, the alphabetically first
-    # pays the ~500k-frame decode and the rest ride it
+    # VERDICT-r8 #4: the scene queries share the session-cached
+    # fingerprint table (_shot_frame_hashes) — in-suite, the
+    # alphabetically first pays the ~500k-frame decode and the rest
+    # ride it; the two index-path queries build their artifact from
+    # the same cache, so they belong to the family too
     "scene": [
-        "docs_scene_cuts_streamed", "docs_scene_keyframes",
+        "docs_scene_cuts_from_index", "docs_scene_cuts_streamed",
+        "docs_scene_keyframes", "docs_scene_threshold_sweep",
         "docs_video_scene_cuts",
     ],
     # the ANN families share the quantized-corpus / trained-model
