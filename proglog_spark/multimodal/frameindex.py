@@ -104,9 +104,26 @@ def frame_fingerprint_write(hashes: DataFrame, path: str) -> None:
 
 
 def frame_fingerprint_read(spark: SparkSession, path: str) -> DataFrame:
-    """Read the frozen fingerprint table. Explicit schema: a reader
-    must fail loudly on an artifact written by a different engine
-    version rather than infer-and-mismatch downstream."""
+    """Read the frozen fingerprint table, VALIDATED against the engine
+    schema. An explicit read schema alone is not a guard: Spark's
+    parquet reader silently returns NULL for a missing/renamed column
+    (ADVICE-r9), and a NULL simhash_lo makes every frame open a scene —
+    a silent wrong answer. So compare the artifact's own footer schema
+    (field names, order-insensitive) against FRAME_FINGERPRINT_SCHEMA
+    first and raise on any mismatch; only then read with the pinned
+    schema (which also pins the integer widths)."""
+    expected = {
+        f.strip().split()[0] for f in FRAME_FINGERPRINT_SCHEMA.split(",")
+    }
+    actual = {f.name for f in spark.read.parquet(path).schema.fields}
+    if actual != expected:
+        raise ValueError(
+            "frame fingerprint artifact at %r does not match the engine "
+            "schema: missing=%s unexpected=%s — rebuild the index with "
+            "frame_fingerprint_write (a drifted artifact must fail "
+            "loudly, not null out silently)"
+            % (path, sorted(expected - actual), sorted(actual - expected))
+        )
     return spark.read.schema(FRAME_FINGERPRINT_SCHEMA).parquet(path)
 
 

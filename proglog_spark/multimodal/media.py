@@ -121,6 +121,16 @@ _SHUFFLE_NODE_NAMES = frozenset(
         "DeduplicateWithinWatermark", "Repartition",
         "RepartitionByExpression", "Intersect", "Except", "CoGroup",
         "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+        # ADVICE-r9: "CoGroup" above only matches the Scala TYPED node;
+        # pyspark's groupBy().cogroup().applyInPandas analyzes to
+        # FlatMapCoGroupsInPandas (operators/cogroup.py produces it),
+        # and the typed groupByKey family has its own node names too —
+        # all of them hash-partition their input, so probing df.rdd
+        # under AQE would eagerly run those exchanges and the guard
+        # would round-robin an already-shuffled lineage.
+        # (MapInPandas stays OUT: it is a narrow node — a chained
+        # decode's lineage can still be 1-partition-wide.)
+        "FlatMapCoGroupsInPandas", "FlatMapGroupsWithState", "MapGroups",
     }
 )
 

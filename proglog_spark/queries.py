@@ -9466,10 +9466,6 @@ def docs_scene_cuts_streamed(spark, sf_dir):
     mid = sk.groupBy("doc_id").agg(
         F.floor(F.max("k") / 2).alias("mid_k")
     )
-    # cached: the two half-writes would otherwise each re-run the
-    # whole decode+hash pipeline; unpersisted in the finally below
-    # (cache ownership stays in this function)
-    halves = sk.join(mid, "doc_id").cache()
     # ADVICE-r8 guard: ts = base + k, so after batch 1 the GLOBAL
     # watermark sits at base + max(mid_k) - 7200 s — a clip longer
     # than ~2x the fixed "2 hours" delay would push it past a SHORT
@@ -9477,14 +9473,23 @@ def docs_scene_cuts_streamed(spark, sf_dir):
     # those as late (an undercount the gate only catches at that
     # scale). Fail loudly at half the unsafe bound instead: a corpus
     # that trips this needs the delay derived from max(k), not a
-    # bigger constant. One-row agg over the already-cached hashes.
-    max_k = halves.agg(F.max("k").alias("mk")).first()["mk"]
+    # bigger constant. ADVICE-r9: the guard runs BEFORE halves.cache()
+    # — raising between cache() and the finally that owns unpersist()
+    # leaked the cached decode pipeline for the session lifetime. The
+    # one-row agg over sk is still cheap: _shot_frame_hashes caches
+    # its 4-long fingerprint table session-wide.
+    max_k = sk.agg(F.max("k").alias("mk")).first()["mk"]
     if max_k is not None and max_k > 7200:
         raise ValueError(
             f"scene stream: max frame index {max_k} > 7200 — the fixed "
             "'2 hours' watermark delay no longer dominates the frame-"
             "time span; derive the delay from max(k) before scaling"
         )
+    # cached: the two half-writes would otherwise each re-run the
+    # whole decode+hash pipeline; unpersisted in the finally below
+    # (cache ownership stays in this function — nothing between the
+    # cache() and the owning try/finally can raise)
+    halves = sk.join(mid, "doc_id").cache()
     stream_dir = tempfile.mkdtemp(prefix="scene_stream_")
     ckpt = tempfile.mkdtemp(prefix="scene_ckpt_")
     cols = ["doc_id", "k", "simhash_lo", "simhash_hi", "ts"]
@@ -9567,22 +9572,11 @@ def docs_scene_cuts_streamed(spark, sf_dir):
 # (tools/digest_manifest.py computes the closure: query source +
 # oracle SQL + referenced proglog_spark module/helper sources).
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
-    # CORRECTNESS_r04 greens whose latest check is still r4 (the
-    # 17-name remnant after the r8 window re-verified 22 of the cohort;
-    # this remnant LEADS the r9 refill per rotation hygiene)
-    ("r4", (
-        "docs_bpe_train_merges",
-        "events_heavy_hitters_streamed",
-        "docs_incremental_dedup", "events_trailing_anomaly", "events_rolling_wau",
-        "docs_length_quantiles_sketch", "orders_bucket_ranks",
-        "orders_calendar_profile", "events_nullsafe_match",
-        "events_grouping_sets", "docs_recursive_ancestry", "events_variant_props",
-        "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
-        "docs_minhash_estimate_gate", "events_out_of_order_audit",
-        "events_type_value_quantiles",
-    )),
-    # CORRECTNESS_r05 window: 50/50 green (incl. 13 refills whose
-    # latest check moved here from r1/r2)
+    # CORRECTNESS_r05 window remnant: the 34 names whose LATEST green
+    # check is still r5 (the r9 window re-verified the cohort's 11-name
+    # head — the log L-surface + events_hourly_counts — which moved to
+    # the r9 group below; this remnant LEADS the r10 refill per
+    # rotation hygiene)
     ("r5", (
         "docs_tokenize_ids", "docs_bpe_token_stats", "docs_chunk_spans",
         "docs_rarity_filter", "docs_repeated_span_dedup", "docs_source_scorecard",
@@ -9598,10 +9592,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "docs_bm25_index_topk", "events_trailing_anomaly_streamed",
         "emb_ann_recall_gate",
         "emb_ivf_recall_gate", "emb_pq_recall_gate", "emb_truncated_dim_overlap",
-        "log_read_point", "log_bounds", "log_scan_range", "log_tail",
-        "log_consume_from", "log_truncate_view", "log_read_out_of_range",
-        "log_json_roundtrip", "log_servers", "log_acl_check",
-        "events_hourly_counts", "events_hourly_counts_streamed",
+        "events_hourly_counts_streamed",
         "events_sliding_counts",
     )),
     # CORRECTNESS_r06 window: 50/50 green — the 8 digest-forced
@@ -9678,6 +9669,53 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "emb_label_centroids", "docs_pack_sequences", "docs_tfidf_top_terms",
         "docs_weighted_mixture", "docs_curation_pipeline",
     )),
+    # CORRECTNESS_r09 window: 50/50 green — all 50 names below were
+    # RE-VERIFIED by the driver's side-by-side hash compare in r9 (not
+    # re-recorded): the 20-name media/scene closure evicted by the r9
+    # node-class-walk + scene-refactor edits (incl. the PPSWOR-guard
+    # eviction docs_weighted_sample), the 2 r9 additions
+    # (docs_scene_cuts_from_index, docs_scene_threshold_sweep), the
+    # whole 17-name r4 remnant, and the r5 cohort's 11-name head (the
+    # log L-surface + events_hourly_counts).
+    # (3 of the 50 — docs_scene_cuts_from_index, docs_scene_threshold_
+    # sweep, docs_scene_cuts_streamed — were immediately RE-evicted
+    # into _WINDOW_PRIORITY by the r10 ADVICE-r9 fixes and are NOT
+    # listed here; see the _WINDOW_PRIORITY comment.)
+    # AUDIT NOTE (ADVICE-r8 rule): the media/scene-closure digests
+    # below were recorded AFTER two r10 behavior-preserving edits —
+    # media._SHUFFLE_NODE_NAMES gained the pyspark-cogroup/typed-
+    # groupByKey node names (changes the widening guard only for
+    # plans containing those nodes; no registered query's decode
+    # input produces one) and frameindex.frame_fingerprint_read
+    # gained artifact validation (only the two evicted index-path
+    # gates call it). These names are re-RECORDED against the edited
+    # source; the r9 driver check verified the pre-edit behavior,
+    # which is identical for every name listed here.
+    ("r9", (
+        "docs_media_meta",
+        "docs_audio_wav_roundtrip", "docs_frame_sample",
+        "docs_image_dedup_incremental", "docs_image_dedup_keepers",
+        "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
+        "docs_media_pipeline", "docs_multimodal_curation",
+        "docs_video_frame_containment", "docs_image_png_roundtrip",
+        "docs_video_perceptual_containment", "docs_audio_fingerprint",
+        "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
+        "docs_video_scene_cuts", "docs_scene_keyframes",
+        "docs_weighted_sample",
+        "docs_bpe_train_merges",
+        "events_heavy_hitters_streamed",
+        "docs_incremental_dedup", "events_trailing_anomaly", "events_rolling_wau",
+        "docs_length_quantiles_sketch", "orders_bucket_ranks",
+        "orders_calendar_profile", "events_nullsafe_match",
+        "events_grouping_sets", "docs_recursive_ancestry", "events_variant_props",
+        "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
+        "docs_minhash_estimate_gate", "events_out_of_order_audit",
+        "events_type_value_quantiles",
+        "log_read_point", "log_bounds", "log_scan_range", "log_tail",
+        "log_consume_from", "log_truncate_view", "log_read_out_of_range",
+        "log_json_roundtrip", "log_servers", "log_acl_check",
+        "events_hourly_counts",
+    )),
 )
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
@@ -9685,37 +9723,22 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 
-# r9 window: evictions forced by this round's edits (the digest test
+# r10 window: evictions forced by this round's edits (the digest test
 # enforces each), then any never-driver-checked additions, then the
-# oldest-checked names (the 17-name r4 remnant leads the refill,
-# followed by the r5 cohort).
-# The 19 names below are the full media/scene closure, evicted by TWO
-# r9 BEHAVIORAL edits (ADVICE-r8 auditability note — these are
-# re-VERIFY evictions, not re-records): (a) media.py's
-# _ensure_python_stage_parallelism guard switched from plan-string
-# substring tokens to a structural node-class walk (changes which
-# inputs get the round-robin widening, i.e. the body of every decode
-# entry point), and (b) the scene pipeline refactor — _scene_frame_ids
-# now delegates to the single-sourced frameindex.scene_ids_from_hashes
-# and _shot_frame_hashes caches its 4-long fingerprint table
-# session-wide (plan shape of every scene consumer changes).
+# oldest-checked names (the 34-name r5 remnant leads the refill,
+# followed by the oldest r6 names).
+# The 3 names below are re-VERIFY evictions, not re-records
+# (ADVICE-r8 auditability rule), forced by the two ADVICE-r9
+# BEHAVIORAL fixes: (a) frameindex.frame_fingerprint_read now
+# VALIDATES the artifact's parquet schema on read instead of letting
+# a renamed column silently null out (changes the read path of both
+# index-path gates), and (b) docs_scene_cuts_streamed's max(k)
+# watermark guard moved BEFORE halves.cache() so the guard path can
+# no longer leak the cached decode pipeline (changes the query body).
 _WINDOW_PRIORITY: list[str] = [
-    "docs_media_meta",
-    "docs_audio_wav_roundtrip", "docs_frame_sample",
-    "docs_image_dedup_incremental", "docs_image_dedup_keepers",
-    "docs_image_dhash", "docs_image_feature_topk", "docs_image_neardup",
-    "docs_media_pipeline", "docs_multimodal_curation",
-    "docs_video_frame_containment", "docs_image_png_roundtrip",
-    "docs_video_perceptual_containment", "docs_audio_fingerprint",
-    "docs_audio_perceptual_neardup", "docs_audio_energy_topk",
-    "docs_video_scene_cuts", "docs_scene_keyframes",
+    "docs_scene_cuts_from_index",
+    "docs_scene_threshold_sweep",
     "docs_scene_cuts_streamed",
-    # evicted by the ADVICE-r8 PPSWOR weight-cap guard (an in-plan
-    # raise_error added to ppswor_bottom_k's ticket stage — this is
-    # the ONE sampling-closure name whose executed plan changed; the
-    # other 7 drifted names never call ppswor_bottom_k and were
-    # re-recorded as behavior-preserving, per the auditability rule)
-    "docs_weighted_sample",
 ]
 
 
