@@ -94,27 +94,54 @@ COLD_FAMILIES: dict[str, list[str]] = {
     ],
 }
 
-# CANARY INFLATION (VERDICT-r8 #2): the r8 artifact's per-query numbers
-# were ~2x quiet-class for code-untouched queries — external CPU
-# throttling, verified independently by builder and judge, but only
-# attributable through BASELINE prose archaeology. This makes the
-# correction IN-BAND: a fixed pure-JVM subset (no Python stage, no
-# streaming state, untouched since their quiet reference runs) is
-# timed at suite START and END; the artifact records
-#   canary_inflation = median(measured_sec / pinned_quiet_sec)
+# CANARY INFLATION (VERDICT-r8 #2, refs per-phase since VERDICT-r9 #2):
+# the r8 artifact's per-query numbers were ~2x quiet-class for
+# code-untouched queries — external CPU throttling, verified
+# independently by builder and judge, but only attributable through
+# BASELINE prose archaeology. This makes the correction IN-BAND: a
+# fixed pure-JVM subset (no Python stage, no streaming state,
+# untouched since their quiet reference runs) is timed at suite START
+# and END; the artifact records
+#   canary_inflation_<phase> = median(measured_sec / pinned_quiet_sec)
 # for each pass. A reviewer divides suite walls by the factor before
-# calling anything a regression. References are the per-query MIN of
-# the two recorded quiet-class runs (bench_queries.json at 78b7bd6,
-# the r8 quiet 257.9s/190 run, and e9a20e8, the r7 205.8s/182
-# artifact), pinned at sf0.1 — the canary is skipped at other SFs.
-CANARY_QUIET_REF: dict[str, float] = {
-    "tpch_q1_pricing": 0.45,
-    "tpch_q3_shipping": 0.61,
-    "tpch_q5_nation_revenue": 0.78,
-    "tpch_q9_product_profit": 0.63,
-    "events_markov_transitions": 0.50,
-    "events_hourly_counts": 0.39,
+# calling anything a regression.
+#
+# Each pass compares against ITS OWN phase's reference: even after the
+# untimed warm pass, a start-of-suite execution still reads ~20%
+# higher than the same plans at suite end (residual JIT/codegen/page-
+# cache ramp — the pinned quiet r9 run read 1.28 start / 1.06 end
+# against a single shared reference). Both phases' references are the
+# corresponding passes of that pinned quiet r9 run (bench_queries.json
+# at 91a1c21, loadavg 0.67, 302.9s/201), so a quiet machine reads
+# ~1.0 at BOTH ends by construction and any deviation is machine
+# state, not phase bias. Pinned at sf0.1 — the canary is skipped at
+# other SFs and on subset runs.
+CANARY_QUIET_REF: dict[str, dict[str, float]] = {
+    "start": {
+        "tpch_q1_pricing": 0.4745,
+        "tpch_q3_shipping": 0.8429,
+        "tpch_q5_nation_revenue": 1.074,
+        "tpch_q9_product_profit": 0.818,
+        "events_markov_transitions": 0.6332,
+        "events_hourly_counts": 0.3651,
+    },
+    "end": {
+        "tpch_q1_pricing": 0.3601,
+        "tpch_q3_shipping": 0.684,
+        "tpch_q5_nation_revenue": 0.8297,
+        "tpch_q9_product_profit": 0.6683,
+        "events_markov_transitions": 0.6552,
+        "events_hourly_counts": 0.3135,
+    },
 }
+
+# STRUCTURAL-REGRESSION FLAG (VERDICT-r9 #3): machine throttling moves
+# all six canaries TOGETHER (historical noisy runs spread ~1.2-1.4x
+# between the most- and least-inflated member); a plan regression in
+# one canary moves that one alone. If the end pass's max/min per-query
+# ratio exceeds this band, the artifact is flagged STRUCTURAL with the
+# outlier named — machine load alone cannot produce it.
+CANARY_SPREAD_BAND = 1.8
 
 
 def _run_canary(spark, sf_dir: str, fns) -> dict[str, float]:
@@ -122,7 +149,7 @@ def _run_canary(spark, sf_dir: str, fns) -> dict[str, float]:
     order. None of these ride a family cache, so one timed pass
     approximates their isolated-quiet cost on a quiet machine."""
     out: dict[str, float] = {}
-    for name in sorted(CANARY_QUIET_REF):
+    for name in sorted(CANARY_QUIET_REF["end"]):
         if name not in fns:
             continue
         t0 = time.perf_counter()
@@ -131,13 +158,19 @@ def _run_canary(spark, sf_dir: str, fns) -> dict[str, float]:
     return out
 
 
-def _canary_inflation(measured: dict[str, float]) -> float | None:
-    """Median of measured/pinned ratios — robust to one outlier query."""
-    ratios = sorted(
-        measured[n] / CANARY_QUIET_REF[n]
+def _canary_ratios(measured: dict[str, float], phase: str) -> dict[str, float]:
+    """Per-query measured/pinned-quiet ratios vs the given phase's refs."""
+    refs = CANARY_QUIET_REF[phase]
+    return {
+        n: measured[n] / refs[n]
         for n in measured
-        if n in CANARY_QUIET_REF and CANARY_QUIET_REF[n] > 0
-    )
+        if n in refs and refs[n] > 0
+    }
+
+
+def _canary_inflation(measured: dict[str, float], phase: str = "end") -> float | None:
+    """Median of measured/pinned ratios — robust to one outlier query."""
+    ratios = sorted(_canary_ratios(measured, phase).values())
     if not ratios:
         return None
     mid = len(ratios) // 2
@@ -147,6 +180,36 @@ def _canary_inflation(measured: dict[str, float]) -> float | None:
         else (ratios[mid - 1] + ratios[mid]) / 2
     )
     return round(med, 3)
+
+
+def _canary_spread(
+    measured: dict[str, float], phase: str = "end"
+) -> tuple[float, str] | None:
+    """(max/min per-query ratio, name of the max-ratio query) for the
+    given pass — the machine-vs-structural discriminator. None when
+    fewer than two canaries were measured."""
+    ratios = _canary_ratios(measured, phase)
+    if len(ratios) < 2:
+        return None
+    hi = max(ratios, key=ratios.get)
+    return round(ratios[hi] / min(ratios.values()), 3), hi
+
+
+def _noisier_than_committed(full: dict, prior: dict) -> str | None:
+    """Reason string when this run must NOT replace the existing
+    artifact: same query surface (equal n_queries — anything else
+    means the artifact is stale and is always replaced), both carry a
+    canary, and this run's end-pass inflation is meaningfully worse
+    than the committed run's. None = safe to overwrite."""
+    if not prior or full.get("n_queries") != prior.get("n_queries"):
+        return None
+    new_c = (full.get("canary") or {}).get("inflation_end")
+    old_c = (prior.get("canary") or {}).get("inflation_end")
+    if new_c is None or old_c is None:
+        return None
+    if new_c > old_c + 0.05:
+        return f"inflation_end {new_c} vs committed {old_c}"
+    return None
 
 
 def _run_cold(spark, sf_dir: str, sf: str, out_path: str) -> None:
@@ -300,6 +363,12 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    if only:
+        # SUBSET DIVERSION (VERDICT-r9 #4): a SPARK_GRAFT_BENCH_ONLY
+        # run used to overwrite the committed full-suite artifact with
+        # a few-query map (the known probe-session footgun, bit at r9
+        # round close too). Subset artifacts now live in their own file.
+        out_path = out_path.replace(".json", ".subset.json")
     if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "family":
         _run_cold(spark, sf_dir, sf, out_path)
         spark.stop()
@@ -346,21 +415,38 @@ def main() -> None:
         "query_order": "alphabetical (see cache-order policy above)",
     }
     if run_canary:
+        spread = _canary_spread(canary_end, "end")
+        infl_end = _canary_inflation(canary_end, "end")
+        if spread is not None and spread[0] > CANARY_SPREAD_BAND:
+            flag = f"STRUCTURAL({spread[1]})"
+        elif infl_end is not None and infl_end > 1.15:
+            flag = "MACHINE"
+        else:
+            flag = "QUIET"
         full["canary"] = {
             "quiet_ref": CANARY_QUIET_REF,
             "start": canary_start,
             "end": canary_end,
-            "inflation_start": _canary_inflation(canary_start),
-            "inflation_end": _canary_inflation(canary_end),
+            "inflation_start": _canary_inflation(canary_start, "start"),
+            "inflation_end": infl_end,
+            "spread_start": _canary_spread(canary_start, "start"),
+            "spread_end": spread,
+            "flag": flag,
             "note": (
                 "measured/pinned-quiet median over a fixed pure-JVM "
-                "subset, timed before and after the suite; divide "
-                "suite walls by ~the midpoint before trending "
-                "round-over-round (VERDICT-r8 #2)"
+                "subset, timed before and after the suite, each pass "
+                "vs its OWN phase's pinned-quiet-run reference "
+                "(VERDICT-r9 #2); divide suite walls by "
+                "inflation_end before trending round-over-round. "
+                "flag=MACHINE means uniform external load (ratios "
+                "move together); flag=STRUCTURAL(name) means ONE "
+                "canary's ratio diverged past the spread band — a "
+                "plan/code regression, not load (VERDICT-r9 #3)."
             ),
         }
     # cold-attribution numbers from a prior SPARK_GRAFT_BENCH_COLD run
     # survive plain rewrites, so one artifact carries both views
+    prior: dict = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as fh:
@@ -369,7 +455,25 @@ def main() -> None:
                 if k in prior:
                     full[k] = prior[k]
         except (OSError, json.JSONDecodeError):
-            pass
+            prior = {}
+    # NO-CLOBBER GUARD (VERDICT-r9 #4): a full-suite rerun on a noisier
+    # machine (the driver benches under shared load) must not silently
+    # replace a quieter committed artifact — r9's round-close quiet map
+    # was overwritten by the driver's 1.12-inflation run. If the
+    # existing artifact covers the same query surface and reads
+    # meaningfully quieter, divert this run to bench_queries.noisy.json
+    # (stdout metric line still prints — the driver contract is
+    # unaffected). A differing n_queries means the artifact is stale
+    # and is always replaced.
+    divert = _noisier_than_committed(full, prior)
+    if divert:
+        out_path = out_path.replace(".json", ".noisy.json")
+        print(
+            "NOTE: canary reads noisier than the committed artifact "
+            f"({divert}); writing {os.path.basename(out_path)} and "
+            "leaving bench_queries.json untouched",
+            file=sys.stderr,
+        )
     # The driver tail-captures stdout with a bounded buffer, so the
     # LAST line must stay small (<200 bytes).  The per-query map goes
     # to bench_queries.json next to this script instead of stdout.

@@ -183,9 +183,17 @@ def test_bench_canary_and_cold_families_name_real_queries():
     import bench
     from proglog_spark.queries import REGISTRY
 
-    for name, ref in bench.CANARY_QUIET_REF.items():
-        assert name in REGISTRY, name
-        assert ref > 0, name
+    assert set(bench.CANARY_QUIET_REF) == {"start", "end"}
+    # both phases must pin the SAME subset (the two passes time the
+    # same queries; a name present in one phase only would silently
+    # drop out of that phase's median)
+    assert set(bench.CANARY_QUIET_REF["start"]) == set(
+        bench.CANARY_QUIET_REF["end"]
+    )
+    for phase, refs in bench.CANARY_QUIET_REF.items():
+        for name, ref in refs.items():
+            assert name in REGISTRY, f"{phase}:{name}"
+            assert ref > 0, f"{phase}:{name}"
     for fam, members in bench.COLD_FAMILIES.items():
         for name in members:
             assert name in REGISTRY, f"{fam}:{name}"
@@ -193,19 +201,74 @@ def test_bench_canary_and_cold_families_name_real_queries():
 
 def test_bench_canary_inflation_median():
     """The inflation factor is the MEDIAN of measured/pinned ratios
-    (robust to a single outlier canary), None when nothing measured."""
+    vs the measured pass's OWN phase references (VERDICT-r9 #2 —
+    the start pass reads ~20% high against end-of-suite numbers even
+    warm, so each phase pins its own quiet-run pass), robust to a
+    single outlier canary, None when nothing measured."""
     import bench
 
-    names = sorted(bench.CANARY_QUIET_REF)
-    refs = bench.CANARY_QUIET_REF
-    # all exactly at reference -> 1.0
-    assert bench._canary_inflation({n: refs[n] for n in names}) == 1.0
-    # one wild outlier barely moves the median
-    measured = {n: refs[n] for n in names}
-    measured[names[0]] = refs[names[0]] * 100
-    assert bench._canary_inflation(measured) == 1.0
-    # uniform 2x throttling -> 2.0
-    assert bench._canary_inflation(
-        {n: refs[n] * 2 for n in names}
-    ) == 2.0
-    assert bench._canary_inflation({}) is None
+    for phase in ("start", "end"):
+        refs = bench.CANARY_QUIET_REF[phase]
+        names = sorted(refs)
+        # all exactly at reference -> 1.0 (the "quiet machine reads
+        # ~1.0 at BOTH ends" property the per-phase refs exist for)
+        assert bench._canary_inflation(dict(refs), phase) == 1.0
+        # one wild outlier barely moves the median
+        measured = dict(refs)
+        measured[names[0]] = refs[names[0]] * 100
+        assert bench._canary_inflation(measured, phase) == 1.0
+        # uniform 2x throttling -> 2.0
+        assert bench._canary_inflation(
+            {n: refs[n] * 2 for n in names}, phase
+        ) == 2.0
+        assert bench._canary_inflation({}, phase) is None
+
+
+def test_bench_canary_spread_discriminates_structural():
+    """Uniform machine load keeps the max/min ratio spread at 1.0;
+    one diverging canary pushes the spread past the band and NAMES
+    the outlier (VERDICT-r9 #3 — a regression in a canary query must
+    not masquerade as machine load)."""
+    import bench
+
+    refs = bench.CANARY_QUIET_REF["end"]
+    names = sorted(refs)
+    # uniform 3x throttling: every ratio identical -> spread 1.0
+    spread = bench._canary_spread({n: refs[n] * 3 for n in names}, "end")
+    assert spread == (1.0, spread[1])
+    # one query 2.5x, rest at reference -> spread 2.5, outlier named
+    measured = dict(refs)
+    measured[names[2]] = refs[names[2]] * 2.5
+    spread = bench._canary_spread(measured, "end")
+    assert spread == (2.5, names[2])
+    assert spread[0] > bench.CANARY_SPREAD_BAND
+    # fewer than two measured -> None
+    assert bench._canary_spread({names[0]: refs[names[0]]}, "end") is None
+    assert bench._canary_spread({}, "end") is None
+
+
+def test_bench_noisier_run_does_not_clobber():
+    """A full-suite rerun whose end-pass canary reads meaningfully
+    worse than the committed artifact's must divert (VERDICT-r9 #4 —
+    the driver's loaded run must not replace a quiet round-close
+    map); a different query surface always replaces."""
+    import bench
+
+    quiet = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
+    noisy = {"n_queries": 201, "canary": {"inflation_end": 1.32}}
+    assert bench._noisier_than_committed(noisy, quiet) is not None
+    # quieter (or equal within tolerance) overwrites
+    assert bench._noisier_than_committed(quiet, noisy) is None
+    assert bench._noisier_than_committed(quiet, dict(quiet)) is None
+    # stale surface (different n_queries) always overwrites
+    assert (
+        bench._noisier_than_committed(
+            {"n_queries": 205, "canary": {"inflation_end": 2.0}}, quiet
+        )
+        is None
+    )
+    # no prior artifact / no canary on either side -> overwrite
+    assert bench._noisier_than_committed(noisy, {}) is None
+    assert (
+        bench._noisier_than_committed({"n_queries": 201}, quiet) is None
+    )
