@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import base64
 import json
+import sys
 import urllib.request
 from urllib.error import HTTPError
 
@@ -39,6 +40,24 @@ def served_engine(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("httplog") / "log")
     engine = Engine.create(spark, path, bucket_size=8)
     srv = HttpLogServer(engine)
+
+    # VERDICT-r9 #6: urllib leaves keep-alive connections open, so at
+    # module teardown a handler thread can hit ConnectionReset/
+    # BrokenPipe mid-read and socketserver prints "Exception occurred
+    # during processing of request" + traceback to stderr — expected
+    # noise that genuine handler errors could then hide behind.
+    # Swallow ONLY the client-disconnect classes; anything else still
+    # prints via the default path (and fails the output check a
+    # reviewer runs).
+    default_handle_error = srv._server.handle_error
+
+    def _quiet_disconnects(request, client_address):
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (ConnectionResetError, BrokenPipeError)):
+            return
+        default_handle_error(request, client_address)
+
+    srv._server.handle_error = _quiet_disconnects
     host, port = srv.start()
     yield engine, port
     srv.stop()

@@ -195,6 +195,43 @@ def test_scene_threshold_sweep_is_one_pass(spark, sf_dir):
     assert plan.count("hashpartitioning(doc_id") == 1
 
 
+def test_frame_fingerprint_read_rejects_drifted_artifact(spark):
+    """ADVICE-r9: an explicit read schema is NOT a guard — Spark's
+    parquet reader silently returns NULL for a missing/renamed column,
+    and a NULL simhash_lo would make every frame open a scene (a
+    silent wrong answer). frame_fingerprint_read must therefore raise
+    on an artifact whose footer schema drifted, naming both the
+    missing and the unexpected columns — and still accept a
+    well-formed artifact regardless of column order."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from proglog_spark.multimodal.frameindex import frame_fingerprint_read
+
+    good = tempfile.mkdtemp(prefix="fp_read_ok_")
+    bad = tempfile.mkdtemp(prefix="fp_read_drift_")
+    try:
+        rows = [(1, 0, 3, 7), (1, 1, 3, 7)]
+        # column order permuted vs the DDL: name-set validation must
+        # not care (parquet reads are name-resolved, not positional)
+        spark.createDataFrame(
+            rows, "simhash_hi LONG, simhash_lo LONG, doc_id LONG, k LONG"
+        ).write.mode("overwrite").parquet(good)
+        assert frame_fingerprint_read(spark, good).count() == 2
+        # a renamed hash word — the exact drift that would null out
+        spark.createDataFrame(
+            rows, "doc_id LONG, k LONG, simhash LONG, simhash_hi LONG"
+        ).write.mode("overwrite").parquet(bad)
+        with pytest.raises(ValueError, match="simhash_lo") as exc:
+            frame_fingerprint_read(spark, bad)
+        assert "simhash'" in str(exc.value)  # the unexpected column, named
+    finally:
+        shutil.rmtree(good, ignore_errors=True)
+        shutil.rmtree(bad, ignore_errors=True)
+
+
 def test_scan_range_prunes_with_filter(spark, sf_dir):
     """L5 range scan: BETWEEN bounds push to the scan, mirroring
     segment-range routing (log.go:99-104)."""

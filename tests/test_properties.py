@@ -207,12 +207,18 @@ def test_hamming_pairs_two_sided_matches_all_pairs_model(spark, left, right):
     )
 )
 def test_scene_sweep_and_ids_agree_with_model(spark, clips):
-    """Three-way pin over RANDOM per-clip hash sequences: for each
+    """Four-way pin over RANDOM per-clip hash sequences: for each
     threshold, scene_count_sweep's corpus n_scenes must equal the
     distinct (clip, scene_id) count of scene_ids_from_hashes at that
     cut_bits AND the pure-Python cut count — so the one-pass sweep,
     the running-sum segmentation, and the spec can never drift apart.
-    Thresholds straddle the spectrum (1 cuts almost everywhere, 65 is
+    VERDICT-r9 #5 extends the pin to the sweep's OTHER outputs, which
+    previously had only the driver gate: mean_scene_len_micro must
+    equal the pure-Python floor-fixed-point floor(1e6 * n_frames /
+    n_scenes) — exercising the NULL-first-frame arm (a clip's first
+    frame has no LAG distance yet always opens a scene, so n_scenes
+    >= n_clips and the division is never by zero). Thresholds
+    straddle the spectrum (1 cuts almost everywhere, 65 is
     unreachable for 64-bit hashes so only first frames open scenes)."""
     from proglog_spark.multimodal.frameindex import (
         scene_count_sweep,
@@ -229,7 +235,7 @@ def test_scene_sweep_and_ids_agree_with_model(spark, clips):
     )
     thresholds = [1, 12, 65]
     swept = {
-        r.threshold: (r.n_scenes, r.n_frames)
+        r.threshold: (r.n_scenes, r.n_frames, r.mean_scene_len_micro)
         for r in scene_count_sweep(df, thresholds).collect()
     }
     n_frames = sum(len(hs) for hs in clips)
@@ -246,9 +252,13 @@ def test_scene_sweep_and_ids_agree_with_model(spark, clips):
             .distinct()
             .count()
         )
-        assert swept[t] == (model, n_frames)
+        mean_micro = 1_000_000 * n_frames // model
+        assert swept[t] == (model, n_frames, mean_micro)
         assert ids == model
     assert swept[65][0] == len(clips)  # only first frames open scenes
+    # at the unreachable threshold every clip is ONE scene, so the
+    # fixed-point mean is exactly the corpus mean clip length
+    assert swept[65][2] == 1_000_000 * n_frames // len(clips)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
