@@ -84,7 +84,7 @@ COLD_FAMILIES: dict[str, list[str]] = {
     "scene": [
         "docs_scene_cuts_from_index", "docs_scene_cuts_streamed",
         "docs_scene_keyframes", "docs_scene_threshold_sweep",
-        "docs_video_scene_cuts",
+        "docs_video_scene_cuts", "docs_video_shared_scenes",
     ],
     # the ANN families share the quantized-corpus / trained-model
     # prefix caches (IVF centroids, PQ codebooks, SQ8 bounds)

@@ -182,6 +182,89 @@ def scene_count_sweep(hashes: DataFrame, thresholds: list[int]) -> DataFrame:
     )
 
 
+def scene_signatures(
+    hashes: DataFrame,
+    cut_bits: int = SCENE_CUT_BITS,
+    min_len: int = 4,
+) -> DataFrame:
+    """(doc_id, k, simhash_lo, simhash_hi) -> one row per scene of at
+    least ``min_len`` frames: (doc_id, scene_id, sig, slen), where
+    ``sig`` is md5 over the scene's ORDERED frame-hash sequence
+    ("lo:hi,lo:hi,..." in frame order).
+
+    This is the cross-clip retrieval signature the r9 probe showed a
+    per-frame radius match cannot provide: single-frame dHashes are
+    promiscuous on short content (the probed-and-rejected keyframe
+    gate matched ~96% of clip pairs at radius 3, and even EXACT
+    per-scene min/max aggregate signatures still matched 95% — common
+    single-shot scenes are everywhere). An order-sensitive sequence
+    hash over MULTI-SHOT scenes (min_len=4 spans >= 2 shots of the
+    3-frame fixture shots) is specific: two clips share a signature
+    only when an entire scene's frame sequence is byte-identical
+    (measured: 0.8% of pairs at sf0.001, 0.008% at sf0.01).
+
+    Scale shape: the same single windowed pass as
+    scene_ids_from_hashes (per-clip window, hash words only), then a
+    per-(clip, scene) aggregate — shuffles carry the clip key + two
+    longs, and the signature join downstream is exact-match on a
+    32-char key, never an all-pairs product. The ordered concat is
+    collect_list + array_sort over (k, str) structs (struct ordering
+    sorts by the leading k), all JVM built-ins.
+    """
+    wk = Window.partitionBy("doc_id").orderBy("k")
+    lagd = hashes.select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.lag("simhash_lo").over(wk).alias("plo"),
+        F.lag("simhash_hi").over(wk).alias("phi"),
+    )
+    cuts = lagd.select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.when(F.col("plo").isNull(), F.lit(1))
+        .when(
+            F.bit_count(F.col("simhash_lo").bitwiseXOR(F.col("plo")))
+            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
+            >= cut_bits,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    withid = cuts.select(
+        "doc_id",
+        "k",
+        F.concat_ws(
+            ":",
+            F.col("simhash_lo").cast("string"),
+            F.col("simhash_hi").cast("string"),
+        ).alias("fs"),
+        F.sum("cut")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("scene_id"),
+    )
+    return (
+        withid.groupBy("doc_id", "scene_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "fs"))),
+                        lambda s: s.fs,
+                    ),
+                )
+            ).alias("sig"),
+            F.count(F.lit(1)).alias("slen"),
+        )
+        .where(F.col("slen") >= min_len)
+    )
+
+
 def scene_cuts_from_index(spark: SparkSession, path: str) -> DataFrame:
     """Per-clip scene accounting answered ENTIRELY from the frozen
     fingerprint artifact — no payload column in the plan at all.

@@ -439,3 +439,39 @@ def test_scene_cuts_from_index_matches_direct_path(spark):
         assert sorted(tuple(r) for r in back.collect()) == [
             (1, 0, 5, 9), (1, 1, 5, 9), (2, 0, 7, 7),
         ]
+
+
+def test_shared_scenes_match_planted_splice(spark):
+    """Cross-clip shared-scene retrieval on a planted splice: clips 1
+    and 2 both contain the same 9-frame calm scene (calm*3) spliced
+    between DIFFERENT surroundings; clip 3 shares nothing. Expected
+    output is exactly one pair row — (1, 2) sharing that one scene —
+    because the surrounding scenes are sub-min_len (3 frames) or
+    content-distinct, and containment is 10^6 * 1/min(1, 1). Also
+    pins the negative: the promiscuity regime (every clip pairing
+    with every other on single-shot scenes) must NOT reappear."""
+    from proglog_spark.queries import REGISTRY
+
+    calm = "ABCABCABC"
+    loud = "zrjqxwvut"
+    rows = [
+        (1, calm * 3 + loud, "s", 36),          # calm scene, loud tail
+        (2, loud + calm * 3, "s", 36),          # loud head, SAME calm scene
+        (3, "qqqppprrr" * 4, "s", 36),          # unrelated clip
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(f"{td}/documents.parquet")
+        got = [
+            tuple(r)
+            for r in REGISTRY["docs_video_shared_scenes"][0](
+                spark, td
+            ).collect()
+        ]
+    # clip 1: scenes are calm (9 frames, kept) + loud (3, dropped);
+    # clip 2: loud (3, dropped) + calm (9, kept) — identical ordered
+    # frame-hash sequence, so the signatures collide; clip 3's one
+    # 12-frame scene has a different sequence and pairs with nobody
+    assert got == [(1, 2, 1, 1, 1, 1_000_000)]

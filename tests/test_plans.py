@@ -195,6 +195,29 @@ def test_scene_threshold_sweep_is_one_pass(spark, sf_dir):
     assert plan.count("hashpartitioning(doc_id") == 1
 
 
+def test_shared_scenes_pair_join_is_equi_on_signature(spark, sf_dir):
+    """The cross-clip shared-scene stage must be an exact-match
+    equi-join on the 32-char scene signature — never an all-pairs
+    product (the shape that made the r9 keyframe gate un-shippable):
+    no cartesian/nested-loop join anywhere, the pair shuffle keyed on
+    sig, and exactly the two clip-keyed windows (scene ids + per-doc
+    signature count) — no global single-partition window."""
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_video_shared_scenes"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(sig" in plan
+    assert "hashpartitioning(doc_id" in plan  # clip-keyed, never global
+    # the signature table is CACHED (the oracle's MATERIALIZED twin) —
+    # the self-join must read it from memory, not rebuild the
+    # window+md5 stage per side
+    assert plan.count("InMemoryTableScan") >= 2
+    # every window is clip- or signature-keyed; a global window would
+    # partition by nothing
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
+
+
 def test_frame_fingerprint_read_rejects_drifted_artifact(spark):
     """ADVICE-r9: an explicit read schema is NOT a guard — Spark's
     parquet reader silently returns NULL for a missing/renamed column,

@@ -231,6 +231,26 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "CASE WHEN d >= threshold THEN 1 ELSE 0 END",
     ),
     (
+        "docs_video_shared_scenes",
+        "multi-shot scene filter lost (single-shot scenes admitted — "
+        "the r9-probed promiscuity regime)",
+        "GROUP BY doc_id, scene_id HAVING count(*) >= 4",
+        "GROUP BY doc_id, scene_id HAVING count(*) >= 1",
+    ),
+    (
+        "docs_video_shared_scenes",
+        "hub cap collapsed to pair-only signatures (freq 3..12 "
+        "signatures dropped before the join)",
+        "HAVING count(*) <= 64",
+        "HAVING count(*) <= 2",
+    ),
+    (
+        "docs_video_shared_scenes",
+        "containment normalized by the LARGER clip (least -> greatest)",
+        "least(na, nb)",
+        "greatest(na, nb)",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
