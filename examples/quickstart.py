@@ -227,6 +227,34 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
         "sweep:", out["threshold_sweep"],
     )
 
+    # 5f — cross-clip shared-scene retrieval (the gate-checked
+    # docs_video_shared_scenes path): clips pair up on the ORDER-
+    # SENSITIVE md5 of a whole multi-shot scene's frame-hash sequence
+    # — single-frame or aggregate matching is too promiscuous (the r9
+    # probe matched ~95% of clip pairs); a shared sequence signature
+    # means the same footage appears in both clips
+    from proglog_spark.multimodal.frameindex import scene_signatures
+
+    splice = spark.createDataFrame(
+        [(0, k, 7, 9) for k in range(6)]        # clips 0 and 1 share a
+        + [(1, k, 7, 9) for k in range(6)]      # 6-frame steady scene
+        + [(2, k, 42, 0) for k in range(6)],    # unrelated clip
+        "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG",
+    )
+    sigs = scene_signatures(splice, min_len=4).select("doc_id", "sig")
+    out["shared_scene_pairs"] = [
+        (r.doc_a, r.doc_b)
+        for r in sigs.alias("a")
+        .join(sigs.alias("b"), "sig")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    ]
+    print("shared-scene pairs:", out["shared_scene_pairs"])
+
     # 6 — curation pipeline into training shards
     from proglog_spark.pipelines import curate_and_shard
 

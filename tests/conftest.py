@@ -34,3 +34,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def quiet_expected_aborts(srv, *extra_classes):
+    """Silence socketserver's stderr traceback for EXPECTED per-request
+    aborts on a test HttpLogServer (VERDICT-r9 #6): keep-alive clients
+    reset at teardown, and the mTLS tests deliberately fail handshakes
+    (the lazy per-connection handshake raises in the handler thread).
+    Only the listed classes are swallowed — anything else still prints
+    through the default handle_error, so a genuine handler bug cannot
+    hide behind the expected noise."""
+    import sys as _sys
+
+    allowed = (ConnectionResetError, BrokenPipeError, *extra_classes)
+    default = srv._server.handle_error
+
+    def _handle_error(request, client_address):
+        if isinstance(_sys.exc_info()[1], allowed):
+            return
+        default(request, client_address)
+
+    srv._server.handle_error = _handle_error

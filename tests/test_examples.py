@@ -30,5 +30,8 @@ def test_quickstart_tour(spark, sf_dir, tmp_path):
     # frames in 1 scene; the sweep merges everything at threshold 64
     assert out["scene_accounting"] == [(0, 6, 2), (1, 4, 1)]
     assert out["threshold_sweep"] == [(4, 3), (64, 2)]
+    # cross-clip retrieval: clips 0+1 share the spliced 6-frame scene;
+    # the unrelated clip 2 pairs with nobody
+    assert out["shared_scene_pairs"] == [(0, 1)]
     assert sum(n for *_k, n in out["shard_accounting"]) > 0
     assert out["http_read"] == "event-0"

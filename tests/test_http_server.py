@@ -9,11 +9,11 @@ from __future__ import annotations
 
 import base64
 import json
-import sys
 import urllib.request
 from urllib.error import HTTPError
 
 import pytest
+from conftest import quiet_expected_aborts
 
 from proglog_spark.engine import Engine
 from proglog_spark.server import HttpLogServer
@@ -46,18 +46,7 @@ def served_engine(spark, tmp_path_factory):
     # BrokenPipe mid-read and socketserver prints "Exception occurred
     # during processing of request" + traceback to stderr — expected
     # noise that genuine handler errors could then hide behind.
-    # Swallow ONLY the client-disconnect classes; anything else still
-    # prints via the default path (and fails the output check a
-    # reviewer runs).
-    default_handle_error = srv._server.handle_error
-
-    def _quiet_disconnects(request, client_address):
-        exc = sys.exc_info()[1]
-        if isinstance(exc, (ConnectionResetError, BrokenPipeError)):
-            return
-        default_handle_error(request, client_address)
-
-    srv._server.handle_error = _quiet_disconnects
+    quiet_expected_aborts(srv)
     host, port = srv.start()
     yield engine, port
     srv.stop()
