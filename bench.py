@@ -185,14 +185,24 @@ def _canary_inflation(measured: dict[str, float], phase: str = "end") -> float |
 def _canary_spread(
     measured: dict[str, float], phase: str = "end"
 ) -> tuple[float, str] | None:
-    """(max/min per-query ratio, name of the max-ratio query) for the
-    given pass — the machine-vs-structural discriminator. None when
-    fewer than two canaries were measured."""
+    """(max/min per-query ratio, name of the OUTLIER query) for the
+    given pass — the machine-vs-structural discriminator. The named
+    query is the one farthest from the median in log-ratio, not
+    simply the max: a canary that got FASTER (plan improvement /
+    stale ref) is the outlier even though every other query sits
+    above it, and naming the max would send the regression hunt at
+    an innocent query. None when fewer than two canaries were
+    measured."""
+    import math
+
     ratios = _canary_ratios(measured, phase)
     if len(ratios) < 2:
         return None
-    hi = max(ratios, key=ratios.get)
-    return round(ratios[hi] / min(ratios.values()), 3), hi
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    outlier = max(ratios, key=lambda n: abs(math.log(ratios[n] / med)))
+    return round(max(vals) / min(vals), 3), outlier
 
 
 def _noisier_than_committed(full: dict, prior: dict) -> str | None:

@@ -41,6 +41,42 @@ FRAME_FINGERPRINT_SCHEMA = (
 )
 
 
+def _frame_cut_flags(
+    hashes: DataFrame, cut_bits: int, keep_hashes: bool
+) -> DataFrame:
+    """Shared LAG cut detection — THE single source of the cut rule
+    (module contract: every scene consumer segments identically).
+    (doc_id, k, simhash_lo, simhash_hi) -> (doc_id, k[, simhash_lo,
+    simhash_hi], cut) where cut=1 iff the frame opens a scene (first
+    frame of a clip, or >= cut_bits Hamming bits from its
+    predecessor). ``keep_hashes`` carries the hash words through for
+    consumers that aggregate over them (scene_signatures)."""
+    wk = Window.partitionBy("doc_id").orderBy("k")
+    lagd = hashes.select(
+        "doc_id",
+        "k",
+        "simhash_lo",
+        "simhash_hi",
+        F.lag("simhash_lo").over(wk).alias("plo"),
+        F.lag("simhash_hi").over(wk).alias("phi"),
+    )
+    kept = ["doc_id", "k"] + (
+        ["simhash_lo", "simhash_hi"] if keep_hashes else []
+    )
+    return lagd.select(
+        *kept,
+        F.when(F.col("plo").isNull(), F.lit(1))
+        .when(
+            F.bit_count(F.col("simhash_lo").bitwiseXOR(F.col("plo")))
+            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
+            >= cut_bits,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+
+
 def scene_ids_from_hashes(
     hashes: DataFrame, cut_bits: int = SCENE_CUT_BITS
 ) -> DataFrame:
@@ -52,28 +88,7 @@ def scene_ids_from_hashes(
     never frame payloads.
     """
     wk = Window.partitionBy("doc_id").orderBy("k")
-    lagd = hashes.select(
-        "doc_id",
-        "k",
-        "simhash_lo",
-        "simhash_hi",
-        F.lag("simhash_lo").over(wk).alias("plo"),
-        F.lag("simhash_hi").over(wk).alias("phi"),
-    )
-    cuts = lagd.select(
-        "doc_id",
-        "k",
-        F.when(F.col("plo").isNull(), F.lit(1))
-        .when(
-            F.bit_count(F.col("simhash_lo").bitwiseXOR(F.col("plo")))
-            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
-            >= cut_bits,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("cut"),
-    )
-    return cuts.select(
+    return _frame_cut_flags(hashes, cut_bits, keep_hashes=False).select(
         "doc_id",
         "k",
         F.sum("cut")
@@ -212,30 +227,7 @@ def scene_signatures(
     sorts by the leading k), all JVM built-ins.
     """
     wk = Window.partitionBy("doc_id").orderBy("k")
-    lagd = hashes.select(
-        "doc_id",
-        "k",
-        "simhash_lo",
-        "simhash_hi",
-        F.lag("simhash_lo").over(wk).alias("plo"),
-        F.lag("simhash_hi").over(wk).alias("phi"),
-    )
-    cuts = lagd.select(
-        "doc_id",
-        "k",
-        "simhash_lo",
-        "simhash_hi",
-        F.when(F.col("plo").isNull(), F.lit(1))
-        .when(
-            F.bit_count(F.col("simhash_lo").bitwiseXOR(F.col("plo")))
-            + F.bit_count(F.col("simhash_hi").bitwiseXOR(F.col("phi")))
-            >= cut_bits,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("cut"),
-    )
-    withid = cuts.select(
+    withid = _frame_cut_flags(hashes, cut_bits, keep_hashes=True).select(
         "doc_id",
         "k",
         F.concat_ws(

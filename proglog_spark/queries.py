@@ -9486,26 +9486,29 @@ def docs_scene_cuts_streamed(spark, sf_dir):
             "time span; derive the delay from max(k) before scaling"
         )
     # cached: the two half-writes would otherwise each re-run the
-    # whole decode+hash pipeline; unpersisted in the finally below
-    # (cache ownership stays in this function — nothing between the
-    # cache() and the owning try/finally can raise)
+    # whole decode+hash pipeline. The owning try/finally opens on the
+    # very next statement — the batch-1 write, the temp dirs, and the
+    # stream setup are all Spark jobs / filesystem calls that can
+    # raise, so every line after cache() runs under the finally that
+    # unpersists (the full ADVICE-r9 leak fix; the first cut only
+    # moved the guard)
     halves = sk.join(mid, "doc_id").cache()
-    stream_dir = tempfile.mkdtemp(prefix="scene_stream_")
-    ckpt = tempfile.mkdtemp(prefix="scene_ckpt_")
-    cols = ["doc_id", "k", "simhash_lo", "simhash_hi", "ts"]
-    halves.where(F.col("k") <= F.col("mid_k")).select(*cols).write.mode(
-        "append"
-    ).parquet(stream_dir)
-
-    schema = (
-        "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG, "
-        "ts TIMESTAMP"
-    )
-    frames_stream = spark.readStream.schema(schema).parquet(stream_dir)
-    name = _sink_name("scene_streamed")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        stream_dir = tempfile.mkdtemp(prefix="scene_stream_")
+        ckpt = tempfile.mkdtemp(prefix="scene_ckpt_")
+        cols = ["doc_id", "k", "simhash_lo", "simhash_hi", "ts"]
+        halves.where(F.col("k") <= F.col("mid_k")).select(*cols).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+        schema = (
+            "doc_id LONG, k LONG, simhash_lo LONG, simhash_hi LONG, "
+            "ts TIMESTAMP"
+        )
+        frames_stream = spark.readStream.schema(schema).parquet(stream_dir)
+        name = _sink_name("scene_streamed")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
             # watermark delay must exceed the whole frame-time SPAN:
             # ts = base + k, so after batch 1 the GLOBAL watermark sits
@@ -9819,9 +9822,12 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # source; the r9 driver check verified the pre-edit behavior,
     # which is identical for every name listed here.
     # (docs_video_scene_cuts / docs_scene_keyframes additionally
-    # re-recorded after the APPEND-ONLY frameindex.scene_signatures
-    # addition — 83 inserted lines, 0 removed, the sanctioned
-    # record path; no function they call changed.)
+    # re-recorded twice in r10: first after the APPEND-ONLY
+    # frameindex.scene_signatures addition, then after the review
+    # refactor that single-sources the LAG cut rule into
+    # frameindex._frame_cut_flags — behavior-preserving by
+    # construction (scene_ids_from_hashes emits the identical plan)
+    # and re-proven by green sf0.001 hash checks at record time.)
     ("r9", (
         "docs_media_meta",
         "docs_audio_wav_roundtrip", "docs_frame_sample",

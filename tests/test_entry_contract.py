@@ -242,6 +242,13 @@ def test_bench_canary_spread_discriminates_structural():
     spread = bench._canary_spread(measured, "end")
     assert spread == (2.5, names[2])
     assert spread[0] > bench.CANARY_SPREAD_BAND
+    # one query FASTER (plan improvement / stale ref) under uniform
+    # 1.2x load: the fast one is the outlier — naming the max-ratio
+    # query would blame an innocent one
+    measured = {n: refs[n] * 1.2 for n in names}
+    measured[names[1]] = refs[names[1]] * 0.4
+    spread = bench._canary_spread(measured, "end")
+    assert spread == (3.0, names[1])
     # fewer than two measured -> None
     assert bench._canary_spread({names[0]: refs[names[0]]}, "end") is None
     assert bench._canary_spread({}, "end") is None
