@@ -168,18 +168,17 @@ def _canary_ratios(measured: dict[str, float], phase: str) -> dict[str, float]:
     }
 
 
+def _median(vals: list[float]) -> float:
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+
+
 def _canary_inflation(measured: dict[str, float], phase: str = "end") -> float | None:
     """Median of measured/pinned ratios — robust to one outlier query."""
     ratios = sorted(_canary_ratios(measured, phase).values())
     if not ratios:
         return None
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
-    )
-    return round(med, 3)
+    return round(_median(ratios), 3)
 
 
 def _canary_spread(
@@ -199,19 +198,25 @@ def _canary_spread(
     if len(ratios) < 2:
         return None
     vals = sorted(ratios.values())
-    mid = len(vals) // 2
-    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    med = _median(vals)
     outlier = max(ratios, key=lambda n: abs(math.log(ratios[n] / med)))
     return round(max(vals) / min(vals), 3), outlier
 
 
 def _noisier_than_committed(full: dict, prior: dict) -> str | None:
     """Reason string when this run must NOT replace the existing
-    artifact: same query surface (equal n_queries — anything else
-    means the artifact is stale and is always replaced), both carry a
-    canary, and this run's end-pass inflation is meaningfully worse
-    than the committed run's. None = safe to overwrite."""
-    if not prior or full.get("n_queries") != prior.get("n_queries"):
+    artifact: (a) a DIFFERENT scale factor — the committed artifact is
+    the canonical sf0.1 map and a run at another sf (where the canary
+    is skipped) must never clobber it; or (b) same surface (equal
+    n_queries at the same sf — a differing n_queries means the
+    artifact is stale and is always replaced), both carry a canary,
+    and this run's end-pass inflation is meaningfully worse than the
+    committed run's. None = safe to overwrite."""
+    if not prior:
+        return None
+    if prior.get("sf") is not None and full.get("sf") != prior.get("sf"):
+        return f"sf {full.get('sf')} vs committed sf {prior.get('sf')}"
+    if full.get("n_queries") != prior.get("n_queries"):
         return None
     new_c = (full.get("canary") or {}).get("inflation_end")
     old_c = (prior.get("canary") or {}).get("inflation_end")
@@ -373,16 +378,26 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "family":
+        # cold mode ignores SPARK_GRAFT_BENCH_ONLY (it always times
+        # every COLD_FAMILIES member), so it must also ignore the
+        # subset diversion below — otherwise a leftover BENCH_ONLY in
+        # the environment would silently land the full cold map in the
+        # gitignored subset file
+        if only:
+            print(
+                "NOTE: SPARK_GRAFT_BENCH_ONLY is ignored in cold mode",
+                file=sys.stderr,
+            )
+        _run_cold(spark, sf_dir, sf, out_path)
+        spark.stop()
+        return
     if only:
         # SUBSET DIVERSION (VERDICT-r9 #4): a SPARK_GRAFT_BENCH_ONLY
         # run used to overwrite the committed full-suite artifact with
         # a few-query map (the known probe-session footgun, bit at r9
         # round close too). Subset artifacts now live in their own file.
         out_path = out_path.replace(".json", ".subset.json")
-    if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "family":
-        _run_cold(spark, sf_dir, sf, out_path)
-        spark.stop()
-        return
 
     # machine-load attribution: the driver may bench under shared
     # load; recording 1-min loadavg at start/end lets a reviewer tell
@@ -478,8 +493,13 @@ def main() -> None:
     divert = _noisier_than_committed(full, prior)
     if divert:
         out_path = out_path.replace(".json", ".noisy.json")
+        # the cold keys merged above belong to the COMMITTED artifact's
+        # machine state — carrying them into the diverted file would
+        # pair a quiet cold map with noisy in-suite walls
+        full.pop("cold_queries", None)
+        full.pop("cold_note", None)
         print(
-            "NOTE: canary reads noisier than the committed artifact "
+            "NOTE: not replacing the committed artifact "
             f"({divert}); writing {os.path.basename(out_path)} and "
             "leaving bench_queries.json untouched",
             file=sys.stderr,

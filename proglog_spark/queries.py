@@ -9560,8 +9560,9 @@ def docs_scene_cuts_streamed(spark, sf_dir):
     # through (the _SCENE_CTES `scenes` CTE drops them, and joining
     # scenes back to dh doubles the decode chain — at sf0.01 that
     # OOMs a spill-less in-memory DuckDB, the driver's shape). The
-    # cut rule text matches _SCENE_CTES verbatim so the threshold
-    # mutation still rewrites both. ssig/kw are MATERIALIZED: each
+    # cut rule text matches _SCENE_CTES verbatim so this gate's own
+    # 12->40 threshold mutation rewrites BOTH copies consistently
+    # (tools/gate_mutations.py). ssig/kw are MATERIALIZED: each
     # is tiny (one row per scene / per kept signature) and each is
     # what the multi-referenced downstream reads, so the expensive
     # chain runs exactly once.

@@ -264,6 +264,25 @@ def test_bench_noisier_run_does_not_clobber():
     quiet = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
     noisy = {"n_queries": 201, "canary": {"inflation_end": 1.32}}
     assert bench._noisier_than_committed(noisy, quiet) is not None
+    # a full run at a DIFFERENT sf (canary skipped there) must never
+    # replace the canonical sf0.1 artifact, whatever its n_queries
+    sf_committed = {"n_queries": 201, "sf": "0.1",
+                    "canary": {"inflation_end": 1.06}}
+    other_sf = {"n_queries": 201, "sf": "0.01"}
+    assert bench._noisier_than_committed(other_sf, sf_committed) is not None
+    assert (
+        bench._noisier_than_committed(
+            {"n_queries": 205, "sf": "0.01"}, sf_committed
+        )
+        is not None
+    )
+    # same sf, stale surface -> replaced as before
+    assert (
+        bench._noisier_than_committed(
+            {"n_queries": 205, "sf": "0.1"}, sf_committed
+        )
+        is None
+    )
     # quieter (or equal within tolerance) overwrites
     assert bench._noisier_than_committed(quiet, noisy) is None
     assert bench._noisier_than_committed(quiet, dict(quiet)) is None

@@ -251,6 +251,15 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "greatest(na, nb)",
     ),
     (
+        "docs_video_shared_scenes",
+        "cut threshold drifts in the signature path (12 -> 40; the "
+        "fragment rewrites BOTH the _SCENE_CTES copy and the sc2 "
+        "re-derivation, so a consistent drift still changes which "
+        "scenes exist and therefore every sequence signature)",
+        "+ bit_count(xor(hi, phi)) >= 12",
+        "+ bit_count(xor(hi, phi)) >= 40",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
