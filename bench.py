@@ -419,7 +419,17 @@ def main() -> None:
         # state, not compile state
         _run_canary(spark, sf_dir, fns)
     canary_start = _run_canary(spark, sf_dir, fns) if run_canary else {}
-    for name in names:
+    # a MID-suite pass localizes throttle ramps: the 2026-08-16 host
+    # repeatedly STARTED quiet and degraded mid-run (0.95->1.20,
+    # 1.11->1.64 across four runs), and with only start/end passes a
+    # reviewer cannot tell whether the ramp hit the first or second
+    # half of the alphabetical order. Compared against the END refs
+    # (mid-suite is the same steady-JVM state as suite end).
+    canary_mid: dict[str, float] = {}
+    mid_at = len(names) // 2
+    for i, name in enumerate(names):
+        if run_canary and i == mid_at:
+            canary_mid = _run_canary(spark, sf_dir, fns)
         t0 = time.perf_counter()
         rows = fns[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -451,22 +461,27 @@ def main() -> None:
         full["canary"] = {
             "quiet_ref": CANARY_QUIET_REF,
             "start": canary_start,
+            "mid": canary_mid,
             "end": canary_end,
             "inflation_start": _canary_inflation(canary_start, "start"),
+            "inflation_mid": _canary_inflation(canary_mid, "end"),
             "inflation_end": infl_end,
             "spread_start": _canary_spread(canary_start, "start"),
             "spread_end": spread,
             "flag": flag,
             "note": (
                 "measured/pinned-quiet median over a fixed pure-JVM "
-                "subset, timed before and after the suite, each pass "
-                "vs its OWN phase's pinned-quiet-run reference "
-                "(VERDICT-r9 #2); divide suite walls by "
-                "inflation_end before trending round-over-round. "
-                "flag=MACHINE means uniform external load (ratios "
-                "move together); flag=STRUCTURAL(name) means ONE "
-                "canary's ratio diverged past the spread band — a "
-                "plan/code regression, not load (VERDICT-r9 #3)."
+                "subset, timed before / halfway through / after the "
+                "suite, each pass vs its phase's pinned-quiet-run "
+                "reference (VERDICT-r9 #2; the mid pass shares the "
+                "end refs — same steady-JVM state — and exists to "
+                "localize mid-run throttle ramps). Divide suite "
+                "walls by inflation_end before trending "
+                "round-over-round. flag=MACHINE means uniform "
+                "external load (ratios move together); "
+                "flag=STRUCTURAL(name) means ONE canary's ratio "
+                "diverged past the spread band — a plan/code "
+                "regression, not load (VERDICT-r9 #3)."
             ),
         }
     # cold-attribution numbers from a prior SPARK_GRAFT_BENCH_COLD run
