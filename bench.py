@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list),
-SPARK_GRAFT_BENCH_COLD=family (cold-attribution mode, below).
+SPARK_GRAFT_BENCH_COLD=family (cold-attribution mode, below),
+SPARK_GRAFT_BENCH_GATE=N (canary-gated round-close mode: probe the
+machine with a 3-pass solo canary and only start the full suite on a
+quiet reading, retrying up to N times — see _gate_until_quiet).
 
 Each query is timed end-to-end (plan + execute + collect), after one
 untimed warmup action to absorb JVM/codegen startup. Results are
@@ -203,6 +206,64 @@ def _canary_spread(
     return round(max(vals) / min(vals), 3), outlier
 
 
+# CANARY-GATED ROUND-CLOSE MODE (VERDICT-r10 #2): the 2026-08 host
+# throttles under sustained load most evenings (solo canary swung
+# 1.04 -> 4.7x across one evening; four full r10 runs all started
+# quiet and degraded mid-suite). Chasing a quiet bench by hand meant
+# babysitting retries. With SPARK_GRAFT_BENCH_GATE=N set, bench.py
+# probes the machine FIRST — three timed solo canary passes — and
+# only starts the ~6 min full suite when the best pass's median
+# inflation (vs the pinned end-phase quiet refs; the probe runs after
+# the warm pass, so steady-JVM state) is at or under
+# SPARK_GRAFT_BENCH_GATE_MAX (default 1.3, the VERDICT-r10 bar).
+# A loud reading sleeps SPARK_GRAFT_BENCH_GATE_WAIT seconds (default
+# 300 — throttle episodes are minutes-scale) and re-probes, up to N
+# times. If every probe reads loud, the suite runs anyway — the
+# no-clobber guard diverts a noisier-than-committed result to
+# bench_queries.noisy.json, so the committed artifact stays the
+# quietest seen and the command still honors the driver contract
+# (one stdout JSON line) either way.
+def _gate_until_quiet(spark, sf_dir: str, fns) -> dict:
+    """Block until a 3-pass solo canary reads quiet (or retries are
+    exhausted). Returns the gate record for the artifact."""
+    max_infl = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_MAX", "1.3"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_GATE", "0") or "0")
+    probes: list[float] = []
+    for attempt in range(1, tries + 1):
+        passes = [
+            _canary_inflation(_run_canary(spark, sf_dir, fns), "end")
+            for _ in range(3)
+        ]
+        passes = [p for p in passes if p is not None]
+        best = min(passes) if passes else None
+        probes.append(best)
+        if best is not None and best <= max_infl:
+            print(
+                f"GATE: quiet (best-of-3 inflation {best} <= {max_infl} "
+                f"on attempt {attempt}/{tries}); starting full suite",
+                file=sys.stderr,
+            )
+            return {
+                "probes": probes,
+                "threshold": max_infl,
+                "proceeded": "quiet",
+            }
+        print(
+            f"GATE: loud (best-of-3 inflation {best} > {max_infl}, "
+            f"attempt {attempt}/{tries}); sleeping {wait_s:.0f}s",
+            file=sys.stderr,
+        )
+        if attempt < tries:
+            time.sleep(wait_s)
+    print(
+        "GATE: retries exhausted; running anyway (no-clobber guard "
+        "will divert a noisier-than-committed result)",
+        file=sys.stderr,
+    )
+    return {"probes": probes, "threshold": max_infl, "proceeded": "exhausted"}
+
+
 def _noisier_than_committed(full: dict, prior: dict) -> str | None:
     """Reason string when this run must NOT replace the existing
     artifact: (a) a DIFFERENT scale factor — the committed artifact is
@@ -259,7 +320,21 @@ def _run_cold(spark, sf_dir: str, sf: str, out_path: str) -> None:
                 existing = json.load(fh)
         except (OSError, json.JSONDecodeError):
             existing = {}
+    # COLD SF GUARD (ADVICE-r10): the committed artifact's in-suite map
+    # is canonical at ONE sf; a cold run at a different SPARK_GRAFT_SF_DIR
+    # must not pair its walls with it. Divert to a per-sf side file
+    # (covered by the bench_queries.*.json gitignore pattern).
+    if existing.get("sf") is not None and existing.get("sf") != sf:
+        committed_sf = existing.get("sf")
+        out_path = out_path.replace(".json", f".cold-sf{sf}.json")
+        existing = {}
+        print(
+            f"NOTE: committed artifact is sf{committed_sf}; "
+            f"diverting sf{sf} cold map to {os.path.basename(out_path)}",
+            file=sys.stderr,
+        )
     existing["cold_queries"] = cold
+    existing["cold_sf"] = sf
     existing["cold_note"] = (
         "per-query wall with spark.catalog.clearCache() before EACH "
         "query (no shared-cache riding); families in bench.COLD_FAMILIES"
@@ -418,6 +493,18 @@ def main() -> None:
         # recorded run) — absorb it so both passes measure machine
         # state, not compile state
         _run_canary(spark, sf_dir, fns)
+    gate_rec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_GATE"):
+        if run_canary:
+            gate_rec = _gate_until_quiet(spark, sf_dir, fns)
+        else:
+            # the gate reads the pinned sf0.1 canary refs — at another
+            # sf or on a subset run there is nothing to gate on
+            print(
+                "NOTE: SPARK_GRAFT_BENCH_GATE ignored (canary refs "
+                "are pinned at sf0.1 full-suite runs only)",
+                file=sys.stderr,
+            )
     canary_start = _run_canary(spark, sf_dir, fns) if run_canary else {}
     # a MID-suite pass localizes throttle ramps: the 2026-08-16 host
     # repeatedly STARTED quiet and degraded mid-run (0.95->1.20,
@@ -484,6 +571,12 @@ def main() -> None:
                 "regression, not load (VERDICT-r9 #3)."
             ),
         }
+        if gate_rec is not None:
+            # gate probes execute the canary plans repeatedly BEFORE
+            # the start pass, so in gated runs inflation_start reads
+            # steady-state (typically <1 vs the ramp-inclusive start
+            # refs) — interpret the start pass accordingly
+            full["canary"]["gate"] = gate_rec
     # cold-attribution numbers from a prior SPARK_GRAFT_BENCH_COLD run
     # survive plain rewrites, so one artifact carries both views
     prior: dict = {}

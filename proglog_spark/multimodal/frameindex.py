@@ -126,11 +126,20 @@ def frame_fingerprint_read(spark: SparkSession, path: str) -> DataFrame:
     a silent wrong answer. So compare the artifact's own footer schema
     (field names, order-insensitive) against FRAME_FINGERPRINT_SCHEMA
     first and raise on any mismatch; only then read with the pinned
-    schema (which also pins the integer widths)."""
+    schema (which also pins the integer widths). The validation read
+    sets mergeSchema so the UNION of every part-file's footer is
+    checked — the default single-footer inference would pass a
+    multi-file artifact where only SOME files drifted and still null
+    those files out silently (ADVICE-r10)."""
     expected = {
         f.strip().split()[0] for f in FRAME_FINGERPRINT_SCHEMA.split(",")
     }
-    actual = {f.name for f in spark.read.parquet(path).schema.fields}
+    actual = {
+        f.name
+        for f in spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .schema.fields
+    }
     if actual != expected:
         raise ValueError(
             "frame fingerprint artifact at %r does not match the engine "

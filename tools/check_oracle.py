@@ -8,6 +8,14 @@ order-insensitive multiset of stringified row values (columns sorted
 by name — the driver's documented comparison shape).
 
 Usage: python tools/check_oracle.py [--sf DIR] [--only name1,name2]
+       [--cohort rN]
+
+``--cohort rN`` re-oracles every name whose LATEST driver green is
+round N (the ``_CHECKED_BY_ROUND`` group in queries.py) — the cheap
+between-windows staleness insurance from VERDICT-r10 #5: the driver's
+50-slot window revisits the 202-name surface only every ~4 rounds, so
+the stalest cohort gets a local sf0.01 sweep at round open instead of
+waiting its turn.
 """
 
 from __future__ import annotations
@@ -52,10 +60,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--cohort",
+        default=None,
+        metavar="rN",
+        help="check every name whose latest driver green is round N "
+        "(a _CHECKED_BY_ROUND group label, e.g. r6)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from proglog_spark.session import build_session
+
+    if args.cohort:
+        from proglog_spark import queries as qmod
+
+        groups = dict(qmod._CHECKED_BY_ROUND)
+        if args.cohort not in groups:
+            sys.exit(
+                f"unknown cohort {args.cohort!r}; have {sorted(groups)}"
+            )
+        cohort = ",".join(groups[args.cohort])
+        args.only = (
+            f"{args.only},{cohort}" if args.only else cohort
+        )
 
     spark = build_session("check-oracle", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
