@@ -84,7 +84,13 @@ COLD_FAMILIES: dict[str, list[str]] = {
     # alphabetically first pays the ~500k-frame decode and the rest
     # ride it; the two index-path queries build their artifact from
     # the same cache, so they belong to the family too
+    # docs_av_dedup_verdicts (r11) rides BOTH the scene-signature and
+    # audio-fingerprint caches; alphabetically it precedes the
+    # docs_scene_* members, so in-suite it is now the scene family's
+    # first payer (the audio cache is already warm — the audio family
+    # sorts earlier)
     "scene": [
+        "docs_av_dedup_verdicts",
         "docs_scene_cuts_from_index", "docs_scene_cuts_streamed",
         "docs_scene_keyframes", "docs_scene_threshold_sweep",
         "docs_video_scene_cuts", "docs_video_shared_scenes",

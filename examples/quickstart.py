@@ -255,6 +255,34 @@ def run(spark, workdir: str, sf_dir: str = SF_DIR) -> dict:
     ]
     print("shared-scene pairs:", out["shared_scene_pairs"])
 
+    # 5g — cross-modality A/V dedup verdicts (the gate-checked
+    # docs_av_dedup_verdicts path): pairs flagged by EITHER perceptual
+    # tier, classified by whether video and audio agree — clip 11
+    # splices clip 10's calm scene under an opposite-phase soundtrack
+    # (re_dubbed: same footage, different audio), while clip 13
+    # permutes clip 12's characters WITHIN each 3-char energy frame
+    # (audio_only: identical energy envelope, no shared 9-char window)
+    from proglog_spark.queries import REGISTRY
+
+    calm = "ABCABCABC"
+    clips = [
+        (10, calm * 3 + "~~~aaa" * 9),
+        (11, "aaa~~~" * 9 + calm * 3),
+        (12, "defrstuvw" * 6),
+        (13, "edfsrtvuw" * 6),
+    ]
+    spark.createDataFrame(
+        [(i, t, "s", len(t)) for i, t in clips],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    ).write.mode("overwrite").parquet(f"{workdir}/av_demo/documents.parquet")
+    out["av_verdicts"] = [
+        (r.doc_a, r.doc_b, r.verdict)
+        for r in REGISTRY["docs_av_dedup_verdicts"][0](
+            spark, f"{workdir}/av_demo"
+        ).collect()
+    ]
+    print("a/v verdicts:", out["av_verdicts"])
+
     # 6 — curation pipeline into training shards
     from proglog_spark.pipelines import curate_and_shard
 

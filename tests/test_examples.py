@@ -33,5 +33,12 @@ def test_quickstart_tour(spark, sf_dir, tmp_path):
     # cross-clip retrieval: clips 0+1 share the spliced 6-frame scene;
     # the unrelated clip 2 pairs with nobody
     assert out["shared_scene_pairs"] == [(0, 1)]
+    # cross-modality verdicts: same calm scene under opposite-phase
+    # audio -> re_dubbed; energy-frame-permuted text (identical
+    # envelope, no shared 9-char window) -> audio_only
+    assert out["av_verdicts"] == [
+        (10, 11, "re_dubbed"),
+        (12, 13, "audio_only"),
+    ]
     assert sum(n for *_k, n in out["shard_accounting"]) > 0
     assert out["http_read"] == "event-0"

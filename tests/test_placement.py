@@ -475,3 +475,53 @@ def test_shared_scenes_match_planted_splice(spark):
     # frame-hash sequence, so the signatures collide; clip 3's one
     # 12-frame scene has a different sequence and pairs with nobody
     assert got == [(1, 2, 1, 1, 1, 1_000_000)]
+
+
+def test_av_dedup_verdicts_classify_planted_pairs(spark):
+    """Cross-modality verdict report on planted clips covering all
+    three classes. Clips 1 and 2 are byte-identical (same calm scene,
+    same soundtrack -> confirmed, hamming 0). Clip 3 contains the SAME
+    27-char calm scene spliced after a different head whose per-frame
+    energies run in the OPPOSITE phase (aaa~~~ vs ~~~aaa groups), so
+    the scene tier matches but the audio tier reads hamming 8 -> the
+    re_dubbed pair the gate exists to surface. Clips 4 and 5 share no
+    9-char window (different frame hashes, no shared scene) but clip 5
+    permutes characters WITHIN each 3-char energy frame — energy is a
+    sum of squares, so the audio fingerprints are IDENTICAL ->
+    audio_only. Every cross-group pair sits at hamming >= 8, outside
+    the radius-3 rule, so exactly four report rows exist. The expected
+    hamming values are the pure-Python mirror of the energy-hash rule
+    (tests/test_multimodal.py test_audio_ahash64_bit_rule_and_nulls)."""
+    from proglog_spark.queries import REGISTRY
+
+    calm = "ABCABCABC"
+    t1 = calm * 3 + "~~~aaa" * 9
+    t3 = "aaa~~~" * 9 + calm * 3
+    t4 = "defrstuvw" * 6
+    t5 = "".join(
+        t4[i + 1] + t4[i] + t4[i + 2] for i in range(0, len(t4), 3)
+    )
+    rows = [
+        (1, t1, "s", len(t1)),
+        (2, t1, "s", len(t1)),
+        (3, t3, "s", len(t3)),
+        (4, t4, "s", len(t4)),
+        (5, t5, "s", len(t5)),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(f"{td}/documents.parquet")
+        got = [
+            tuple(r)
+            for r in REGISTRY["docs_av_dedup_verdicts"][0](
+                spark, td
+            ).collect()
+        ]
+    assert got == [
+        (1, 2, 1, 0, "confirmed"),
+        (1, 3, 1, 8, "re_dubbed"),
+        (2, 3, 1, 8, "re_dubbed"),
+        (4, 5, 0, 0, "audio_only"),
+    ]

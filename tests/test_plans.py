@@ -983,3 +983,33 @@ def test_replica_placement_no_window_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 1     # the role explode only
     assert "md5" in plan and "array_max" not in plan  # rank, not argmax
+
+
+def test_av_dedup_verdicts_rides_cached_tiers_no_cartesian(spark, sf_dir):
+    """The cross-modality verdict report must be pair-sized joins over
+    the two already-gated retrievals — never an all-pairs product and
+    never a fresh decode per reference: no cartesian/nested-loop join
+    anywhere; the scene pair stage reads the CACHED signature table
+    (>= 2 sig-column InMemoryTableScans, the self-join sides) and the
+    audio side reads the CACHED 3-long fingerprint feed (>= 2
+    simhash-column InMemoryTableScans — one decode pass shared by the
+    a/b verdict joins and the radius-3 blocking); the pair stages stay
+    keyed (signature for scenes, pair ids for the hamming dedup) and
+    the audio_only branch is a LeftAnti join, not a subtract-by-
+    recompute."""
+    import re
+
+    from proglog_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["docs_av_dedup_verdicts"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"InMemoryTableScan \[[^\]]*\bsig#", plan)) >= 2
+    assert (
+        len(re.findall(r"InMemoryTableScan \[[^\]]*simhash_lo#", plan)) >= 2
+    )
+    assert "hashpartitioning(sig" in plan
+    assert "hashpartitioning(id_a" in plan
+    assert "LeftAnti" in plan
+    # every window clip-keyed — no global single-partition window
+    assert "windowspecdefinition(specifiedwindowframe" not in plan

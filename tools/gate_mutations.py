@@ -260,6 +260,38 @@ MUTATIONS: list[tuple[str, str, str, str]] = [
         "+ bit_count(xor(hi, phi)) >= 40",
     ),
     (
+        "docs_av_dedup_verdicts",
+        "verdict radius drifts (confirmed/re_dubbed split at <= 30 "
+        "instead of the registered radius-3 near-dup rule — the "
+        "probe's bimodal gap means a sloppier threshold silently "
+        "reclassifies the whole re_dubbed class)",
+        "CASE WHEN shared_scenes > 0 AND audio_hamming <= 3 ",
+        "CASE WHEN shared_scenes > 0 AND audio_hamming <= 30 ",
+    ),
+    (
+        "docs_av_dedup_verdicts",
+        "audio_only branch lost (report covers only scene pairs — "
+        "the union with the anti-joined audio tier dropped)",
+        "rep AS (SELECT * FROM spa UNION ALL SELECT * FROM aonly) ",
+        "rep AS (SELECT * FROM spa) ",
+    ),
+    (
+        "docs_av_dedup_verdicts",
+        "anti-join inverted to semi (audio_only emits the pairs BOTH "
+        "tiers flagged instead of the audio-only remainder)",
+        "FROM apr ANTI JOIN spa ",
+        "FROM apr SEMI JOIN spa ",
+    ),
+    (
+        "docs_av_dedup_verdicts",
+        "scene-pair hamming computed on the low word only (hi-word "
+        "xor term dropped from the verdict join)",
+        "bit_count(xor(a.ahash_hi, b.ahash_hi)) AS audio_hamming "
+        "FROM prs p",
+        "0 AS audio_hamming "
+        "FROM prs p",
+    ),
+    (
         "docs_replica_placement",
         "replica picked as the LOWEST score instead of second-highest",
         "CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica "
