@@ -9577,6 +9577,9 @@ def _scene_pair_counts(spark, sf_dir):
         .select("doc_id", "sig")
         .distinct()
     )
+    # cached: reused by both consumer queries' self-join sides (see
+    # docstring — session-lifetime, one row per kept signature,
+    # reclaimable via spark.catalog.clearCache())
     kw = (
         sigs.join(
             sigs.groupBy("sig")
