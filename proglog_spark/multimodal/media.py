@@ -568,6 +568,38 @@ def sample_frames(
     return cols.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
+def _slice_mean_pixels(payloads, n_px: int):
+    """The deterministic-fake decode core, batch-vectorized: one
+    ``(null_mask, pixels)`` pair per input batch, where ``pixels`` is
+    an ``(n_rows, n_px)`` int64 grid of per-slice byte means.
+    Single-sourced so the pixel-emitting stage (:func:`decode_media`)
+    and the fused hash stage (:func:`decode_dhash64`) can never drift.
+
+    Vectorization: concatenate payloads, segment-mean all docs' slices
+    in ONE reduceat (empty payloads -> one 0 byte; empty slices of
+    short payloads fall back to the byte at the slice start, matching
+    the per-doc nearest-rank rule)."""
+    import numpy as np
+
+    null_mask = np.array([p is None for p in payloads])
+    raw = [
+        b"\x00" if p is None or not len(p) else bytes(p)
+        for p in payloads
+    ]
+    lens = np.array([len(r) for r in raw], dtype=np.int64)
+    data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.float64)
+    doc_starts = np.cumsum(lens) - lens
+    bounds = doc_starts[:, None] + (np.arange(n_px) * lens[:, None]) // n_px
+    starts = bounds.ravel()
+    sums = np.add.reduceat(data, starts)
+    seg = np.diff(np.append(starts, len(data)))
+    counts = np.maximum(seg, 1)
+    empty = seg == 0
+    means = np.where(empty, data[np.minimum(starts, len(data) - 1)], sums / counts)
+    pixels = means.astype(np.int64).reshape(len(raw), n_px)
+    return null_mask, pixels
+
+
 def decode_media(
     df: DataFrame,
     height: int = 4,
@@ -591,35 +623,17 @@ def decode_media(
         import numpy as np
 
         for pdf in batches:
-            # batch-wide vectorization: concatenate payloads, segment-mean
-            # all docs' slices in ONE reduceat (empty payloads -> one 0
-            # byte; empty slices of short payloads fall back to the byte
-            # at the slice start, matching the per-doc nearest-rank rule)
-            null_mask = np.array([p is None for p in pdf["payload"]])
-            raw = [
-                b"\x00" if p is None or not len(p) else bytes(p)
-                for p in pdf["payload"]
-            ]
-            lens = np.array([len(r) for r in raw], dtype=np.int64)
-            data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.float64)
-            doc_starts = np.cumsum(lens) - lens
-            bounds = doc_starts[:, None] + (np.arange(n_px) * lens[:, None]) // n_px
-            starts = bounds.ravel()
-            sums = np.add.reduceat(data, starts)
-            seg = np.diff(np.append(starts, len(data)))
-            counts = np.maximum(seg, 1)
-            empty = seg == 0
-            means = np.where(empty, data[np.minimum(starts, len(data) - 1)], sums / counts)
-            pixels = means.astype(np.int64).reshape(len(raw), n_px)
-            dims = pd.Series(np.full(len(raw), height)).astype("Int32").mask(null_mask)
+            null_mask, pixels = _slice_mean_pixels(pdf["payload"], n_px)
+            n = len(pixels)
+            dims = pd.Series(np.full(n, height)).astype("Int32").mask(null_mask)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     # null payload -> all-NULL decode row (propagate,
                     # don't crash the Arrow worker on len(None))
                     "height": dims,
-                    "width": pd.Series(np.full(len(raw), width)).astype("Int32").mask(null_mask),
-                    "channels": pd.Series(np.full(len(raw), 1)).astype("Int32").mask(null_mask),
+                    "width": pd.Series(np.full(n, width)).astype("Int32").mask(null_mask),
+                    "channels": pd.Series(np.full(n, 1)).astype("Int32").mask(null_mask),
                     "pixels": [
                         None if isnull else px
                         for isnull, px in zip(null_mask, pixels)
@@ -874,6 +888,130 @@ def dhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+DECODE_DHASH_SCHEMA = "id LONG, simhash_lo LONG, simhash_hi LONG"
+
+
+def decode_dhash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fused ``dhash64(decode_media(df, height=8, width=9))`` in ONE
+    mapInPandas stage — bit-identical output (pinned by
+    tests/test_media.py::test_decode_dhash64_matches_composed), built
+    for the frame-fingerprint paths where the decoded grid exists only
+    to be hashed.
+
+    Why fuse (optimization guide §4.2 / §8.3 "shuffle keys, not
+    payloads" applied to the Python boundary): the composed pipeline
+    ships a 72-element ``ARRAY<INT>`` per frame back through Arrow and
+    then runs a 128-``getItem`` JVM expression pass over it; per-frame
+    the decision only needs THREE longs. Fusing computes the dHash
+    words where the pixels already are (one vectorized numpy pass over
+    the whole batch: shared :func:`_slice_mean_pixels` decode core +
+    one boolean compare and two matmuls for the bit packing), so only
+    ``(id, lo, hi)`` ever crosses the boundary. Geometry is 8x9 by
+    construction, which is exactly the precondition ``dhash64`` guards
+    for; NULL payloads drop, matching ``dhash64``'s NULL-pixels drop.
+
+    ``id_col`` must be integral (the frame-uid paths' shape). Callers
+    needing the pixel grid downstream (histogram / resize / PNG
+    round-trip) keep the composed operators.
+    """
+    cols = _id_payload(df, id_col, payload_col)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w_lo = (np.int64(1) << np.arange(32, dtype=np.int64))
+        for pdf in batches:
+            null_mask, pixels = _slice_mean_pixels(pdf["payload"], 72)
+            keep = ~null_mask
+            px = pixels[keep].reshape(-1, 8, 9)
+            # bit r*8+c set iff grid[r][c+1] > grid[r][c] — dhash64's
+            # bit() rule, vectorized over the whole batch
+            bits = (px[:, :, 1:] > px[:, :, :-1]).reshape(-1, 64)
+            lo = bits[:, :32].astype(np.int64) @ w_lo
+            hi = bits[:, 32:].astype(np.int64) @ w_lo
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(pdf["doc_id"])[keep],
+                    "simhash_lo": lo,
+                    "simhash_hi": hi,
+                }
+            )
+
+    return cols.mapInPandas(hash_batches, schema=DECODE_DHASH_SCHEMA)
+
+
+def decode_pixel_histogram(
+    df: DataFrame,
+    height: int,
+    width: int,
+    dim: int = 16,
+    out_h: int | None = None,
+    out_w: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fused ``extract_pixel_histogram(resize_media?(decode_media(df,
+    height, width)), dim)`` in ONE mapInPandas stage — bit-identical
+    output (pinned by tests/test_multimodal.py::
+    test_decode_pixel_histogram_matches_composed), built for the
+    feature paths where the decoded grid exists only to be histogrammed.
+
+    Why fuse (optimization guide §4.2 applied to the Python boundary,
+    the :func:`decode_dhash64` rationale): the composed chain ships an
+    ``ARRAY<INT>`` pixel grid per row across the Arrow boundary once
+    per stage (twice more when a resize sits in the middle); per row
+    the consumer only needs ``dim`` histogram counts. Fusing runs the
+    shared :func:`_slice_mean_pixels` decode core, the nearest-neighbor
+    index math of ``resize_media`` (when ``out_h``/``out_w`` are set),
+    and one batch-wide ``bincount`` where the pixels already are, so
+    only ``(doc_id, hist[dim])`` ever crosses. NULL payloads yield a
+    NULL histogram (decode's NULL propagation composed with the
+    histogram stage's NULL passthrough); empty payloads decode to the
+    all-zero grid exactly as in ``decode_media``.
+
+    Callers needing the pixel grid itself (PNG round-trip, dHash over
+    resized grids) keep the composed operators.
+    """
+    assert 256 % dim == 0
+    cols = _id_payload(df, id_col, payload_col)
+    n_px = height * width
+
+    if (out_h is None) != (out_w is None):
+        raise ValueError("out_h and out_w must be set together")
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            null_mask, pixels = _slice_mean_pixels(pdf["payload"], n_px)
+            if out_h is not None:
+                rows = (np.arange(out_h) * height) // out_h
+                cols_ = (np.arange(out_w) * width) // out_w
+                pixels = (
+                    pixels.reshape(-1, height, width)[:, rows][:, :, cols_]
+                    .reshape(-1, out_h * out_w)
+                )
+            n, m = pixels.shape
+            idx = np.repeat(np.arange(n), m)
+            hists = np.bincount(
+                pixels.ravel() // (256 // dim) + dim * idx,
+                minlength=dim * n,
+            ).reshape(n, dim)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hist": [
+                        None if isnull else h
+                        for isnull, h in zip(null_mask, hists)
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(hist_batches, schema=PIXEL_HIST_SCHEMA)
+
+
 def audio_ahash64(
     df: DataFrame,
     frame_len: int = 3,
@@ -914,11 +1052,25 @@ def audio_ahash64(
     tier, completing the perceptual-dedup matrix (text SimHash, image
     dHash, video frame-dHash, audio energy-hash).
     """
-    zero = F.lit(0).cast("long")
     en = audio_frame_energies(
         df, n_frames=65, frame_len=frame_len, id_col=id_col,
         samples_col=samples_col,
     )
+    return ahash64_from_energies(en)
+
+
+def ahash64_from_energies(en: DataFrame) -> DataFrame:
+    """The bit-packing half of :func:`audio_ahash64`, split out (r11)
+    so a caller that already holds the 65-frame energy envelope —
+    e.g. a session-shared :func:`audio_frame_energies` table also
+    feeding envelope similarity search — can fingerprint it without
+    recomputing the decode + envelope chain. Input is
+    ``audio_frame_energies`` output ``(id, energies ARRAY<BIGINT>)``
+    with 65 frames; output and bit rule are exactly
+    :func:`audio_ahash64`'s (bit k set iff energy[k+1] > energy[k],
+    two 32-bit words). Same built-in-expressions / codegen posture —
+    no Python, no shuffle."""
+    zero = F.lit(0).cast("long")
 
     def word(lo_bit: int):
         w = zero

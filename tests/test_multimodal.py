@@ -563,6 +563,129 @@ def test_dhash64_single_bit(spark):
     assert row.simhash_hi == 0
 
 
+def test_decode_dhash64_matches_composed(spark):
+    """The r11 fused decode+hash stage must be BIT-IDENTICAL to the
+    composed dhash64(decode_media(height=8, width=9)) pipeline it
+    replaced in the frame-fingerprint paths — over every payload
+    class: exact-72-byte rasters (the shot-frame shape), short and
+    long payloads (uneven slice means), ramp/flat/single-bump
+    patterns, empty payloads (zero grid), and NULL payloads (row
+    drops on both paths)."""
+    from proglog_spark.multimodal import decode_dhash64, decode_media, dhash64
+
+    payloads = [
+        (1, bytes(range(72))),            # exact-size ramp
+        (2, bytes([7]) * 72),             # flat
+        (3, bytes([10] * 1 + [200] + [10] * 70)),  # single bump
+        (4, b"abcdefghi" * 3),            # short (27B -> uneven slices)
+        (5, bytes(range(256)) * 3),       # long (768B -> multi-byte means)
+        (6, b""),                         # empty -> zero grid
+        (7, None),                        # NULL -> dropped
+        (8, b"x"),                        # 1 byte
+    ]
+    df = spark.createDataFrame(payloads, "doc_id LONG, payload BINARY")
+    composed = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in dhash64(decode_media(df, height=8, width=9)).collect()
+    }
+    fused = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in decode_dhash64(df).collect()
+    }
+    assert fused == composed
+    assert set(fused) == {1, 2, 3, 4, 5, 6, 8}  # NULL row dropped
+
+
+def test_decode_pixel_histogram_matches_composed(spark):
+    """The r11 fused decode(+resize)+histogram stage must be
+    BIT-IDENTICAL to the composed extract_pixel_histogram(
+    resize_media?(decode_media(...))) chain it replaced in
+    docs_media_pipeline / docs_image_feature_topk — over the same
+    payload classes as the decode_dhash64 pin (exact-size, short,
+    long, ramp/flat, empty → zero grid, NULL → NULL hist), both WITH
+    the 8x8→4x4 resize in the middle and WITHOUT (8x9 direct)."""
+    from proglog_spark.multimodal import (
+        decode_media,
+        decode_pixel_histogram,
+        extract_pixel_histogram,
+        resize_media,
+    )
+
+    payloads = [
+        (1, bytes(range(72))),
+        (2, bytes([7]) * 64),
+        (3, bytes([10] + [200] + [10] * 70)),
+        (4, b"abcdefghi" * 3),
+        (5, bytes(range(256)) * 3),
+        (6, b""),
+        (7, None),
+        (8, b"x"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id LONG, payload BINARY")
+
+    def as_map(rows):
+        return {
+            r.doc_id: None if r.hist is None else tuple(r.hist) for r in rows
+        }
+
+    # with resize (the docs_media_pipeline shape)
+    composed = as_map(
+        extract_pixel_histogram(
+            resize_media(
+                decode_media(df, height=8, width=8), out_h=4, out_w=4
+            ).select("doc_id", "pixels"),
+            dim=16,
+        ).collect()
+    )
+    fused = as_map(
+        decode_pixel_histogram(
+            df, height=8, width=8, dim=16, out_h=4, out_w=4
+        ).collect()
+    )
+    assert fused == composed
+    # without resize (the docs_image_feature_topk shape)
+    composed9 = as_map(
+        extract_pixel_histogram(
+            decode_media(df, height=8, width=9), dim=16
+        ).collect()
+    )
+    fused9 = as_map(decode_pixel_histogram(df, height=8, width=9, dim=16).collect())
+    assert fused9 == composed9
+    assert fused[7] is None and fused9[7] is None  # NULL propagates
+
+
+def test_ahash64_from_energies_matches_audio_ahash64(spark):
+    """The r11 split of audio_ahash64 into envelope + bit-packing
+    halves must compose back to the identical fingerprint:
+    ahash64_from_energies(audio_frame_energies(d)) == audio_ahash64(d)
+    over short/long/empty/NULL sample arrays."""
+    from proglog_spark.multimodal import (
+        ahash64_from_energies,
+        audio_ahash64,
+        audio_frame_energies,
+    )
+
+    rows = [
+        (1, list(range(200))),          # full 65*3+ samples
+        (2, [5] * 10),                  # short clip (empty tail frames)
+        (3, []),                        # empty signal
+        (4, None),                      # NULL drops on both paths
+        (5, [-7, 100, -128, 3] * 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, sample_prefix ARRAY<INT>"
+    )
+    direct = {
+        r.id: (r.simhash_lo, r.simhash_hi) for r in audio_ahash64(df).collect()
+    }
+    split = {
+        r.id: (r.simhash_lo, r.simhash_hi)
+        for r in ahash64_from_energies(audio_frame_energies(df)).collect()
+    }
+    assert split == direct
+    assert set(direct) == {1, 2, 3, 5}
+
+
 def test_image_sketch_null_and_empty_payloads(spark):
     """The image tier's NULL contract, pinned Spark-side (the fixture
     has no NULL/empty text, so the gates never exercise it): NULL

@@ -808,11 +808,12 @@ def test_bm25_index_query_pushes_term_in_filters(spark, sf_dir, tmp_path):
 
 
 def test_image_dhash_single_pass_no_pre_sort_shuffle(spark, sf_dir):
-    """docs_image_dhash is ONE decode pass + JVM bit arithmetic: the
-    scan reads only (doc_id, text), exactly one MapInPandas stage
-    (the decode), the 64-bit projection is built-in expressions (no
-    second Python stage), and the only Exchange is the final ORDER
-    BY — nothing shuffles before it."""
+    """docs_image_dhash is ONE fused decode+hash pass (r11:
+    decode_dhash64 — the pixel grid never leaves the Python stage):
+    the scan reads only (doc_id, text), exactly one MapInPandas stage
+    emitting the three hash longs, and the only Exchange is the final
+    ORDER BY — nothing shuffles before it and no 72-int pixel array
+    crosses the Arrow boundary."""
     from proglog_spark.queries import REGISTRY
 
     plan = plan_of(REGISTRY["docs_image_dhash"][0](spark, sf_dir))
@@ -825,7 +826,11 @@ def test_image_dhash_single_pass_no_pre_sort_shuffle(spark, sf_dir):
     assert plan.count("RoundRobinPartitioning") == 1
     assert plan.count("rangepartitioning") == 1
     assert "hashpartitioning" not in plan
-    assert "shiftleft" in plan  # hash is JVM-side, not Python
+    # the fused stage emits hashes directly: no pixel-array column in
+    # the plan at all (the old composed shape shipped ARRAY<INT>
+    # pixels back through Arrow and packed bits JVM-side)
+    assert "pixels" not in plan
+    assert "simhash_lo" in plan
 
 
 def test_image_neardup_blocked_join_not_cartesian(spark, sf_dir):
@@ -962,7 +967,12 @@ def test_scene_cuts_one_decode_pass_windows_by_clip(spark, sf_dir):
     from proglog_spark.queries import REGISTRY
 
     plan = plan_of(REGISTRY["docs_video_scene_cuts"][0](spark, sf_dir))
-    assert plan.count("MapInPandas") == 1
+    # when a prior test has materialized the session-cached hash table,
+    # the InMemoryRelation subtree prints BOTH its AQE final and
+    # initial plans — count Python stages in the final text only so
+    # the pin is cache-state-insensitive (pre-existing selection-order
+    # flake, surfaced in r11)
+    assert plan.split("== Initial Plan ==")[0].count("MapInPandas") == 1
     assert "hashpartitioning(doc_id" in plan
     assert "CartesianProduct" not in plan
     for chunk in plan.split("Arguments: hashpartitioning")[1:]:

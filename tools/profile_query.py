@@ -17,6 +17,8 @@ scratch instrument for the optimization rounds.
 from __future__ import annotations
 
 import argparse
+
+import pandas as pd
 import os
 import sys
 import time
@@ -46,7 +48,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # bench-equivalent warmup (JVM, IO cache, Python workers, codecs)
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from proglog_spark.sources.tables import TABLES, load_table
