@@ -316,6 +316,11 @@ def _run_cold(spark, sf_dir: str, sf: str, out_path: str) -> None:
             if name not in fns:
                 continue
             spark.catalog.clearCache()
+            # r11: the emb family also shares driver-side VALUE memos
+            # (corpus count, the bounded ANN training sample) — drop
+            # them too so each cold-timed member pays its own model
+            # build, exactly as it pays its own cache build
+            q.clear_value_memos()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).collect()
             cold[name] = round(time.perf_counter() - t0, 4)

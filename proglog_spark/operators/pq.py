@@ -177,6 +177,7 @@ def quantized_pq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    sample_rows: list | None = None,
 ) -> DataFrame:
     """ADC top-k over PQ codes: ``(query_id, vec_id, adc_dot, rank)``.
 
@@ -189,6 +190,7 @@ def quantized_pq_ann_topk(
     books = quantized_pq_train(
         corpus, dim, m, n_codes, iters, sample_mod,
         id_col=id_col, vec_col=vec_col, scale=scale,
+        sample_rows=sample_rows,
     )
     qids, _, lut = _query_lut(queries, books, id_col, vec_col, scale)
 
@@ -272,6 +274,7 @@ def quantized_ivfpq_ann_topk(
     vec_col: str = "embedding",
     scale: int = 1000,
     by_residual: bool = False,
+    sample_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IndexIVFPQ shape, raw-vector codebooks):
     IVF cells route each query to ``n_probe/n_cells`` of the corpus,
@@ -300,8 +303,9 @@ def quantized_ivfpq_ann_topk(
     )
 
     # one bounded sample collect feeds BOTH trainers (they would each
-    # re-run the corpus count + ordered-limit collect otherwise)
-    sample = ivf_train_sample(
+    # re-run the corpus count + ordered-limit collect otherwise); a
+    # caller sharing the sample across indexes passes it pre-collected
+    sample = sample_rows if sample_rows is not None else ivf_train_sample(
         corpus, sample_mod, id_col=id_col, vec_col=vec_col
     )
     cents = quantized_ivf_train(

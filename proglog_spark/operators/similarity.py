@@ -771,6 +771,7 @@ def quantized_ivf_knn_join(
     vec_col: str = "embedding",
     scale: int = 1000,
     n: int | None = None,
+    sample_rows: list | None = None,
 ) -> DataFrame:
     """k-NN GRAPH via TRAINED partitions — the IVF-cell twin of
     :func:`quantized_knn_join`, and the declared crossover once a
@@ -790,7 +791,8 @@ def quantized_ivf_knn_join(
     if n_cells is None:
         n_cells = adaptive_ivf_cells(df.count() if n is None else n)
     cents = quantized_ivf_train(
-        df, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col, scale=scale
+        df, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col,
+        scale=scale, sample_rows=sample_rows,
     )
     c = (
         with_quantized_ivf_cells(df.select(id_col, vec_col), cents, 1, vec_col, scale)
@@ -1332,6 +1334,7 @@ def quantized_ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    sample_rows: list | None = None,
 ) -> DataFrame:
     """:func:`ivf_ann_topk` made oracle-exact end-to-end: integer
     k-means training (:func:`quantized_ivf_train`), integer cell
@@ -1341,9 +1344,16 @@ def quantized_ivf_ann_topk(
     corpus projection, broadcast query probes, candidates scored after
     a single vector join-back, per-query top-k on ids+key only.
     Output: (query_id, vec_id, cos2_pico, rank).
+
+    ``sample_rows`` (optional) is a pre-collected
+    :func:`ivf_train_sample` result — a caller sharing one bounded
+    sample across several trained indexes over the same corpus passes
+    it to skip the per-call corpus count + ordered-limit collect
+    (the :func:`quantized_ivf_train` contract).
     """
     cents = quantized_ivf_train(
-        corpus, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col, scale=scale
+        corpus, n_cells, iters, sample_mod, id_col=id_col, vec_col=vec_col,
+        scale=scale, sample_rows=sample_rows,
     )
     c = with_quantized_ivf_cells(
         corpus.select(id_col, vec_col), cents, 1, vec_col, scale

@@ -85,6 +85,37 @@ def _memo_df(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return df
 
 
+def _memo_value(spark: SparkSession, sf_dir: str, key: str, build):
+    """Session-scoped memo for small driver-side VALUES the query
+    family would otherwise recompute with a Spark job per consumer —
+    a corpus count feeding the adaptive LSH/IVF sizing ladders, the
+    bounded ANN training sample (ivf_train_sample's ≤2^18-row
+    collect). Same lifecycle contract as _memo_df (keyed by
+    applicationId, so a new session recomputes from parquet), with
+    one extra hook: bench.py's cold-attribution mode calls
+    :func:`clear_value_memos` alongside spark.catalog.clearCache() so
+    each cold-timed family member pays its own model build, exactly
+    as it pays its own cache build."""
+    k = (spark.sparkContext.applicationId, sf_dir, "value:" + key)
+    if k not in _DF_MEMO:
+        _DF_MEMO[k] = build()
+    return _DF_MEMO[k]
+
+
+def clear_value_memos() -> int:
+    """Drop every _memo_value entry (cold-attribution hook — see
+    _memo_value; DataFrame HANDLE memos stay, their recompute story
+    is spark.catalog.clearCache()). Returns the number dropped."""
+    ks = [
+        k
+        for k in _DF_MEMO
+        if isinstance(k, tuple) and len(k) == 3 and str(k[2]).startswith("value:")
+    ]
+    for k in ks:
+        del _DF_MEMO[k]
+    return len(ks)
+
+
 def register(name: str, oracle: str | None):
     """Query-authoring rules (enforced by the digest manifest):
 
@@ -3022,6 +3053,43 @@ def emb_exact_dup(spark, sf_dir):
 _QUERY_VECS = "(0, 1, 2)"
 
 
+def _emb_n(spark, sf_dir) -> int:
+    """Exact row count of the embeddings corpus, session-memoized
+    (r11): SEVEN emb queries feed it to the adaptive sizing ladders
+    (adaptive_lsh_bits / adaptive_ivf_cells), and each previously ran
+    its own count() job over the same immutable fixture. The ladders
+    receive exactly what corpus.count() returned — the memo changes
+    job count, never the sized value (count of an immutable parquet
+    table is deterministic)."""
+    return _memo_value(
+        spark,
+        sf_dir,
+        "emb_n",
+        lambda: load_table(spark, sf_dir, "embeddings").count(),
+    )
+
+
+def _emb_train_sample(spark, sf_dir) -> list:
+    """The bounded deterministic ANN training sample
+    (similarity.ivf_train_sample over the full embeddings corpus,
+    default ≤2^18-row cap), session-memoized (r11): the six trained
+    ANN queries (IVF / PQ / IVF-PQ ann+recall+knn variants) each ran
+    the same corpus count + ordered-limit collect before training.
+    The sample depends only on the corpus and the cap — the trainers
+    receive row-for-row what their own collect would have returned,
+    so every centroid/codebook trajectory (which the oracles replay)
+    is unchanged. Cold-attribution mode drops this via
+    clear_value_memos()."""
+    return _memo_value(
+        spark,
+        sf_dir,
+        "emb_train_sample",
+        lambda: similarity.ivf_train_sample(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
+
+
 @register(
     "emb_dot_topk",
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
@@ -3178,7 +3246,9 @@ def emb_lsh_ann_topk(spark, sf_dir):
     LSH recall vs the exact top-k stays property-tested."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10).orderBy(
+    return similarity.quantized_lsh_ann_topk(
+        e, q, dim=64, k=10, n=_emb_n(spark, sf_dir)
+    ).orderBy(
         "query_id", "rank"
     )
 
@@ -3244,7 +3314,9 @@ def emb_knn_join(spark, sf_dir):
     integer CASE ladder) — the fix for the 23.6× super-linear 10×
     probe the FIXED-bits first version measured (SCALING §13)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantized_knn_join(e, dim=64, k=3).orderBy("src", "rank")
+    return similarity.quantized_knn_join(
+        e, dim=64, k=3, n=_emb_n(spark, sf_dir)
+    ).orderBy("src", "rank")
 
 
 def _negative_sample_oracle(k: int = 5, tables: int = 8) -> str:
@@ -3307,7 +3379,9 @@ def emb_negative_sampling(spark, sf_dir):
     ranking is two-phase."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.lsh_negative_sample(e, q, dim=64, k=5).orderBy(
+    return similarity.lsh_negative_sample(
+        e, q, dim=64, k=5, n=_emb_n(spark, sf_dir)
+    ).orderBy(
         "query_id", "rank"
     )
 
@@ -3405,7 +3479,10 @@ def emb_knn_join_ivf(spark, sf_dir):
     hash-match the oracle. Recall vs the LSH twin stays
     property-tested; cell-boundary misses are the documented dial."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantized_ivf_knn_join(e, dim=64, k=3).orderBy("src", "rank")
+    return similarity.quantized_ivf_knn_join(
+        e, dim=64, k=3, n=_emb_n(spark, sf_dir),
+        sample_rows=_emb_train_sample(spark, sf_dir),
+    ).orderBy("src", "rank")
 
 
 def _ivf_cand_parts(
@@ -3510,7 +3587,8 @@ def emb_ivf_ann_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return similarity.quantized_ivf_ann_topk(
-        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4
+        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4,
+        sample_rows=_emb_train_sample(spark, sf_dir),
     ).orderBy("query_id", "rank")
 
 
@@ -3669,7 +3747,10 @@ def emb_pq_ann_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
-        pq.quantized_pq_ann_topk(e, q, dim=64, k=10, m=16, n_codes=256, iters=3)
+        pq.quantized_pq_ann_topk(
+            e, q, dim=64, k=10, m=16, n_codes=256, iters=3,
+            sample_rows=_emb_train_sample(spark, sf_dir),
+        )
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             "vec_id",
@@ -3771,7 +3852,10 @@ def emb_ivfpq_residual_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
-        pq.quantized_ivfpq_ann_topk(e, q, dim=64, k=10, by_residual=True)
+        pq.quantized_ivfpq_ann_topk(
+            e, q, dim=64, k=10, by_residual=True,
+            sample_rows=_emb_train_sample(spark, sf_dir),
+        )
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             "vec_id",
@@ -3800,7 +3884,10 @@ def emb_ivfpq_ann_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id").isin(0, 1, 2))
     return (
-        pq.quantized_ivfpq_ann_topk(e, q, dim=64, k=10)
+        pq.quantized_ivfpq_ann_topk(
+            e, q, dim=64, k=10,
+            sample_rows=_emb_train_sample(spark, sf_dir),
+        )
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             "vec_id",
@@ -3872,7 +3959,9 @@ def emb_cosine_neardup(spark, sf_dir):
     near-dup runs pass 0.9+."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        similarity.embedding_cosine_neardup(e, dim=64, threshold=0.45)
+        similarity.embedding_cosine_neardup(
+            e, dim=64, threshold=0.45, n=_emb_n(spark, sf_dir)
+        )
         .select("id_a", "id_b", "cos2_pico")
         .orderBy("id_a", "id_b")
     )
@@ -8793,7 +8882,9 @@ def emb_ann_recall_gate(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 16)
     exact = similarity.quantized_cosine_topk(e, q, k=10)
-    ann = similarity.quantized_lsh_ann_topk(e, q, dim=64, k=10)
+    ann = similarity.quantized_lsh_ann_topk(
+        e, q, dim=64, k=10, n=_emb_n(spark, sf_dir)
+    )
     return _recall_vs_exact(exact, ann)
 
 
@@ -8834,7 +8925,8 @@ def emb_ivf_recall_gate(spark, sf_dir):
     q = e.where(F.col("vec_id") < 16)
     exact = similarity.quantized_cosine_topk(e, q, k=10)
     ann = similarity.quantized_ivf_ann_topk(
-        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4
+        e, q, dim=64, k=10, n_cells=16, iters=3, n_probe=4,
+        sample_rows=_emb_train_sample(spark, sf_dir),
     )
     return _recall_vs_exact(exact, ann)
 
@@ -8871,7 +8963,8 @@ def emb_pq_recall_gate(spark, sf_dir):
     q = e.where(F.col("vec_id") < 16)
     exact = similarity.quantized_cosine_topk(e, q, k=10)
     ann = pq.quantized_pq_ann_topk(
-        e, q, dim=64, k=10, m=16, n_codes=256, iters=3
+        e, q, dim=64, k=10, m=16, n_codes=256, iters=3,
+        sample_rows=_emb_train_sample(spark, sf_dir),
     ).select(F.col("query_id").cast("long").alias("query_id"), "vec_id")
     return _recall_vs_exact(exact, ann)
 
@@ -10116,6 +10209,24 @@ def docs_av_dedup_verdicts(spark, sf_dir):
 # digest drifts from the manifest without an eviction
 # (tools/digest_manifest.py computes the closure: query source +
 # oracle SQL + referenced proglog_spark module/helper sources).
+# AUDIT NOTE (ADVICE-r8 rule), r11 module-closure re-records: 21
+# checked names spanning the groups below (docs_bpe_token_stats,
+# docs_bpe_train_merges, docs_constraint_audit, docs_epoch_shuffle,
+# docs_heavy_terms_sketch, docs_length_quantiles,
+# docs_length_quantiles_sketch, docs_replica_placement,
+# docs_shard_assignment, emb_cosine_topk, emb_dot_topk, emb_pca_power,
+# emb_semantic_dedup, emb_sq8_ann_topk, emb_sq8_index_topk,
+# emb_sq8_recall_gate, emb_truncated_dim_overlap, events_decile_value,
+# events_user_value_percentiles, events_zorder_layout,
+# tpch_bloom_filter_join) were re-RECORDED after the r11 optimization
+# round extended similarity.py/pq.py trainer signatures with an
+# optional pre-collected ``sample_rows`` pass-through (default None =
+# the old self-collecting path). None of these 21 queries' own code or
+# called-operator behavior changed — the drift is the conservative
+# module-closure digest — and each was re-proven green against its
+# DuckDB oracle at sf0.001 at record time (21/21). The 12 emb queries
+# whose call sites DID change were evicted instead (see
+# _WINDOW_PRIORITY).
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # (the former 34-name r5 remnant was fully re-verified by the r10
     # window — CORRECTNESS_r10 50/50 green — and moved to the r10 group
@@ -10159,7 +10270,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_same_day_conversion", "docs_top_terms", "tpch_q7_volume_shipping",
         "tpch_q8_market_share", "tpch_q9_product_profit", "tpch_q15_top_supplier",
         "tpch_q20_promo_shippers",
-        "docs_bm25_decontamination", "emb_knn_join_ivf",
+        "docs_bm25_decontamination",
         "tpch_q21_last_shipper", "events_retention_cohorts",
         "events_funnel_conversion", "events_value_histogram",
         "events_daily_active", "events_pareto_users", "docs_bigram_counts",
@@ -10270,12 +10381,9 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_hll_rollup_gate", "events_journey_segments",
         "events_sql_udf_buckets", "events_type_day_matrix",
         "events_type_pagerank", "tpch_lateral_top_customers",
-        "emb_cosine_neardup", "emb_semantic_dedup", "emb_negative_sampling",
-        "emb_knn_join", "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_pq_ann_topk",
-        "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
+        "emb_semantic_dedup",
         "docs_bm25_index_topk",
-        "emb_ann_recall_gate",
-        "emb_ivf_recall_gate", "emb_pq_recall_gate", "emb_truncated_dim_overlap",
+        "emb_truncated_dim_overlap",
         "events_sliding_counts",
         "docs_hash_sample",
         "events_approx_distinct", "events_asof_order",
@@ -10330,6 +10438,26 @@ _WINDOW_PRIORITY: list[str] = [
     "events_dedup_streamed", "events_distinct_rollup_streamed",
     "events_heavy_hitters_streamed", "events_hourly_counts_streamed",
     "events_sessionize_streamed", "events_trailing_anomaly_streamed",
+    # r11 OPTIMIZATION evictions, wave 2 (re-VERIFY): the 12 emb
+    # queries whose CALL SITES changed for the session-shared ANN
+    # plumbing — they now pass the memoized corpus count into the
+    # adaptive sizing ladders (n=) and/or the memoized bounded
+    # training sample into the trainers (sample_rows=). Identical
+    # results by construction (the ladders/trainers receive exactly
+    # what their own count()/collect() returned — pinned by
+    # tests/test_operators.py::test_shared_sample_and_n_paths_are_
+    # identical) and re-proven 12/12 green at sf0.001 + sf0.01, but
+    # the functions changed, so the driver re-verifies.
+    # (The 21 names that drifted only through the similarity/pq
+    # MODULE closure — signature extensions and docstrings, no
+    # behavior change, their own code untouched — were re-RECORDED
+    # per the ADVICE-r8 audit rule after a fresh 21/21 green sf0.001
+    # check at record time; see the module-closure AUDIT NOTE in the
+    # checked groups above.)
+    "emb_ann_recall_gate", "emb_cosine_neardup", "emb_ivf_ann_topk",
+    "emb_ivf_recall_gate", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
+    "emb_knn_join", "emb_knn_join_ivf", "emb_lsh_ann_topk",
+    "emb_negative_sampling", "emb_pq_ann_topk", "emb_pq_recall_gate",
 ]
 
 

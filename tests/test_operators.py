@@ -644,6 +644,60 @@ def test_ivf_train_sample_is_capped_by_default(spark):
     assert len(cents) == 4
 
 
+def test_shared_sample_and_n_paths_are_identical(spark, emb):
+    """The r11 session-sharing seams must be pure plumbing: passing a
+    pre-collected ivf_train_sample as ``sample_rows`` (the shared-
+    sample path the emb query family now uses) and passing the exact
+    corpus count as ``n`` (the shared-count path for the adaptive
+    sizing ladders) must produce row-identical results to the
+    self-collecting / self-counting defaults."""
+    from proglog_spark.operators import pq
+
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2))
+    sample = similarity.ivf_train_sample(emb)
+    n = emb.count()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        similarity.quantized_ivf_ann_topk(
+            emb, qs, dim=64, k=5, n_cells=8, iters=2, n_probe=2,
+            sample_rows=sample,
+        )
+    ) == rows(
+        similarity.quantized_ivf_ann_topk(
+            emb, qs, dim=64, k=5, n_cells=8, iters=2, n_probe=2
+        )
+    )
+    assert rows(
+        pq.quantized_pq_ann_topk(
+            emb, qs, dim=64, k=5, m=8, n_codes=16, iters=2,
+            sample_rows=sample,
+        )
+    ) == rows(
+        pq.quantized_pq_ann_topk(emb, qs, dim=64, k=5, m=8, n_codes=16, iters=2)
+    )
+    assert rows(
+        pq.quantized_ivfpq_ann_topk(
+            emb, qs, dim=64, k=5, n_cells=8, m=8, n_codes=16,
+            by_residual=True, sample_rows=sample,
+        )
+    ) == rows(
+        pq.quantized_ivfpq_ann_topk(
+            emb, qs, dim=64, k=5, n_cells=8, m=8, n_codes=16, by_residual=True
+        )
+    )
+    assert rows(
+        similarity.quantized_lsh_ann_topk(emb, qs, dim=64, k=5, n=n)
+    ) == rows(similarity.quantized_lsh_ann_topk(emb, qs, dim=64, k=5))
+    assert rows(
+        similarity.quantized_ivf_knn_join(
+            emb, dim=64, k=3, n=n, sample_rows=sample
+        )
+    ) == rows(similarity.quantized_ivf_knn_join(emb, dim=64, k=3))
+
+
 def test_quantized_ivf_recall_vs_exact(spark, emb):
     """The oracle-exact IVF twin must match the float tier's recall
     bound on the near-random fixture (the hard regime)."""
