@@ -805,8 +805,22 @@ def quantized_ivf_knn_join(
     a = c.select(F.col(id_col).alias("src"), "ivf_cell")
     b = c.select(F.col(id_col).alias("dst"), "ivf_cell")
     # one cell per vector ⇒ (src, dst) pairs are already unique
-    cand = a.join(b, on="ivf_cell").where(F.col("src") != F.col("dst")).select(
-        "src", "dst"
+    # r11 (guide §2.5 "too few distinct key values"): the candidate
+    # join's only key is ivf_cell — adaptive_ivf_cells keeps cells
+    # PROPORTIONAL to the corpus (n/256), so at small n the pair table
+    # lands on n_cells partitions and the scoring stage serializes
+    # behind a handful of tasks (measured at sf0.1: 8 cells ⇒ the
+    # ~500k-pair scoring pass ran 4.7 s on ≤8 tasks vs 0.77 s spread
+    # 32-wide). Re-keying the narrow (src, dst) pair table by src
+    # restores full width AND pre-establishes the exact partitioning
+    # the per-src top-k window needs, so its Exchange is reused
+    # (plan-pinned: one hashpartitioning(src) exchange, zero
+    # single-partition stages).
+    cand = (
+        a.join(b, on="ivf_cell")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .repartition(F.col("src"))
     )
     vs = df.select(
         F.col(id_col).alias("src"),
@@ -1463,8 +1477,20 @@ def embedding_cosine_neardup(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # r11: self-dots hoisted to the per-VECTOR side (n rows, not
+    # n·tables·occupancy pair rows) — the pair table previously
+    # evaluated THREE interpreted per-element HOF dots per candidate
+    # pair; now one (the pair dot itself)
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -1472,8 +1498,8 @@ def embedding_cosine_neardup(
             "id_a",
             "id_b",
             quantized_dot(F.col("vec_a"), F.col("vec_b")).alias("qd"),
-            quantized_dot(F.col("vec_a"), F.col("vec_a")).alias("na"),
-            quantized_dot(F.col("vec_b"), F.col("vec_b")).alias("nb"),
+            "na",
+            "nb",
         )
         .where(
             (F.col("qd") > 0)

@@ -10381,7 +10381,6 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_hll_rollup_gate", "events_journey_segments",
         "events_sql_udf_buckets", "events_type_day_matrix",
         "events_type_pagerank", "tpch_lateral_top_customers",
-        "emb_semantic_dedup",
         "docs_bm25_index_topk",
         "emb_truncated_dim_overlap",
         "events_sliding_counts",
@@ -10458,6 +10457,18 @@ _WINDOW_PRIORITY: list[str] = [
     "emb_ivf_recall_gate", "emb_ivfpq_ann_topk", "emb_ivfpq_residual_topk",
     "emb_knn_join", "emb_knn_join_ivf", "emb_lsh_ann_topk",
     "emb_negative_sampling", "emb_pq_ann_topk", "emb_pq_recall_gate",
+    # r11 wave 2b (re-VERIFY): quantized_ivf_knn_join re-keys its
+    # candidate pair table by src (guide §2.5 — ivf_cell is the only
+    # upstream key and the adaptive cell count is n/256, so at small n
+    # the scoring stage serialized on a handful of tasks) and
+    # embedding_cosine_neardup hoists its self-dots to the n-row
+    # vector sides (one HOF dot per candidate pair instead of three).
+    # Both consumers are already in the wave-2 eviction list above;
+    # emb_semantic_dedup is evicted here because the same
+    # similarity-module edits drift its closure digest and its edge
+    # scorer reads the very expressions the cosine-neardup hunk moved
+    # — conservative re-VERIFY rather than re-record.
+    "emb_semantic_dedup",
 ]
 
 

@@ -716,6 +716,13 @@ def test_cosine_neardup_buckets_checkpointed_not_cached(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "InMemoryTableScan" not in plan
+    # r11: the per-vector self-dots are computed on the n-row vector
+    # sides (zip_with over the scan's `embedding` column), never per
+    # candidate pair — a pair-side self-dot would print as
+    # zip_with(vec_b#, vec_b#); the only pair-side HOF is the qd dot
+    # zip_with(vec_a#, vec_b#)
+    assert "zip_with(vec_b" not in plan
+    assert "zip_with(embedding" in plan
 
 
 def test_bm25_decontamination_no_corpus_shuffle_beyond_stats(spark, sf_dir):
@@ -769,6 +776,12 @@ def test_ivf_knn_join_assignment_once_no_cache(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "InMemoryTableScan" not in plan
+    # r11 (guide §2.5): the candidate pair table is re-keyed by src
+    # before scoring — the only join key upstream is ivf_cell, whose
+    # adaptive count is n/256, so without this the scoring stage runs
+    # on n_cells tasks; the src hash exchange both restores width and
+    # is the exact partitioning the per-src top-k window reuses
+    assert "hashpartitioning(src" in plan
 
 
 def test_dsir_model_broadcasts_and_takes_ordered(spark, sf_dir):
