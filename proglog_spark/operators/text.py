@@ -392,6 +392,7 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25-shaped retrieval over whitespace tokens, integer-exact:
     top-k ``(query_id, doc_id, score_micro, rank)`` per query.
@@ -417,27 +418,37 @@ def bm25_topk(
     occurrences); the query-term table and the two 1-row totals
     broadcast; scoring joins tf→dl on the doc key; the final top-k is
     the two-phase per-query rank (no global window).
+
+    ``tf`` (r11): optional pre-computed term-frequency table
+    ``(_id, term, tf)`` — EXACTLY what the internal tokenize+groupBy
+    produces over ``df``. When a session runs several BM25 consumers
+    over the same corpus, passing a shared cached tf table skips the
+    per-consumer corpus tokenize pass; the caller owns the
+    one-materialization guarantee (cache or checkpoint). Statistics
+    and scoring are unchanged — ``n`` still counts ``df``'s rows.
     """
     from proglog_spark.operators.topk import topk_per_key
 
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
-            "term"
-        ),
-    )
-    # tf is the ONLY aggregate computed from the exploded token stream;
-    # dl, df, and the corpus token total S all derive from it, so the
-    # full corpus is tokenized exactly once. The eager localCheckpoint
-    # makes that physical, not just logical: tf has three consumers
-    # with DIFFERENT partitionings (term join, _id agg, term agg), and
-    # AQE's exchange reuse only deduplicated one of them — without the
-    # checkpoint the token explode re-ran per branch.
-    tf = (
-        toks.groupBy("_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if tf is None:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        # tf is the ONLY aggregate computed from the exploded token
+        # stream; dl, df, and the corpus token total S all derive from
+        # it, so the full corpus is tokenized exactly once. The eager
+        # localCheckpoint makes that physical, not just logical: tf has
+        # three consumers with DIFFERENT partitionings (term join, _id
+        # agg, term agg), and AQE's exchange reuse only deduplicated
+        # one of them — without the checkpoint the token explode re-ran
+        # per branch.
+        tf = (
+            toks.groupBy("_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
     dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = df.agg(F.count(F.lit(1)).alias("n")).join(
@@ -493,6 +504,7 @@ def bm25_index_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     term_partitions: int | None = None,
+    tf: DataFrame | None = None,
 ) -> None:
     """Materialize a persistent BM25 inverted index: tokenize ONCE,
     persist the four statistics tables a query needs — the
@@ -507,18 +519,23 @@ def bm25_index_write(
     inverted index's term dictionary. ``dl/`` stays doc-keyed (the
     postings→length join is on the doc id), ``df/`` term-keyed,
     ``totals/`` one row.
+
+    ``tf`` (r11): optional pre-computed ``(doc_id, term, tf)`` table,
+    byte-for-byte what the internal tokenize+groupBy produces over
+    ``df`` — same sharing contract as :func:`bm25_topk`.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        ).alias("term"),
-    )
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)  # one tokenize feeds all four tables
-    )
+    if tf is None:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        tf = (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)  # one tokenize feeds all four tables
+        )
     if term_partitions is None:
         # corpus-adaptive file count (~4M postings per file): a fixed
         # default would mean ever-fatter files as the corpus grows —

@@ -698,6 +698,41 @@ def test_shared_sample_and_n_paths_are_identical(spark, emb):
     ) == rows(similarity.quantized_ivf_knn_join(emb, dim=64, k=3))
 
 
+def test_bm25_shared_tf_path_identical(spark, docs, tmp_path):
+    """The r11 shared-tf seam must be pure plumbing: passing a
+    pre-computed (doc_id, term, tf) table into bm25_topk /
+    bm25_index_write (the session-shared path docs_bm25_* now use)
+    must produce row-identical results to the self-tokenizing
+    defaults — including through the persisted-index round trip."""
+    queries = [(0, "hash"), (0, "join"), (1, "stream")]
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        text.bm25_topk(
+            docs, queries, k=5, tf=tf.withColumnRenamed("doc_id", "_id")
+        )
+    ) == rows(text.bm25_topk(docs, queries, k=5))
+
+    p_self, p_shared = str(tmp_path / "ix_self"), str(tmp_path / "ix_shared")
+    text.bm25_index_write(docs, p_self)
+    text.bm25_index_write(docs, p_shared, tf=tf)
+    assert rows(text.bm25_index_query(spark, p_self, queries, k=5)) == rows(
+        text.bm25_index_query(spark, p_shared, queries, k=5)
+    )
+
+
 def test_quantized_ivf_recall_vs_exact(spark, emb):
     """The oracle-exact IVF twin must match the float tier's recall
     bound on the near-random fixture (the hard regime)."""
