@@ -328,6 +328,82 @@ def png_roundtrip(df):
     return df.mapInPandas(rt_batches, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
+#: png_roundtrip_sketch output: the round-trip gate's five decision
+#: longs — nothing else ever crosses the Python boundary
+PNG_ROUNDTRIP_SKETCH_SCHEMA = (
+    "doc_id LONG, px_sum LONG, rgb_luma_sum LONG, "
+    "simhash_lo LONG, simhash_hi LONG"
+)
+
+
+def png_roundtrip_sketch(
+    df, id_col: str = "doc_id", payload_col: str = "payload"
+):
+    """Fused ``decode_media(8x9) → png_roundtrip → per-doc pixel sums
+    + dhash64`` in ONE mapInPandas stage — bit-identical to the
+    composed chain (pinned by tests/test_png.py::
+    test_png_roundtrip_sketch_matches_composed), built for the
+    ``docs_image_png_roundtrip`` gate where the decoded grids exist
+    only to be summed and hashed.
+
+    Why fuse (optimization guide §4.2, the :func:`proglog_spark.
+    multimodal.media.decode_dhash64` rationale): the composed chain
+    ran TWO chained mapInPandas stages shipping a 72-element
+    ``ARRAY<INT>`` per row across the Arrow boundary three times
+    (pixels out of decode, pixels + rgb_luma out of the round trip)
+    and then a 128-``getItem`` JVM expression pass; per doc the gate
+    only needs FIVE longs. The decode core (``_slice_mean_pixels``),
+    the codec round trips (``encode_png``/``decode_png`` — the full
+    untrusted-input path, CRCs and all five unfilter recurrences
+    included), the geometry guards, and the dHash bit rule are all
+    single-sourced with the composed operators, so the stages cannot
+    drift. NULL payloads drop — exactly the composed chain's
+    ``dhash64`` NULL-pixels drop.
+    """
+    from proglog_spark.multimodal.media import _id_payload, _slice_mean_pixels
+
+    cols = _id_payload(df, id_col, payload_col)
+
+    def rt_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        w_lo = np.int64(1) << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            null_mask, pixels = _slice_mean_pixels(pdf["payload"], 72)
+            keep = ~null_mask
+            ids = np.asarray(pdf["doc_id"])[keep]
+            px_sums, rgb_sums, los, his = [], [], [], []
+            for grid in pixels[keep]:
+                gray = decode_png(encode_png(grid, 8, 9, channels=1))
+                rgb = decode_png(
+                    encode_png(np.repeat(grid, 3), 8, 9, channels=3)
+                )
+                if gray is None or rgb is None:
+                    raise ValueError("png_roundtrip: own encode out of scope")
+                if (gray[0], gray[1], gray[2]) != (8, 9, 1) or (
+                    rgb[0], rgb[1], rgb[2]
+                ) != (8, 9, 3):
+                    raise ValueError("png_roundtrip: geometry drift")
+                g = gray[3].reshape(8, 9)
+                bits = (g[:, 1:] > g[:, :-1]).reshape(64)
+                px_sums.append(int(gray[3].sum()))
+                rgb_sums.append(int(rgb[3].sum()))
+                los.append(int(bits[:32].astype(np.int64) @ w_lo))
+                his.append(int(bits[32:].astype(np.int64) @ w_lo))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_sum": pd.Series(px_sums, dtype="int64"),
+                    "rgb_luma_sum": pd.Series(rgb_sums, dtype="int64"),
+                    "simhash_lo": pd.Series(los, dtype="int64"),
+                    "simhash_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(rt_batches, schema=PNG_ROUNDTRIP_SKETCH_SCHEMA)
+
+
 # module-import registration (see module docstring for the override
 # relationship with the Pillow auto-hook)
 register_image_decoder("png", decode_png)

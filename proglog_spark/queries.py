@@ -2491,33 +2491,22 @@ def docs_image_png_roundtrip(spark, sf_dir):
     error, CRC/framing bug, raster mis-length, or gray/RGB stride
     mix-up diverges and goes RED. The encoder cycles the scanline
     filter by row index mod 5, so one 8-row image exercises every
-    decoder filter path at BOTH byte strides (bpp=1 and bpp=3). The
-    px_sum/rgb_luma_sum scalars ride through `dhash64` packed in a
-    struct id column — one mapInPandas chain, zero joins, zero
-    shuffles before the final sort."""
-    from proglog_spark.multimodal import decode_media, dhash64, png_roundtrip
+    decoder filter path at BOTH byte strides (bpp=1 and bpp=3). r11:
+    the decode → round-trip → sums+dHash chain runs FUSED
+    (`png_roundtrip_sketch`, bit-identical to the composed operators
+    by single-sourcing — pinned in test_png) so only the five
+    decision longs cross the Python boundary — ONE mapInPandas, zero
+    joins, zero shuffles before the final sort."""
+    from proglog_spark.multimodal import png_roundtrip_sketch
 
     d = load_table(spark, sf_dir, "documents")
-    rt = png_roundtrip(decode_media(_image_thumb_payload(d), height=8, width=9))
-    add = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)  # noqa: E731
-    packed = rt.select(
-        F.struct(
-            F.col("doc_id"),
-            add("pixels").alias("px_sum"),
-            add("rgb_luma").alias("rgb_luma_sum"),
-        ).alias("doc_key"),
-        "height",
-        "width",
-        "channels",
-        "pixels",
-    )
-    sk = dhash64(packed, id_col="doc_key")
+    sk = png_roundtrip_sketch(_image_thumb_payload(d))
     return sk.select(
-        F.col("id.doc_id").alias("doc_id"),
+        "doc_id",
         F.col("simhash_lo").alias("dhash_lo"),
         F.col("simhash_hi").alias("dhash_hi"),
-        F.col("id.px_sum").alias("px_sum"),
-        F.col("id.rgb_luma_sum").alias("rgb_luma_sum"),
+        "px_sum",
+        "rgb_luma_sum",
     ).orderBy("doc_id")
 
 

@@ -304,6 +304,57 @@ def test_multi_idat_chunks_concatenate():
 # ---------------------------------------------------------------------------
 
 
+def test_png_roundtrip_sketch_matches_composed(spark):
+    """The r11 fused round-trip gate stage must be BIT-IDENTICAL to
+    the composed decode_media → png_roundtrip → sums + dhash64 chain
+    it replaced in docs_image_png_roundtrip — over every payload
+    class (the test_decode_dhash64_matches_composed matrix): exact-72
+    ramp, flat, single-bump, short/long uneven-slice payloads, empty
+    (zero grid), NULL (row drops on both paths), 1-byte."""
+    from pyspark.sql import functions as F
+
+    from proglog_spark.multimodal import (
+        decode_media,
+        dhash64,
+        png_roundtrip,
+        png_roundtrip_sketch,
+    )
+
+    payloads = [
+        (1, bytes(range(72))),
+        (2, bytes([7]) * 72),
+        (3, bytes([10] * 1 + [200] + [10] * 70)),
+        (4, b"abcdefghi" * 3),
+        (5, bytes(range(256)) * 3),
+        (6, b""),
+        (7, None),
+        (8, b"x"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id LONG, payload BINARY")
+    rt = png_roundtrip(decode_media(df, height=8, width=9))
+    add = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    packed = rt.select(
+        F.struct(
+            F.col("doc_id"),
+            add("pixels").alias("px_sum"),
+            add("rgb_luma").alias("rgb_luma_sum"),
+        ).alias("doc_key"),
+        "height", "width", "channels", "pixels",
+    )
+    composed = {
+        r.id.doc_id: (r.id.px_sum, r.id.rgb_luma_sum, r.simhash_lo, r.simhash_hi)
+        for r in dhash64(packed, id_col="doc_key").collect()
+    }
+    fused = {
+        r.doc_id: (r.px_sum, r.rgb_luma_sum, r.simhash_lo, r.simhash_hi)
+        for r in png_roundtrip_sketch(df).collect()
+    }
+    assert fused == composed
+    assert set(fused) == {1, 2, 3, 4, 5, 6, 8}  # NULL row dropped
+
+
 def test_png_roundtrip_stage_null_propagation(spark):
     from proglog_spark.multimodal import decode_media, png_roundtrip
 
