@@ -593,6 +593,7 @@ def dsir_topk(
     n_buckets: int = 10007,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_features: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): rank raw
@@ -633,14 +634,25 @@ def dsir_topk(
     BIGINT bound: (t_f+1)*(R+B)*10^6 stays below 2^63 while
     t_f*R < 9.2e12 — past that (deep-trillions of tokens), lift the
     two products to DECIMAL(38,0); the plan does not change.
+
+    ``doc_features`` (r11): optional pre-computed per-doc feature
+    table ``(id, is_tgt, bk, k)`` — exactly what the internal
+    featurize produces over ``df`` (same bucket space, same
+    is_target labeling). When a session runs several DSIR consumers
+    over the same corpus, passing a shared cached table skips the
+    per-consumer featurize pass; the caller owns the
+    one-materialization guarantee.
     """
-    # eager checkpoint (the bm25_topk tf precedent): doc_f feeds the
-    # model counts, the totals, AND the scoring join — without
-    # materialization Spark re-executes the corpus explode per
-    # consumer (a 3× corpus scan, caught by the plan pin)
-    doc_f = _dsir_doc_features(
-        df, n_buckets, text_col, id_col, is_target
-    ).localCheckpoint(eager=True)
+    if doc_features is not None:
+        doc_f = doc_features
+    else:
+        # eager checkpoint (the bm25_topk tf precedent): doc_f feeds
+        # the model counts, the totals, AND the scoring join — without
+        # materialization Spark re-executes the corpus explode per
+        # consumer (a 3× corpus scan, caught by the plan pin)
+        doc_f = _dsir_doc_features(
+            df, n_buckets, text_col, id_col, is_target
+        ).localCheckpoint(eager=True)
     model = _dsir_fit(_dsir_bucket_counts(doc_f), n_buckets)
     return (
         _dsir_score(doc_f, model, id_col)
@@ -756,6 +768,7 @@ def dsir_model_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_features: bool = False,
+    doc_features: DataFrame | None = None,
 ) -> DataFrame | None:
     """Persist a fitted DSIR model — the train-once/score-forever
     pattern of :func:`bm25_index_write` and `pq.build_ivf_index`: fit
@@ -778,8 +791,15 @@ def dsir_model_write(
     next. Train-only / new-data pipelines leave the default and only
     the bucket-count reduction materializes (the function's bounded
     scale posture). Scoring genuinely NEW data featurizes that data
-    itself (it must — the features don't exist yet)."""
-    if keep_features:
+    itself (it must — the features don't exist yet).
+
+    ``doc_features`` (r11): optional pre-computed ``(id, is_tgt, bk,
+    k)`` table, exactly the internal featurize's output over ``df`` —
+    the :func:`dsir_topk` sharing contract; with ``keep_features``
+    the provided table is what is handed back."""
+    if doc_features is not None:
+        doc_f = doc_features
+    elif keep_features:
         # checkpoint the per-doc feature table itself: it feeds the
         # model counts, the totals, AND — handed back to the caller —
         # same-corpus scoring, all from ONE featurize pass

@@ -8744,6 +8744,35 @@ _DSIR_ORACLE = (
 )
 
 
+def _dsir_features_t(spark, sf_dir) -> DataFrame:
+    """The full-corpus DSIR per-doc feature TABLE (doc_id, is_tgt,
+    bk, k; is_target = lang == 'en', the family's fixed target) —
+    session-shared across the three DSIR consumers
+    (docs_dsir_selection, docs_dsir_from_model, docs_dsir_score_new),
+    which previously ran FOUR independent featurize passes (bigram
+    explode + md5 hash + groupBy) between them per session (r11;
+    guide §5 + §1.2). is_tgt is constant per doc_id (lang is a doc
+    column) and featurization is row-local, so the score_new halves
+    are exact parity filters of this table (the _bm25_tf_t commuting
+    argument). Cardinality is distinct (doc, bucket) pairs — the
+    reduced feature tier, never the token stream. Memoized handle +
+    .cache(): first touch per session computes from parquet,
+    clearCache() re-registers on next call, a new session starts
+    empty."""
+    return _memo_df(
+        spark,
+        sf_dir,
+        "dsir_features",
+        lambda: text._dsir_doc_features(
+            load_table(spark, sf_dir, "documents"),
+            10007,
+            "text",
+            "doc_id",
+            F.col("lang") == "en",
+        ),
+    ).cache()
+
+
 @register("docs_dsir_selection", _DSIR_ORACLE)
 def docs_dsir_selection(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023) as a first-class pipeline
@@ -8759,9 +8788,16 @@ def docs_dsir_selection(spark, sf_dir):
     features) and broadcasts to the join-back; the only corpus-scale
     shuffles are two map-side-combinable feature-count reductions.
     The reference has no text analytics at all (payloads are opaque
-    bytes, api/v1/log.proto:8); north-star training-data surface."""
+    bytes, api/v1/log.proto:8); north-star training-data surface.
+    r11: rides the session-shared feature table (_dsir_features_t)
+    also consumed by the two persisted-model gates."""
     d = load_table(spark, sf_dir, "documents")
-    return text.dsir_topk(d, F.col("lang") == "en", k=100)
+    return text.dsir_topk(
+        d,
+        F.col("lang") == "en",
+        k=100,
+        doc_features=_dsir_features_t(spark, sf_dir),
+    )
 
 
 @register("docs_dsir_from_model", _DSIR_ORACLE)
@@ -8785,8 +8821,15 @@ def docs_dsir_from_model(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="dsir_model_gate_")
     try:
+        # r11: the shared cached feature table stands in for the
+        # keep_features checkpoint — same one-featurize-pass story,
+        # now session-wide across the DSIR family
         feats = text.dsir_model_write(
-            d, F.col("lang") == "en", path, keep_features=True
+            d,
+            F.col("lang") == "en",
+            path,
+            keep_features=True,
+            doc_features=_dsir_features_t(spark, sf_dir),
         )
         out = _materialize(
             text.dsir_model_score(spark, path, d, k=100, doc_features=feats)
@@ -8849,12 +8892,25 @@ def docs_dsir_score_new(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="dsir_new_gate_")
     try:
+        # r11: both halves are parity filters of the session-shared
+        # feature table (featurization is row-local, is_tgt is a doc
+        # column — _dsir_features_t docstring); the scoring side's
+        # extra is_tgt column is ignored by the scoring groupBy
+        # (dsir_model_score's documented doc_features contract)
+        feats = _dsir_features_t(spark, sf_dir)
         text.dsir_model_write(
-            d.where(F.col("doc_id") % 2 == 0), F.col("lang") == "en", path
+            d.where(F.col("doc_id") % 2 == 0),
+            F.col("lang") == "en",
+            path,
+            doc_features=feats.where(F.col("doc_id") % 2 == 0),
         )
         out = _materialize(
             text.dsir_model_score(
-                spark, path, d.where(F.col("doc_id") % 2 == 1), k=100
+                spark,
+                path,
+                d.where(F.col("doc_id") % 2 == 1),
+                k=100,
+                doc_features=feats.where(F.col("doc_id") % 2 == 1),
             )
         )
     finally:
@@ -10291,9 +10347,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # sample — which moved to the r10 group below; this remnant LEADS
     # the r11 refill per rotation hygiene)
     ("r6", (
-        "docs_dsir_selection", "docs_dsir_from_model",
         "docs_simhash_neardup",
-        "docs_dsir_score_new",
         "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
         "docs_fingerprint",
         "docs_lang_id", "docs_median_length",
@@ -10446,7 +10500,9 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
 # (r11 wave-4 evictions removed from the groups above:
 # docs_lm_interpolated from r6; docs_lm_quality_filter, docs_bm25_topk,
 # docs_bm25_decontamination from r7; docs_bm25_index_topk from r10 —
-# see the wave-4 block in _WINDOW_PRIORITY.)
+# see the wave-4 block in _WINDOW_PRIORITY. r11 wave-6 evictions:
+# docs_dsir_selection, docs_dsir_from_model, docs_dsir_score_new from
+# r6 — see the wave-6 block.)
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     n for _, grp in _CHECKED_BY_ROUND for n in grp
@@ -10540,6 +10596,17 @@ _WINDOW_PRIORITY: list[str] = [
     # sites changed, so the driver re-verifies.
     "docs_lm_interpolated", "docs_lm_quality_filter",
     "docs_bm25_topk", "docs_bm25_index_topk", "docs_bm25_decontamination",
+    # r11 wave 6 (re-VERIFY): the DSIR family now rides one
+    # session-shared per-doc feature table (_dsir_features_t) instead
+    # of four independent featurize passes; the score_new halves are
+    # parity filters of it (row-local featurize — the _bm25_tf_t
+    # commuting argument). Identical results by construction
+    # (dsir_topk/dsir_model_write receive exactly what their own
+    # featurize produced — pinned by tests/test_operators.py::
+    # test_dsir_shared_features_path_identical) and re-proven green at
+    # sf0.001 + sf0.01 before commit, but the call sites changed, so
+    # the driver re-verifies.
+    "docs_dsir_selection", "docs_dsir_from_model", "docs_dsir_score_new",
 ]
 
 

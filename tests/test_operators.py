@@ -733,6 +733,40 @@ def test_bm25_shared_tf_path_identical(spark, docs, tmp_path):
     )
 
 
+def test_dsir_shared_features_path_identical(spark, docs, tmp_path):
+    """The r11 shared-feature seam must be pure plumbing: passing a
+    pre-computed (doc_id, is_tgt, bk, k) table into dsir_topk /
+    dsir_model_write (the session-shared path the DSIR queries now
+    use) must produce row-identical results to the self-featurizing
+    defaults — including the new-data path where the two halves are
+    parity filters of the shared table."""
+    is_tgt = F.col("lang") == "en"
+    feats = text._dsir_doc_features(docs, 10007, "text", "doc_id", is_tgt)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        text.dsir_topk(docs, is_tgt, k=50, doc_features=feats)
+    ) == rows(text.dsir_topk(docs, is_tgt, k=50))
+
+    even, odd = docs.where(F.col("doc_id") % 2 == 0), docs.where(
+        F.col("doc_id") % 2 == 1
+    )
+    p_self, p_shared = str(tmp_path / "m_self"), str(tmp_path / "m_shared")
+    text.dsir_model_write(even, is_tgt, p_self)
+    text.dsir_model_write(
+        even, is_tgt, p_shared,
+        doc_features=feats.where(F.col("doc_id") % 2 == 0),
+    )
+    assert rows(text.dsir_model_score(spark, p_self, odd, k=50)) == rows(
+        text.dsir_model_score(
+            spark, p_shared, odd, k=50,
+            doc_features=feats.where(F.col("doc_id") % 2 == 1),
+        )
+    )
+
+
 def test_quantized_ivf_recall_vs_exact(spark, emb):
     """The oracle-exact IVF twin must match the float tier's recall
     bound on the near-random fixture (the hard regime)."""
