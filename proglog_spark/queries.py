@@ -1764,6 +1764,30 @@ _JACCARD_SHINGLES_SQL = (
 )
 
 
+def _jaccard_pairs_t(spark, sf_dir) -> DataFrame:
+    """The exact 3-gram-Jaccard verified-pairs TABLE (id_a, id_b,
+    n_common, n_a, n_b, jaccard_micro; threshold 0.2) — session-shared
+    across the five exact-dedup consumers (docs_neardup_jaccard,
+    docs_dedup_clusters, docs_dedup_keepers, docs_cluster_safe_split,
+    docs_minhash_estimate_gate), which previously each re-ran the
+    shingle self-join + verification aggregate (r11; guide §5 +
+    §1.2 — the shingle-ARRAY cache inside jaccard_pairs was already
+    deduplicated by the CacheManager across calls, but the join and
+    the verify aggregation re-executed per consumer). Pair-count-sized
+    rows (only duplicates survive the threshold — the 10³×-smaller
+    tier). Memoized handle + .cache(): first touch per session
+    computes from parquet, clearCache() re-registers on next call, a
+    new session starts empty."""
+    return _memo_df(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        lambda: dedup.jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold_micro=200000
+        ),
+    ).cache()
+
+
 @register(
     "docs_neardup_jaccard",
     f"WITH sh AS ({_JACCARD_SHINGLES_SQL}) "
@@ -1779,9 +1803,10 @@ _JACCARD_SHINGLES_SQL = (
 )
 def docs_neardup_jaccard(spark, sf_dir):
     """Exact 3-gram-Jaccard near-dup pairs (complete inverted-index
-    blocking + verification — matches the all-pairs oracle exactly)."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold_micro=200000).orderBy("id_a", "id_b")
+    blocking + verification — matches the all-pairs oracle exactly).
+    r11: reads the session-shared verified-pairs table
+    (_jaccard_pairs_t) the whole exact-dedup family rides."""
+    return _jaccard_pairs_t(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1828,9 +1853,9 @@ def docs_dedup_clusters(spark, sf_dir):
     every dedup pipeline: connected components over the exact jaccard
     pairs, each clustered doc mapped to its minimum-id representative
     (keep rep, drop the rest). Spark side is iterative min-label
-    propagation; oracle is a recursive-CTE transitive closure."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    propagation; oracle is a recursive-CTE transitive closure. r11:
+    rides the session-shared verified-pairs table."""
+    pairs = _jaccard_pairs_t(spark, sf_dir)
     return (
         dedup.connected_components(pairs)
         .select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
@@ -1861,9 +1886,10 @@ def docs_dedup_keepers(spark, sf_dir):
     both exact and near dedup. The cluster map scales with the corpus's
     duplicate count, so its join strategy is AQE's call — broadcast
     when tiny (the common case), doc_id-keyed shuffle of (id, rep)
-    pairs (never document text) when not."""
+    pairs (never document text) when not. r11: rides the
+    session-shared verified-pairs table."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    pairs = _jaccard_pairs_t(spark, sf_dir)
     clusters = dedup.connected_components(pairs)
     return (
         d.join(clusters, d.doc_id == clusters.id, "left")
@@ -1907,9 +1933,10 @@ def docs_cluster_safe_split(spark, sf_dir):
     oracle) with the deterministic hash split: unclustered docs key on
     themselves, clustered docs inherit their representative's bucket.
     The cluster map join is AQE's call (tiny in the common case); the
-    split itself stays a shuffle-free projection."""
+    split itself stays a shuffle-free projection. r11: rides the
+    session-shared verified-pairs table."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold_micro=200000)
+    pairs = _jaccard_pairs_t(spark, sf_dir)
     clusters = dedup.connected_components(pairs)
     withrep = d.join(clusters, d.doc_id == clusters.id, "left").select(
         "doc_id", F.coalesce("rep", "doc_id").alias("cluster_rep")
@@ -7661,7 +7688,8 @@ def docs_minhash_estimate_gate(spark, sf_dir):
     so in-session the signatures and the verified-pairs cache are
     both shared, not recomputed."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold_micro=200000).select(
+    # r11: rides the session-shared verified-pairs table
+    pairs = _jaccard_pairs_t(spark, sf_dir).select(
         "id_a", "id_b", "jaccard_micro"
     )
     sigs = dedup.minhash_signatures(d, num_hashes=64)
@@ -10348,10 +10376,10 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # the r11 refill per rotation hygiene)
     ("r6", (
         "docs_simhash_neardup",
-        "docs_dedup_clusters", "docs_dedup_exact", "docs_dedup_keepers",
+        "docs_dedup_exact",
         "docs_fingerprint",
         "docs_lang_id", "docs_median_length",
-        "docs_minhash_lsh", "docs_neardup_jaccard",
+        "docs_minhash_lsh",
         "docs_quality", "docs_simhash",
         "docs_stratified_sample", "docs_text_stats", "docs_token_stats",
         "emb_dot_topk", "emb_exact_dup", "emb_norm_stats",
@@ -10365,7 +10393,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "events_cms_user_counts", "events_cms_merge",
         "events_cms_join_estimate",
         "docs_containment_dedup",
-        "docs_cluster_safe_split", "emb_cosine_topk", "tpch_q6_forecast",
+        "emb_cosine_topk", "tpch_q6_forecast",
         "tpch_q18_big_orders", "tpch_q4_late_orders", "tpch_q2_top_supplier",
         "tpch_q14_promo_share", "tpch_q16_supplier_variety",
         "tpch_salted_priority_revenue", "docs_length_quantiles",
@@ -10447,7 +10475,7 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
         "orders_calendar_profile", "events_nullsafe_match",
         "events_grouping_sets", "docs_recursive_ancestry", "events_variant_props",
         "tpch_bloom_filter_join", "docs_heavy_terms_sketch",
-        "docs_minhash_estimate_gate", "events_out_of_order_audit",
+        "events_out_of_order_audit",
         "events_type_value_quantiles",
         "log_read_point", "log_bounds", "log_scan_range", "log_tail",
         "log_consume_from", "log_truncate_view", "log_read_out_of_range",
@@ -10502,7 +10530,10 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
 # docs_bm25_decontamination from r7; docs_bm25_index_topk from r10 —
 # see the wave-4 block in _WINDOW_PRIORITY. r11 wave-6 evictions:
 # docs_dsir_selection, docs_dsir_from_model, docs_dsir_score_new from
-# r6 — see the wave-6 block.)
+# r6 — see the wave-6 block. r11 wave-7 evictions: docs_dedup_clusters,
+# docs_dedup_keepers, docs_neardup_jaccard from r6;
+# docs_cluster_safe_split from r7; docs_minhash_estimate_gate from r9
+# — see the wave-7 block.)
 
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     n for _, grp in _CHECKED_BY_ROUND for n in grp
@@ -10607,6 +10638,16 @@ _WINDOW_PRIORITY: list[str] = [
     # sf0.001 + sf0.01 before commit, but the call sites changed, so
     # the driver re-verifies.
     "docs_dsir_selection", "docs_dsir_from_model", "docs_dsir_score_new",
+    # r11 wave 7 (re-VERIFY): the exact-dedup family now rides one
+    # session-shared verified-pairs table (_jaccard_pairs_t) instead
+    # of five independent shingle self-join + verify passes. Pure
+    # call-site factoring — the helper builds EXACTLY the expression
+    # each consumer built inline (dedup.jaccard_pairs(documents,
+    # threshold_micro=200000)) — re-proven green at sf0.001 + sf0.01
+    # before commit, but the call sites changed, so the driver
+    # re-verifies.
+    "docs_neardup_jaccard", "docs_dedup_clusters", "docs_dedup_keepers",
+    "docs_cluster_safe_split", "docs_minhash_estimate_gate",
 ]
 
 
