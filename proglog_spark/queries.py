@@ -1298,6 +1298,9 @@ def _lm_interp_scores_t(spark, sf_dir) -> DataFrame:
     .cache() exactly like _image_sketch_t: first touch per session
     computes from parquet, clearCache() re-registers on next call, a
     new session starts empty."""
+    # cached: both LM consumers read this score table (lifecycle in
+    # the docstring; .cache() re-applies per call so clearCache
+    # re-registers)
     return _memo_df(
         spark,
         sf_dir,
@@ -1486,6 +1489,9 @@ def _bm25_tf_t(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("tf")
         )
 
+    # cached: the three BM25 consumers read this tf table (lifecycle
+    # in the docstring; .cache() re-applies per call so clearCache
+    # re-registers)
     return _memo_df(spark, sf_dir, "bm25_tf", build).cache()
 
 
@@ -1778,6 +1784,9 @@ def _jaccard_pairs_t(spark, sf_dir) -> DataFrame:
     tier). Memoized handle + .cache(): first touch per session
     computes from parquet, clearCache() re-registers on next call, a
     new session starts empty."""
+    # cached: the five exact-dedup consumers read this pair table
+    # (lifecycle in the docstring; .cache() re-applies per call so
+    # clearCache re-registers)
     return _memo_df(
         spark,
         sf_dir,
@@ -8787,6 +8796,9 @@ def _dsir_features_t(spark, sf_dir) -> DataFrame:
     .cache(): first touch per session computes from parquet,
     clearCache() re-registers on next call, a new session starts
     empty."""
+    # cached: the three DSIR consumers read this feature table
+    # (lifecycle in the docstring; .cache() re-applies per call so
+    # clearCache re-registers)
     return _memo_df(
         spark,
         sf_dir,
@@ -10365,6 +10377,12 @@ def docs_av_dedup_verdicts(spark, sf_dir):
 # DuckDB oracle at sf0.001 at record time (21/21). The 12 emb queries
 # whose call sites DID change were evicted instead (see
 # _WINDOW_PRIORITY).
+# AUDIT NOTE (r11 wave 8): the sources/tables.py load_table
+# handle-memo edit (analysis-time DataFrame handle reuse — no
+# behavior change; returns the same immutable scan DataFrame) drifted
+# the closure of every checked name (144); all were re-RECORDED after
+# a fresh 203/203 green sf0.001 sweep run AGAINST the edited code at
+# record time. No call sites changed, so no wave-8 evictions.
 _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # (the former 34-name r5 remnant was fully re-verified by the r10
     # window — CORRECTNESS_r10 50/50 green — and moved to the r10 group

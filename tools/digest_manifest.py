@@ -156,6 +156,17 @@ def _fn_closure(fn, fn_srcs: dict, mods: dict) -> None:
             _pkg_module_closure(obj.__module__, mods)
         elif isinstance(obj, (str, bytes, int, float, bool, tuple, list, dict,
                               set, frozenset)):
+            # *_MEMO names are session-scoped mutable runtime caches
+            # (the plan-handle memos: queries._DF_MEMO,
+            # sources.tables._HANDLE_MEMO) — their live CONTENTS vary
+            # within a process (empty at import, populated after the
+            # first Spark run), so value-hashing them makes digests
+            # unstable mid-process. They are not query semantics; the
+            # code that READS them is still source-captured. Documented
+            # naming convention: any module-level mutable cache must
+            # carry the _MEMO suffix.
+            if nm.endswith("_MEMO"):
+                continue
             r = _canon_repr(obj)
             # containers holding non-literal objects (e.g. the REGISTRY
             # dict of function objects) repr with per-process memory
