@@ -308,6 +308,27 @@ def _noisier_than_committed(full: dict, prior: dict) -> str | None:
         return None
     if new_c > old_c + 0.05:
         return f"inflation_end {new_c} vs committed {old_c}"
+    # (c) the canary is six quick JVM queries and can read quiet while
+    # the SUITE absorbed mid-run contention the canary windows missed
+    # (observed at r11 close: a 331.8 s run at launch loadavg 5.0 read
+    # inflation_end 1.01 and clobbered the 264.4 s quiet map). The
+    # committed map's stated contract is "the quietest known run of
+    # the canonical surface": when this run is NOT meaningfully
+    # quieter by the canary (checked above) AND its total wall is
+    # higher, keep the committed map. A genuinely slower-after-a-code-
+    # change map still lands via the n_queries path or a deliberate
+    # removal of the old artifact; routine reruns only replace on
+    # equal-or-better walls.
+    new_v, old_v = full.get("value"), prior.get("value")
+    if (
+        isinstance(new_v, (int, float))
+        and isinstance(old_v, (int, float))
+        and new_v > old_v * 1.02
+    ):
+        return (
+            f"wall {new_v} vs committed {old_v} with canary not quieter "
+            f"({new_c} vs {old_c})"
+        )
     return None
 
 
