@@ -258,12 +258,24 @@ def test_bench_noisier_run_does_not_clobber():
     """A full-suite rerun whose end-pass canary reads meaningfully
     worse than the committed artifact's must divert (VERDICT-r9 #4 —
     the driver's loaded run must not replace a quiet round-close
-    map); a different query surface always replaces."""
+    map); a different query surface always replaces; the guard only
+    applies between SAME-CODE runs (VERDICT-r11 #3: a changed git
+    revision always replaces, so a genuine regression lands)."""
     import bench
 
-    quiet = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
-    noisy = {"n_queries": 201, "canary": {"inflation_end": 1.32}}
+    quiet = {"n_queries": 201, "git_head": "abc1234",
+             "canary": {"inflation_end": 1.06}}
+    noisy = {"n_queries": 201, "git_head": "abc1234",
+             "canary": {"inflation_end": 1.32}}
     assert bench._noisier_than_committed(noisy, quiet) is not None
+    # VERDICT-r11 #3: the quietest-known contract is scoped to reruns
+    # of the SAME code — a run of CHANGED code always replaces, even
+    # when noisier (a real plan regression must land in the map), and
+    # an artifact that predates the git_head field is always replaced
+    changed = dict(noisy, git_head="def5678")
+    assert bench._noisier_than_committed(changed, quiet) is None
+    legacy_prior = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
+    assert bench._noisier_than_committed(noisy, legacy_prior) is None
     # a full run at a DIFFERENT sf (canary skipped there) must never
     # replace the canonical sf0.1 artifact, whatever its n_queries
     sf_committed = {"n_queries": 201, "sf": "0.1",
