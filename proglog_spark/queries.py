@@ -386,6 +386,43 @@ def _sink_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:12]}"
 
 
+def _write_sentinel_parquet(dir_path: str, columns: dict) -> None:
+    """Write a tiny sentinel file for a streamed gate's file source
+    DRIVER-SIDE with pyarrow instead of a Spark job (r12, guide §5
+    "the driver should do almost no data work" inverted: one literal
+    row IS driver work — `spark.createDataFrame(...).write.parquet`
+    paid a full plan+task+commit round trip, ~0.6 s per sentinel wave
+    measured on this host, for one row).
+
+    ``columns`` maps name -> pyarrow array (caller pins the exact
+    types the stream's declared read schema expects). The file is
+    written under a dot-prefixed temp name — Spark's file listing
+    ignores hidden files, and the running stream polls the directory
+    asynchronously — then atomically renamed into visibility, the
+    same expose-only-complete-files discipline Spark's own committer
+    provides."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(columns)
+    final = os.path.join(dir_path, f"sentinel-{uuid.uuid4().hex}.parquet")
+    tmp = os.path.join(dir_path, f".{os.path.basename(final)}.tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
+
+
+def _ts_us(dt) -> int:
+    """Epoch microseconds of a (naive-UTC or tz-aware) datetime."""
+    import datetime
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
 def _stream_state_partitions(spark, sf_dir) -> int:
     """State-store partition width for the streamed gates, derived
     from INPUT SIZE rather than hard-coded (r11 optimization; guide
@@ -424,16 +461,24 @@ def _stream_state_partitions(spark, sf_dir) -> int:
 
 
 def _drain_memory_sink(spark, name: str) -> DataFrame:
-    """Materialize a finished streaming query's memory-sink table into
-    a standalone DataFrame and DROP the sink's temp view: without the
+    """Detach a finished streaming query's memory-sink table into a
+    standalone DataFrame and DROP the sink's temp view: without the
     drop, every invocation of a streamed query leaks one in-memory
-    table (holding its full aggregated result) into the session for
-    its lifetime. Sink contents are bounded aggregates, so the driver
-    hop is small; the returned frame has the sink's exact schema."""
+    table (holding its full result) into the session catalog for its
+    lifetime.
+
+    r12 (guide §5 "the driver should do almost no data work"):
+    ``spark.table`` binds the sink's relation EAGERLY (Dataset.ofRows
+    analyzes at construction), so the handle stays valid after the view
+    is dropped and the rows never leave the JVM — the old
+    collect()-then-createDataFrame round trip shipped the full sink
+    (100k rows for the asof/dedup gates at sf0.1) driver→Python→JVM
+    once per invocation, and again Python→JVM at every downstream
+    action. The sink's rows are freed with the returned handle instead
+    of at view drop — same lifecycle the old LocalRelation copy had."""
     t = spark.table(name)
-    rows, schema = t.collect(), t.schema
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return t
 
 
 @register(
@@ -842,10 +887,19 @@ def events_sessionize_streamed(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
 
     def _write_sentinel(days: int) -> None:
-        spark.createDataFrame(
-            [(sentinel, base + datetime.timedelta(days=days))],
-            "user_id long, ts timestamp",
-        ).write.mode("append").parquet(sentinel_dir)
+        # driver-side pyarrow write (~ms) — was a Spark job per wave
+        import pyarrow as pa
+
+        _write_sentinel_parquet(
+            sentinel_dir,
+            {
+                "user_id": pa.array([sentinel], pa.int64()),
+                "ts": pa.array(
+                    [_ts_us(base + datetime.timedelta(days=days))],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            },
+        )
 
     _write_sentinel(30)
     sentinels = spark.readStream.schema("user_id long, ts timestamp").parquet(
@@ -1014,10 +1068,21 @@ def events_asof_order_streamed(spark, sf_dir):
     base = max(base.replace(tzinfo=None), max_ord)
 
     def _write_sentinel(days: int) -> None:
-        spark.createDataFrame(
-            [(999_999_999, base + datetime.timedelta(days=days), 0, 0.0)],
-            cand_schema,
-        ).write.mode("append").parquet(sentinel_dir)
+        # driver-side pyarrow write (~ms) — was a Spark job per wave
+        import pyarrow as pa
+
+        _write_sentinel_parquet(
+            sentinel_dir,
+            {
+                "o_custkey": pa.array([999_999_999], pa.int64()),
+                "o_orderdate": pa.array(
+                    [_ts_us(base + datetime.timedelta(days=days))],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "o_orderkey": pa.array([0], pa.int64()),
+                "o_totalprice": pa.array([0.0], pa.float64()),
+            },
+        )
 
     _write_sentinel(30)
     name = _sink_name("asof_streamed")
@@ -10027,14 +10092,28 @@ def docs_scene_cuts_streamed(spark, sf_dir):
             q.processAllAvailable()
             # second half + the watermark sentinel clip
             second = halves.where(F.col("k") > F.col("mid_k")).select(*cols)
+            second.write.mode("append").parquet(stream_dir)
+            # watermark sentinel clip: driver-side pyarrow write (~ms;
+            # the old unionByName(createDataFrame) rebuilt the whole
+            # second-half plan around one literal row). Both files land
+            # before processAllAvailable, so batch composition semantics
+            # are unchanged.
+            import pyarrow as pa
+
             sentinel_ts = datetime.datetime.fromtimestamp(
                 base_s, datetime.timezone.utc
             ) + datetime.timedelta(days=30)
-            sentinel = spark.createDataFrame(
-                [(999_999_999, 0, 0, 0, sentinel_ts)], schema
-            )
-            second.unionByName(sentinel).write.mode("append").parquet(
-                stream_dir
+            _write_sentinel_parquet(
+                stream_dir,
+                {
+                    "doc_id": pa.array([999_999_999], pa.int64()),
+                    "k": pa.array([0], pa.int64()),
+                    "simhash_lo": pa.array([0], pa.int64()),
+                    "simhash_hi": pa.array([0], pa.int64()),
+                    "ts": pa.array(
+                        [_ts_us(sentinel_ts)], pa.timestamp("us", tz="UTC")
+                    ),
+                },
             )
             q.processAllAvailable()
         finally:

@@ -126,6 +126,78 @@ def merge_pieces(a, b):
     return (ak0, bk1, af_lo, af_hi, bl_lo, bl_hi, n, s, longest, head, tail)
 
 
+def _popcount64(x):
+    """Vectorized 64-bit population count (SWAR) — numpy < 2.0 has no
+    ``bitwise_count``. Input any integer dtype; returns int64."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h) >> np.uint64(56)).astype(np.int64)
+
+
+def pieces_from_batch(doc, k, lo, hi):
+    """Vectorized :func:`piece_from_frames` over a WHOLE (doc, k)-
+    lexsorted micro-batch at once: returns ``(piece_docs, pieces)`` —
+    one scene-piece tuple per contiguous (same-doc, consecutive-k)
+    frame run, in batch order. Replaces the r10 per-frame Python loop
+    that dominated ``allUpdatesTimeMs`` at fixture scale (~250k frames
+    per micro-batch through an interpreted popcount); equivalence with
+    the loop reference is pinned by
+    tests/test_streaming_scenes.py::test_pieces_from_batch_matches_loop.
+    """
+    import numpy as np
+
+    n = len(doc)
+    if n == 0:
+        return [], []
+    doc = np.asarray(doc, dtype=np.int64)
+    k = np.asarray(k, dtype=np.int64)
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    mask32 = np.int64(0xFFFFFFFF)
+    d = _popcount64(np.bitwise_xor(lo[1:], lo[:-1]) & mask32) + _popcount64(
+        np.bitwise_xor(hi[1:], hi[:-1]) & mask32
+    )
+    # frame starts a new piece (doc change or k-gap) / a new scene
+    newrun = np.concatenate(
+        ([True], (doc[1:] != doc[:-1]) | (k[1:] != k[:-1] + 1))
+    )
+    cut = newrun | np.concatenate(([True], d >= CUT_THRESHOLD))
+    run_starts = np.flatnonzero(newrun)
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    scene_starts = np.flatnonzero(cut)
+    scene_lens = np.diff(np.concatenate((scene_starts, [n])))
+    piece_of_frame = np.cumsum(newrun) - 1
+    piece_of_scene = piece_of_frame[scene_starts]
+    n_pieces = len(run_starts)
+    pid = np.arange(n_pieces)
+    first_scene = np.searchsorted(piece_of_scene, pid, side="left")
+    last_scene = np.searchsorted(piece_of_scene, pid, side="right") - 1
+    n_scenes = last_scene - first_scene + 1
+    longest = np.maximum.reduceat(scene_lens, first_scene)
+    head = scene_lens[first_scene]
+    tail = scene_lens[last_scene]
+    nf = run_ends - run_starts
+    e = run_ends - 1
+    s = run_starts
+    pieces = [
+        (
+            int(k[s[i]]), int(k[e[i]]), int(lo[s[i]]), int(hi[s[i]]),
+            int(lo[e[i]]), int(hi[e[i]]), int(nf[i]), int(n_scenes[i]),
+            int(longest[i]), int(head[i]), int(tail[i]),
+        )
+        for i in range(n_pieces)
+    ]
+    return doc[s].tolist(), pieces
+
+
 def segment_model(los, his):
     """Flat reference model over one complete clip (k = 0..n-1):
     returns (n_frames, n_scenes, longest_scene). Used by tests and as
@@ -187,28 +259,28 @@ def _segment_step(key, pdf_iter, state: GroupState, gap_us: int):
     if not state.hasTimedOut:
         frames = list(pdf_iter)
         if frames:
+            import numpy as np
+
             pdf = pd.concat(frames, ignore_index=True)
-            pdf = pdf.sort_values(["doc_id", "k"], kind="mergesort")
-            for doc, grp in pdf.groupby("doc_id", sort=False):
-                ks = grp["k"].to_list()
-                los = grp["simhash_lo"].to_list()
-                his = grp["simhash_hi"].to_list()
-                doc = int(doc)
-                doc_ts[doc] = max(
-                    doc_ts.get(doc, 0), int(grp["ts_us"].max())
-                )
-                start = 0
-                for i in range(1, len(ks)):
-                    if ks[i] != ks[i - 1] + 1:
-                        per_doc.setdefault(doc, []).append(
-                            piece_from_frames(
-                                ks[start:i], los[start:i], his[start:i]
-                            )
-                        )
-                        start = i
-                per_doc.setdefault(doc, []).append(
-                    piece_from_frames(ks[start:], los[start:], his[start:])
-                )
+            doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+            k = pdf["k"].to_numpy(dtype=np.int64)
+            order = np.lexsort((k, doc))
+            doc, k = doc[order], k[order]
+            lo = pdf["simhash_lo"].to_numpy(dtype=np.int64)[order]
+            hi = pdf["simhash_hi"].to_numpy(dtype=np.int64)[order]
+            ts = pdf["ts_us"].to_numpy(dtype=np.int64)[order]
+            # per-doc max event time (docs are contiguous after the sort)
+            doc_starts = np.concatenate(
+                ([0], np.flatnonzero(doc[1:] != doc[:-1]) + 1)
+            )
+            ts_max = np.maximum.reduceat(ts, doc_starts)
+            for d_, t_ in zip(doc[doc_starts].tolist(), ts_max.tolist()):
+                doc_ts[d_] = max(doc_ts.get(d_, 0), int(t_))
+            # one vectorized pass extracts every contiguous run's piece
+            # (was: a per-frame Python loop — the allUpdatesTimeMs wall)
+            piece_docs, pieces = pieces_from_batch(doc, k, lo, hi)
+            for d_, p_ in zip(piece_docs, pieces):
+                per_doc.setdefault(int(d_), []).append(p_)
 
     for doc in per_doc:
         per_doc[doc] = _coalesce(per_doc[doc])

@@ -1368,6 +1368,54 @@ def test_scene_piece_algebra_matches_flat_model():
         assert _seal(pieces) == flat
 
 
+def test_pieces_from_batch_matches_loop():
+    """The r12 vectorized whole-batch piece extraction must equal the
+    per-run loop reference (piece_from_frames) for every doc and every
+    k-gap split — random multi-doc batches with gaps, duplicates of
+    hash words, and single-frame runs."""
+    import random
+
+    import numpy as np
+
+    from proglog_spark.streaming.scenes import (
+        piece_from_frames,
+        pieces_from_batch,
+    )
+
+    rng = random.Random(23)
+    for _ in range(300):
+        docs, ks, los, his = [], [], [], []
+        expected: list = []
+        for doc in sorted(rng.sample(range(1, 50), rng.randint(1, 5))):
+            k = rng.randint(0, 3)
+            runs = rng.randint(1, 3)
+            for _r in range(runs):
+                n = rng.randint(1, 12)
+                rl = [rng.getrandbits(32) for _ in range(n)]
+                rh = [rng.getrandbits(32) for _ in range(n)]
+                for i in range(1, n):
+                    if rng.random() < 0.5:
+                        rl[i], rh[i] = rl[i - 1], rh[i - 1]
+                rk = list(range(k, k + n))
+                expected.append((doc, piece_from_frames(rk, rl, rh)))
+                docs += [doc] * n
+                ks += rk
+                los += rl
+                his += rh
+                k += n + rng.randint(1, 4)  # gap => next run
+        got_docs, got_pieces = pieces_from_batch(
+            np.array(docs, dtype=np.int64),
+            np.array(ks, dtype=np.int64),
+            np.array(los, dtype=np.int64),
+            np.array(his, dtype=np.int64),
+        )
+        assert list(zip(got_docs, got_pieces)) == expected
+    assert pieces_from_batch(
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.int64), np.empty(0, np.int64),
+    ) == ([], [])
+
+
 def test_scene_piece_overlap_fails_loudly():
     """Duplicate frames (overlapping k ranges) are a source-contract
     violation, not something to silently dedup."""

@@ -32,7 +32,8 @@ from proglog_spark.session import build_session  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", required=True)
-    ap.add_argument("--tag", default=None, help="write plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r12", help="plans/<round>/ target dir")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--cold", action="store_true",
                     help="clearCache() before every rep")
@@ -70,7 +71,7 @@ def main() -> None:
     fns = q.queries()
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", args.round,
     )
     for name in names:
         if name not in fns:
@@ -93,7 +94,7 @@ def main() -> None:
             )
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as fh:
                 fh.write(plan)
-            print(f"  plan -> plans/r11/{name}_{args.tag}.txt")
+            print(f"  plan -> plans/{args.round}/{name}_{args.tag}.txt")
     spark.stop()
 
 

@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra spark conf key=value (repeatable) for A/B probes",
+    )
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -37,6 +41,7 @@ def main() -> None:
         app_name="profile-stream",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf=dict(kv.split("=", 1) for kv in args.conf),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
