@@ -470,9 +470,20 @@ def hamming_pairs(
     against itself (at a 10^10-row index, index x index candidates
     would dominate every drop).
 
-    The sketch tables feed the explode and the verify join-back —
-    cached so each sketch UDF runs once per call (session-scoped,
-    LRU-evicted under pressure).
+    The sketch words RIDE the block explode (r12, guide §2.4): the
+    exploded rows carry (id, lo, hi) so candidates verify inline on
+    the block join's output and the two per-side verify join-backs —
+    two extra shuffles of the candidate table plus two re-reads of
+    the sketch tables — disappear. A pair colliding in several blocks
+    is verified once per collision before the dedup; that re-costs a
+    couple of bit_counts per duplicate candidate, while the dedup
+    shuffle now carries only VERIFIED pairs (a subset of candidates).
+    Results are identical: same complete candidate set, same per-pair
+    hamming, dedup keyed on (id_a, id_b) either way.
+
+    The sketch tables are cached so the (often UDF-backed) sketch pass
+    runs once per call even with both explode sides reading it
+    (session-scoped, LRU-evicted under pressure).
     """
     if blocks < max_hamming + 1:
         raise ValueError("completeness needs blocks >= max_hamming+1")
@@ -487,21 +498,20 @@ def hamming_pairs(
         shift = (i % per_word) * bits_per
         return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
 
-    def blocked_of(df):
+    def blocked_of(df, side: str):
         return df.select(
-            "id",
+            F.col("id").alias(f"id_{side}"),
+            F.col("simhash_lo").alias(f"lo_{side}"),
+            F.col("simhash_hi").alias(f"hi_{side}"),
             F.posexplode(F.array(*[block_val(i) for i in range(blocks)])).alias(
                 "blk", "blk_val"
             ),
         )
 
-    # cache: each sketch table feeds its block-explode AND the verify
-    # join-back, so the (often UDF-backed) sketch pass runs once per
-    # call (lifecycle = dedup module Cache note; docstring contract)
     sketches = sketches.cache()
     right = sketches if other is None else other.cache()
-    a = blocked_of(sketches).select(F.col("id").alias("id_a"), "blk", "blk_val")
-    b = blocked_of(right).select(F.col("id").alias("id_b"), "blk", "blk_val")
+    a = blocked_of(sketches, "a")
+    b = blocked_of(right, "b")
     cands = a.join(b, on=["blk", "blk_val"])
     if other is None:
         cands = cands.where(F.col("id_a") < F.col("id_b"))
@@ -510,26 +520,14 @@ def hamming_pairs(
         # an index that already absorbed it); a shared id would emit a
         # (x, x) hamming-0 pair — a doc reported as its own duplicate
         cands = cands.where(F.col("id_a") != F.col("id_b"))
-    cands = cands.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
-    wa = sketches.select(
-        F.col("id").alias("id_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"),
-    )
-    wb = right.select(
-        F.col("id").alias("id_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"),
-    )
     ham = (
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).alias("hamming")
     return (
-        cands.join(wa, "id_a")
-        .join(wb, "id_b")
-        .select("id_a", "id_b", ham)
+        cands.select("id_a", "id_b", ham)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

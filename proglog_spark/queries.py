@@ -10456,6 +10456,13 @@ def docs_av_dedup_verdicts(spark, sf_dir):
 # DuckDB oracle at sf0.001 at record time (21/21). The 12 emb queries
 # whose call sites DID change were evicted instead (see
 # _WINDOW_PRIORITY).
+# AUDIT NOTE (r12): the dedup.hamming_pairs rework (sketch words ride
+# the block explode; verify join-backs removed — identical pair set by
+# construction) drifted the dedup-module closure of 26 checked names.
+# The two that CALL hamming_pairs (docs_simhash_neardup,
+# docs_simhash_decontamination) were EVICTED; the other 24 (their own
+# code and called operators untouched) were re-RECORDED after a fresh
+# 203/203 green sf0.001 sweep run against the edited code.
 # AUDIT NOTE (r11 wave 8): the sources/tables.py load_table
 # handle-memo edit (analysis-time DataFrame handle reuse — no
 # behavior change; returns the same immutable scan DataFrame) drifted
@@ -10471,8 +10478,10 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # 12-name head — the events_* batch/streamed pairs + docs_hash_
     # sample — which moved to the r10 group below; this remnant LEADS
     # the r11 refill per rotation hygiene)
+    # (docs_simhash_neardup was evicted into _WINDOW_PRIORITY by the
+    # r12 hamming_pairs carry-the-words rework; see the eviction
+    # comment there)
     ("r6", (
-        "docs_simhash_neardup",
         "docs_dedup_exact",
         "docs_fingerprint",
         "docs_lang_id", "docs_median_length",
@@ -10520,8 +10529,9 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # (the whole media/scene closure — 19 of the original 50 — was
     # evicted into _WINDOW_PRIORITY by the r9 media.py node-class-walk
     # edit and the scene-pipeline refactor; see the eviction comment)
+    # (docs_simhash_decontamination: evicted into _WINDOW_PRIORITY by
+    # the r12 hamming_pairs rework, next to its r6 self-mode twin)
     ("r8", (
-        "docs_simhash_decontamination",
         "emb_sq8_ann_topk", "emb_sq8_index_topk", "emb_sq8_recall_gate",
         "docs_shard_assignment", "docs_replica_placement",
         "events_zorder_layout", "docs_constraint_audit",
@@ -10650,6 +10660,18 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 _WINDOW_PRIORITY: list[str] = [
     "docs_scene_cuts_from_index",
     "docs_scene_threshold_sweep",
+    # r12 OPTIMIZATION evictions (re-VERIFY, not re-record): the two
+    # driver-checked CALL SITES of dedup.hamming_pairs, whose internals
+    # changed — the sketch words now ride the block explode so
+    # candidates verify inline and the two per-side join-backs
+    # disappear (guide §2.4; identical pair set + hamming by
+    # construction, re-proven green vs the DuckDB oracle at
+    # sf0.001+sf0.01 before commit). The other seven consumers
+    # (image/video/audio/multimodal/av) were already in this list from
+    # the r11 evictions. The 24 names drifted only through the dedup
+    # MODULE closure were re-RECORDED after a fresh 203/203 green
+    # sf0.001 sweep against the edited code (AUDIT NOTE above).
+    "docs_simhash_neardup", "docs_simhash_decontamination",
     # r11 OPTIMIZATION evictions (re-VERIFY, not re-record): the 28
     # names below drifted because the r11 performance work edited
     # their dependency closure — the fused decode_dhash64 stage +
