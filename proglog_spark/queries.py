@@ -10091,29 +10091,22 @@ def docs_scene_cuts_streamed(spark, sf_dir):
         try:
             q.processAllAvailable()
             # second half + the watermark sentinel clip
+            # the sentinel clip rides INSIDE the second-half write: a
+            # separate sentinel file was probed in r12 (driver-side
+            # pyarrow write) and REVERTED — the file source discovers
+            # it in its own listing moment, adding a micro-batch
+            # (interleaved A/B read batches 5->6 and ~+1-2 s trigger
+            # time), and a sentinel-only batch ahead of late-arriving
+            # second-half files would late-drop them at wm+30d
             second = halves.where(F.col("k") > F.col("mid_k")).select(*cols)
-            second.write.mode("append").parquet(stream_dir)
-            # watermark sentinel clip: driver-side pyarrow write (~ms;
-            # the old unionByName(createDataFrame) rebuilt the whole
-            # second-half plan around one literal row). Both files land
-            # before processAllAvailable, so batch composition semantics
-            # are unchanged.
-            import pyarrow as pa
-
             sentinel_ts = datetime.datetime.fromtimestamp(
                 base_s, datetime.timezone.utc
             ) + datetime.timedelta(days=30)
-            _write_sentinel_parquet(
-                stream_dir,
-                {
-                    "doc_id": pa.array([999_999_999], pa.int64()),
-                    "k": pa.array([0], pa.int64()),
-                    "simhash_lo": pa.array([0], pa.int64()),
-                    "simhash_hi": pa.array([0], pa.int64()),
-                    "ts": pa.array(
-                        [_ts_us(sentinel_ts)], pa.timestamp("us", tz="UTC")
-                    ),
-                },
+            sentinel = spark.createDataFrame(
+                [(999_999_999, 0, 0, 0, sentinel_ts)], schema
+            )
+            second.unionByName(sentinel).write.mode("append").parquet(
+                stream_dir
             )
             q.processAllAvailable()
         finally:
