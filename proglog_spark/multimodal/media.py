@@ -896,7 +896,7 @@ def decode_dhash64(
 ) -> DataFrame:
     """Fused ``dhash64(decode_media(df, height=8, width=9))`` in ONE
     mapInPandas stage — bit-identical output (pinned by
-    tests/test_media.py::test_decode_dhash64_matches_composed), built
+    tests/test_multimodal.py::test_decode_dhash64_matches_composed), built
     for the frame-fingerprint paths where the decoded grid exists only
     to be hashed.
 

@@ -423,7 +423,7 @@ def _ts_us(dt) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
-def _stream_state_partitions(spark, sf_dir) -> int:
+def _stream_state_partitions(spark, sf_dir, table: str = "events") -> int:
     """State-store partition width for the streamed gates, derived
     from INPUT SIZE rather than hard-coded (r11 optimization; guide
     §2.2 "fewer, larger partitions" applied to streaming state).
@@ -439,15 +439,17 @@ def _stream_state_partitions(spark, sf_dir) -> int:
     measured 30.7 s vs 37.8 s across the eight event gates against
     width 32 — while at production input sizes the clamp hands
     control back to the session/cluster width (the setting stays
-    scale-adaptive, not a local constant). Env override:
-    SPARK_GRAFT_STREAM_STATE_PARTITIONS."""
+    scale-adaptive, not a local constant). ``table`` names the fixture
+    the gate actually streams (ADVICE-r11: the scene gate streams
+    document-derived frames, so sizing it off events was a heuristic
+    mismatch). Env override: SPARK_GRAFT_STREAM_STATE_PARTITIONS."""
     import math
     import os
 
     override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if override:
         return max(1, int(override))
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(path):
         nbytes = sum(
             os.path.getsize(os.path.join(r, f))
@@ -10067,8 +10069,10 @@ def docs_scene_cuts_streamed(spark, sf_dir):
         name = _sink_name("scene_streamed")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            # r11: input-size-derived width (was a hard-coded 8)
-            str(_stream_state_partitions(spark, sf_dir)),
+            # r11: input-size-derived width (was a hard-coded 8);
+            # r12 (ADVICE-r11): sized off the table this gate actually
+            # streams — the frames derive from documents, not events
+            str(_stream_state_partitions(spark, sf_dir, table="documents")),
         )
         q = (
             # watermark delay must exceed the whole frame-time SPAN:
@@ -10449,6 +10453,12 @@ def docs_av_dedup_verdicts(spark, sf_dir):
 # DuckDB oracle at sf0.001 at record time (21/21). The 12 emb queries
 # whose call sites DID change were evicted instead (see
 # _WINDOW_PRIORITY).
+# AUDIT NOTE (r12, ADVICE-r11 fixes): the sources/tables.py handle-memo
+# re-key (session-object key + clear_handle_memo() hook — analysis
+# plumbing, same immutable scan DataFrames) drifted every checked
+# name's closure again (142), exactly like the r11 wave-8 note below;
+# all were re-RECORDED after a fresh 203/203 green sf0.001 sweep run
+# against the edited code. No call sites changed, so no evictions.
 # AUDIT NOTE (r12): the dedup.hamming_pairs rework (sketch words ride
 # the block explode; verify join-backs removed — identical pair set by
 # construction) drifted the dedup-module closure of 26 checked names.

@@ -50,6 +50,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HANDLE_MEMO: dict = {}
 
 
+def clear_handle_memo() -> None:
+    """Invalidation hook for :data:`_HANDLE_MEMO` (ADVICE-r11): the
+    memo assumes FIXTURE DIRS ARE IMMUTABLE for the session lifetime —
+    the parquet reader captures the file listing + footer schema once
+    per (session, dir, table). Any harness that regenerates a fixture
+    dir in place mid-session must call this first or the old listing
+    is served. Not wired into bench cold mode on purpose: handles
+    memoize ANALYSIS, never results, so cold attribution is unaffected
+    by keeping them."""
+    _HANDLE_MEMO.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to the engine schema.
 
@@ -66,7 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     module note above; semantics are unchanged (DataFrames are
     immutable and the fixture dirs are read-only).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # keyed by the SESSION OBJECT, not just applicationId (ADVICE-r11):
+    # two SparkSessions in one application share an appId, and a
+    # DataFrame is bound to the session that built it — an appId-only
+    # key would hand session B a handle that executes on session A.
+    # Holding the session strongly is fine: sessions per process are
+    # few and the memo dies with the process.
+    key = (spark, sf_dir, name)
     memo = _HANDLE_MEMO.get(key)
     if memo is not None:
         return memo
