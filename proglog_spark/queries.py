@@ -1582,13 +1582,19 @@ def docs_bm25_topk(spark, sf_dir):
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Collect a SMALL result and rebuild it as a local DataFrame —
-    for queries whose lineage reads a temp artifact that is deleted
-    before the caller's own collect (the `_drain_memory_sink` move
-    applied to file-backed artifacts). Only ever used on bounded
-    top-k/audit outputs."""
-    rows, schema = df.collect(), df.schema
-    return df.sparkSession.createDataFrame(rows, schema)
+    """Eagerly materialize a SMALL result so its lineage no longer
+    reads the temp artifact the caller is about to delete (the
+    `_drain_memory_sink` move applied to file-backed artifacts). Only
+    ever used on bounded top-k/audit outputs.
+
+    r12: ``localCheckpoint(eager=True)`` instead of
+    collect()+createDataFrame — the rows stay in JVM block storage
+    (one job, partition order preserved, so a pre-sorted result stays
+    sorted), where the old double hop shipped them JVM→driver→JVM once
+    per invocation and Python→JVM again at every downstream action.
+    Blocks are freed by the ContextCleaner when the returned handle is
+    dropped."""
+    return df.localCheckpoint(eager=True)
 
 
 @register("docs_bm25_index_topk", _BM25_TOPK_ORACLE)
@@ -10535,7 +10541,9 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # (docs_simhash_decontamination: evicted into _WINDOW_PRIORITY by
     # the r12 hamming_pairs rework, next to its r6 self-mode twin)
     ("r8", (
-        "emb_sq8_ann_topk", "emb_sq8_index_topk", "emb_sq8_recall_gate",
+        # (emb_sq8_index_topk: evicted into _WINDOW_PRIORITY by the r12
+        # _materialize localCheckpoint rework)
+        "emb_sq8_ann_topk", "emb_sq8_recall_gate",
         "docs_shard_assignment", "docs_replica_placement",
         "events_zorder_layout", "docs_constraint_audit",
         "docs_source_dedup_stats", "docs_repetition_stats", "docs_contamination",
@@ -10675,6 +10683,12 @@ _WINDOW_PRIORITY: list[str] = [
     # MODULE closure were re-RECORDED after a fresh 203/203 green
     # sf0.001 sweep against the edited code (AUDIT NOTE above).
     "docs_simhash_neardup", "docs_simhash_decontamination",
+    # r12 eviction (re-VERIFY): _materialize now pins results via
+    # localCheckpoint(eager=True) instead of collect+createDataFrame
+    # (identical rows, partition order preserved); emb_sq8_index_topk
+    # is its one driver-checked consumer — the other seven were
+    # already in this list. Re-proven green at sf0.001 before commit.
+    "emb_sq8_index_topk",
     # r11 OPTIMIZATION evictions (re-VERIFY, not re-record): the 28
     # names below drifted because the r11 performance work edited
     # their dependency closure — the fused decode_dhash64 stage +
