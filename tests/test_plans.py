@@ -849,20 +849,19 @@ def test_image_dhash_single_pass_no_pre_sort_shuffle(spark, sf_dir):
 def test_image_neardup_blocked_join_not_cartesian(spark, sf_dir):
     """docs_image_neardup candidates come from the pigeonhole block
     join (posexplode over 4 block values, equi-join on blk/blk_val),
-    never a cartesian product; the decode+hash sketch table is cached
-    so the UDF pass runs once for the explode AND the verify
-    join-back."""
+    never a cartesian product. r12: the sketch words RIDE the explode
+    and candidates verify inline, so the plan has exactly the two
+    explode-side reads of the CACHED sketch table and NO verify
+    join-backs — the decode UDF pass still materializes once.
+    (MapInPandas strings recur in the printout because each
+    InMemoryTableScan reprints its cached child plan; the execution
+    count is the InMemoryTableScan count, not that.)"""
     from proglog_spark.queries import REGISTRY
 
     plan = plan_of(REGISTRY["docs_image_neardup"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Generate" in plan  # the posexplode blocking
-    # every consumer (block explode ×2, verify join-back ×2) reads the
-    # CACHED sketch table — the decode UDF pass materializes once.
-    # (MapInPandas strings recur in the printout because each
-    # InMemoryTableScan reprints its cached child plan; the execution
-    # count is the InMemoryTableScan count, not that.)
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("InMemoryTableScan") == 2
 
 
 def test_audio_fingerprint_single_decode_no_pre_sort_shuffle(spark, sf_dir):
