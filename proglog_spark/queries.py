@@ -2661,14 +2661,29 @@ def docs_video_frame_containment(spark, sf_dir):
         frame_bytes=64,
         every_n=1,
     )
-    sh = frames.select("doc_id", F.col("frame_md5").alias("h")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "h")
-    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    # r12 (the jaccard_pairs idiom, guide §2.3/§2.4): the per-doc
+    # distinct-frame SET is built once (one doc-keyed shuffle), its
+    # size rides the exploded rows, and the table is cached — the
+    # previous shape ran the sample_frames Python fan-out into an
+    # UNCACHED distinct table read by three consumers and joined the
+    # size table back onto the verified pairs twice (broadcastable
+    # locally, a doc-count-sized SMJ at corpus scale).
+    shn = (
+        frames.groupBy("doc_id")
+        .agg(F.collect_set("frame_md5").alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n"),
+            F.explode("hs").alias("h"),
+        )
+        .cache()
+    )
+    a = shn.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "h")
+    b = shn.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "h")
     cand = (
         a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     contain = F.floor(
@@ -2677,9 +2692,7 @@ def docs_video_frame_containment(spark, sf_dir):
         / F.least(F.col("na"), F.col("nb"))
     ).cast("long")
     return (
-        cand.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .select("id_a", "id_b", "n_shared", contain.alias("containment_micro"))
+        cand.select("id_a", "id_b", "n_shared", contain.alias("containment_micro"))
         .where(F.col("containment_micro") >= 500000)
         .orderBy("id_a", "id_b")
     )
@@ -7999,30 +8012,47 @@ def docs_repeated_span_dedup(spark, sf_dir):
     (`docs_repetition_stats` owns that). One explode feeds both the
     offender set and the probe; the flagged-gram set is tiny (`≈5%
     of grams here) so AQE broadcasts the semi join — at scale it
-    co-partitions on the gram key instead. At 100 TB, group on
-    the 64-bit gram fingerprint instead of the string — the
-    `docs_incremental_dedup` idiom — so the shuffle carries 8-byte
-    hashes; fingerprint collisions then over-flag ~2^-64·spans²,
-    the standard trade."""
+    co-partitions on the gram key instead.
+
+    r12 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    the gram shuffles carry md5(gram) — 32 hex chars — instead of the
+    ~140-byte 20-token string, and the per-doc span COUNT is pure
+    arithmetic on the token count (size(w) − 19 when ≥ 20 tokens —
+    exactly the oracle's range cardinality), so the full gram table
+    crosses ONE exchange (the offender groupBy) instead of three. The
+    oracle is UNCHANGED: grouping by a 128-bit content hash equals
+    grouping by the string itself unless md5 collides — the same
+    accepted-idiom equality `docs_dedup_exact` is already oracle-gated
+    on (the r11 parking note was about a 64-bit fingerprint, where
+    2⁻⁶⁴·spans² collisions are reachable at corpus scale; at 128 bits
+    they are not, at any scale)."""
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = F.when(
-        F.size("w") >= 20,
-        F.expr(
-            "transform(sequence(1, size(w) - 19), "
-            "i -> concat_ws(' ', slice(w, i, 20)))"
-        ),
-    ).otherwise(F.expr("array()"))
-    g = w.select("doc_id", F.explode(grams).alias("gram"))
-    dup = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
+    w = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 20
     )
-    spans = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 19), "
+                "i -> md5(concat_ws(' ', slice(w, i, 20))))"
+            )
+        ).alias("gh"),
+    )
+    # ">= 2 distinct docs" == "min(doc) != max(doc)" — one map-side-
+    # aggregated shuffle instead of countDistinct's two-exchange
+    # distinct expansion (guide §2.3 "aggregate before you shuffle")
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
+        .select("gh")
+    )
+    spans = w.select(
+        "doc_id", (F.size("w") - F.lit(19)).cast("long").alias("n_spans")
+    )
     dups = (
-        g.join(dup, "gram", "left_semi")
+        g.join(dup, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -10626,9 +10656,11 @@ _CHECKED_BY_ROUND: tuple[tuple[str, tuple[str, ...]], ...] = (
     # to the r10 text, md5 61c996e4..., and the emitted plan is the
     # same DataFrame chain moved verbatim into the helper), re-proven
     # by a green sf0.001 hash check at record time.
+    # (docs_repeated_span_dedup: evicted into _WINDOW_PRIORITY by the
+    # r12 md5-keyed gram shuffle rework)
     ("r10", (
         "docs_tokenize_ids", "docs_bpe_token_stats", "docs_chunk_spans",
-        "docs_rarity_filter", "docs_repeated_span_dedup", "docs_source_scorecard",
+        "docs_rarity_filter", "docs_source_scorecard",
         "docs_sql_tvf_tokens", "events_bitmap_distinct",
         "events_halves_bag_ops",
         "events_hll_rollup_gate", "events_journey_segments",
@@ -10689,6 +10721,12 @@ _WINDOW_PRIORITY: list[str] = [
     # is its one driver-checked consumer — the other seven were
     # already in this list. Re-proven green at sf0.001 before commit.
     "emb_sq8_index_topk",
+    # r12 eviction (re-VERIFY): docs_repeated_span_dedup now shuffles
+    # md5(gram) keys (oracle UNCHANGED — 128-bit-hash grouping equals
+    # string grouping, the docs_dedup_exact idiom), computes n_spans
+    # arithmetically, and flags offenders via min!=max instead of
+    # countDistinct. Re-proven green at sf0.001 + sf0.01 before commit.
+    "docs_repeated_span_dedup",
     # r11 OPTIMIZATION evictions (re-VERIFY, not re-record): the 28
     # names below drifted because the r11 performance work edited
     # their dependency closure — the fused decode_dhash64 stage +
