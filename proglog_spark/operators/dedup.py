@@ -508,6 +508,10 @@ def hamming_pairs(
             ),
         )
 
+    # cache: both block-explode sides read each sketch table, so the
+    # (often UDF-backed) sketch pass runs once per call (lifecycle =
+    # the module Cache note: session-scoped, LRU-evicted, reclaimable
+    # via spark.catalog.clearCache())
     sketches = sketches.cache()
     right = sketches if other is None else other.cache()
     a = blocked_of(sketches, "a")
