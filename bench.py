@@ -352,6 +352,17 @@ def _noisier_than_committed(full: dict, prior: dict) -> str | None:
         return f"sf {full.get('sf')} vs committed sf {prior.get('sf')}"
     if full.get("n_queries") != prior.get("n_queries"):
         return None
+    # (b0) a MACHINE-flagged run never displaces a QUIET artifact —
+    # REGARDLESS of revision (r12: a docs-only commit changed git_head
+    # and let a 321 s MACHINE run clobber the 306.8 s QUIET map; the
+    # MACHINE flag is the canary's own statement that the delta is
+    # uniform external load, not code). QUIET and STRUCTURAL runs of
+    # changed code still always replace, so a genuine code regression
+    # — including one that trips a canary — lands in the map.
+    new_flag = (full.get("canary") or {}).get("flag")
+    old_flag = (prior.get("canary") or {}).get("flag")
+    if new_flag == "MACHINE" and old_flag == "QUIET":
+        return f"flag MACHINE vs committed QUIET (external load, any code)"
     if prior.get("git_head") is None or prior.get("git_head") != full.get(
         "git_head"
     ):

@@ -274,6 +274,24 @@ def test_bench_noisier_run_does_not_clobber():
     # an artifact that predates the git_head field is always replaced
     changed = dict(noisy, git_head="def5678")
     assert bench._noisier_than_committed(changed, quiet) is None
+    # r12: EXCEPT when the rerun is MACHINE-flagged and the committed
+    # map is QUIET — the flag is the canary's own statement that the
+    # delta is uniform external load, so it must not displace a quiet
+    # map even across revisions (a docs-only commit changes git_head);
+    # QUIET and STRUCTURAL runs of changed code still always replace
+    quiet_flagged = {"n_queries": 201, "sf": "0.1", "git_head": "abc1234",
+                     "canary": {"inflation_end": 1.01, "flag": "QUIET"}}
+    machine_new_code = {"n_queries": 201, "sf": "0.1", "git_head": "zzz9",
+                        "canary": {"inflation_end": 1.3, "flag": "MACHINE"}}
+    assert bench._noisier_than_committed(machine_new_code, quiet_flagged)
+    structural_new_code = dict(
+        machine_new_code,
+        canary={"inflation_end": 1.0, "flag": "STRUCTURAL(tpch_q1)"},
+    )
+    assert (
+        bench._noisier_than_committed(structural_new_code, quiet_flagged)
+        is None
+    )
     legacy_prior = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
     assert bench._noisier_than_committed(noisy, legacy_prior) is None
     # a full run at a DIFFERENT sf (canary skipped there) must never
