@@ -306,6 +306,31 @@ def _gate_until_quiet(spark, sf_dir: str, fns) -> dict:
     return {"probes": probes, "threshold": max_infl, "proceeded": "exhausted"}
 
 
+def _code_rev() -> str:
+    """Digest of the SOURCE the bench actually measures — bench.py,
+    __spark_entry__.py, and every proglog_spark/**/*.py — so the
+    no-clobber guard's same-code test ignores commits that touch only
+    docs/artifacts (r12: a docs-only commit changed git_head and let a
+    hot-host rerun displace the quiet map TWICE). Pure file contents:
+    stable across machines, independent of git state."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = [
+        os.path.join(root, "bench.py"),
+        os.path.join(root, "__spark_entry__.py"),
+    ]
+    for r, dirs, fs in os.walk(os.path.join(root, "proglog_spark")):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        files += [os.path.join(r, f) for f in fs if f.endswith(".py")]
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(os.path.relpath(f, root).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def _git_head() -> str | None:
     """Current repo revision (short hash, '-dirty' suffixed when the
     working tree has modifications) — recorded in the artifact so the
@@ -363,7 +388,13 @@ def _noisier_than_committed(full: dict, prior: dict) -> str | None:
     old_flag = (prior.get("canary") or {}).get("flag")
     if new_flag == "MACHINE" and old_flag == "QUIET":
         return f"flag MACHINE vs committed QUIET (external load, any code)"
-    if prior.get("git_head") is None or prior.get("git_head") != full.get(
+    # same-code test: prefer the measured-source digest (code_rev,
+    # r12 — immune to docs-only commits moving git_head); fall back to
+    # the revision for artifacts that predate the field
+    if prior.get("code_rev") is not None and full.get("code_rev") is not None:
+        if prior["code_rev"] != full["code_rev"]:
+            return None
+    elif prior.get("git_head") is None or prior.get("git_head") != full.get(
         "git_head"
     ):
         return None
@@ -666,6 +697,7 @@ def main() -> None:
         # same-code reruns (VERDICT-r11 #2/#3)
         "cpus": int(cpus),
         "git_head": _git_head(),
+        "code_rev": _code_rev(),
     }
     if run_canary:
         spread = _canary_spread(canary_end, "end")

@@ -292,6 +292,21 @@ def test_bench_noisier_run_does_not_clobber():
         bench._noisier_than_committed(structural_new_code, quiet_flagged)
         is None
     )
+    # r12: same-code is decided by the measured-SOURCE digest when both
+    # artifacts carry it — a docs-only commit moves git_head but not
+    # code_rev, so the quietest-known guard still applies; a differing
+    # code_rev always replaces
+    prior_cr = {"n_queries": 201, "sf": "0.1", "git_head": "doc1",
+                "code_rev": "c0de", "value": 300.0,
+                "canary": {"inflation_end": 1.0, "flag": "QUIET"}}
+    rerun_docs_moved = {"n_queries": 201, "sf": "0.1", "git_head": "doc2",
+                        "code_rev": "c0de", "value": 400.0,
+                        "canary": {"inflation_end": 1.1, "flag": "QUIET"}}
+    assert bench._noisier_than_committed(rerun_docs_moved, prior_cr)
+    rerun_code_moved = dict(rerun_docs_moved, code_rev="feed")
+    assert bench._noisier_than_committed(rerun_code_moved, prior_cr) is None
+    # _code_rev is deterministic and ignores non-source files
+    assert bench._code_rev() == bench._code_rev()
     legacy_prior = {"n_queries": 201, "canary": {"inflation_end": 1.06}}
     assert bench._noisier_than_committed(noisy, legacy_prior) is None
     # a full run at a DIFFERENT sf (canary skipped there) must never
